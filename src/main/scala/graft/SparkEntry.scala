@@ -1,13 +1,53 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps every implemented operator from SURVEY.md §2 to a
+  * DataFrame program; `oracleSql` maps the same key to DuckDB SQL the driver
+  * runs over the same parquet tables. Column names and float rounding are
+  * kept identical on both sides (SURVEY.md §6).
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (Relational.q01PricingSummary _),
+    "q02_filter_project" -> (Relational.q02FilterProject _),
+    "q03_shipping_priority" -> (Relational.q03ShippingPriority _),
+    "q05_local_supplier" -> (Relational.q05LocalSupplier _),
+    "q06_forecast_revenue" -> (Relational.q06ForecastRevenue _),
+    "q07_semi_join" -> (Relational.q07SemiJoin _),
+    "q08_anti_join" -> (Relational.q08AntiJoin _),
+    "q09_rollup" -> (Relational.q09Rollup _),
+    "q10_window_rank" -> (Relational.q10WindowRank _),
+    "q11_running_sum" -> (Relational.q11RunningSum _),
+    "q12_distinct_topk" -> (Relational.q12DistinctTopk _),
+    "q13_quantiles" -> (Relational.q13Quantiles _),
+    "q14_cross_ref" -> (Relational.q14CrossRef _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> Relational.q01Sql,
+    "q02_filter_project" -> Relational.q02Sql,
+    "q03_shipping_priority" -> Relational.q03Sql,
+    "q05_local_supplier" -> Relational.q05Sql,
+    "q06_forecast_revenue" -> Relational.q06Sql,
+    "q07_semi_join" -> Relational.q07Sql,
+    "q08_anti_join" -> Relational.q08Sql,
+    "q09_rollup" -> Relational.q09Sql,
+    "q10_window_rank" -> Relational.q10Sql,
+    "q11_running_sum" -> Relational.q11Sql,
+    "q12_distinct_topk" -> Relational.q12Sql,
+    "q13_quantiles" -> Relational.q13Sql,
+    "q14_cross_ref" -> Relational.q14Sql
+  )
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder(master = "local[4]", shufflePartitions = 4).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("every registered query returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every query has matching column discipline with its oracle presence") {
+    // each oracleSql key must exist in queries
+    SparkEntry.oracleSql.keys.foreach { k =>
+      assert(SparkEntry.queries.contains(k), s"oracleSql key $k missing from queries")
+    }
+  }
+
+  test("q01 groups cover exactly the filtered lineitem rows") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Relational.q01PricingSummary(spark, sf).collect()
+    val expected = sources.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit("2000-12-31")).count()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("count_order"))).sum == expected)
+  }
+
+  test("q10 ranks at most 3 per priority with rn starting at 1") {
+    val rows = operators.Relational.q10WindowRank(spark, sf).collect()
+    val byPrio = rows.groupBy(_.getString(0))
+    byPrio.values.foreach { g =>
+      assert(g.length <= 3)
+      assert(g.map(_.getInt(1)).min == 1)
+    }
+  }
+
+  test("entry smoke: rows > 0") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
