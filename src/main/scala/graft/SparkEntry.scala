@@ -30,7 +30,18 @@ object SparkEntry {
     "q11_running_sum" -> (Relational.q11RunningSum _),
     "q12_distinct_topk" -> (Relational.q12DistinctTopk _),
     "q13_quantiles" -> (Relational.q13Quantiles _),
-    "q14_cross_ref" -> (Relational.q14CrossRef _)
+    "q14_cross_ref" -> (Relational.q14CrossRef _),
+    "r01_symbol_dim" -> (CciPipeline.symbolDim _),
+    "r02_ohlc_bars" -> (CciPipeline.ohlcBarsQuery _),
+    "r03_upsert_keep_last" -> (CciPipeline.upsertKeepLast _),
+    "r04_cci" -> (CciPipeline.cciQuery _),
+    "r05_signals" -> (CciPipeline.signalsQuery _),
+    "r06_trade_sim" -> (CciPipeline.tradesQuery _),
+    "r07_strategy_agg" -> (CciPipeline.strategyAggQuery _),
+    "r08_best_of" -> (CciPipeline.bestOf _),
+    "r09_recommendations" -> (CciPipeline.recommendations _),
+    "r10_candidate_filter" -> (CciPipeline.candidateFilter _),
+    "r11_net_revenue" -> (CciPipeline.netRevenue _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -48,6 +59,17 @@ object SparkEntry {
     "q11_running_sum" -> Relational.q11Sql,
     "q12_distinct_topk" -> Relational.q12Sql,
     "q13_quantiles" -> Relational.q13Sql,
-    "q14_cross_ref" -> Relational.q14Sql
+    "q14_cross_ref" -> Relational.q14Sql,
+    "r01_symbol_dim" -> CciPipeline.symbolDimSql,
+    "r02_ohlc_bars" -> CciPipeline.ohlcBarsSql,
+    "r03_upsert_keep_last" -> CciPipeline.upsertKeepLastSql,
+    "r04_cci" -> CciPipeline.cciSql,
+    "r05_signals" -> CciPipeline.signalsSql,
+    "r06_trade_sim" -> CciPipeline.tradesSql,
+    "r07_strategy_agg" -> CciPipeline.strategyAggSql,
+    "r08_best_of" -> CciPipeline.bestOfSql,
+    "r09_recommendations" -> CciPipeline.recommendationsSql,
+    "r10_candidate_filter" -> CciPipeline.candidateFilterSql,
+    "r11_net_revenue" -> CciPipeline.netRevenueSql
   )
 }

@@ -1,0 +1,607 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The reference's CCI trading pipeline re-expressed Spark-first
+  * (SURVEY.md §2 B-rows; reference: /root/reference/daily_function.py).
+  *
+  * The reference iterates Pandas frames per symbol inside a process pool;
+  * here every stage is one declarative plan over all series at once:
+  *
+  *  - series are partitioned by `user_id` (the "symbol"): windows, the
+  *    futures self-join and all aggregations reuse that single shuffle key;
+  *  - the parameter grid (holding × target × buy-thr × stop-thr) is a
+  *    broadcast literal cross-join, not a driver loop;
+  *  - the forward scan is a bounded self-join (offset ≤ max holding days),
+  *    so state per key is O(window), never O(series).
+  *
+  * Pandas-compat semantics kept deliberately (SURVEY.md §6):
+  * rolling values are null until the window is full
+  * (daily_function.py:588-595), NaN comparisons are false (SQL null
+  * filters), argmax keeps the first row in condition order
+  * (daily_function.py:1078-1080), maturity days_held = the holding-days
+  * condition, not the date diff (daily_function.py:807).
+  */
+object CciPipeline {
+  /** CCI rolling window length (reference: config `cci_ndays`; classic CCI
+    * uses 20 — we default to 5 so small SFs still produce signal rows). */
+  val CciN = 5
+  val BuyThresholds: Seq[Double] = Seq(-100.0, 0.0, 100.0)
+  val StopThresholds: Seq[Double] = Seq(-150.0, -100.0)
+  val HoldingDays: Seq[Int] = Seq(5, 10)
+  val TargetReturns: Seq[Double] = Seq(2.0, 5.0)
+  val MaxHolding: Int = HoldingDays.max
+  /** daily_function.py:99-100 */
+  val TaxRate = 0.0018
+  val FeeRate = 0.00007
+
+  // ---------------------------------------------------------------- r01
+  /** Dimension build: filter + exclusion anti-join + project
+    * (reference create_kr_symbol_list, daily_function.py:185-291: KRX list
+    * minus administrative symbols, total_stock > 0). */
+  def symbolDim(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val part = Tables.part(spark, dir)
+    val excluded = part.filter($"p_retailprice" > 1900.0).select($"p_brand").distinct()
+    part
+      .filter($"p_size" > 0)
+      .join(excluded, Seq("p_brand"), "left_anti")
+      .select($"p_partkey".as("symbol"), $"p_name".as("name"), $"p_type".as("type"),
+        $"p_size".as("total_stock"), $"p_retailprice".as("marcap"))
+      .orderBy($"symbol")
+  }
+
+  val symbolDimSql: String =
+    """SELECT p_partkey AS symbol, p_name AS name, p_type AS type,
+      |  p_size AS total_stock, p_retailprice AS marcap
+      |FROM part p
+      |WHERE p_size > 0
+      |  AND NOT EXISTS (SELECT 1 FROM part x
+      |                  WHERE x.p_retailprice > 1900.0 AND x.p_brand = p.p_brand)
+      |ORDER BY symbol""".stripMargin
+
+  // ---------------------------------------------------------------- r02
+  /** Events → per-(user, day) OHLC bars: the reference's daily price frame
+    * (daily_function.py:358-366) built from a raw event stream. One shuffle
+    * on (user_id, day); min_by/max_by keep it a single agg pass. */
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id", to_date($"ts").as("d"))
+      .agg(
+        min_by($"value", $"ts").as("open_pr"),
+        max($"value").as("high_pr"),
+        min($"value").as("low_pr"),
+        max_by($"value", $"ts").as("close_pr"),
+        count(lit(1)).as("volume"))
+  }
+
+  private val barsCte: String =
+    """bars AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d,
+      |    arg_min(value, ts) AS open_pr, max(value) AS high_pr,
+      |    min(value) AS low_pr, arg_max(value, ts) AS close_pr,
+      |    count(*) AS volume
+      |  FROM events_us GROUP BY 1, 2)""".stripMargin
+
+  def ohlcBarsQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ohlcBars(spark, dir).orderBy($"user_id", $"d")
+  }
+
+  val ohlcBarsSql: String =
+    Tables.eventsOracleCte + ",\n" + barsCte + "\n" +
+      "SELECT user_id, d, open_pr, high_pr, low_pr, close_pr, volume FROM bars ORDER BY user_id, d"
+
+  // ---------------------------------------------------------------- r03
+  /** Incremental-merge upsert: dedup by business key keeping the latest
+    * record (reference drop_duplicates(subset=[date], keep='last'),
+    * daily_function.py:492,516). Implemented as row_number over the key so
+    * it stays a single shuffle (at 100 TB: same plan works for merging a
+    * delta batch against a snapshot via unionByName first). */
+  def upsertKeepLast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id", to_date($"ts"), $"event_type")
+      .orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", to_date($"ts").as("d"), $"event_type", $"event_id", $"value")
+      .orderBy($"user_id", $"d", $"event_type")
+  }
+
+  val upsertKeepLastSql: String =
+    Tables.eventsOracleCte + "\n" +
+      """SELECT user_id, d, event_type, event_id, value FROM (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE), event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events_us) t
+        |WHERE rn = 1
+        |ORDER BY user_id, d, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- r04
+  /** Rolling CCI per series (reference create_new_cci_data,
+    * daily_function.py:561-597): TP, rolling mean, rolling mean absolute
+    * deviation, CCI = (TP − SMA)/(0.015·MAD), null until the window fills.
+    *
+    * The rolling MAD needs each window's own mean, so it is not a plain
+    * window aggregate: we collect the bounded frame (`CciN` rows) with
+    * collect_list and fold it with codegen'd higher-order functions —
+    * identical fold order to the DuckDB oracle's list_reduce. SMA is
+    * derived from the same list so both sides sum in the same order.
+    */
+  def cci(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"d")
+    val wf = wOrd.rowsBetween(-(CciN - 1), 0)
+    def foldSum(c: org.apache.spark.sql.Column) =
+      aggregate(c, lit(0.0), (acc, x) => acc + x)
+    ohlcBars(spark, dir)
+      .withColumn("tp_c", ($"high_pr" + $"low_pr" + $"close_pr") / 3.0)
+      .withColumn("tp_o", ($"high_pr" + $"low_pr" + $"open_pr") / 3.0)
+      .withColumn("idx", row_number().over(wOrd))
+      .withColumn("tps_c", collect_list($"tp_c").over(wf))
+      .withColumn("tps_o", collect_list($"tp_o").over(wf))
+      .withColumn("cnt", size($"tps_c"))
+      .withColumn("sma_c", foldSum($"tps_c") / $"cnt")
+      .withColumn("sma_o", foldSum($"tps_o") / $"cnt")
+      .withColumn("mad_c", foldSum(transform($"tps_c", x => abs(x - $"sma_c"))) / $"cnt")
+      .withColumn("mad_o", foldSum(transform($"tps_o", x => abs(x - $"sma_o"))) / $"cnt")
+      .withColumn("close_cci",
+        when($"cnt" >= CciN && $"mad_c" =!= 0.0, ($"tp_c" - $"sma_c") / (lit(0.015) * $"mad_c")))
+      .withColumn("open_cci",
+        when($"cnt" >= CciN && $"mad_o" =!= 0.0, ($"tp_o" - $"sma_o") / (lit(0.015) * $"mad_o")))
+      .drop("tps_c", "tps_o")
+  }
+
+  /** Shared oracle CTE chain: events_us → bars → cci. */
+  private val cciCtes: String =
+    Tables.eventsOracleCte + ",\n" + barsCte + ",\n" +
+      s"""win AS (
+         |  SELECT *, row_number() OVER wo AS idx,
+         |    list(tp_c) OVER wf AS tps_c, list(tp_o) OVER wf AS tps_o
+         |  FROM (SELECT *, (high_pr+low_pr+close_pr)/3.0 AS tp_c,
+         |               (high_pr+low_pr+open_pr)/3.0 AS tp_o FROM bars) b
+         |  WINDOW wo AS (PARTITION BY user_id ORDER BY d),
+         |         wf AS (PARTITION BY user_id ORDER BY d
+         |                ROWS BETWEEN ${CciN - 1} PRECEDING AND CURRENT ROW)),
+         |madw AS (
+         |  SELECT *,
+         |    list_reduce(list_prepend(0.0, list_transform(tps_c, x -> abs(x - sma_c))), (a,b) -> a+b) / cnt AS mad_c,
+         |    list_reduce(list_prepend(0.0, list_transform(tps_o, x -> abs(x - sma_o))), (a,b) -> a+b) / cnt AS mad_o
+         |  FROM (SELECT *, len(tps_c) AS cnt,
+         |          list_reduce(list_prepend(0.0, tps_c), (a,b) -> a+b) / len(tps_c) AS sma_c,
+         |          list_reduce(list_prepend(0.0, tps_o), (a,b) -> a+b) / len(tps_o) AS sma_o
+         |        FROM win) z),
+         |cci AS (
+         |  SELECT user_id, d, idx, open_pr, high_pr, low_pr, close_pr, volume,
+         |    tp_c, tp_o, cnt, sma_c, sma_o, mad_c, mad_o,
+         |    CASE WHEN cnt >= $CciN AND mad_c <> 0.0
+         |         THEN (tp_c - sma_c) / (0.015 * mad_c) END AS close_cci,
+         |    CASE WHEN cnt >= $CciN AND mad_o <> 0.0
+         |         THEN (tp_o - sma_o) / (0.015 * mad_o) END AS open_cci
+         |  FROM madw)""".stripMargin
+
+  def cciQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    cci(spark, dir)
+      .select($"user_id", $"d", $"idx", $"open_pr", $"close_pr",
+        (floor(($"sma_c") * 10000.0 + 0.5) / 10000.0).as("sma_close"), (floor(($"mad_c") * 10000.0 + 0.5) / 10000.0).as("mad_close"),
+        (floor(($"close_cci") * 10000.0 + 0.5) / 10000.0).as("close_cci"), (floor(($"open_cci") * 10000.0 + 0.5) / 10000.0).as("open_cci"))
+      .orderBy($"user_id", $"d")
+  }
+
+  val cciSql: String =
+    cciCtes + "\n" +
+      """SELECT user_id, d, idx, open_pr, close_pr,
+        |  floor((sma_c) * 10000.0 + 0.5) / 10000.0 AS sma_close, floor((mad_c) * 10000.0 + 0.5) / 10000.0 AS mad_close,
+        |  floor((close_cci) * 10000.0 + 0.5) / 10000.0 AS close_cci, floor((open_cci) * 10000.0 + 0.5) / 10000.0 AS open_cci
+        |FROM cci ORDER BY user_id, d""".stripMargin
+
+  // ---------------------------------------------------------------- r05
+  /** Buy-signal crossover: prev CCI below threshold, current above
+    * (daily_function.py:724-725). Thresholds are a broadcast literal grid. */
+  private def signalsDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+    val thr = BuyThresholds.toDF("buy_thr")
+    cci(spark, dir)
+      .withColumn("prev_open_cci", lag($"open_cci", 1).over(w))
+      .crossJoin(broadcast(thr))
+      .filter($"prev_open_cci" < $"buy_thr" && $"open_cci" > $"buy_thr")
+  }
+
+  private def valuesSql(name: String, col: String, vs: Seq[Any]): String =
+    s"(VALUES ${vs.map(v => s"($v)").mkString(", ")}) $name($col)"
+
+  private val signalsCte: String =
+    s"""sig AS (
+       |  SELECT c.*, t.buy_thr
+       |  FROM (SELECT *, lag(open_cci) OVER (PARTITION BY user_id ORDER BY d)
+       |               AS prev_open_cci FROM cci) c
+       |  CROSS JOIN ${valuesSql("t", "buy_thr", BuyThresholds)}
+       |  WHERE prev_open_cci < t.buy_thr AND open_cci > t.buy_thr)""".stripMargin
+
+  def signalsQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    signalsDf(spark, dir)
+      .select($"user_id", $"d", $"idx", $"buy_thr", $"open_pr",
+        (floor(($"prev_open_cci") * 10000.0 + 0.5) / 10000.0).as("prev_open_cci"),
+        (floor(($"open_cci") * 10000.0 + 0.5) / 10000.0).as("open_cci"))
+      .orderBy($"user_id", $"d", $"buy_thr")
+  }
+
+  val signalsSql: String =
+    cciCtes + ",\n" + signalsCte + "\n" +
+      """SELECT user_id, d, idx, buy_thr, open_pr,
+        |  floor((prev_open_cci) * 10000.0 + 0.5) / 10000.0 AS prev_open_cci, floor((open_cci) * 10000.0 + 0.5) / 10000.0 AS open_cci
+        |FROM sig ORDER BY user_id, d, buy_thr""".stripMargin
+
+  // ---------------------------------------------------------------- r06
+  /** Grid trade simulation (reference create_trade_history_by_symbol,
+    * daily_function.py:686-836).
+    *
+    * Scale shape: futures are joined ONCE per signal with the max holding
+    * window (bounded fan-out ≤ MaxHolding rows/signal, co-partitioned on
+    * user_id), then the condition grid (broadcast literal) fans out and the
+    * per-trade outcome is a single partial-aggregable groupBy. The final
+    * sell-row lookup is one more co-partitioned join on (user_id, idx).
+    */
+  def trades(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = cci(spark, dir)
+    val futures = c.select($"user_id".as("f_user"), $"idx".as("fidx"),
+      $"d".as("fd"), $"close_pr".as("fclose"), $"close_cci".as("fcci"))
+    val sig = signalsDf(spark, dir)
+      .select($"user_id", $"d".as("buy_date"), $"idx", $"open_pr".as("buy_price"), $"buy_thr")
+    val grid = {
+      val hs = HoldingDays.toDF("condition_holding_days")
+      val rs = TargetReturns.toDF("condition_target_return")
+      val ss = StopThresholds.toDF("condition_stop_loss_cci_threshold")
+      hs.crossJoin(rs).crossJoin(ss)
+    }
+    val joined = sig
+      .join(futures,
+        $"user_id" === $"f_user" && $"fidx" > $"idx" && $"fidx" <= $"idx" + MaxHolding)
+      .crossJoin(broadcast(grid))
+      .filter($"fidx" <= $"idx" + $"condition_holding_days")
+    val agg = joined
+      .groupBy($"user_id", $"buy_date", $"idx", $"buy_price", $"buy_thr",
+        $"condition_holding_days", $"condition_target_return",
+        $"condition_stop_loss_cci_threshold")
+      .agg(
+        min(when($"fclose" >= $"buy_price" * (lit(1.0) + $"condition_target_return" / 100.0), $"fidx")).as("t_idx"),
+        min(when($"fcci" <= $"condition_stop_loss_cci_threshold", $"fidx")).as("s_idx"),
+        max($"fidx").as("m_idx"))
+    val sel = agg
+      .withColumn("trade_result",
+        when($"t_idx".isNotNull && ($"s_idx".isNull || $"t_idx" < $"s_idx"), lit("reach_target"))
+          .when($"s_idx".isNotNull, lit("stop_loss"))
+          .otherwise(lit("maturity")))
+      .withColumn("sell_idx",
+        when($"t_idx".isNotNull && ($"s_idx".isNull || $"t_idx" < $"s_idx"), $"t_idx")
+          .when($"s_idx".isNotNull, $"s_idx")
+          .otherwise($"m_idx"))
+    val sellRows = c.select($"user_id".as("s_user"), $"idx".as("s_idx2"),
+      $"d".as("sell_date"), $"close_pr".as("sell_price"))
+    sel
+      .join(sellRows, $"user_id" === $"s_user" && $"sell_idx" === $"s_idx2")
+      .withColumn("days_held",
+        when($"trade_result" === "maturity", $"condition_holding_days")
+          .otherwise(datediff($"sell_date", $"buy_date")).cast("long"))
+      .select($"user_id", $"buy_date", $"buy_price",
+        $"condition_holding_days", $"condition_target_return",
+        $"buy_thr".as("condition_buy_cci_threshold"),
+        $"condition_stop_loss_cci_threshold",
+        $"trade_result", $"sell_date", $"sell_price", $"days_held")
+  }
+
+  private val tradesCtes: String =
+    cciCtes + ",\n" + signalsCte + ",\n" +
+      s"""fut AS (
+         |  SELECT g.user_id, g.d AS buy_date, g.idx, g.open_pr AS buy_price, g.buy_thr,
+         |    f.idx AS fidx, f.d AS fd, f.close_pr AS fclose, f.close_cci AS fcci
+         |  FROM sig g JOIN cci f
+         |    ON f.user_id = g.user_id AND f.idx > g.idx AND f.idx <= g.idx + $MaxHolding),
+         |tr AS (
+         |  SELECT user_id, buy_date, idx, buy_price, buy_thr,
+         |    condition_holding_days, condition_target_return, condition_stop_loss_cci_threshold,
+         |    min(CASE WHEN fclose >= buy_price * (1.0 + condition_target_return / 100.0)
+         |             THEN fidx END) AS t_idx,
+         |    min(CASE WHEN fcci <= condition_stop_loss_cci_threshold THEN fidx END) AS s_idx,
+         |    max(fidx) AS m_idx
+         |  FROM fut
+         |  CROSS JOIN ${valuesSql("hh", "condition_holding_days", HoldingDays)}
+         |  CROSS JOIN ${valuesSql("rr", "condition_target_return", TargetReturns)}
+         |  CROSS JOIN ${valuesSql("ss", "condition_stop_loss_cci_threshold", StopThresholds)}
+         |  WHERE fidx <= idx + condition_holding_days
+         |  GROUP BY user_id, buy_date, idx, buy_price, buy_thr,
+         |    condition_holding_days, condition_target_return, condition_stop_loss_cci_threshold),
+         |sel AS (
+         |  SELECT *,
+         |    CASE WHEN t_idx IS NOT NULL AND (s_idx IS NULL OR t_idx < s_idx) THEN 'reach_target'
+         |         WHEN s_idx IS NOT NULL THEN 'stop_loss' ELSE 'maturity' END AS trade_result,
+         |    CASE WHEN t_idx IS NOT NULL AND (s_idx IS NULL OR t_idx < s_idx) THEN t_idx
+         |         WHEN s_idx IS NOT NULL THEN s_idx ELSE m_idx END AS sell_idx
+         |  FROM tr),
+         |trades AS (
+         |  SELECT sel.user_id, buy_date, buy_price,
+         |    condition_holding_days, condition_target_return,
+         |    buy_thr AS condition_buy_cci_threshold, condition_stop_loss_cci_threshold,
+         |    trade_result, c.d AS sell_date, c.close_pr AS sell_price,
+         |    CASE WHEN trade_result = 'maturity' THEN condition_holding_days
+         |         ELSE date_diff('day', buy_date, c.d) END AS days_held
+         |  FROM sel JOIN cci c ON c.user_id = sel.user_id AND c.idx = sel.sell_idx)""".stripMargin
+
+  private val tradeOrderSql: String =
+    "ORDER BY user_id, buy_date, condition_buy_cci_threshold, condition_holding_days, condition_target_return, condition_stop_loss_cci_threshold"
+
+  private def tradeOrderCols = {
+    import org.apache.spark.sql.functions.col
+    Seq(col("user_id"), col("buy_date"), col("condition_buy_cci_threshold"),
+      col("condition_holding_days"), col("condition_target_return"),
+      col("condition_stop_loss_cci_threshold"))
+  }
+
+  def tradesQuery(spark: SparkSession, dir: String): DataFrame =
+    trades(spark, dir).orderBy(tradeOrderCols: _*)
+
+  val tradesSql: String =
+    tradesCtes + "\nSELECT * FROM trades " + tradeOrderSql
+
+  // ---------------------------------------------------------------- r07
+  /** Per-condition strategy metrics (daily_function.py:1047-1076):
+    * nunique-style distinct counts, win/lose tallies and the reference's
+    * exact rounding chain (total_revenue rounded to 0 before revenue_rate). */
+  def strategyAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    trades(spark, dir)
+      .groupBy($"user_id", $"condition_holding_days", $"condition_target_return",
+        $"condition_buy_cci_threshold", $"condition_stop_loss_cci_threshold")
+      .agg(
+        countDistinct($"buy_date").as("count_buy_date"),
+        countDistinct(when($"trade_result" === "reach_target", $"sell_date")).as("count_reach_target_date"),
+        countDistinct(when($"trade_result" === "stop_loss", $"sell_date")).as("count_stop_loss_date"),
+        countDistinct(when($"trade_result" === "maturity", $"sell_date")).as("count_maturity_date"),
+        sum(when($"sell_price" > $"buy_price", 1).otherwise(0)).as("count_win"),
+        sum(when($"sell_price" < $"buy_price", 1).otherwise(0)).as("count_lose"),
+        // Sums of 2-decimal prices land on exact .5 rounding boundaries, so
+        // engine-dependent float summation order would flip rounded outputs.
+        // Sum exact integer cents instead (doubles are exact on integers):
+        // every derived metric is then bit-identical across engines.
+        sum(floor(((($"sell_price" - $"buy_price") / $"days_held") * 100.0 + 0.5)).cast("long")).as("rpdh_cents"),
+        count(lit(1)).as("n_trades"),
+        sum($"days_held").as("days_held_sum"),
+        sum(floor($"buy_price" * 100.0 + 0.5).cast("long")).as("buy_cents"),
+        sum(floor($"sell_price" * 100.0 + 0.5).cast("long")).as("sell_cents"))
+      .withColumn("avg_rpdh_raw", $"rpdh_cents".cast("double") / $"n_trades" / 100.0)
+      .withColumn("avg_days_held_raw", $"days_held_sum".cast("double") / $"n_trades")
+      .withColumn("total_buy_raw", $"buy_cents".cast("double") / 100.0)
+      .withColumn("total_sell_raw", $"sell_cents".cast("double") / 100.0)
+      .withColumn("win_rate", floor(($"count_win" / $"count_buy_date" * 100.0) * 100.0 + 0.5) / 100.0)
+      .withColumn("lose_rate", floor(($"count_lose" / $"count_buy_date" * 100.0) * 100.0 + 0.5) / 100.0)
+      .withColumn("total_revenue", floor(($"total_sell_raw" - $"total_buy_raw") * 1.0 + 0.5) / 1.0)
+      .withColumn("revenue_rate", floor(($"total_revenue" / $"total_buy_raw" * 100.0) * 100.0 + 0.5) / 100.0)
+      .withColumn("reach_target_rate", floor(($"count_reach_target_date" / $"count_buy_date" * 100.0) * 100.0 + 0.5) / 100.0)
+      .withColumn("stop_loss_rate", floor(($"count_stop_loss_date" / $"count_buy_date" * 100.0) * 100.0 + 0.5) / 100.0)
+      .withColumn("maturity_rate", floor(($"count_maturity_date" / $"count_buy_date" * 100.0) * 100.0 + 0.5) / 100.0)
+      .withColumn("avg_revenue_per_days_held", floor(($"avg_rpdh_raw") * 10000.0 + 0.5) / 10000.0)
+      .withColumn("avg_days_held", floor(($"avg_days_held_raw") * 10000.0 + 0.5) / 10000.0)
+      .withColumn("total_buy_price", floor(($"total_buy_raw") * 100.0 + 0.5) / 100.0)
+      .withColumn("total_sell_price", floor(($"total_sell_raw") * 100.0 + 0.5) / 100.0)
+      .drop("avg_rpdh_raw", "avg_days_held_raw", "total_buy_raw", "total_sell_raw",
+        "rpdh_cents", "n_trades", "days_held_sum", "buy_cents", "sell_cents")
+  }
+
+  private val strategyCte: String =
+    tradesCtes + ",\n" +
+      """strat AS (
+        |  SELECT user_id, condition_holding_days, condition_target_return,
+        |    condition_buy_cci_threshold, condition_stop_loss_cci_threshold,
+        |    count(DISTINCT buy_date) AS count_buy_date,
+        |    count(DISTINCT CASE WHEN trade_result = 'reach_target' THEN sell_date END) AS count_reach_target_date,
+        |    count(DISTINCT CASE WHEN trade_result = 'stop_loss' THEN sell_date END) AS count_stop_loss_date,
+        |    count(DISTINCT CASE WHEN trade_result = 'maturity' THEN sell_date END) AS count_maturity_date,
+        |    CAST(sum(CASE WHEN sell_price > buy_price THEN 1 ELSE 0 END) AS BIGINT) AS count_win,
+        |    CAST(sum(CASE WHEN sell_price < buy_price THEN 1 ELSE 0 END) AS BIGINT) AS count_lose,
+        |    CAST(sum(CAST(floor(((sell_price - buy_price) / days_held) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / count(*) / 100.0 AS avg_rpdh_raw,
+        |    CAST(sum(days_held) AS DOUBLE) / count(*) AS avg_days_held_raw,
+        |    CAST(sum(CAST(floor(buy_price * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_buy_raw,
+        |    CAST(sum(CAST(floor(sell_price * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_sell_raw
+        |  FROM trades
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |strat2 AS (
+        |  SELECT user_id, condition_holding_days, condition_target_return,
+        |    condition_buy_cci_threshold, condition_stop_loss_cci_threshold,
+        |    count_buy_date, count_reach_target_date, count_stop_loss_date,
+        |    count_maturity_date, count_win, count_lose,
+        |    floor((count_win / count_buy_date * 100.0) * 100.0 + 0.5) / 100.0 AS win_rate,
+        |    floor((count_lose / count_buy_date * 100.0) * 100.0 + 0.5) / 100.0 AS lose_rate,
+        |    floor((total_sell_raw - total_buy_raw) * 1.0 + 0.5) / 1.0 AS total_revenue,
+        |    floor((floor((total_sell_raw - total_buy_raw) * 1.0 + 0.5) / 1.0 / total_buy_raw * 100.0) * 100.0 + 0.5) / 100.0 AS revenue_rate,
+        |    floor((count_reach_target_date / count_buy_date * 100.0) * 100.0 + 0.5) / 100.0 AS reach_target_rate,
+        |    floor((count_stop_loss_date / count_buy_date * 100.0) * 100.0 + 0.5) / 100.0 AS stop_loss_rate,
+        |    floor((count_maturity_date / count_buy_date * 100.0) * 100.0 + 0.5) / 100.0 AS maturity_rate,
+        |    floor((avg_rpdh_raw) * 10000.0 + 0.5) / 10000.0 AS avg_revenue_per_days_held,
+        |    floor((avg_days_held_raw) * 10000.0 + 0.5) / 10000.0 AS avg_days_held,
+        |    floor((total_buy_raw) * 100.0 + 0.5) / 100.0 AS total_buy_price,
+        |    floor((total_sell_raw) * 100.0 + 0.5) / 100.0 AS total_sell_price
+        |  FROM strat)""".stripMargin
+
+  private val strategyOrderSql: String =
+    "ORDER BY user_id, condition_holding_days, condition_target_return, condition_buy_cci_threshold, condition_stop_loss_cci_threshold"
+
+  def strategyAggQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    strategyAgg(spark, dir).orderBy($"user_id", $"condition_holding_days",
+      $"condition_target_return", $"condition_buy_cci_threshold",
+      $"condition_stop_loss_cci_threshold")
+  }
+
+  val strategyAggSql: String =
+    strategyCte + "\nSELECT * FROM strat2 " + strategyOrderSql
+
+  // ---------------------------------------------------------------- r08
+  /** Per-series best condition by each investment target — argmax keeping
+    * the first row in condition order (pandas idxmax,
+    * daily_function.py:1078-1080), via row_number. */
+  private val bestMetrics: Seq[(String, String)] = Seq(
+    "win_rate" -> "win_rate",
+    "revenue_rate" -> "revenue_rate",
+    "revenue_per_days_held" -> "avg_revenue_per_days_held")
+
+  def bestOf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val strat = strategyAgg(spark, dir).cache()
+    val parts = bestMetrics.map { case (target, metric) =>
+      val w = Window.partitionBy($"user_id").orderBy(
+        col(metric).desc, $"condition_holding_days", $"condition_target_return",
+        $"condition_buy_cci_threshold", $"condition_stop_loss_cci_threshold")
+      strat.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .drop("rn")
+        .withColumn("investment_target", lit(target))
+    }
+    parts.reduce(_ unionByName _)
+      .orderBy($"investment_target", $"user_id")
+  }
+
+  private def bestCte(metric: String): String =
+    s"""SELECT * EXCLUDE (rn) FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY $metric DESC,
+       |    condition_holding_days, condition_target_return,
+       |    condition_buy_cci_threshold, condition_stop_loss_cci_threshold) AS rn
+       |  FROM strat2) b WHERE rn = 1""".stripMargin
+
+  val bestOfSql: String =
+    strategyCte + "\n" +
+      bestMetrics.map { case (target, metric) =>
+        s"SELECT *, '$target' AS investment_target FROM (${bestCte(metric)}) q_$metric"
+      }.mkString("", "\nUNION ALL\n", "\n") +
+      "ORDER BY investment_target, user_id"
+
+  // ---------------------------------------------------------------- r09
+  /** Daily recommendation state: best-condition table joined to each
+    * series' latest crossover state (reference
+    * get_daily_signal_recommendations_sub, daily_function.py:1180-1243;
+    * note reco uses >= for the current-day test where the sim uses >). */
+  def recommendations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+    val wDesc = Window.partitionBy($"user_id").orderBy($"d".desc)
+    val latest = cci(spark, dir)
+      .withColumn("prev_open_cci", lag($"open_cci", 1).over(w))
+      .withColumn("rrn", row_number().over(wDesc))
+      .filter($"rrn" === 1)
+      .select($"user_id", $"open_pr".as("buy_price"),
+        $"open_cci".as("current_open_cci"), $"prev_open_cci".as("yesterday_open_cci"))
+    val bestWin = bestOf(spark, dir).filter($"investment_target" === "win_rate")
+      .select($"user_id", $"condition_holding_days", $"condition_target_return",
+        $"condition_buy_cci_threshold", $"condition_stop_loss_cci_threshold",
+        $"win_rate", $"count_win", $"revenue_rate", $"avg_revenue_per_days_held",
+        $"avg_days_held")
+    bestWin
+      .join(latest, Seq("user_id"))
+      .withColumn("has_buy_signal",
+        when($"yesterday_open_cci" < $"condition_buy_cci_threshold" &&
+          $"current_open_cci" >= $"condition_buy_cci_threshold", 1).otherwise(0))
+      .select($"user_id", $"buy_price",
+        (floor(($"current_open_cci") * 10000.0 + 0.5) / 10000.0).as("current_open_cci"),
+        (floor(($"yesterday_open_cci") * 10000.0 + 0.5) / 10000.0).as("yesterday_open_cci"),
+        $"condition_holding_days", $"condition_target_return",
+        $"condition_buy_cci_threshold", $"condition_stop_loss_cci_threshold",
+        $"win_rate", $"count_win", $"revenue_rate", $"avg_revenue_per_days_held",
+        $"avg_days_held", $"has_buy_signal")
+      .orderBy($"user_id")
+  }
+
+  val recommendationsSql: String =
+    strategyCte + ",\n" +
+      s"""bw AS (SELECT * FROM (${bestCte("win_rate")}) bq),
+         |latest AS (
+         |  SELECT user_id, open_pr AS buy_price, open_cci AS current_open_cci,
+         |         prev_open_cci AS yesterday_open_cci
+         |  FROM (SELECT *, lag(open_cci) OVER (PARTITION BY user_id ORDER BY d) AS prev_open_cci,
+         |               row_number() OVER (PARTITION BY user_id ORDER BY d DESC) AS rrn
+         |        FROM cci) c
+         |  WHERE rrn = 1)
+         |SELECT bw.user_id, buy_price,
+         |  floor((current_open_cci) * 10000.0 + 0.5) / 10000.0 AS current_open_cci,
+         |  floor((yesterday_open_cci) * 10000.0 + 0.5) / 10000.0 AS yesterday_open_cci,
+         |  condition_holding_days, condition_target_return,
+         |  condition_buy_cci_threshold, condition_stop_loss_cci_threshold,
+         |  win_rate, count_win, revenue_rate, avg_revenue_per_days_held, avg_days_held,
+         |  CASE WHEN yesterday_open_cci < condition_buy_cci_threshold
+         |        AND current_open_cci >= condition_buy_cci_threshold
+         |       THEN 1 ELSE 0 END AS has_buy_signal
+         |FROM bw JOIN latest ON bw.user_id = latest.user_id
+         |ORDER BY bw.user_id""".stripMargin
+
+  // ---------------------------------------------------------------- r10
+  /** Candidate filter via quantile thresholds over the best-win table
+    * (reference get_candidate_list, daily_function.py:1302-1329). */
+  def candidateFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bw = bestOf(spark, dir).filter($"investment_target" === "win_rate")
+    val th = bw.agg(
+      expr("percentile(win_rate, 0.7)").as("q_win"),
+      expr("percentile(count_win, 0.3)").as("q_cnt"),
+      expr("percentile(avg_days_held, 1.0)").as("q_days"))
+    bw.crossJoin(broadcast(th))
+      .filter($"win_rate" >= $"q_win" && $"count_win" >= $"q_cnt" && $"avg_days_held" <= $"q_days")
+      .select($"user_id", $"win_rate", $"count_win", $"avg_days_held",
+        $"condition_holding_days", $"condition_target_return",
+        $"condition_buy_cci_threshold", $"condition_stop_loss_cci_threshold")
+      .orderBy($"user_id")
+  }
+
+  val candidateFilterSql: String =
+    strategyCte + ",\n" +
+      s"""bw AS (SELECT * FROM (${bestCte("win_rate")}) bq),
+         |th AS (SELECT quantile_cont(win_rate, 0.7) AS q_win,
+         |              quantile_cont(count_win, 0.3) AS q_cnt,
+         |              quantile_cont(avg_days_held, 1.0) AS q_days FROM bw)
+         |SELECT user_id, win_rate, count_win, avg_days_held,
+         |  condition_holding_days, condition_target_return,
+         |  condition_buy_cci_threshold, condition_stop_loss_cci_threshold
+         |FROM bw, th
+         |WHERE win_rate >= q_win AND count_win >= q_cnt AND avg_days_held <= q_days
+         |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- r11
+  /** Net-revenue accounting per trade with the reference's tax/fee rates
+    * (daily_function.py:99-100,1743-1744): tax on the sell side, fee both
+    * ways, and the fee-adjusted target price. */
+  def netRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    trades(spark, dir)
+      .withColumn("gross_revenue", floor(($"sell_price" - $"buy_price") * 10000.0 + 0.5) / 10000.0)
+      .withColumn("net_revenue",
+        floor(($"sell_price" - $"buy_price" - $"sell_price" * TaxRate -
+          ($"buy_price" + $"sell_price") * FeeRate) * 10000.0 + 0.5) / 10000.0)
+      .withColumn("net_revenue_rate",
+        floor((($"sell_price" - $"buy_price" - $"sell_price" * TaxRate -
+          ($"buy_price" + $"sell_price") * FeeRate) / $"buy_price" * 100.0) * 100.0 + 0.5) / 100.0)
+      .withColumn("net_target_price",
+        floor(($"buy_price" * (lit(1.0) + ($"condition_target_return" + TaxRate + FeeRate) / 100.0)) * 1.0 + 0.5) / 1.0)
+      .orderBy(tradeOrderCols: _*)
+  }
+
+  val netRevenueSql: String =
+    tradesCtes + "\n" +
+      s"""SELECT *,
+         |  floor((sell_price - buy_price) * 10000.0 + 0.5) / 10000.0 AS gross_revenue,
+         |  floor((sell_price - buy_price - sell_price * $TaxRate
+         |        - (buy_price + sell_price) * ${FeeRate}) * 10000.0 + 0.5) / 10000.0 AS net_revenue,
+         |  floor(((sell_price - buy_price - sell_price * $TaxRate
+         |        - (buy_price + sell_price) * ${FeeRate}) / buy_price * 100.0) * 100.0 + 0.5) / 100.0 AS net_revenue_rate,
+         |  floor((buy_price * (1.0 + (condition_target_return + $TaxRate + ${FeeRate}) / 100.0)) * 1.0 + 0.5) / 1.0 AS net_target_price
+         |FROM trades
+         |$tradeOrderSql""".stripMargin
+}

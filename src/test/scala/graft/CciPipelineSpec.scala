@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.CciPipeline
+
+class CciPipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("r04: CCI is null until the rolling window fills (pandas compat)") {
+    val c = CciPipeline.cciQuery(spark, sf)
+    val early = c.filter(col("idx") < CciPipeline.CciN)
+    assert(early.count() > 0)
+    assert(early.filter(col("close_cci").isNotNull).count() == 0)
+    assert(c.filter(col("idx") >= CciPipeline.CciN && col("close_cci").isNotNull).count() > 0)
+  }
+
+  test("r02: bars respect OHLC invariants") {
+    val bad = CciPipeline.ohlcBars(spark, sf)
+      .filter(col("high_pr") < col("low_pr") ||
+        col("open_pr") > col("high_pr") || col("open_pr") < col("low_pr") ||
+        col("close_pr") > col("high_pr") || col("close_pr") < col("low_pr"))
+    assert(bad.count() == 0)
+  }
+
+  test("r06: trades have valid outcomes and sell strictly after buy") {
+    val t = CciPipeline.trades(spark, sf).cache()
+    assert(t.count() > 0)
+    assert(t.filter(!col("trade_result").isin("reach_target", "stop_loss", "maturity")).count() == 0)
+    assert(t.filter(col("sell_date") <= col("buy_date")).count() == 0)
+    assert(t.filter(col("days_held") < 1).count() == 0)
+    // reach_target trades actually reached the target price
+    val badTarget = t.filter(col("trade_result") === "reach_target" &&
+      col("sell_price") < col("buy_price") * (lit(1.0) + col("condition_target_return") / 100.0))
+    assert(badTarget.count() == 0)
+    t.unpersist()
+  }
+
+  test("r07/r08: one best row per (user, investment_target); metrics bounded") {
+    val b = CciPipeline.bestOf(spark, sf).cache()
+    val dup = b.groupBy("user_id", "investment_target").count().filter(col("count") > 1)
+    assert(dup.count() == 0)
+    assert(b.filter(col("win_rate") < 0 || col("win_rate") > 100).count() == 0)
+    b.unpersist()
+  }
+
+  test("r03: upsert output is unique on the business key") {
+    val u = CciPipeline.upsertKeepLast(spark, sf)
+    val dup = u.groupBy("user_id", "d", "event_type").count().filter(col("count") > 1)
+    assert(dup.count() == 0)
+  }
+}
