@@ -41,7 +41,20 @@ object SparkEntry {
     "r08_best_of" -> (CciPipeline.bestOf _),
     "r09_recommendations" -> (CciPipeline.recommendations _),
     "r10_candidate_filter" -> (CciPipeline.candidateFilter _),
-    "r11_net_revenue" -> (CciPipeline.netRevenue _)
+    "r11_net_revenue" -> (CciPipeline.netRevenue _),
+    "d01_dedup_exact" -> (graft.dedup.Dedup.exact _),
+    "d02_dedup_ngram_jaccard" -> (graft.dedup.Dedup.ngramJaccard _),
+    "d03_dedup_minhash_lsh" -> (graft.dedup.Dedup.minhashLsh _),
+    "d04_dedup_simhash" -> (graft.dedup.Dedup.simhash _),
+    "d05_dedup_embedding" -> (graft.dedup.Dedup.embeddingCosine _),
+    "s01_ann_bruteforce" -> (graft.similarity.Similarity.bruteForceTopK _),
+    "s02_ann_lsh" -> (graft.similarity.Similarity.lshTopK _),
+    "t01_token_count" -> (TextAnalysis.tokenCount _),
+    "t02_quality_score" -> (TextAnalysis.qualityScore _),
+    "t03_lang_id" -> (TextAnalysis.langId _),
+    "t04_fingerprint" -> (TextAnalysis.fingerprint _),
+    "m01_multimodal_meta" -> (graft.multimodal.Multimodal.mediaMeta _),
+    "v01_sessionize" -> (graft.streaming.EventStream.sessionize _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -70,6 +83,19 @@ object SparkEntry {
     "r08_best_of" -> CciPipeline.bestOfSql,
     "r09_recommendations" -> CciPipeline.recommendationsSql,
     "r10_candidate_filter" -> CciPipeline.candidateFilterSql,
-    "r11_net_revenue" -> CciPipeline.netRevenueSql
+    "r11_net_revenue" -> CciPipeline.netRevenueSql,
+    "d01_dedup_exact" -> graft.dedup.Dedup.exactSql,
+    "d02_dedup_ngram_jaccard" -> graft.dedup.Dedup.ngramJaccardSql,
+    "d03_dedup_minhash_lsh" -> graft.dedup.Dedup.minhashLshSql,
+    "d04_dedup_simhash" -> graft.dedup.Dedup.simhashSql,
+    "d05_dedup_embedding" -> graft.dedup.Dedup.embeddingCosineSql,
+    "s01_ann_bruteforce" -> graft.similarity.Similarity.bruteForceTopKSql,
+    // s02_ann_lsh: approximate by construction -> rows-only check
+    "t01_token_count" -> TextAnalysis.tokenCountSql,
+    "t02_quality_score" -> TextAnalysis.qualityScoreSql,
+    "t03_lang_id" -> TextAnalysis.langIdSql,
+    "t04_fingerprint" -> TextAnalysis.fingerprintSql,
+    "m01_multimodal_meta" -> graft.multimodal.Multimodal.mediaMetaSql,
+    "v01_sessionize" -> graft.streaming.EventStream.sessionizeSql
   )
 }

@@ -1,0 +1,256 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => F, TextSql => S}
+import graft.sources.Tables
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (SURVEY.md §2 C-rows d01–d05).
+  *
+  * Scale posture: nothing here is a global cross join. Exact dedup is a
+  * hash groupBy; MinHash/SimHash generate candidates by shuffling on small
+  * band/block keys (bounded pair fan-out); n-gram Jaccard joins through an
+  * inverted shingle index (only co-occurring docs ever meet); embedding
+  * near-dup blocks on the label column. At 100 TB each of these is one or
+  * two shuffles on well-distributed keys.
+  */
+object Dedup {
+  /** Jaccard similarity threshold for near-dup verdicts (the sf data has a
+    * clean near-dup cluster at >= 0.9 and background noise below 0.1). */
+  val JaccardThreshold = 0.5
+  /** Embedding cosine threshold (within-label cosines top out near 0.47 on
+    * the sf data; 0.35 keeps a non-trivial result set). */
+  val CosineThreshold = 0.35
+
+  /** MinHash: K signatures, banded for LSH candidate generation.
+    * h_i(x) = (a_i·x + b_i) mod P with deterministic a_i, b_i so the DuckDB
+    * oracle computes the identical signatures. */
+  val MinHashK = 16
+  val BandRows = 2
+  val NumBands: Int = MinHashK / BandRows
+  def hashA(i: Int): Long = 2L * i + 3L
+  def hashB(i: Int): Long = 97L + 31L * i
+
+  /** SimHash bit width and Hamming radius for near-dup pairs. */
+  val SimHashBits = 32
+  val HammingMax = 3
+
+  // ---------------------------------------------------------------- d01
+  /** Exact dedup by content hash: keep the minimum doc_id per distinct
+    * text, report the duplicate cardinality. */
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy(md5($"text").as("content_hash"))
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
+      .select($"doc_id", $"content_hash", $"dup_count")
+      .orderBy($"doc_id")
+  }
+
+  val exactSql: String =
+    """SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, count(*) AS dup_count
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ shared
+  /** Exploded distinct 3-gram shingles: the inverted index every near-dup
+    * op joins through. */
+  private def shingleIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(F.shingles3($"text")).as("sh"))
+  }
+
+  /** (doc_a, doc_b, jaccard) for all pairs sharing >= 1 shingle. */
+  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingleIndex(spark, dir)
+    val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
+    val a = sh.toDF("doc_a", "sh")
+    val b = sh.toDF("doc_b", "sh")
+    val common = a.join(b, Seq("sh"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(cnt.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(cnt.toDF("doc_b", "nb"), Seq("doc_b"))
+      .withColumn("jaccard", $"common".cast("double") / ($"na" + $"nb" - $"common"))
+  }
+
+  private val jaccardCtes: String =
+    S.shinglesCte() + ",\n" +
+      """cnt AS (SELECT doc_id, count(*) AS nsh FROM shingles GROUP BY 1),
+        |common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT doc_a, doc_b, common, x.nsh AS na, y.nsh AS nb,
+        |    CAST(common AS DOUBLE) / (x.nsh + y.nsh - common) AS jaccard
+        |  FROM common JOIN cnt x ON x.doc_id = doc_a JOIN cnt y ON y.doc_id = doc_b)""".stripMargin
+
+  // ---------------------------------------------------------------- d02
+  /** n-gram Jaccard near-dup pairs through the inverted shingle index. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    jaccardPairs(spark, dir)
+      .filter($"jaccard" >= JaccardThreshold)
+      .select($"doc_a", $"doc_b", $"common", $"na", $"nb",
+        F.fr($"jaccard", 4).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val ngramJaccardSql: String =
+    jaccardCtes + "\n" +
+      s"""SELECT doc_a, doc_b, common, na, nb, ${S.fr("jaccard", 4)} AS jaccard
+         |FROM jac
+         |WHERE jaccard >= $JaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- d03
+  /** MinHash + LSH banding: per-doc K-wide signature over shingle hashes,
+    * band keys shuffle candidates together, then exact Jaccard verifies.
+    * The brute pair space is never materialized. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val xh = shingleIndex(spark, dir).withColumn("x", F.polyHash($"sh"))
+    val sigCols = (0 until MinHashK).map(i =>
+      min(($"x" * hashA(i) + hashB(i)) % F.HashP).as(s"h$i"))
+    val sig = xh.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bands = (0 until NumBands).map { b =>
+      val keyCols = (0 until BandRows).map(r => col(s"h${b * BandRows + r}").cast("string"))
+      sig.select($"doc_id", lit(b).as("band"),
+        concat_ws("-", keyCols: _*).as("bkey"))
+    }.reduce(_ unionByName _)
+    val cand = bands.toDF("doc_a", "band", "bkey")
+      .join(bands.toDF("doc_b", "band", "bkey"), Seq("band", "bkey"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    cand.join(jaccardPairs(spark, dir), Seq("doc_a", "doc_b"))
+      .filter($"jaccard" >= JaccardThreshold)
+      .select($"doc_a", $"doc_b", F.fr($"jaccard", 4).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val minhashLshSql: String = {
+    val sigExprs = (0 until MinHashK)
+      .map(i => s"min((x * ${hashA(i)} + ${hashB(i)}) % ${F.HashP}) AS h$i")
+      .mkString(",\n    ")
+    val bandSelects = (0 until NumBands).map { b =>
+      val key = (0 until BandRows).map(r => s"CAST(h${b * BandRows + r} AS VARCHAR)")
+        .mkString(" || '-' || ")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    jaccardCtes + ",\n" +
+      s"""xh AS (SELECT doc_id, ${S.polyHash("sh")} AS x FROM shingles),
+         |sig AS (SELECT doc_id,
+         |    $sigExprs
+         |  FROM xh GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT j.doc_a, j.doc_b, ${S.fr("jaccard", 4)} AS jaccard
+         |FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+         |WHERE jaccard >= $JaccardThreshold
+         |ORDER BY j.doc_a, j.doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d04
+  /** SimHash near-dup: 32-bit sign-aggregated fingerprint over shingle
+    * hashes; candidates block on 8-bit chunks (any pair within Hamming
+    * distance 3 shares at least one of the 4 chunks exactly). */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val xh = shingleIndex(spark, dir).withColumn("x", F.polyHash($"sh"))
+    val js = (0 until SimHashBits).toDF("j")
+    val bits = xh.crossJoin(broadcast(js))
+      .groupBy($"doc_id", $"j")
+      .agg(sum(when(floor($"x" / pow(lit(2.0), $"j")).cast("long") % 2 === 1, 1)
+        .otherwise(-1)).as("w"))
+    val sim = bits.groupBy($"doc_id")
+      .agg(sum(when($"w" > 0, pow(lit(2.0), $"j")).otherwise(lit(0.0))).cast("long").as("simhash"))
+    val ks = (0 until SimHashBits / 8).toDF("k")
+    val blocks = sim.crossJoin(broadcast(ks))
+      .withColumn("blk", floor($"simhash" / pow(lit(2.0), $"k" * 8)).cast("long") % 256)
+    val a = blocks.select($"doc_id".as("doc_a"), $"simhash".as("sim_a"), $"k", $"blk")
+    val b = blocks.select($"doc_id".as("doc_b"), $"simhash".as("sim_b"), $"k", $"blk")
+    a.join(b, Seq("k", "blk"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", $"sim_a", $"sim_b").distinct()
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+      .filter($"hamming" <= HammingMax)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val simhashSql: String =
+    S.shinglesCte() + ",\n" +
+      s"""xh AS (SELECT doc_id, ${S.polyHash("sh")} AS x FROM shingles),
+         |bits AS (
+         |  SELECT doc_id, j,
+         |    sum(CASE WHEN CAST(floor(x / power(2, j)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS w
+         |  FROM xh CROSS JOIN (SELECT unnest(range(0, $SimHashBits)) AS j) jj
+         |  GROUP BY 1, 2),
+         |sim AS (
+         |  SELECT doc_id, CAST(sum(CASE WHEN w > 0 THEN power(2, j) ELSE 0.0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY 1),
+         |blocks AS (
+         |  SELECT doc_id, simhash, k, CAST(floor(simhash / power(2, k * 8)) AS BIGINT) % 256 AS blk
+         |  FROM sim CROSS JOIN (SELECT unnest(range(0, ${SimHashBits / 8})) AS k) kk),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.simhash AS sim_a, b.simhash AS sim_b
+         |  FROM blocks a JOIN blocks b
+         |    ON a.k = b.k AND a.blk = b.blk AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(sim_a, sim_b)) <= $HammingMax
+         |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- d05
+  /** Embedding-cosine near-dup, blocked on the label column (at scale:
+    * the blocking key is whatever coarse clustering/partition is available;
+    * never the full cross product). Dot/norm folds are explicit so the
+    * oracle's arithmetic is identical. */
+  def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+    val a = e.select($"vec_id".as("vec_a"), $"label", $"v".as("va"))
+    val b = e.select($"vec_id".as("vec_b"), $"label", $"v".as("vb"))
+    val cos = F.foldSum(zip_with($"va", $"vb", (x, y) => x * y)) /
+      (sqrt(F.foldSum(transform($"va", x => x * x))) * sqrt(F.foldSum(transform($"vb", x => x * x))))
+    a.join(b, Seq("label"))
+      .filter($"vec_a" < $"vec_b")
+      .withColumn("cosine_raw", cos)
+      .filter($"cosine_raw" >= CosineThreshold)
+      .select($"vec_a", $"vec_b", $"label", F.fr($"cosine_raw", 4).as("cosine"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val embeddingCosineSql: String = {
+    val dot = S.foldSum("list_transform(range(1, len(va) + 1), i -> va[i] * vb[i])")
+    val na = S.foldSum("list_transform(va, x -> x * x)")
+    val nb = S.foldSum("list_transform(vb, x -> x * x)")
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       |         a.v AS va, b.v AS vb
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+       |c AS (
+       |  SELECT vec_a, vec_b, label,
+       |    ($dot) / (sqrt($na) * sqrt($nb)) AS cosine_raw
+       |  FROM p)
+       |SELECT vec_a, vec_b, label, ${S.fr("cosine_raw", 4)} AS cosine
+       |FROM c WHERE cosine_raw >= $CosineThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+}

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives shared by the dedup / text-analysis
+  * operators (SURVEY.md §2 C-rows).
+  *
+  * Everything here is built from codegen'd `functions._` + higher-order
+  * functions (no UDFs), and every primitive has an exact DuckDB SQL twin in
+  * [[TextSql]] — same fold order, same arithmetic — so oracle comparison is
+  * bit-identical.
+  */
+object TextFunctions {
+  /** Large prime modulus for polynomial string hashing: fits 31·P + 127 well
+    * inside Int64. */
+  val HashP: Long = 1000000007L
+
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Word 3-gram shingles, distinct, document order otherwise. */
+  def shingles3(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(1), size(toks) - 2), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Deterministic polynomial hash over the characters of a string:
+    * fold(acc = 0; acc = (acc·31 + code) mod P). Matches
+    * [[TextSql.polyHash]] exactly (same traversal order, same mod). */
+  def polyHash(c: Column): Column =
+    aggregate(
+      regexp_extract_all(c, lit("."), lit(0)),
+      lit(0L),
+      (acc, ch) => (acc * 31L + ascii(ch)) % HashP)
+
+  /** Sum fold with explicit 0.0 init — the DuckDB twin is
+    * list_reduce(list_prepend(0.0, l), (a,b) -> a+b). */
+  def foldSum(c: Column): Column = aggregate(c, lit(0.0), (a, x) => a + x)
+
+  /** Deterministic round-half-up-toward-+inf; see SURVEY.md §6. */
+  def fr(c: Column, n: Int): Column = {
+    val s = math.pow(10, n)
+    floor(c * s + 0.5) / s
+  }
+}
+
+/** DuckDB SQL twins of [[TextFunctions]] for oracle construction. */
+object TextSql {
+  val HashP: Long = TextFunctions.HashP
+
+  /** 3-gram shingles of `string_split(text, ' ')`; empty below 3 tokens
+    * (range(1, n) is empty for n <= 1). */
+  def shinglesCte(table: String = "documents"): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $table),
+       |shingles AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+       |  FROM toks)""".stripMargin
+
+  def polyHash(expr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(regexp_extract_all($expr, '.'), ch -> CAST(ascii(ch) AS BIGINT))), " +
+      s"(a, b) -> (a * 31 + b) % $HashP)"
+
+  def foldSum(expr: String): String =
+    s"list_reduce(list_prepend(0.0, $expr), (a, b) -> a + b)"
+
+  def fr(expr: String, n: Int): String = {
+    val s = math.pow(10, n)
+    s"floor(($expr) * $s + 0.5) / $s"
+  }
+}

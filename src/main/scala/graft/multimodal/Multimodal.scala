@@ -1,0 +1,87 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal column handling (SURVEY.md §2 m-rows): media payloads are
+  * opaque `binary` columns with typed metadata travelling alongside.
+  *
+  * The decode step itself (image/audio libs) is STUBBED — this container
+  * has no codecs — but the Spark-side plumbing is real: binary columns,
+  * typed metadata schema, bounded-batch partition processing, and a
+  * deterministic fake feature extractor so pipelines downstream of decode
+  * are testable. At scale the binary column stays columnar in parquet and
+  * the decode is a mapPartitions over arrow-sized batches; nothing here
+  * ever collects to the driver.
+  */
+object Multimodal {
+  /** Typed result of the (stubbed) decoder. */
+  final case class MediaFeatures(doc_id: Long, media_type: String, byte_len: Long,
+      width: Int, height: Int, channels: Int, duration_ms: Long)
+
+  /** Documents with a synthesized binary payload column (the test corpus
+    * has no real media; UTF-8 bytes stand in as the opaque payload). */
+  def withPayload(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("payload", encode($"text", "UTF-8"))
+      .withColumn("media_type",
+        when($"doc_id" % 3 === 0, "image")
+          .when($"doc_id" % 3 === 1, "audio")
+          .otherwise("video"))
+  }
+
+  /** STUB decoder: a real implementation would decode `payload` with an
+    * image/audio codec inside mapPartitions (bounded memory per batch).
+    * The fake features are deterministic functions of the payload so tests
+    * and downstream operators behave like the real thing. */
+  def decodeFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    withPayload(spark, dir)
+      .select($"doc_id", $"media_type", $"payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, mt, payload) =>
+          // ??? <- real codec call goes here; deterministic fake instead:
+          val len = payload.length.toLong
+          MediaFeatures(id, mt, len,
+            width = (len % 640).toInt + 1,
+            height = ((len * 7) % 480).toInt + 1,
+            channels = 3,
+            duration_ms = len * 40)
+        }
+      }
+  }
+
+  /** m01: relational metadata extraction over the binary column — length,
+    * leading magic bytes (hex), media type and the stubbed decode's
+    * deterministic dimensions. SQL-expressible end to end, so oracle-checked. */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withPayload(spark, dir)
+      .select($"doc_id", $"media_type",
+        octet_length($"payload").cast("long").as("byte_len"),
+        upper(substring(hex($"payload"), 1, 8)).as("magic_hex"),
+        ((octet_length($"payload") % 640) + 1).as("width"),
+        (((octet_length($"payload").cast("long") * 7) % 480) + 1).cast("int").as("height"),
+        lit(3).as("channels"),
+        (octet_length($"payload").cast("long") * 40).as("duration_ms"))
+      .orderBy($"doc_id")
+  }
+
+  val mediaMetaSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio'
+      |       ELSE 'video' END AS media_type,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |  upper(substr(hex(encode(text)), 1, 8)) AS magic_hex,
+      |  (octet_length(encode(text)) % 640) + 1 AS width,
+      |  CAST((CAST(octet_length(encode(text)) AS BIGINT) * 7) % 480 + 1 AS INTEGER) AS height,
+      |  3 AS channels,
+      |  CAST(octet_length(encode(text)) AS BIGINT) * 40 AS duration_ms
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+}

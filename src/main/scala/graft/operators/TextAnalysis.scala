@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => F, TextSql => S}
+import graft.sources.Tables
+
+/** Text-analysis operators over the documents table (SURVEY.md §2 t-rows):
+  * token statistics, quality scoring, stopword-profile language id, and
+  * rolling-hash fingerprints. All pure column expressions (codegen'd),
+  * embarrassingly parallel at any scale. */
+object TextAnalysis {
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+  val PunctClass = "[.,!?;:]"
+
+  /** lang -> stopword profile; prediction = first profile (in this order)
+    * with the maximal token-overlap score. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "de", "et", "un"),
+    "zh" -> Seq("de5", "shi4", "zai4", "le5", "wo3"))
+
+  // ---------------------------------------------------------------- t01
+  /** Token counting: whitespace tokens, distinct tokens, BPE-ish regex
+    * tokens, plus character-length reconciliation. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = F.tokens($"text")
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct_tokens"),
+        size(regexp_extract_all($"text", lit(BpePattern), lit(0))).as("n_bpe_tokens"),
+        length($"text").as("len_chars"),
+        $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  val tokenCountSql: String =
+    s"""SELECT doc_id,
+       |  len(string_split(text, ' ')) AS n_tokens,
+       |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+       |  length(text) AS len_chars,
+       |  n_chars
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t02
+  /** Quality scoring: stopword ratio, punctuation ratio, mean token length
+    * and a blended 0..1 score (deterministic arithmetic on both engines). */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = F.tokens($"text")
+    val nTok = size(toks)
+    val stopHits = size(filter(toks, t => t.isInCollection(Stopwords)))
+    val punctCount = length($"text") - length(regexp_replace($"text", PunctClass, ""))
+    val avgTokLen = F.foldSum(transform(toks, t => length(t).cast("double"))) / nTok
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source",
+        nTok.as("n_tokens"),
+        F.fr(stopHits.cast("double") / nTok, 4).as("stopword_ratio"),
+        F.fr(punctCount.cast("double") / length($"text"), 4).as("punct_ratio"),
+        F.fr(avgTokLen, 4).as("avg_token_len"),
+        F.fr(lit(0.4) * (stopHits.cast("double") / nTok) +
+          lit(0.4) * least(avgTokLen / 10.0, lit(1.0)) +
+          lit(0.2) * (lit(1.0) - punctCount.cast("double") / length($"text")), 4).as("quality_score"))
+      .orderBy($"doc_id")
+  }
+
+  val qualityScoreSql: String = {
+    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+    val nTok = "len(string_split(text, ' '))"
+    val stopHits = s"len(list_filter(string_split(text, ' '), t -> t IN ($stopList)))"
+    val punct = s"length(text) - length(regexp_replace(text, '$PunctClass', '', 'g'))"
+    val avgTokLen = S.foldSum("list_transform(string_split(text, ' '), t -> CAST(length(t) AS DOUBLE))") + s" / $nTok"
+    s"""SELECT doc_id, lang, source,
+       |  $nTok AS n_tokens,
+       |  ${S.fr(s"CAST($stopHits AS DOUBLE) / $nTok", 4)} AS stopword_ratio,
+       |  ${S.fr(s"CAST($punct AS DOUBLE) / length(text)", 4)} AS punct_ratio,
+       |  ${S.fr(avgTokLen, 4)} AS avg_token_len,
+       |  ${S.fr(s"0.4 * (CAST($stopHits AS DOUBLE) / $nTok) + 0.4 * least(($avgTokLen) / 10.0, 1.0) + 0.2 * (1.0 - CAST($punct AS DOUBLE) / length(text))", 4)} AS quality_score
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t03
+  /** Stopword-profile language id: overlap score per profile, first
+    * maximal profile (fixed order) wins. Declared `lang` kept alongside for
+    * accuracy inspection. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = F.tokens($"text")
+    val scored = LangProfiles.foldLeft(Tables.documents(spark, dir)) {
+      case (df, (l, words)) =>
+        df.withColumn(s"score_$l", size(filter(toks, t => t.isInCollection(words))))
+    }
+    val langs = LangProfiles.map(_._1)
+    val pred = langs.zipWithIndex.foldRight(lit(langs.last)) { case ((l, _), el) =>
+      val cond = langs.filter(_ != l)
+        .map(m => col(s"score_$l") >= col(s"score_$m"))
+        .reduce(_ && _)
+      when(cond, lit(l)).otherwise(el)
+    }
+    scored
+      .withColumn("predicted_lang", pred)
+      .select(Seq($"doc_id", $"lang".as("declared_lang"), $"predicted_lang") ++
+        langs.map(l => col(s"score_$l")): _*)
+      .orderBy($"doc_id")
+  }
+
+  val langIdSql: String = {
+    val scores = LangProfiles.map { case (l, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), t -> t IN ($list))) AS score_$l"
+    }.mkString(",\n    ")
+    val langs = LangProfiles.map(_._1)
+    val chain = langs.dropRight(1).map { l =>
+      val cond = langs.filter(_ != l).map(m => s"score_$l >= score_$m").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    $scores
+       |  FROM documents)
+       |SELECT doc_id, lang AS declared_lang,
+       |  CASE $chain
+       |    ELSE '${langs.last}' END AS predicted_lang,
+       |  ${langs.map(l => s"score_$l").mkString(", ")}
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t04
+  /** Document fingerprinting: full-text polynomial rolling hash plus the
+    * minimum shingle hash (a 1-wide MinHash), both engine-deterministic. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", F.polyHash($"text").as("fingerprint"), F.shingles3($"text").as("shs"))
+    docs
+      .withColumn("min_shingle_hash",
+        array_min(transform($"shs", sh => {
+          // inline polyHash over each shingle
+          aggregate(regexp_extract_all(sh, lit("."), lit(0)), lit(0L),
+            (acc, ch) => (acc * 31L + ascii(ch)) % F.HashP)
+        })))
+      .select($"doc_id", $"fingerprint", $"min_shingle_hash")
+      .orderBy($"doc_id")
+  }
+
+  val fingerprintSql: String =
+    S.shinglesCte() + ",\n" +
+      s"""fp AS (SELECT doc_id, ${S.polyHash("text")} AS fingerprint FROM documents),
+         |msh AS (SELECT doc_id, min(${S.polyHash("sh")}) AS min_shingle_hash
+         |        FROM shingles GROUP BY doc_id)
+         |SELECT fp.doc_id, fingerprint, min_shingle_hash
+         |FROM fp JOIN msh ON fp.doc_id = msh.doc_id
+         |ORDER BY fp.doc_id""".stripMargin
+}

@@ -1,0 +1,106 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => F, TextSql => S}
+import graft.sources.Tables
+
+/** Similarity search over the embedding column (SURVEY.md §2 s-rows).
+  *
+  * s01 is the exact brute-force baseline (oracle-verified); s02 is the
+  * scale path: random-hyperplane LSH buckets so each query only scores its
+  * bucket. At 100 TB the bucket id is the shuffle key and the per-bucket
+  * top-k is a partial aggregation; brute force exists only to measure
+  * recall at small SF.
+  */
+object Similarity {
+  val TopK = 5
+  /** Every vec_id divisible by this is a query point. */
+  val QueryStride = 100
+
+  /** Number of LSH hyperplanes (bucket id bits). */
+  val NumPlanes = 8
+
+  private def vecs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+  }
+
+  private def cosine(va: org.apache.spark.sql.Column, vb: org.apache.spark.sql.Column) =
+    F.foldSum(zip_with(va, vb, (x, y) => x * y)) /
+      (sqrt(F.foldSum(transform(va, x => x * x))) * sqrt(F.foldSum(transform(vb, x => x * x))))
+
+  // ---------------------------------------------------------------- s01
+  /** Exact cosine top-k per query vector; rank on the rounded cosine with
+    * vec_id tiebreak so ordering is engine-independent. */
+  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vecs(spark, dir)
+    val q = e.filter($"vec_id" % QueryStride === 0)
+      .select($"vec_id".as("query_id"), $"v".as("vq"))
+    val c = e.select($"vec_id".as("neighbor_id"), $"v".as("vn"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    q.crossJoin(c)
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("cosine", F.fr(cosine($"vq", $"vn"), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= TopK)
+      .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
+      .orderBy($"query_id", $"rnk")
+  }
+
+  val bruteForceTopKSql: String = {
+    val dot = S.foldSum("list_transform(range(1, len(vq) + 1), i -> vq[i] * vn[i])")
+    val nq = S.foldSum("list_transform(vq, x -> x * x)")
+    val nn = S.foldSum("list_transform(vn, x -> x * x)")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.v AS vq, c.v AS vn
+       |  FROM e q JOIN e c ON q.vec_id % $QueryStride = 0 AND q.vec_id <> c.vec_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    ${S.fr(s"($dot) / (sqrt($nq) * sqrt($nn))", 6)} AS cosine
+       |  FROM p),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, rnk, neighbor_id, cosine
+       |FROM ranked WHERE rnk <= $TopK
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- s02
+  /** Random-hyperplane LSH: bucket = sign bits of the dot products with
+    * `NumPlanes` deterministic pseudo-random planes; exact top-k within the
+    * query's bucket. Approximate by construction → driver does the
+    * rows-only check (no SQL oracle); recall vs s01 is asserted in tests. */
+  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vecs(spark, dir)
+    // plane p component c in {-1, +1}: deterministic from (p, c)
+    def planeComponent(p: Int) =
+      transform(sequence(lit(0), size($"v") - 1), c =>
+        when((lit(p) * 131 + c * 31) % 7 < 3, lit(-1.0)).otherwise(lit(1.0)))
+    val withBucket = (0 until NumPlanes).foldLeft(e) { (df, p) =>
+      df.withColumn(s"b$p",
+        when(F.foldSum(zip_with($"v", planeComponent(p), (x, y) => x * y)) >= 0, 1).otherwise(0))
+    }.withColumn("bucket",
+      (0 until NumPlanes).map(p => col(s"b$p") * (1 << p)).reduce(_ + _))
+      .select($"vec_id", $"v", $"bucket")
+    val q = withBucket.filter($"vec_id" % QueryStride === 0)
+      .select($"vec_id".as("query_id"), $"v".as("vq"), $"bucket")
+    val c = withBucket.select($"vec_id".as("neighbor_id"), $"v".as("vn"), $"bucket")
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    q.join(c, Seq("bucket"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("cosine", F.fr(cosine($"vq", $"vn"), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= TopK)
+      .select($"query_id", $"bucket", $"rnk", $"neighbor_id", $"cosine")
+      .orderBy($"query_id", $"rnk")
+  }
+}

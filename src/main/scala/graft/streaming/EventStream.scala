@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.{TextFunctions => F}
+import graft.sources.Tables
+
+/** Streaming operators over the events table (SURVEY.md §2 D-rows).
+  *
+  * v01 is the batch-equivalent sessionization (oracle-checked); the
+  * streaming variants run the same event schema through Structured
+  * Streaming — tumbling-window aggregation with a watermark, and a
+  * flatMapGroupsWithState sessionizer — exercised via the parquet source +
+  * memory sink in tests. On a cluster the source becomes Kafka/files and
+  * the sink a Delta/parquet table; the plans are unchanged.
+  */
+object EventStream {
+  /** Session gap: a new session starts after 30 idle minutes. */
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000
+
+  // ---------------------------------------------------------------- v01
+  /** Batch sessionization: lag-gap flag → running sum session id → session
+    * aggregates. One shuffle on user_id (window + groupBy co-partitioned).
+    * Session totals sum exact integer cents so rounding is
+    * engine-deterministic (SURVEY.md §6). */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val cum = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(spark, dir)
+      .withColumn("gap_us", unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)))
+      .withColumn("new_sess", when($"gap_us".isNull || $"gap_us" > SessionGapUs, 1).otherwise(0))
+      .withColumn("session_id", sum($"new_sess").over(cum))
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(floor($"value" * 100.0 + 0.5).cast("long")).as("value_cents"))
+      .withColumn("total_value", $"value_cents".cast("double") / 100.0)
+      .drop("value_cents")
+      .orderBy($"user_id", $"session_id")
+  }
+
+  val sessionizeSql: String =
+    Tables.eventsOracleCte + ",\n" +
+      s"""g AS (
+         |  SELECT user_id, ts, event_id, value,
+         |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+         |  FROM events_us),
+         |s AS (
+         |  SELECT user_id, ts, event_id, value,
+         |    sum(CASE WHEN gap_us IS NULL OR gap_us > $SessionGapUs THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM g)
+         |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+         |  count(*) AS n_events,
+         |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+         |FROM s
+         |GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin
+
+  // ------------------------------------------------------------ v02/v03
+  /** The events schema as the streaming source sees it (ts arrives as
+    * nanos-int64 under nanosAsLong, normalized to micros timestamp like
+    * the batch loader). */
+  /** `streamDir` must be a DIRECTORY of event parquet files (the file
+    * stream source tails directories; new files become new micro-batches). */
+  def readEventStream(spark: SparkSession, streamDir: String): DataFrame = {
+    val schema = spark.read.parquet(streamDir).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(streamDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** v02: tumbling-window per-type aggregation with a watermark — the
+    * streaming twin of a groupBy(window(...)) batch agg. Late data beyond
+    * 10 minutes is dropped; state is bounded by the watermark. */
+  def windowedCounts(spark: SparkSession, streamDir: String): DataFrame = {
+    import spark.implicits._
+    readEventStream(spark, streamDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"value" * 100.0 + 0.5).cast("long")).as("value_cents"))
+      .select($"window.start".as("window_start"), $"event_type", $"n",
+        ($"value_cents".cast("double") / 100.0).as("total_value"))
+  }
+
+  final case class SessionUpdate(user_id: Long, session_start_us: Long,
+      n_events: Long, total_cents: Long, closed: Boolean)
+  /** Public: Spark's state encoder codegen needs constructor access. */
+  final case class SessState(startUs: Long, lastUs: Long, n: Long, cents: Long)
+
+  /** v03: custom per-key session state via flatMapGroupsWithState —
+    * emits a closed session whenever the gap exceeds [[SessionGapUs]].
+    * (A production deployment would add an event-time timeout to flush
+    * idle keys; NoTimeout keeps the file-replay test drainable —
+    * processing-time timeouts schedule batches forever under
+    * processAllAvailable.) */
+  def statefulSessions(spark: SparkSession, streamDir: String): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    val events = readEventStream(spark, streamDir)
+      .select($"user_id", unix_micros($"ts").as("us"),
+        floor($"value" * 100.0 + 0.5).cast("long").as("cents"))
+      .as[(Long, Long, Long)]
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[SessState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
+          sorted.foreach { case (_, us, cents) =>
+            st match {
+              case null => st = SessState(us, us, 1, cents)
+              case s if us - s.lastUs > SessionGapUs =>
+                out += SessionUpdate(uid, s.startUs, s.n, s.cents, closed = true)
+                st = SessState(us, us, 1, cents)
+              case s => st = SessState(s.startUs, us, s.n + 1, s.cents + cents)
+            }
+          }
+          if (st != null) state.update(st) else state.remove()
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LlmOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("d01: exact dedup covers every distinct text once") {
+    val docs = sources.Tables.documents(spark, sf)
+    val deduped = dedup.Dedup.exact(spark, sf)
+    assert(deduped.count() == docs.select("text").distinct().count())
+    assert(deduped.agg(sum("dup_count")).head.getLong(0) == docs.count())
+  }
+
+  test("d03: MinHash LSH finds the same near-dup pairs as exact Jaccard") {
+    val exact = dedup.Dedup.ngramJaccard(spark, sf).select("doc_a", "doc_b")
+    val lsh = dedup.Dedup.minhashLsh(spark, sf).select("doc_a", "doc_b")
+    // LSH output is a verified subset; on this corpus (jaccard >= 0.9
+    // cluster) banding with r=2,b=8 should reach full recall
+    assert(lsh.exceptAll(exact).count() == 0)
+    assert(exact.exceptAll(lsh).count() == 0)
+  }
+
+  test("d04: simhash near-dups overlap the jaccard near-dups") {
+    val sim = dedup.Dedup.simhash(spark, sf).select("doc_a", "doc_b")
+    val jac = dedup.Dedup.ngramJaccard(spark, sf).select("doc_a", "doc_b")
+    assert(sim.count() > 0)
+    assert(sim.intersect(jac).count() > 0)
+  }
+
+  test("s01/s02: LSH top-k neighbors are a subset of brute-force candidates per bucket") {
+    val brute = similarity.Similarity.bruteForceTopK(spark, sf)
+    val lsh = similarity.Similarity.lshTopK(spark, sf)
+    assert(brute.groupBy("query_id").count().filter(col("count") =!= similarity.Similarity.TopK).count() == 0)
+    assert(lsh.count() > 0)
+    // rank-1 self-bucket neighbor must score <= the brute-force rank-1
+    val b1 = brute.filter(col("rnk") === 1).select(col("query_id"), col("cosine").as("bc"))
+    val l1 = lsh.filter(col("rnk") === 1).select(col("query_id"), col("cosine").as("lc"))
+    assert(b1.join(l1, "query_id").filter(col("lc") > col("bc")).count() == 0)
+  }
+
+  test("t03: language id predicts the majority language on an English-ish corpus") {
+    val pred = operators.TextAnalysis.langId(spark, sf)
+    val top = pred.groupBy("predicted_lang").count().orderBy(col("count").desc).head.getString(0)
+    assert(top == "en")
+  }
+
+  test("m01: multimodal decode stub is deterministic and total") {
+    val feats = multimodal.Multimodal.decodeFeatures(spark, sf)
+    assert(feats.count() == sources.Tables.documents(spark, sf).count())
+    assert(feats.filter(col("width") < 1 || col("height") < 1).count() == 0)
+  }
+}

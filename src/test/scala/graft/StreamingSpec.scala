@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** File stream sources tail directories; stage the single-file table. */
+  lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    d
+  }
+
+  test("v02: streaming windowed counts equal the batch equivalent") {
+    val q = streaming.EventStream.windowedCounts(spark, streamDir)
+      .writeStream.outputMode("append").format("memory").queryName("v02_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // append mode only emits windows the watermark has closed; with a static
+    // file source every window except those within the watermark horizon of
+    // the max event time closes. Compare against batch on the closed set.
+    val got = spark.table("v02_out")
+    assert(got.count() > 0)
+    val batch = sources.Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("bn"))
+    val joined = got.join(batch, Seq("window_start", "event_type"))
+    assert(joined.count() == got.count())
+    assert(joined.filter(col("n") =!= col("bn")).count() == 0)
+  }
+
+  test("v03: stateful sessionizer emits only closed sessions with positive counts") {
+    val q = streaming.EventStream.statefulSessions(spark, streamDir)
+      .writeStream.outputMode("append").format("memory").queryName("v03_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("v03_out")
+    assert(got.filter(col("n_events") < 1).count() == 0)
+    // every emitted session is closed (open ones stay in state)
+    assert(got.filter(!col("closed")).count() == 0)
+  }
+
+  test("v01: sessions never overlap and gaps between sessions exceed the threshold") {
+    val s = streaming.EventStream.sessionize(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_id")
+    val bad = s.withColumn("prev_end", lag(col("session_end"), 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        unix_micros(col("session_start")) - unix_micros(col("prev_end")) <= streaming.EventStream.SessionGapUs)
+    assert(bad.count() == 0)
+  }
+}
