@@ -28,11 +28,11 @@ object Dedup {
   /** MinHash: K signatures, banded for LSH candidate generation.
     * h_i(x) = (a_i·x + b_i) mod P with deterministic a_i, b_i so the DuckDB
     * oracle computes the identical signatures. */
-  val MinHashK = 16
-  val BandRows = 2
+  val MinHashK = 32
+  val BandRows = 4
   val NumBands: Int = MinHashK / BandRows
-  def hashA(i: Int): Long = 2L * i + 3L
-  def hashB(i: Int): Long = 97L + 31L * i
+  def hashA(i: Int): Long = graft.functions.catalyst.MinHashSigsExpr.a(i)
+  def hashB(i: Int): Long = graft.functions.catalyst.MinHashSigsExpr.b(i)
 
   /** SimHash bit width and Hamming radius for near-dup pairs. */
   val SimHashBits = 32
@@ -61,14 +61,22 @@ object Dedup {
     * op joins through. */
   private def shingleIndex(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    docShingles(spark, dir).select($"doc_id", explode($"shs").as("sh"))
+  }
+
+  /** Per-doc distinct shingle arrays (the verify side of LSH). Tokens are
+    * projected before the shingle HOF — see [[F.shingles3]]. */
+  private def docShingles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     Tables.documents(spark, dir)
-      .select($"doc_id", explode(F.shingles3($"text")).as("sh"))
+      .select($"doc_id", F.tokens($"text").as("tk"))
+      .select($"doc_id", F.shingles3($"tk").as("shs"))
   }
 
   /** (doc_a, doc_b, jaccard) for all pairs sharing >= 1 shingle. */
   private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingleIndex(spark, dir)
+    val sh = shingleIndex(spark, dir).cache()
     val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
     val a = sh.toDF("doc_a", "sh")
     val b = sh.toDF("doc_b", "sh")
@@ -118,20 +126,38 @@ object Dedup {
     * The brute pair space is never materialized. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val xh = shingleIndex(spark, dir).withColumn("x", F.polyHash($"sh"))
-    val sigCols = (0 until MinHashK).map(i =>
-      min(($"x" * hashA(i) + hashB(i)) % F.HashP).as(s"h$i"))
-    val sig = xh.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
-    val bands = (0 until NumBands).map { b =>
-      val keyCols = (0 until BandRows).map(r => col(s"h${b * BandRows + r}").cast("string"))
-      sig.select($"doc_id", lit(b).as("band"),
-        concat_ws("-", keyCols: _*).as("bkey"))
-    }.reduce(_ unionByName _)
+    // All K signatures in one map-side pass (native MinHashSigs over the
+    // doc's shingle-hash array): no explode, no K-wide aggregate, no
+    // shuffle before banding. localCheckpoint(eager) materializes them
+    // once so the candidate self-join's two reads don't recompute. The
+    // oracle keeps the K-column min-aggregate formulation — identical
+    // signatures.
+    val sig = docShingles(spark, dir)
+      .select($"doc_id",
+        graft.functions.catalyst.GraftColumns.minhash_sigs(
+          transform($"shs", sh => F.polyHash(sh)), MinHashK).as("sigs"))
+      .localCheckpoint(true)
+    val bandStructs = (0 until NumBands).map { b =>
+      val keyCols = (0 until BandRows)
+        .map(r => element_at($"sigs", b * BandRows + r + 1).cast("string"))
+      struct(lit(b).as("band"), concat_ws("-", keyCols: _*).as("bkey"))
+    }
+    val bands = sig
+      .select($"doc_id", explode(array(bandStructs: _*)).as("bb"))
+      .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
     val cand = bands.toDF("doc_a", "band", "bkey")
       .join(bands.toDF("doc_b", "band", "bkey"), Seq("band", "bkey"))
       .filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b").distinct()
-    cand.join(jaccardPairs(spark, dir), Seq("doc_a", "doc_b"))
+    // Verify ONLY the LSH candidates (never the full pair space): join the
+    // per-doc shingle arrays and intersect — codegen'd, bounded per pair.
+    val ds = docShingles(spark, dir).cache()
+    cand
+      .join(ds.toDF("doc_a", "sha"), Seq("doc_a"))
+      .join(ds.toDF("doc_b", "shb"), Seq("doc_b"))
+      .withColumn("common", size(array_intersect($"sha", $"shb")))
+      .withColumn("jaccard",
+        $"common".cast("double") / (size($"sha") + size($"shb") - $"common"))
       .filter($"jaccard" >= JaccardThreshold)
       .select($"doc_a", $"doc_b", F.fr($"jaccard", 4).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
@@ -169,14 +195,15 @@ object Dedup {
     * distance 3 shares at least one of the 4 chunks exactly). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val xh = shingleIndex(spark, dir).withColumn("x", F.polyHash($"sh"))
-    val js = (0 until SimHashBits).toDF("j")
-    val bits = xh.crossJoin(broadcast(js))
-      .groupBy($"doc_id", $"j")
-      .agg(sum(when(floor($"x" / pow(lit(2.0), $"j")).cast("long") % 2 === 1, 1)
-        .otherwise(-1)).as("w"))
-    val sim = bits.groupBy($"doc_id")
-      .agg(sum(when($"w" > 0, pow(lit(2.0), $"j")).otherwise(lit(0.0))).cast("long").as("simhash"))
+    // One map-side pass per doc: hash shingles into an array, collapse to
+    // the 32-bit fingerprint with the native SimHash32 expression. (The
+    // oracle keeps the relational explode-x32 formulation; same bits.)
+    // cached: both sides of the block self-join read it
+    val sim = docShingles(spark, dir)
+      .select($"doc_id",
+        graft.functions.catalyst.GraftColumns.simhash32(
+          transform($"shs", sh => F.polyHash(sh))).as("simhash"))
+      .cache()
     val ks = (0 until SimHashBits / 8).toDF("k")
     val blocks = sim.crossJoin(broadcast(ks))
       .withColumn("blk", floor($"simhash" / pow(lit(2.0), $"k" * 8)).cast("long") % 256)
@@ -222,15 +249,18 @@ object Dedup {
     * oracle's arithmetic is identical. */
   def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Norms are per-vector: compute them once before the pair join (the
+    // oracle's per-pair sqrt(na)*sqrt(nb) sees the identical values).
+    // The per-pair dot is the native codegen DotF64 expression.
     val e = Tables.embeddings(spark, dir)
       .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
-    val a = e.select($"vec_id".as("vec_a"), $"label", $"v".as("va"))
-    val b = e.select($"vec_id".as("vec_b"), $"label", $"v".as("vb"))
-    val cos = F.foldSum(zip_with($"va", $"vb", (x, y) => x * y)) /
-      (sqrt(F.foldSum(transform($"va", x => x * x))) * sqrt(F.foldSum(transform($"vb", x => x * x))))
+      .withColumn("norm", sqrt(F.foldSum(transform($"v", x => x * x))))
+    val a = e.select($"vec_id".as("vec_a"), $"label", $"v".as("va"), $"norm".as("norm_a"))
+    val b = e.select($"vec_id".as("vec_b"), $"label", $"v".as("vb"), $"norm".as("norm_b"))
     a.join(b, Seq("label"))
       .filter($"vec_a" < $"vec_b")
-      .withColumn("cosine_raw", cos)
+      .withColumn("cosine_raw",
+        graft.functions.catalyst.GraftColumns.dot_f64($"va", $"vb") / ($"norm_a" * $"norm_b"))
       .filter($"cosine_raw" >= CosineThreshold)
       .select($"vec_a", $"vec_b", $"label", F.fr($"cosine_raw", 4).as("cosine"))
       .orderBy($"vec_a", $"vec_b")

@@ -18,23 +18,26 @@ object TextFunctions {
 
   def tokens(c: Column): Column = split(c, " ")
 
-  /** Word 3-gram shingles, distinct, document order otherwise. */
-  def shingles3(c: Column): Column = {
-    val toks = tokens(c)
-    when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(1), size(toks) - 2), i =>
-        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
+  /** Word 3-gram shingles (distinct) from a PRE-PROJECTED tokens column.
+    *
+    * `tk` must be a bound attribute (e.g. `split(text).as("tk")` projected
+    * in a previous select), NOT an inline `split(...)` expression: Spark
+    * does no common-subexpression elimination inside higher-order-function
+    * lambdas, so an inline split would re-tokenize the document for every
+    * element_at — profiling showed ~300 re-splits per doc. */
+  def shingles3(tk: Column): Column =
+    when(size(tk) >= 3,
+      array_distinct(transform(sequence(lit(1), size(tk) - 2), i =>
+        concat_ws(" ", element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Deterministic polynomial hash over the characters of a string:
     * fold(acc = 0; acc = (acc·31 + code) mod P). Matches
-    * [[TextSql.polyHash]] exactly (same traversal order, same mod). */
-  def polyHash(c: Column): Column =
-    aggregate(
-      regexp_extract_all(c, lit("."), lit(0)),
-      lit(0L),
-      (acc, ch) => (acc * 31L + ascii(ch)) % HashP)
+    * [[TextSql.polyHash]] exactly (same traversal order, same mod).
+    * Implemented as a native codegen Expression ([[catalyst.PolyHash]]) —
+    * the equivalent regexp_extract_all + aggregate HOF formulation
+    * evaluates interpretively and dominated dedup time at sf0.1. */
+  def polyHash(c: Column): Column = catalyst.GraftColumns.poly_hash(c)
 
   /** Sum fold with explicit 0.0 init — the DuckDB twin is
     * list_reduce(list_prepend(0.0, l), (a,b) -> a+b). */

@@ -1,0 +1,158 @@
+package graft.functions.catalyst
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, ArrayType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for graft's hot paths (SURVEY.md §4).
+  *
+  * The interpreted higher-order-function formulations (aggregate/transform
+  * lambdas) are kept as the reference semantics — these expressions compute
+  * the identical values inside whole-stage codegen via a static helper
+  * call, which benchmarking at sf0.1 showed to be the dominant cost of the
+  * dedup/similarity operators (per-char regexp extraction and per-pair
+  * lambda folds are evaluated interpretively).
+  */
+object PolyHashExpr {
+  val P: Long = 1000000007L
+
+  /** fold(acc=0; acc = (acc*31 + codepoint) mod P) over the string's
+    * UTF-16 chars — equals the HOF/regexp formulation (and the DuckDB
+    * oracle's ascii() fold) for all BMP text. */
+  def hash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      acc = (acc * 31L + str.charAt(i).toLong) % P
+      i += 1
+    }
+    acc
+  }
+}
+
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    PolyHashExpr.hash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.catalyst.PolyHashExpr.hash($c)")
+  override protected def withNewChildInternal(c: Expression): PolyHash = copy(child = c)
+}
+
+object DotF64Expr {
+  /** Ascending-index dot product — same order as the zip_with/aggregate
+    * fold and the oracle's list_reduce. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+}
+
+case class DotF64(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotF64Expr.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.catalyst.DotF64Expr.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotF64 =
+    copy(left = l, right = r)
+}
+
+object SimHash32Expr {
+  /** 32-bit SimHash over an array of 64-bit feature hashes: bit j is set
+    * iff the signed count of j-bits across features is positive. Equals the
+    * relational formulation (explode × 32, sum ±1, power-of-two recompose)
+    * the DuckDB oracle uses, in one pass. */
+  def simhash(xs: ArrayData): Long = {
+    val n = xs.numElements()
+    val w = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      val x = xs.getLong(i)
+      var j = 0
+      while (j < 32) {
+        if (((x >> j) & 1L) == 1L) w(j) += 1 else w(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var acc = 0L
+    var j = 0
+    while (j < 32) {
+      if (w(j) > 0) acc |= (1L << j)
+      j += 1
+    }
+    acc
+  }
+}
+
+case class SimHash32(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    SimHash32Expr.simhash(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.catalyst.SimHash32Expr.simhash($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash32 = copy(child = c)
+}
+
+object MinHashSigsExpr {
+  val P: Long = PolyHashExpr.P
+  def a(i: Int): Long = 2L * i + 3L
+  def b(i: Int): Long = 97L + 31L * i
+
+  /** K minhash signatures over an array of feature hashes:
+    * sig_i = min over x of (a_i·x + b_i) mod P. Single pass; equals the
+    * K-column min-aggregate formulation the DuckDB oracle uses. */
+  def sigs(xs: ArrayData, k: Int): ArrayData = {
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = xs.numElements()
+    var i = 0
+    while (i < n) {
+      val x = xs.getLong(i)
+      var j = 0
+      while (j < k) {
+        val h = (x * a(j) + b(j)) % P
+        if (h < out(j)) out(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class MinHashSigs(child: Expression, k: Int) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    MinHashSigsExpr.sigs(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.catalyst.MinHashSigsExpr.sigs($c, $k)")
+  override protected def withNewChildInternal(c: Expression): MinHashSigs = copy(child = c)
+}
+
+object GraftColumns {
+  import org.apache.spark.sql.GraftShim
+
+  def poly_hash(c: Column): Column = GraftShim.column(PolyHash(GraftShim.expression(c)))
+  def dot_f64(a: Column, b: Column): Column =
+    GraftShim.column(DotF64(GraftShim.expression(a), GraftShim.expression(b)))
+  def simhash32(c: Column): Column = GraftShim.column(SimHash32(GraftShim.expression(c)))
+  def minhash_sigs(c: Column, k: Int): Column =
+    GraftShim.column(MinHashSigs(GraftShim.expression(c), k))
+}

@@ -157,6 +157,11 @@ object CciPipeline {
       .withColumn("open_cci",
         when($"cnt" >= CciN && $"mad_o" =!= 0.0, ($"tp_o" - $"sma_o") / (lit(0.015) * $"mad_o")))
       .drop("tps_c", "tps_o")
+      // Every downstream operator (signals, futures join, sell lookup,
+      // latest-state) re-reads this subtree, often 3x inside one action:
+      // cache it — Spark's CacheManager canonicalizes the plan, so all
+      // callers share the materialization. Size: one row per (series, day).
+      .cache()
   }
 
   /** Shared oracle CTE chain: events_us → bars → cci. */
@@ -360,25 +365,43 @@ object CciPipeline {
     * exact rounding chain (total_revenue rounded to 0 before revenue_rate). */
   def strategyAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    trades(spark, dir)
-      .groupBy($"user_id", $"condition_holding_days", $"condition_target_return",
-        $"condition_buy_cci_threshold", $"condition_stop_loss_cci_threshold")
+    val gk = Seq($"user_id", $"condition_holding_days", $"condition_target_return",
+      $"condition_buy_cci_threshold", $"condition_stop_loss_cci_threshold")
+    // Two-level aggregation instead of 4 countDistinct (whose Expand would
+    // multiply the trades 5x before the shuffle). Trades are unique per
+    // (group, buy_date) — one signal per (series, day, threshold) — so
+    // count(*) == nunique(buy_date), and pre-grouping on
+    // (trade_result, sell_date) makes the outcome-date nunique a plain
+    // filtered count at level 2. Oracle keeps the countDistinct form;
+    // results are identical.
+    // Sums of 2-decimal prices land on exact .5 rounding boundaries, so
+    // engine-dependent float summation order would flip rounded outputs.
+    // Sum exact integer cents instead (doubles are exact on integers):
+    // every derived metric is then bit-identical across engines.
+    val l1 = trades(spark, dir)
+      .groupBy(gk :+ $"trade_result" :+ $"sell_date": _*)
       .agg(
-        countDistinct($"buy_date").as("count_buy_date"),
-        countDistinct(when($"trade_result" === "reach_target", $"sell_date")).as("count_reach_target_date"),
-        countDistinct(when($"trade_result" === "stop_loss", $"sell_date")).as("count_stop_loss_date"),
-        countDistinct(when($"trade_result" === "maturity", $"sell_date")).as("count_maturity_date"),
-        sum(when($"sell_price" > $"buy_price", 1).otherwise(0)).as("count_win"),
-        sum(when($"sell_price" < $"buy_price", 1).otherwise(0)).as("count_lose"),
-        // Sums of 2-decimal prices land on exact .5 rounding boundaries, so
-        // engine-dependent float summation order would flip rounded outputs.
-        // Sum exact integer cents instead (doubles are exact on integers):
-        // every derived metric is then bit-identical across engines.
-        sum(floor(((($"sell_price" - $"buy_price") / $"days_held") * 100.0 + 0.5)).cast("long")).as("rpdh_cents"),
-        count(lit(1)).as("n_trades"),
-        sum($"days_held").as("days_held_sum"),
-        sum(floor($"buy_price" * 100.0 + 0.5).cast("long")).as("buy_cents"),
-        sum(floor($"sell_price" * 100.0 + 0.5).cast("long")).as("sell_cents"))
+        count(lit(1)).as("n1"),
+        sum(when($"sell_price" > $"buy_price", 1).otherwise(0)).as("w1"),
+        sum(when($"sell_price" < $"buy_price", 1).otherwise(0)).as("l1"),
+        sum(floor(((($"sell_price" - $"buy_price") / $"days_held") * 100.0 + 0.5)).cast("long")).as("rpdh1"),
+        sum($"days_held").as("dh1"),
+        sum(floor($"buy_price" * 100.0 + 0.5).cast("long")).as("bc1"),
+        sum(floor($"sell_price" * 100.0 + 0.5).cast("long")).as("sc1"))
+    l1
+      .groupBy(gk: _*)
+      .agg(
+        sum($"n1").as("count_buy_date"),
+        count(when($"trade_result" === "reach_target", 1)).as("count_reach_target_date"),
+        count(when($"trade_result" === "stop_loss", 1)).as("count_stop_loss_date"),
+        count(when($"trade_result" === "maturity", 1)).as("count_maturity_date"),
+        sum($"w1").as("count_win"),
+        sum($"l1").as("count_lose"),
+        sum($"rpdh1").as("rpdh_cents"),
+        sum($"n1").as("n_trades"),
+        sum($"dh1").as("days_held_sum"),
+        sum($"bc1").as("buy_cents"),
+        sum($"sc1").as("sell_cents"))
       .withColumn("avg_rpdh_raw", $"rpdh_cents".cast("double") / $"n_trades" / 100.0)
       .withColumn("avg_days_held_raw", $"days_held_sum".cast("double") / $"n_trades")
       .withColumn("total_buy_raw", $"buy_cents".cast("double") / 100.0)

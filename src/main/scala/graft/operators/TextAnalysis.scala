@@ -29,11 +29,11 @@ object TextAnalysis {
     * tokens, plus character-length reconciliation. */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = F.tokens($"text")
     Tables.documents(spark, dir)
+      .select($"doc_id", $"text", $"n_chars", F.tokens($"text").as("tk"))
       .select($"doc_id",
-        size(toks).as("n_tokens"),
-        size(array_distinct(toks)).as("n_distinct_tokens"),
+        size($"tk").as("n_tokens"),
+        size(array_distinct($"tk")).as("n_distinct_tokens"),
         size(regexp_extract_all($"text", lit(BpePattern), lit(0))).as("n_bpe_tokens"),
         length($"text").as("len_chars"),
         $"n_chars")
@@ -55,12 +55,12 @@ object TextAnalysis {
     * and a blended 0..1 score (deterministic arithmetic on both engines). */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = F.tokens($"text")
-    val nTok = size(toks)
-    val stopHits = size(filter(toks, t => t.isInCollection(Stopwords)))
+    val nTok = size($"tk")
+    val stopHits = size(filter($"tk", t => t.isInCollection(Stopwords)))
     val punctCount = length($"text") - length(regexp_replace($"text", PunctClass, ""))
-    val avgTokLen = F.foldSum(transform(toks, t => length(t).cast("double"))) / nTok
+    val avgTokLen = F.foldSum(transform($"tk", t => length(t).cast("double"))) / nTok
     Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source", $"text", F.tokens($"text").as("tk"))
       .select($"doc_id", $"lang", $"source",
         nTok.as("n_tokens"),
         F.fr(stopHits.cast("double") / nTok, 4).as("stopword_ratio"),
@@ -94,10 +94,11 @@ object TextAnalysis {
     * accuracy inspection. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = F.tokens($"text")
-    val scored = LangProfiles.foldLeft(Tables.documents(spark, dir)) {
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", F.tokens($"text").as("tk"))
+    val scored = LangProfiles.foldLeft(base) {
       case (df, (l, words)) =>
-        df.withColumn(s"score_$l", size(filter(toks, t => t.isInCollection(words))))
+        df.withColumn(s"score_$l", size(filter($"tk", t => t.isInCollection(words))))
     }
     val langs = LangProfiles.map(_._1)
     val pred = langs.zipWithIndex.foldRight(lit(langs.last)) { case ((l, _), el) =>
@@ -141,14 +142,11 @@ object TextAnalysis {
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-      .select($"doc_id", F.polyHash($"text").as("fingerprint"), F.shingles3($"text").as("shs"))
+      .select($"doc_id", $"text", F.tokens($"text").as("tk"))
+      .select($"doc_id", F.polyHash($"text").as("fingerprint"), F.shingles3($"tk").as("shs"))
     docs
       .withColumn("min_shingle_hash",
-        array_min(transform($"shs", sh => {
-          // inline polyHash over each shingle
-          aggregate(regexp_extract_all(sh, lit("."), lit(0)), lit(0L),
-            (acc, ch) => (acc * 31L + ascii(ch)) % F.HashP)
-        })))
+        array_min(transform($"shs", sh => F.polyHash(sh))))
       .select($"doc_id", $"fingerprint", $"min_shingle_hash")
       .orderBy($"doc_id")
   }

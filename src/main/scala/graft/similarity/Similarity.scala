@@ -27,11 +27,15 @@ object Similarity {
     import spark.implicits._
     Tables.embeddings(spark, dir)
       .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(F.foldSum(transform($"v", x => x * x))))
   }
 
-  private def cosine(va: org.apache.spark.sql.Column, vb: org.apache.spark.sql.Column) =
-    F.foldSum(zip_with(va, vb, (x, y) => x * y)) /
-      (sqrt(F.foldSum(transform(va, x => x * x))) * sqrt(F.foldSum(transform(vb, x => x * x))))
+  /** Per-pair cosine from the codegen dot product and the vectors'
+    * precomputed norms (oracle arithmetic identical: sqrt of the same
+    * per-vector sums, multiplied in the same order). */
+  private def cosine(va: org.apache.spark.sql.Column, vb: org.apache.spark.sql.Column,
+      na: org.apache.spark.sql.Column, nb: org.apache.spark.sql.Column) =
+    graft.functions.catalyst.GraftColumns.dot_f64(va, vb) / (na * nb)
 
   // ---------------------------------------------------------------- s01
   /** Exact cosine top-k per query vector; rank on the rounded cosine with
@@ -40,12 +44,12 @@ object Similarity {
     import spark.implicits._
     val e = vecs(spark, dir)
     val q = e.filter($"vec_id" % QueryStride === 0)
-      .select($"vec_id".as("query_id"), $"v".as("vq"))
-    val c = e.select($"vec_id".as("neighbor_id"), $"v".as("vn"))
+      .select($"vec_id".as("query_id"), $"v".as("vq"), $"norm".as("nq"))
+    val c = e.select($"vec_id".as("neighbor_id"), $"v".as("vn"), $"norm".as("nn"))
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
     q.crossJoin(c)
       .filter($"query_id" =!= $"neighbor_id")
-      .withColumn("cosine", F.fr(cosine($"vq", $"vn"), 6))
+      .withColumn("cosine", F.fr(cosine($"vq", $"vn", $"nq", $"nn"), 6))
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= TopK)
       .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
@@ -90,14 +94,14 @@ object Similarity {
         when(F.foldSum(zip_with($"v", planeComponent(p), (x, y) => x * y)) >= 0, 1).otherwise(0))
     }.withColumn("bucket",
       (0 until NumPlanes).map(p => col(s"b$p") * (1 << p)).reduce(_ + _))
-      .select($"vec_id", $"v", $"bucket")
+      .select($"vec_id", $"v", $"norm", $"bucket")
     val q = withBucket.filter($"vec_id" % QueryStride === 0)
-      .select($"vec_id".as("query_id"), $"v".as("vq"), $"bucket")
-    val c = withBucket.select($"vec_id".as("neighbor_id"), $"v".as("vn"), $"bucket")
+      .select($"vec_id".as("query_id"), $"v".as("vq"), $"norm".as("nq"), $"bucket")
+    val c = withBucket.select($"vec_id".as("neighbor_id"), $"v".as("vn"), $"norm".as("nn"), $"bucket")
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
     q.join(c, Seq("bucket"))
       .filter($"query_id" =!= $"neighbor_id")
-      .withColumn("cosine", F.fr(cosine($"vq", $"vn"), 6))
+      .withColumn("cosine", F.fr(cosine($"vq", $"vn", $"nq", $"nn"), 6))
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= TopK)
       .select($"query_id", $"bucket", $"rnk", $"neighbor_id", $"cosine")
