@@ -12,9 +12,12 @@ import graft.operators._
   * kept identical on both sides (SURVEY.md §6).
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Runs the full reference pipeline end to end: events → OHLC bars →
+    * rolling CCI → crossover signals → grid trade simulation → strategy
+    * aggregation → best-condition-per-series tables. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
+    CciPipeline.bestOf(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -54,7 +57,11 @@ object SparkEntry {
     "t03_lang_id" -> (TextAnalysis.langId _),
     "t04_fingerprint" -> (TextAnalysis.fingerprint _),
     "m01_multimodal_meta" -> (graft.multimodal.Multimodal.mediaMeta _),
-    "v01_sessionize" -> (graft.streaming.EventStream.sessionize _)
+    "v01_sessionize" -> (graft.streaming.EventStream.sessionize _),
+    "q15_pivot" -> (Extras.pivotCounts _),
+    "q16_json_extract" -> (Extras.jsonExtract _),
+    "q17_range_window" -> (Extras.rangeWindow _),
+    "r12_csv_roundtrip" -> (Extras.csvRoundtrip _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -96,6 +103,10 @@ object SparkEntry {
     "t03_lang_id" -> TextAnalysis.langIdSql,
     "t04_fingerprint" -> TextAnalysis.fingerprintSql,
     "m01_multimodal_meta" -> graft.multimodal.Multimodal.mediaMetaSql,
-    "v01_sessionize" -> graft.streaming.EventStream.sessionizeSql
+    "v01_sessionize" -> graft.streaming.EventStream.sessionizeSql,
+    "q15_pivot" -> Extras.pivotCountsSql,
+    "q16_json_extract" -> Extras.jsonExtractSql,
+    "q17_range_window" -> Extras.rangeWindowSql,
+    "r12_csv_roundtrip" -> Extras.csvRoundtripSql
   )
 }

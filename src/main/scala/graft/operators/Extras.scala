@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Additional engine-surface coverage (SURVEY.md §2): pivot, embedded-JSON
+  * extraction, interval range-frame windows, and non-parquet source IO. */
+object Extras {
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  // ---------------------------------------------------------------- q15
+  /** Pivot event counts per user (explicit value list → deterministic
+    * schema; nulls coalesced to 0 to match the oracle's conditional agg). */
+  def pivotCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    p.select($"user_id" +: EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy($"user_id")
+  }
+
+  val pivotCountsSql: String =
+    Tables.eventsOracleCte + "\n" +
+      s"""SELECT user_id,
+         |${EventTypes.map(t => s"  CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t").mkString(",\n")}
+         |FROM events_us
+         |GROUP BY user_id
+         |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** Embedded-JSON column extraction (`props` carries `{"k": <int>}`):
+    * parse, type, aggregate. The oracle extracts the same value with a
+    * regexp so it does not depend on DuckDB's JSON extension. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"k").cast("long").as("sum_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  val jsonExtractSql: String =
+    Tables.eventsOracleCte + "\n" +
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(regexp_extract(props, '\{"k": ([0-9]+)\}', 1) AS INTEGER)) AS BIGINT) AS sum_k,
+        |  min(CAST(regexp_extract(props, '\{"k": ([0-9]+)\}', 1) AS INTEGER)) AS min_k,
+        |  max(CAST(regexp_extract(props, '\{"k": ([0-9]+)\}', 1) AS INTEGER)) AS max_k
+        |FROM events_us
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** Interval range-frame window: per customer, trailing-30-day order
+    * count and value at each order. Value totals sum exact integer cents
+    * inside the frame so both engines agree bit-for-bit. */
+  def rangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // NTZ timestamp → epoch seconds via the UTC session: matches the
+    // oracle's epoch(o_orderdate) on the naive timestamp.
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy(unix_seconds($"o_orderdate".cast("timestamp")))
+      .rangeBetween(-30L * 86400, 0)
+    Tables.orders(spark, dir)
+      .withColumn("n_30d", count(lit(1)).over(w))
+      .withColumn("cents_30d", sum(floor($"o_totalprice" * 100.0 + 0.5).cast("long")).over(w))
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"n_30d",
+        ($"cents_30d".cast("double") / 100.0).as("total_30d"))
+      .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+  }
+
+  val rangeWindowSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  count(*) OVER w AS n_30d,
+      |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 100.0 AS total_30d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+      |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- r12
+  /** CSV source round-trip: write a projection out as CSV, read it back
+    * with an explicit schema, aggregate. Exercises the non-parquet IO path
+    * end to end (Java's shortest-repr double formatting round-trips
+    * exactly, so the oracle can aggregate the original table). */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("2000-01-01"))
+      .select($"l_orderkey", $"l_returnflag", $"l_quantity", $"l_extendedprice")
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_returnflag", StringType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType)))
+    spark.read.schema(schema).option("header", "true").csv(out)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"l_quantity" * 100.0 + 0.5).cast("long")).as("qty_cents"),
+        sum(floor($"l_extendedprice" * 100.0 + 0.5).cast("long")).as("price_cents"))
+      .select($"l_returnflag", $"n",
+        ($"qty_cents".cast("double") / 100.0).as("total_qty"),
+        ($"price_cents".cast("double") / 100.0).as("total_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  val csvRoundtripSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_qty,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+}
