@@ -61,7 +61,9 @@ object SparkEntry {
     "q15_pivot" -> (Extras.pivotCounts _),
     "q16_json_extract" -> (Extras.jsonExtract _),
     "q17_range_window" -> (Extras.rangeWindow _),
-    "r12_csv_roundtrip" -> (Extras.csvRoundtrip _)
+    "r12_csv_roundtrip" -> (Extras.csvRoundtrip _),
+    "q18_typed_agg" -> (Typed.typedStats _),
+    "a01_approx_sketches" -> (Typed.approxSketches _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -107,6 +109,8 @@ object SparkEntry {
     "q15_pivot" -> Extras.pivotCountsSql,
     "q16_json_extract" -> Extras.jsonExtractSql,
     "q17_range_window" -> Extras.rangeWindowSql,
-    "r12_csv_roundtrip" -> Extras.csvRoundtripSql
+    "r12_csv_roundtrip" -> Extras.csvRoundtripSql,
+    "q18_typed_agg" -> Typed.typedStatsSql
+    // a01_approx_sketches: engine-specific sketches -> rows-only check
   )
 }

@@ -51,9 +51,14 @@ object Tables {
     * rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong=true` and we
     * truncate to microsecond precision here (ns div 1000), matching the
     * DuckDB oracle's `epoch_ns(ts) // 1000`. */
-  def events(spark: SparkSession, dir: String): DataFrame =
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    // Runtime-settable SQL conf; set defensively so sessions the caller
+    // built without GraftSession (e.g. an external smoke harness) can
+    // still read the nanos parquet.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

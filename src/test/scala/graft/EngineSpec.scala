@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EngineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("extensions: graft_* SQL functions are registered and correct") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val got = spark.sql("SELECT graft_poly_hash('abc') AS h, graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head()
+    assert(got.getLong(0) == functions.catalyst.PolyHashExpr.hash(UTF8String.fromString("abc")))
+    assert(got.getDouble(1) == 11.0)
+  }
+
+  test("salted join equals plain join") {
+    val li = sources.Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val o = sources.Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val plain = li.join(o, li("l_orderkey") === o("o_orderkey")).count()
+    val salted = operators.Skew.saltedJoin(li, o, "l_orderkey", "o_orderkey", 8).count()
+    assert(plain == salted)
+  }
+
+  test("a01: sketches approximate the exact distinct counts within rsd") {
+    val approx = operators.Typed.approxSketches(spark, sf)
+      .select("l_returnflag", "approx_parts").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = operators.Relational.q12DistinctTopk(spark, sf)
+      .select("l_returnflag", "n_parts").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e < 0.15, s"$k: approx $a vs exact $e")
+    }
+  }
+
+  test("q18: typed Aggregator matches the untyped cents aggregation") {
+    val typed = operators.Typed.typedStats(spark, sf).collect()
+    val untyped = sources.Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 10.0)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("l_quantity") * 100.0 + 0.5).cast("long")).cast("double") / 100.0).as("q"))
+      .orderBy("l_returnflag").collect()
+    assert(typed.length == untyped.length)
+    typed.zip(untyped).foreach { case (t, u) =>
+      assert(t.getString(0) == u.getString(0))
+      assert(t.getLong(1) == u.getLong(1))
+      assert(t.getDouble(2) == u.getDouble(1 + 1))
+    }
+  }
+}
