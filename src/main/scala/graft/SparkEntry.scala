@@ -63,7 +63,10 @@ object SparkEntry {
     "q17_range_window" -> (Extras.rangeWindow _),
     "r12_csv_roundtrip" -> (Extras.csvRoundtrip _),
     "q18_typed_agg" -> (Typed.typedStats _),
-    "a01_approx_sketches" -> (Typed.approxSketches _)
+    "a01_approx_sketches" -> (Typed.approxSketches _),
+    "q19_correlated_avg" -> (Extras.correlatedAvg _),
+    "r13_order_lifecycle" -> (CciPipeline.orderLifecycle _),
+    "s03_ann_ivf" -> (graft.similarity.Similarity.ivfTopK _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -110,7 +113,10 @@ object SparkEntry {
     "q16_json_extract" -> Extras.jsonExtractSql,
     "q17_range_window" -> Extras.rangeWindowSql,
     "r12_csv_roundtrip" -> Extras.csvRoundtripSql,
-    "q18_typed_agg" -> Typed.typedStatsSql
+    "q18_typed_agg" -> Typed.typedStatsSql,
     // a01_approx_sketches: engine-specific sketches -> rows-only check
+    "q19_correlated_avg" -> Extras.correlatedAvgSql,
+    "r13_order_lifecycle" -> CciPipeline.orderLifecycleSql,
+    "s03_ann_ivf" -> graft.similarity.Similarity.ivfTopKSql
   )
 }

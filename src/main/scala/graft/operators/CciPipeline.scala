@@ -566,6 +566,82 @@ object CciPipeline {
          |FROM bw JOIN latest ON bw.user_id = latest.user_id
          |ORDER BY bw.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- r13
+  /** Fixed per-account budget for order sizing
+    * (reference budget logic, daily_function.py:1462-1475). */
+  val Budget = 1000000.0
+  val BudgetFraction = 0.1
+
+  /** Order lifecycle (reference create_buy_order_data /
+    * create_sell_order_data, daily_function.py:1335-1584,1713-1824):
+    * best-condition series with a live crossover signal get a sized buy
+    * order (10% of budget at the latest close), and the same day's state
+    * decides the sell signal — target price net of tax+fee, or stop-loss
+    * CCI — otherwise the position is pending. */
+  def orderLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+    val wDesc = Window.partitionBy($"user_id").orderBy($"d".desc)
+    val latest = cci(spark, dir)
+      .withColumn("prev_open_cci", lag($"open_cci", 1).over(w))
+      .withColumn("rrn", row_number().over(wDesc))
+      .filter($"rrn" === 1)
+      .select($"user_id", $"d".as("order_date"), $"close_pr", $"close_cci",
+        $"open_cci".as("current_open_cci"), $"prev_open_cci".as("yesterday_open_cci"))
+    val bestWin = bestOf(spark, dir).filter($"investment_target" === "win_rate")
+    bestWin
+      .join(latest, Seq("user_id"))
+      .filter($"yesterday_open_cci" < $"condition_buy_cci_threshold" &&
+        $"current_open_cci" >= $"condition_buy_cci_threshold")
+      .withColumn("buy_order_price", $"close_pr")
+      .withColumn("buy_order_qty",
+        floor(floor(lit(Budget * BudgetFraction)) / $"buy_order_price" + 0.5).cast("long"))
+      .filter($"buy_order_qty" >= 1)
+      .withColumn("net_target_price",
+        floor(($"buy_order_price" * (lit(1.0) + ($"condition_target_return" + TaxRate + FeeRate) / 100.0)) * 1.0 + 0.5) / 1.0)
+      .withColumn("sell_signal",
+        when($"close_pr" > $"net_target_price", lit("reach_target"))
+          .when($"close_cci" <= $"condition_stop_loss_cci_threshold", lit("stop_loss"))
+          .otherwise(lit("pending")))
+      .select($"user_id", $"order_date", $"buy_order_price", $"buy_order_qty",
+        $"condition_holding_days", $"condition_target_return",
+        $"condition_buy_cci_threshold", $"condition_stop_loss_cci_threshold",
+        $"win_rate", $"revenue_rate", $"net_target_price", $"sell_signal")
+      .orderBy($"user_id")
+  }
+
+  val orderLifecycleSql: String =
+    strategyCte + ",\n" +
+      s"""bw AS (SELECT * FROM (${bestCte("win_rate")}) bq),
+         |latest AS (
+         |  SELECT user_id, d AS order_date, close_pr, close_cci,
+         |         open_cci AS current_open_cci, prev_open_cci AS yesterday_open_cci
+         |  FROM (SELECT *, lag(open_cci) OVER (PARTITION BY user_id ORDER BY d) AS prev_open_cci,
+         |               row_number() OVER (PARTITION BY user_id ORDER BY d DESC) AS rrn
+         |        FROM cci) c
+         |  WHERE rrn = 1),
+         |ord AS (
+         |  SELECT bw.user_id, order_date, close_pr AS buy_order_price,
+         |    CAST(floor(floor(${Budget * BudgetFraction}) / close_pr + 0.5) AS BIGINT) AS buy_order_qty,
+         |    condition_holding_days, condition_target_return,
+         |    condition_buy_cci_threshold, condition_stop_loss_cci_threshold,
+         |    win_rate, revenue_rate,
+         |    floor((close_pr * (1.0 + (condition_target_return + $TaxRate + ${FeeRate}) / 100.0)) * 1.0 + 0.5) / 1.0 AS net_target_price,
+         |    close_cci
+         |  FROM bw JOIN latest ON bw.user_id = latest.user_id
+         |  WHERE yesterday_open_cci < condition_buy_cci_threshold
+         |    AND current_open_cci >= condition_buy_cci_threshold)
+         |SELECT user_id, order_date, buy_order_price, buy_order_qty,
+         |  condition_holding_days, condition_target_return,
+         |  condition_buy_cci_threshold, condition_stop_loss_cci_threshold,
+         |  win_rate, revenue_rate, net_target_price,
+         |  CASE WHEN buy_order_price > net_target_price THEN 'reach_target'
+         |       WHEN close_cci <= condition_stop_loss_cci_threshold THEN 'stop_loss'
+         |       ELSE 'pending' END AS sell_signal
+         |FROM ord
+         |WHERE buy_order_qty >= 1
+         |ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- r10
   /** Candidate filter via quantile thresholds over the best-win table
     * (reference get_candidate_list, daily_function.py:1302-1329). */

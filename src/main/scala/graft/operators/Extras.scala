@@ -87,6 +87,28 @@ object Extras {
       |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q19
+  /** Correlated-aggregate filter (TPC-H Q17 shape): lineitems below 20% of
+    * their part's mean quantity. Quantities are integral so the per-part
+    * mean is engine-exact; revenue sums exact cents. */
+  def correlatedAvg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_partkey")
+    Tables.lineitem(spark, dir)
+      .withColumn("avg_qty", avg($"l_quantity").over(w))
+      .filter($"l_quantity" < $"avg_qty" * 0.2)
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"l_partkey").as("n_parts"),
+        (sum(floor($"l_extendedprice" * 100.0 + 0.5).cast("long")).cast("double") / 100.0).as("total_price"))
+  }
+
+  val correlatedAvgSql: String =
+    """SELECT count(*) AS n, count(DISTINCT l_partkey) AS n_parts,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
+      |FROM lineitem l
+      |WHERE l_quantity < 0.2 * (SELECT avg(x.l_quantity) FROM lineitem x
+      |                          WHERE x.l_partkey = l.l_partkey)""".stripMargin
+
   // ---------------------------------------------------------------- r12
   /** CSV source round-trip: write a projection out as CSV, read it back
     * with an explicit schema, aggregate. Exercises the non-parquet IO path

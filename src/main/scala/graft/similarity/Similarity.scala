@@ -77,6 +77,93 @@ object Similarity {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s03
+  /** Coarse cells probed per query in the IVF search. The sf corpus's
+    * labels are weak geometric clusters (within-cell cosine tops out near
+    * 0.47), so recall needs several probes; with tight real-world cells
+    * 1–2 probes would do. */
+  val IvfProbes = 4
+
+  /** IVF-style ANN: coarse centroids per label cell (fixed-point micro-unit
+    * means so both engines compute identical centroids), queries probe the
+    * [[IvfProbes]] best cells by a quantized integer dot score (engine-
+    * deterministic), then exact cosine top-k within the probed cells.
+    * At 100 TB the cell id is the shuffle key; only probed cells are read. */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vecs(spark, dir).cache()
+    val dims = e.select($"vec_id", $"label", posexplode($"v").as(Seq("dim", "dv")))
+    val centroids = dims.groupBy($"label", $"dim")
+      .agg((sum(floor($"dv" * 1e6).cast("long")).cast("double") /
+        count(lit(1)) / 1e6).as("cv"))
+    val qdims = e.filter($"vec_id" % QueryStride === 0)
+      .select($"vec_id".as("query_id"), posexplode($"v").as(Seq("dim", "qv")))
+    val probeW = Window.partitionBy($"query_id").orderBy($"score".desc, $"label")
+    val probes = qdims.join(centroids, Seq("dim"))
+      .groupBy($"query_id", $"label")
+      .agg(sum(floor($"qv" * $"cv" * 1e9).cast("long")).as("score"))
+      .withColumn("cell_rank", row_number().over(probeW))
+      .filter($"cell_rank" <= IvfProbes)
+      .select($"query_id", $"label")
+    val q = e.filter($"vec_id" % QueryStride === 0)
+      .select($"vec_id".as("query_id"), $"v".as("vq"), $"norm".as("nq"))
+    val c = e.select($"vec_id".as("neighbor_id"), $"v".as("vn"), $"norm".as("nn"), $"label")
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    probes
+      .join(c, Seq("label"))
+      .join(q, Seq("query_id"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("cosine", F.fr(cosine($"vq", $"vn", $"nq", $"nn"), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= TopK)
+      .select($"query_id", $"rnk", $"neighbor_id", $"label", $"cosine")
+      .orderBy($"query_id", $"rnk")
+  }
+
+  val ivfTopKSql: String = {
+    val dot = S.foldSum("list_transform(range(1, len(vq) + 1), i -> vq[i] * vn[i])")
+    val nq = S.foldSum("list_transform(vq, x -> x * x)")
+    val nn = S.foldSum("list_transform(vn, x -> x * x)")
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |dims AS (
+       |  SELECT vec_id, label, i AS dim, v[i] AS dv
+       |  FROM e, unnest(range(1, len(v) + 1)) AS t(i)),
+       |centroids AS (
+       |  SELECT label, dim,
+       |    CAST(sum(CAST(floor(dv * 1000000.0) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0 AS cv
+       |  FROM dims GROUP BY 1, 2),
+       |qdims AS (
+       |  SELECT vec_id AS query_id, i AS dim, v[i] AS qv
+       |  FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+       |  WHERE vec_id % $QueryStride = 0),
+       |probes AS (
+       |  SELECT query_id, label FROM (
+       |    SELECT query_id, label,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, label) AS cell_rank
+       |    FROM (SELECT query_id, label,
+       |            sum(CAST(floor(qv * cv * 1000000000.0) AS BIGINT)) AS score
+       |          FROM qdims JOIN centroids USING (dim)
+       |          GROUP BY 1, 2) s) r
+       |  WHERE cell_rank <= $IvfProbes),
+       |pairs AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id, c.label, q.v AS vq, c.v AS vn
+       |  FROM probes p
+       |  JOIN e c ON c.label = p.label
+       |  JOIN e q ON q.vec_id = p.query_id
+       |  WHERE c.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, label,
+       |    ${S.fr(s"($dot) / (sqrt($nq) * sqrt($nn))", 6)} AS cosine
+       |  FROM pairs),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, label, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, rnk, neighbor_id, label, cosine
+       |FROM ranked WHERE rnk <= $TopK
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   // ---------------------------------------------------------------- s02
   /** Random-hyperplane LSH: bucket = sign bits of the dot products with
     * `NumPlanes` deterministic pseudo-random planes; exact top-k within the

@@ -93,6 +93,20 @@ object EventStream {
         ($"value_cents".cast("double") / 100.0).as("total_value"))
   }
 
+  /** v04: stream-static join — the event stream enriched against a static
+    * dimension (user cohort), then aggregated per cohort. The static side
+    * is broadcast; on a cluster it would be a slowly-changing dim table. */
+  def streamStaticJoin(spark: SparkSession, streamDir: String, dir: String): DataFrame = {
+    import spark.implicits._
+    val cohorts = Tables.events(spark, dir)
+      .select($"user_id").distinct()
+      .withColumn("cohort", ($"user_id" % 3).cast("int"))
+    readEventStream(spark, streamDir)
+      .join(broadcast(cohorts), Seq("user_id"))
+      .groupBy($"cohort", $"event_type")
+      .agg(count(lit(1)).as("n"))
+  }
+
   final case class SessionUpdate(user_id: Long, session_start_us: Long,
       n_events: Long, total_cents: Long, closed: Boolean)
   /** Public: Spark's state encoder codegen needs constructor access. */

@@ -40,6 +40,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(b1.join(l1, "query_id").filter(col("lc") > col("bc")).count() == 0)
   }
 
+  test("s03: IVF top-k achieves high recall vs brute force") {
+    val brute = similarity.Similarity.bruteForceTopK(spark, sf)
+      .select("query_id", "neighbor_id")
+    val ivf = similarity.Similarity.ivfTopK(spark, sf)
+      .select("query_id", "neighbor_id")
+    val total = brute.count()
+    val hit = brute.intersect(ivf).count()
+    assert(total > 0)
+    // labels are weak clusters in this corpus; 4/10 cells probed
+    assert(hit.toDouble / total >= 0.3, s"recall ${hit.toDouble / total}")
+  }
+
   test("t03: language id predicts the majority language on an English-ish corpus") {
     val pred = operators.TextAnalysis.langId(spark, sf)
     val top = pred.groupBy("predicted_lang").count().orderBy(col("count").desc).head.getString(0)

@@ -42,6 +42,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.filter(!col("closed")).count() == 0)
   }
 
+  test("v04: stream-static join counts equal the batch equivalent") {
+    val q = streaming.EventStream.streamStaticJoin(spark, streamDir, sf)
+      .writeStream.outputMode("complete").format("memory").queryName("v04_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("v04_out")
+    val batch = sources.Tables.events(spark, sf)
+      .withColumn("cohort", (col("user_id") % 3).cast("int"))
+      .groupBy("cohort", "event_type").agg(count(lit(1)).as("bn"))
+    val joined = got.join(batch, Seq("cohort", "event_type"))
+    assert(joined.count() == got.count() && got.count() > 0)
+    assert(joined.filter(col("n") =!= col("bn")).count() == 0)
+  }
+
   test("v01: sessions never overlap and gaps between sessions exceed the threshold") {
     val s = streaming.EventStream.sessionize(spark, sf)
     val w = org.apache.spark.sql.expressions.Window
