@@ -66,7 +66,11 @@ object SparkEntry {
     "a01_approx_sketches" -> (Typed.approxSketches _),
     "q19_correlated_avg" -> (Extras.correlatedAvg _),
     "r13_order_lifecycle" -> (CciPipeline.orderLifecycle _),
-    "s03_ann_ivf" -> (graft.similarity.Similarity.ivfTopK _)
+    "s03_ann_ivf" -> (graft.similarity.Similarity.ivfTopK _),
+    "q20_ntile" -> (Extras.ntileBuckets _),
+    "q21_cube" -> (Extras.cubeAgg _),
+    "p01_profile" -> (Extras.profileColumns _),
+    "r14_json_roundtrip" -> (Extras.jsonRoundtrip _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -117,6 +121,10 @@ object SparkEntry {
     // a01_approx_sketches: engine-specific sketches -> rows-only check
     "q19_correlated_avg" -> Extras.correlatedAvgSql,
     "r13_order_lifecycle" -> CciPipeline.orderLifecycleSql,
-    "s03_ann_ivf" -> graft.similarity.Similarity.ivfTopKSql
+    "s03_ann_ivf" -> graft.similarity.Similarity.ivfTopKSql,
+    "q20_ntile" -> Extras.ntileBucketsSql,
+    "q21_cube" -> Extras.cubeAggSql,
+    "p01_profile" -> Extras.profileColumnsSql,
+    "r14_json_roundtrip" -> Extras.jsonRoundtripSql
   )
 }

@@ -109,6 +109,110 @@ object Extras {
       |WHERE l_quantity < 0.2 * (SELECT avg(x.l_quantity) FROM lineitem x
       |                          WHERE x.l_partkey = l.l_partkey)""".stripMargin
 
+  // ---------------------------------------------------------------- q20
+  /** ntile bucketing: order-value quartiles per status (total ordering via
+    * orderkey tiebreak keeps bucket assignment engine-identical). */
+  def ntileBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("bucket", ntile(4).over(w))
+      .groupBy($"o_orderstatus", $"bucket")
+      .agg(count(lit(1)).as("n"),
+        (sum(floor($"o_totalprice" * 100.0 + 0.5).cast("long")).cast("double") / 100.0).as("total_value"))
+      .orderBy($"o_orderstatus", $"bucket")
+  }
+
+  val ntileBucketsSql: String =
+    """SELECT o_orderstatus, bucket, count(*) AS n,
+      |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+      |FROM (SELECT o_orderstatus, o_totalprice,
+      |        ntile(4) OVER (PARTITION BY o_orderstatus
+      |                       ORDER BY o_totalprice, o_orderkey) AS bucket
+      |      FROM orders) t
+      |GROUP BY o_orderstatus, bucket
+      |ORDER BY o_orderstatus, bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** CUBE aggregation over status x priority. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(floor($"o_totalprice" * 100.0 + 0.5).cast("long")).cast("double") / 100.0).as("total_price"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  val cubeAggSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- p01
+  /** Column profiling: one row per numeric column with null/distinct/
+    * min/max/total stats — the data-quality pass every ingest pipeline
+    * runs before training. */
+  def profileColumns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    cols.map { c =>
+      li.agg(
+        lit(c).as("column_name"),
+        count(lit(1)).as("n"),
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).as("min_value"),
+        max(col(c)).as("max_value"),
+        (sum(floor(col(c) * 10000.0 + 0.5).cast("long")).cast("double") / 10000.0).as("total"))
+    }.reduce(_ unionByName _)
+      .orderBy($"column_name")
+  }
+
+  val profileColumnsSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name, count(*) AS n,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  min($c) AS min_value, max($c) AS max_value,
+         |  CAST(sum(CAST(floor($c * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS total
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
+  // ---------------------------------------------------------------- r14
+  /** JSON-lines sink+source round-trip (same contract as r12 for the
+    * second-most-common interchange format). */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_json").toString
+    Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("2000-01-01"))
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType)))
+    spark.read.schema(schema).json(out)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        (sum(floor($"o_totalprice" * 100.0 + 0.5).cast("long")).cast("double") / 100.0).as("total_price"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val jsonRoundtripSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   // ---------------------------------------------------------------- r12
   /** CSV source round-trip: write a projection out as CSV, read it back
     * with an explicit schema, aggregate. Exercises the non-parquet IO path
