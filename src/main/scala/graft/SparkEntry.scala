@@ -70,7 +70,11 @@ object SparkEntry {
     "q20_ntile" -> (Extras.ntileBuckets _),
     "q21_cube" -> (Extras.cubeAgg _),
     "p01_profile" -> (Extras.profileColumns _),
-    "r14_json_roundtrip" -> (Extras.jsonRoundtrip _)
+    "r14_json_roundtrip" -> (Extras.jsonRoundtrip _),
+    "q22_asof_join" -> (Extras.asofJoin _),
+    "ml01_trade_features" -> (graft.ml.Features.tradeFeaturesQuery _),
+    "ml02_win_model" -> (graft.ml.Features.trainWinModel _),
+    "ml03_kmeans_cells" -> ((s: org.apache.spark.sql.SparkSession, d: String) => graft.ml.Features.kmeansCells(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -125,6 +129,9 @@ object SparkEntry {
     "q20_ntile" -> Extras.ntileBucketsSql,
     "q21_cube" -> Extras.cubeAggSql,
     "p01_profile" -> Extras.profileColumnsSql,
-    "r14_json_roundtrip" -> Extras.jsonRoundtripSql
+    "r14_json_roundtrip" -> Extras.jsonRoundtripSql,
+    "q22_asof_join" -> Extras.asofJoinSql
+    // ml01-ml03: MLlib estimators (scaler moments / LR optimizer / KMeans)
+    // are not SQL-expressible -> rows-only checks; quality asserted in tests
   )
 }

@@ -1,0 +1,117 @@
+package graft.ml
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, ClusteringEvaluator}
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.CciPipeline
+import graft.sources.Tables
+
+/** MLlib feature engineering + model training over the pipeline's outputs
+  * (SURVEY.md §2 ml-rows; the reference plans "ML-driven trading
+  * algorithms" as its roadmap — this is that layer, Spark-native).
+  *
+  * Deterministic seeds throughout; results are validated by tests (AUC /
+  * cluster-count assertions), not the SQL oracle — model internals aren't
+  * SQL-expressible. Everything distributes: assembly/scaling are row-local,
+  * LR/KMeans train via Spark's own distributed optimizers.
+  */
+object Features {
+  val Seed = 42L
+
+  /** ml01: feature assembly + standardization over per-trade features.
+    * Output: one row per trade with the scaled feature vector exploded to
+    * plain columns (SQL-friendly projection of the vector). */
+  def tradeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val trades = CciPipeline.trades(spark, dir)
+      .withColumn("label", when($"trade_result" === "reach_target", 1.0).otherwise(0.0))
+      .select($"user_id", $"buy_date", $"buy_price", $"days_held",
+        $"condition_holding_days".cast("double").as("f_holding"),
+        $"condition_target_return".as("f_target"),
+        $"condition_buy_cci_threshold".as("f_buy_thr"),
+        $"condition_stop_loss_cci_threshold".as("f_stop_thr"),
+        $"label")
+    val assembler = new VectorAssembler()
+      .setInputCols(Array("f_holding", "f_target", "f_buy_thr", "f_stop_thr"))
+      .setOutputCol("features_raw")
+    val scaler = new StandardScaler()
+      .setInputCol("features_raw").setOutputCol("features")
+      .setWithMean(true).setWithStd(true)
+    val model = new Pipeline().setStages(Array(assembler, scaler)).fit(trades)
+    model.transform(trades)
+  }
+
+  /** ml01 query surface: scaled features flattened to plain double columns
+    * (parquet/DuckDB-friendly; vectors stay internal). Rows-only check —
+    * StandardScaler's distributed moments aren't bit-reproducible in SQL. */
+  def tradeFeaturesQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tradeFeatures(spark, dir)
+      .withColumn("f", vector_to_array($"features"))
+      .select($"user_id", $"buy_date", $"label",
+        element_at($"f", 1).as("z_holding"),
+        element_at($"f", 2).as("z_target"),
+        element_at($"f", 3).as("z_buy_thr"),
+        element_at($"f", 4).as("z_stop_thr"))
+      .orderBy($"user_id", $"buy_date", $"z_holding", $"z_target", $"z_buy_thr", $"z_stop_thr")
+  }
+
+  /** ml02: train a logistic-regression win-probability model on the trade
+    * grid and score every strategy row; returns per-strategy predicted win
+    * probability next to the realized outcome. */
+  def trainWinModel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = tradeFeatures(spark, dir).cache()
+    val lr = new LogisticRegression()
+      .setFeaturesCol("features").setLabelCol("label")
+      .setMaxIter(25).setRegParam(0.01)
+    val model = lr.fit(feats)
+    val scored = model.transform(feats)
+    scored.select($"user_id", $"buy_date", $"label",
+      element_at(vector_to_array($"probability"), 2).as("p_win"))
+  }
+
+  /** AUC of [[trainWinModel]] on its training grid (test hook). */
+  def winModelAuc(spark: SparkSession, dir: String): Double = {
+    val feats = tradeFeatures(spark, dir).cache()
+    val lr = new LogisticRegression()
+      .setFeaturesCol("features").setLabelCol("label")
+      .setMaxIter(25).setRegParam(0.01)
+    val scored = lr.fit(feats).transform(feats)
+    new BinaryClassificationEvaluator()
+      .setLabelCol("label").setRawPredictionCol("rawPrediction")
+      .evaluate(scored)
+  }
+
+  /** ml03: KMeans over the embeddings — the trained coarse quantizer an
+    * IVF index would use in place of the label column (see s03). */
+  def kmeansCells(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("arr"))
+      .withColumn("features", array_to_vector($"arr"))
+    val km = new KMeans().setK(k).setSeed(Seed).setFeaturesCol("features")
+    val model = km.fit(vecs)
+    model.transform(vecs)
+      .select($"vec_id", $"label", $"prediction".as("cell"))
+  }
+
+  /** Silhouette of [[kmeansCells]] (test hook). */
+  def kmeansSilhouette(spark: SparkSession, dir: String): Double = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("arr"))
+      .withColumn("features", array_to_vector($"arr"))
+    val km = new KMeans().setK(10).setSeed(Seed).setFeaturesCol("features")
+    val model = km.fit(vecs)
+    new ClusteringEvaluator().setFeaturesCol("features")
+      .evaluate(model.transform(vecs))
+  }
+}

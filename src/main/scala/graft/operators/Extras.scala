@@ -151,6 +151,38 @@ object Extras {
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q22
+  /** As-of (point-in-time) join: each purchase event paired with the same
+    * user's most recent prior view. Spark lacks a native ASOF JOIN; the
+    * scale-correct composition is a single-shuffle window scan (running
+    * max of the view timestamp over the interleaved event stream), not a
+    * range self-join — O(n) per series instead of O(n·m). */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .withColumn("last_view_ts", max(when($"event_type" === "view", $"ts")).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("purchase_ts"),
+        $"value".as("purchase_value"), $"last_view_ts",
+        (unix_micros($"ts") - unix_micros($"last_view_ts")).as("view_to_purchase_us"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
+  val asofJoinSql: String =
+    Tables.eventsOracleCte + "\n" +
+      """SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+        |  value AS purchase_value, last_view_ts,
+        |  epoch_us(ts) - epoch_us(last_view_ts) AS view_to_purchase_us
+        |FROM (
+        |  SELECT *, max(CASE WHEN event_type = 'view' THEN ts END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
+        |  FROM events_us) t
+        |WHERE event_type = 'purchase'
+        |ORDER BY user_id, purchase_id""".stripMargin
+
   // ---------------------------------------------------------------- p01
   /** Column profiling: one row per numeric column with null/distinct/
     * min/max/total stats — the data-quality pass every ingest pipeline

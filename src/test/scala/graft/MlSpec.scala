@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MlSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("ml01: scaled features are standardized (zero-ish mean per column)") {
+    val f = ml.Features.tradeFeaturesQuery(spark, sf).cache()
+    assert(f.count() > 0)
+    val means = f.agg(avg("z_holding"), avg("z_target"), avg("z_buy_thr"), avg("z_stop_thr")).head()
+    (0 until 4).foreach(i => assert(math.abs(means.getDouble(i)) < 1e-6))
+  }
+
+  test("ml02: win model trains and beats random AUC") {
+    val auc = ml.Features.winModelAuc(spark, sf)
+    assert(auc > 0.5, s"AUC $auc")
+  }
+
+  test("ml02: predicted probabilities are valid and rows match trades") {
+    val scored = ml.Features.trainWinModel(spark, sf)
+    assert(scored.filter(col("p_win") < 0 || col("p_win") > 1).count() == 0)
+    assert(scored.count() == operators.CciPipeline.trades(spark, sf).count())
+  }
+
+  test("ml03: kmeans assigns every vector to one of k cells") {
+    val cells = ml.Features.kmeansCells(spark, sf, 10)
+    assert(cells.count() == sources.Tables.embeddings(spark, sf).count())
+    val k = cells.select("cell").distinct().count()
+    assert(k > 1 && k <= 10)
+  }
+
+  test("q22: as-of join pairs each purchase with a strictly earlier view") {
+    val a = operators.Extras.asofJoin(spark, sf)
+    assert(a.count() > 0)
+    assert(a.filter(col("last_view_ts") >= col("purchase_ts")).count() == 0)
+    // purchases before any view have null last_view_ts -- allowed
+    assert(a.filter(col("last_view_ts").isNotNull && col("view_to_purchase_us") <= 0).count() == 0)
+  }
+}
