@@ -74,7 +74,9 @@ object SparkEntry {
     "q22_asof_join" -> (Extras.asofJoin _),
     "ml01_trade_features" -> (graft.ml.Features.tradeFeaturesQuery _),
     "ml02_win_model" -> (graft.ml.Features.trainWinModel _),
-    "ml03_kmeans_cells" -> ((s: org.apache.spark.sql.SparkSession, d: String) => graft.ml.Features.kmeansCells(s, d))
+    "ml03_kmeans_cells" -> ((s: org.apache.spark.sql.SparkSession, d: String) => graft.ml.Features.kmeansCells(s, d)),
+    "r15_history_filter" -> (CciPipeline.historyFilter _),
+    "p02_train_test_split" -> (Extras.trainTestSplit _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -130,8 +132,10 @@ object SparkEntry {
     "q21_cube" -> Extras.cubeAggSql,
     "p01_profile" -> Extras.profileColumnsSql,
     "r14_json_roundtrip" -> Extras.jsonRoundtripSql,
-    "q22_asof_join" -> Extras.asofJoinSql
+    "q22_asof_join" -> Extras.asofJoinSql,
     // ml01-ml03: MLlib estimators (scaler moments / LR optimizer / KMeans)
     // are not SQL-expressible -> rows-only checks; quality asserted in tests
+    "r15_history_filter" -> CciPipeline.historyFilterSql,
+    "p02_train_test_split" -> Extras.trainTestSplitSql
   )
 }

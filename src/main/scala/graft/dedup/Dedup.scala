@@ -277,7 +277,7 @@ object Dedup {
        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
        |c AS (
        |  SELECT vec_a, vec_b, label,
-       |    ($dot) / (sqrt($na) * sqrt($nb)) AS cosine_raw
+       |    CASE WHEN (sqrt($na) * sqrt($nb)) <> 0.0 THEN ($dot) / (sqrt($na) * sqrt($nb)) END AS cosine_raw
        |  FROM p)
        |SELECT vec_a, vec_b, label, ${S.fr("cosine_raw", 4)} AS cosine
        |FROM c WHERE cosine_raw >= $CosineThreshold

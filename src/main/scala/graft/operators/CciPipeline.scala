@@ -409,7 +409,9 @@ object CciPipeline {
       .withColumn("win_rate", floor(($"count_win" / $"count_buy_date" * 100.0) * 100.0 + 0.5) / 100.0)
       .withColumn("lose_rate", floor(($"count_lose" / $"count_buy_date" * 100.0) * 100.0 + 0.5) / 100.0)
       .withColumn("total_revenue", floor(($"total_sell_raw" - $"total_buy_raw") * 1.0 + 0.5) / 1.0)
-      .withColumn("revenue_rate", floor(($"total_revenue" / $"total_buy_raw" * 100.0) * 100.0 + 0.5) / 100.0)
+      .withColumn("revenue_rate",
+        when($"total_buy_raw" =!= 0.0,
+          floor(($"total_revenue" / $"total_buy_raw" * 100.0) * 100.0 + 0.5) / 100.0))
       .withColumn("reach_target_rate", floor(($"count_reach_target_date" / $"count_buy_date" * 100.0) * 100.0 + 0.5) / 100.0)
       .withColumn("stop_loss_rate", floor(($"count_stop_loss_date" / $"count_buy_date" * 100.0) * 100.0 + 0.5) / 100.0)
       .withColumn("maturity_rate", floor(($"count_maturity_date" / $"count_buy_date" * 100.0) * 100.0 + 0.5) / 100.0)
@@ -447,7 +449,9 @@ object CciPipeline {
         |    floor((count_win / count_buy_date * 100.0) * 100.0 + 0.5) / 100.0 AS win_rate,
         |    floor((count_lose / count_buy_date * 100.0) * 100.0 + 0.5) / 100.0 AS lose_rate,
         |    floor((total_sell_raw - total_buy_raw) * 1.0 + 0.5) / 1.0 AS total_revenue,
-        |    floor((floor((total_sell_raw - total_buy_raw) * 1.0 + 0.5) / 1.0 / total_buy_raw * 100.0) * 100.0 + 0.5) / 100.0 AS revenue_rate,
+        |    CASE WHEN total_buy_raw <> 0.0 THEN
+        |      floor((floor((total_sell_raw - total_buy_raw) * 1.0 + 0.5) / 1.0 / total_buy_raw * 100.0) * 100.0 + 0.5) / 100.0
+        |    END AS revenue_rate,
         |    floor((count_reach_target_date / count_buy_date * 100.0) * 100.0 + 0.5) / 100.0 AS reach_target_rate,
         |    floor((count_stop_loss_date / count_buy_date * 100.0) * 100.0 + 0.5) / 100.0 AS stop_loss_rate,
         |    floor((count_maturity_date / count_buy_date * 100.0) * 100.0 + 0.5) / 100.0 AS maturity_rate,
@@ -566,6 +570,33 @@ object CciPipeline {
          |FROM bw JOIN latest ON bw.user_id = latest.user_id
          |ORDER BY bw.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- r15
+  /** History-window filter (reference get_filtered_cci_data,
+    * daily_function.py:670-682: keep the trailing N years from each
+    * series' max date). The sf series span ~30 days, so the window is in
+    * days here; the shape — per-series max via window, date-offset filter —
+    * is the reference's. */
+  val HistoryDays = 15
+
+  def historyFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+    cci(spark, dir)
+      .withColumn("max_d", max($"d").over(w))
+      .filter($"d" >= date_sub($"max_d", HistoryDays))
+      .select($"user_id", $"d", $"idx", $"open_pr", $"close_pr",
+        floor(($"close_cci") * 10000.0 + 0.5) / 10000.0 as "close_cci")
+      .orderBy($"user_id", $"d")
+  }
+
+  val historyFilterSql: String =
+    cciCtes + "\n" +
+      s"""SELECT user_id, d, idx, open_pr, close_pr,
+         |  floor((close_cci) * 10000.0 + 0.5) / 10000.0 AS close_cci
+         |FROM (SELECT *, max(d) OVER (PARTITION BY user_id) AS max_d FROM cci) t
+         |WHERE d >= max_d - INTERVAL $HistoryDays DAY
+         |ORDER BY user_id, d""".stripMargin
+
   // ---------------------------------------------------------------- r13
   /** Fixed per-account budget for order sizing
     * (reference budget logic, daily_function.py:1462-1475). */
@@ -595,7 +626,8 @@ object CciPipeline {
         $"current_open_cci" >= $"condition_buy_cci_threshold")
       .withColumn("buy_order_price", $"close_pr")
       .withColumn("buy_order_qty",
-        floor(floor(lit(Budget * BudgetFraction)) / $"buy_order_price" + 0.5).cast("long"))
+        when($"buy_order_price" =!= 0.0, // ANSI divide-by-zero guard
+          floor(floor(lit(Budget * BudgetFraction)) / $"buy_order_price" + 0.5).cast("long")))
       .filter($"buy_order_qty" >= 1)
       .withColumn("net_target_price",
         floor(($"buy_order_price" * (lit(1.0) + ($"condition_target_return" + TaxRate + FeeRate) / 100.0)) * 1.0 + 0.5) / 1.0)
@@ -622,7 +654,9 @@ object CciPipeline {
          |  WHERE rrn = 1),
          |ord AS (
          |  SELECT bw.user_id, order_date, close_pr AS buy_order_price,
-         |    CAST(floor(floor(${Budget * BudgetFraction}) / close_pr + 0.5) AS BIGINT) AS buy_order_qty,
+         |    CASE WHEN close_pr <> 0.0 THEN
+         |      CAST(floor(floor(${Budget * BudgetFraction}) / close_pr + 0.5) AS BIGINT)
+         |    END AS buy_order_qty,
          |    condition_holding_days, condition_target_return,
          |    condition_buy_cci_threshold, condition_stop_loss_cci_threshold,
          |    win_rate, revenue_rate,
@@ -685,8 +719,11 @@ object CciPipeline {
         floor(($"sell_price" - $"buy_price" - $"sell_price" * TaxRate -
           ($"buy_price" + $"sell_price") * FeeRate) * 10000.0 + 0.5) / 10000.0)
       .withColumn("net_revenue_rate",
-        floor((($"sell_price" - $"buy_price" - $"sell_price" * TaxRate -
-          ($"buy_price" + $"sell_price") * FeeRate) / $"buy_price" * 100.0) * 100.0 + 0.5) / 100.0)
+        // ANSI mode: x/0 throws; a zero price can occur (value column hits
+        // 0.0 at larger SFs) -> explicit null, mirrored in the oracle
+        when($"buy_price" =!= 0.0,
+          floor((($"sell_price" - $"buy_price" - $"sell_price" * TaxRate -
+            ($"buy_price" + $"sell_price") * FeeRate) / $"buy_price" * 100.0) * 100.0 + 0.5) / 100.0))
       .withColumn("net_target_price",
         floor(($"buy_price" * (lit(1.0) + ($"condition_target_return" + TaxRate + FeeRate) / 100.0)) * 1.0 + 0.5) / 1.0)
       .orderBy(tradeOrderCols: _*)
@@ -698,8 +735,10 @@ object CciPipeline {
          |  floor((sell_price - buy_price) * 10000.0 + 0.5) / 10000.0 AS gross_revenue,
          |  floor((sell_price - buy_price - sell_price * $TaxRate
          |        - (buy_price + sell_price) * ${FeeRate}) * 10000.0 + 0.5) / 10000.0 AS net_revenue,
-         |  floor(((sell_price - buy_price - sell_price * $TaxRate
-         |        - (buy_price + sell_price) * ${FeeRate}) / buy_price * 100.0) * 100.0 + 0.5) / 100.0 AS net_revenue_rate,
+         |  CASE WHEN buy_price <> 0.0 THEN
+         |    floor(((sell_price - buy_price - sell_price * $TaxRate
+         |        - (buy_price + sell_price) * ${FeeRate}) / buy_price * 100.0) * 100.0 + 0.5) / 100.0
+         |  END AS net_revenue_rate,
          |  floor((buy_price * (1.0 + (condition_target_return + $TaxRate + ${FeeRate}) / 100.0)) * 1.0 + 0.5) / 1.0 AS net_target_price
          |FROM trades
          |$tradeOrderSql""".stripMargin

@@ -216,6 +216,35 @@ object Extras {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  // ---------------------------------------------------------------- p02
+  /** Deterministic hash-based train/test split (Knuth multiplicative on
+    * the stable id — identical bucketing on any engine, stable across
+    * reshuffles/re-runs, the property random splits lack at scale). */
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = pmod($"doc_id" * 2654435761L, lit(100L))
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        countDistinct($"lang").as("n_langs"))
+      .orderBy($"split")
+  }
+
+  val trainTestSplitSql: String =
+    """SELECT split, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  count(DISTINCT lang) AS n_langs
+      |FROM (SELECT *,
+      |        CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+      |             WHEN (doc_id * 2654435761) % 100 < 90 THEN 'valid'
+      |             ELSE 'test' END AS split
+      |      FROM documents) t
+      |GROUP BY split
+      |ORDER BY split""".stripMargin
+
   // ---------------------------------------------------------------- r14
   /** JSON-lines sink+source round-trip (same contract as r12 for the
     * second-most-common interchange format). */

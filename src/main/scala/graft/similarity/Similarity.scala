@@ -35,7 +35,8 @@ object Similarity {
     * per-vector sums, multiplied in the same order). */
   private def cosine(va: org.apache.spark.sql.Column, vb: org.apache.spark.sql.Column,
       na: org.apache.spark.sql.Column, nb: org.apache.spark.sql.Column) =
-    graft.functions.catalyst.GraftColumns.dot_f64(va, vb) / (na * nb)
+    when(na * nb =!= 0.0, // ANSI: zero-norm vector would throw on divide
+      graft.functions.catalyst.GraftColumns.dot_f64(va, vb) / (na * nb))
 
   // ---------------------------------------------------------------- s01
   /** Exact cosine top-k per query vector; rank on the rounded cosine with
@@ -66,7 +67,7 @@ object Similarity {
        |  FROM e q JOIN e c ON q.vec_id % $QueryStride = 0 AND q.vec_id <> c.vec_id),
        |scored AS (
        |  SELECT query_id, neighbor_id,
-       |    ${S.fr(s"($dot) / (sqrt($nq) * sqrt($nn))", 6)} AS cosine
+       |    ${S.fr(s"CASE WHEN (sqrt($nq) * sqrt($nn)) <> 0.0 THEN ($dot) / (sqrt($nq) * sqrt($nn)) END", 6)} AS cosine
        |  FROM p),
        |ranked AS (
        |  SELECT query_id, neighbor_id, cosine,
@@ -153,7 +154,7 @@ object Similarity {
        |  WHERE c.vec_id <> p.query_id),
        |scored AS (
        |  SELECT query_id, neighbor_id, label,
-       |    ${S.fr(s"($dot) / (sqrt($nq) * sqrt($nn))", 6)} AS cosine
+       |    ${S.fr(s"CASE WHEN (sqrt($nq) * sqrt($nn)) <> 0.0 THEN ($dot) / (sqrt($nq) * sqrt($nn)) END", 6)} AS cosine
        |  FROM pairs),
        |ranked AS (
        |  SELECT query_id, neighbor_id, label, cosine,
