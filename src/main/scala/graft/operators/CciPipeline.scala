@@ -304,6 +304,9 @@ object CciPipeline {
         $"buy_thr".as("condition_buy_cci_threshold"),
         $"condition_stop_loss_cci_threshold",
         $"trade_result", $"sell_date", $"sell_price", $"days_held")
+      // r06/r07/r11 and the ML features all read the trade grid; cached
+      // (plan-canonicalized) so one materialization serves every caller.
+      .cache()
   }
 
   private val tradesCtes: String =
@@ -419,6 +422,7 @@ object CciPipeline {
       .withColumn("avg_days_held", floor(($"avg_days_held_raw") * 10000.0 + 0.5) / 10000.0)
       .withColumn("total_buy_price", floor(($"total_buy_raw") * 100.0 + 0.5) / 100.0)
       .withColumn("total_sell_price", floor(($"total_sell_raw") * 100.0 + 0.5) / 100.0)
+      .cache() // r07-r10 each read the strategy table; share one build
       .drop("avg_rpdh_raw", "avg_days_held_raw", "total_buy_raw", "total_sell_raw",
         "rpdh_cents", "n_trades", "days_held_sum", "buy_cents", "sell_cents")
   }

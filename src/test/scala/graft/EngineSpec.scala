@@ -14,6 +14,20 @@ class EngineSpec extends AnyFunSuite {
     assert(got.getDouble(1) == 11.0)
   }
 
+  test("bucketed join plans without a shuffle exchange and matches plain join") {
+    val bucketed = operators.Bucketing.bucketedJoin(spark, sf).collect()
+    assert(operators.Bucketing.joinIsExchangeFree(spark),
+      "bucketed join should not need an exchange")
+    val li = sources.Tables.lineitem(spark, sf)
+    val o = sources.Tables.orders(spark, sf)
+    val plain = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")).cast("double") / 100.0).as("total_price"))
+      .orderBy("o_orderstatus").collect()
+    assert(bucketed.map(_.toString).sameElements(plain.map(_.toString)))
+  }
+
   test("salted join equals plain join") {
     val li = sources.Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val o = sources.Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
