@@ -1,0 +1,62 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.catalyst.{DotF64Expr, MinHashSigsExpr, PolyHashExpr, SimHash32Expr}
+
+/** Property tests over the native expressions (raw ScalaCheck generators,
+  * fixed seeds — the scalatest bridge artifact is not on the offline
+  * classpath). */
+class PropertySpec extends AnyFunSuite {
+  private def samples[T](gen: Gen[T], n: Int = 200): Seq[T] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("PolyHash: deterministic and in [0, P)") {
+    samples(Gen.alphaNumStr).foreach { s =>
+      val h1 = PolyHashExpr.hash(UTF8String.fromString(s))
+      val h2 = PolyHashExpr.hash(UTF8String.fromString(s))
+      assert(h1 == h2)
+      assert(h1 >= 0 && h1 < PolyHashExpr.P)
+    }
+  }
+
+  test("MinHashSigs: each signature is the min over the affine-hashed set") {
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(0L, PolyHashExpr.P - 1))
+    samples(gen).foreach { xs =>
+      val sigs = MinHashSigsExpr.sigs(new GenericArrayData(xs.toArray), 8)
+      (0 until 8).foreach { i =>
+        val expect = xs.map(x =>
+          (x * MinHashSigsExpr.a(i) + MinHashSigsExpr.b(i)) % MinHashSigsExpr.P).min
+        assert(sigs.getLong(i) == expect)
+      }
+    }
+  }
+
+  test("SimHash32: deterministic and fits 32 bits") {
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(0L, Long.MaxValue / 64))
+    samples(gen).foreach { xs =>
+      val h1 = SimHash32Expr.simhash(new GenericArrayData(xs.toArray))
+      val h2 = SimHash32Expr.simhash(new GenericArrayData(xs.toArray))
+      assert(h1 == h2)
+      assert(h1 >= 0 && h1 < (1L << 32))
+    }
+  }
+
+  test("DotF64: matches the sequential fold exactly and is symmetric") {
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-100.0, 100.0))
+    samples(Gen.zip(vecGen, vecGen)).foreach { case (a, b) =>
+      val ad = new GenericArrayData(a.toArray)
+      val bd = new GenericArrayData(b.toArray)
+      val d1 = DotF64Expr.dot(ad, bd)
+      val d2 = DotF64Expr.dot(bd, ad)
+      val ref = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      assert(d1 == ref)
+      assert(d1 == d2) // per-index products commute exactly in IEEE
+    }
+  }
+}
