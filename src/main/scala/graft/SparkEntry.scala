@@ -76,7 +76,9 @@ object SparkEntry {
     "ml02_win_model" -> (graft.ml.Features.trainWinModel _),
     "ml03_kmeans_cells" -> ((s: org.apache.spark.sql.SparkSession, d: String) => graft.ml.Features.kmeansCells(s, d)),
     "r15_history_filter" -> (CciPipeline.historyFilter _),
-    "p02_train_test_split" -> (Extras.trainTestSplit _)
+    "p02_train_test_split" -> (Extras.trainTestSplit _),
+    "q23_set_ops" -> (Extras.setOps _),
+    "d06_fuzzy_levenshtein" -> (graft.dedup.Dedup.fuzzyLevenshtein _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -136,6 +138,8 @@ object SparkEntry {
     // ml01-ml03: MLlib estimators (scaler moments / LR optimizer / KMeans)
     // are not SQL-expressible -> rows-only checks; quality asserted in tests
     "r15_history_filter" -> CciPipeline.historyFilterSql,
-    "p02_train_test_split" -> Extras.trainTestSplitSql
+    "p02_train_test_split" -> Extras.trainTestSplitSql,
+    "q23_set_ops" -> Extras.setOpsSql,
+    "d06_fuzzy_levenshtein" -> graft.dedup.Dedup.fuzzyLevenshteinSql
   )
 }

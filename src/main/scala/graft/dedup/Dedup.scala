@@ -242,6 +242,35 @@ object Dedup {
          |WHERE bit_count(xor(sim_a, sim_b)) <= $HammingMax
          |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- d06
+  /** Edit-distance within blocks. */
+  val LevenshteinMax = 1
+
+  /** Fuzzy name dedup: Levenshtein distance within a blocking key (type) —
+    * the classic record-linkage shape: block, compare within block, never
+    * across the full pair space. */
+  def fuzzyLevenshtein(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, dir).select($"p_partkey", $"p_type", $"p_name")
+    val a = p.toDF("key_a", "p_type", "name_a")
+    val b = p.toDF("key_b", "p_type", "name_b")
+    a.join(b, Seq("p_type"))
+      .filter($"key_a" < $"key_b")
+      .withColumn("distance", levenshtein($"name_a", $"name_b"))
+      .filter($"distance" <= LevenshteinMax)
+      .select($"key_a", $"key_b", $"p_type", $"name_a", $"name_b", $"distance")
+      .orderBy($"key_a", $"key_b")
+  }
+
+  val fuzzyLevenshteinSql: String =
+    s"""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b, a.p_type AS p_type,
+       |  a.p_name AS name_a, b.p_name AS name_b,
+       |  levenshtein(a.p_name, b.p_name) AS distance
+       |FROM part a JOIN part b
+       |  ON a.p_type = b.p_type AND a.p_partkey < b.p_partkey
+       |WHERE levenshtein(a.p_name, b.p_name) <= $LevenshteinMax
+       |ORDER BY key_a, key_b""".stripMargin
+
   // ---------------------------------------------------------------- d05
   /** Embedding-cosine near-dup, blocked on the label column (at scale:
     * the blocking key is whatever coarse clustering/partition is available;

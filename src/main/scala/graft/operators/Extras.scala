@@ -151,6 +151,30 @@ object Extras {
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q23
+  /** Set operations: INTERSECT / EXCEPT over customer cohorts. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val building = Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val buyers = Tables.orders(spark, dir)
+      .filter($"o_totalprice" > 50000.0).select($"o_custkey".as("c_custkey")).distinct()
+    val both = building.intersect(buyers).withColumn("cohort", lit("building_buyer"))
+    val only = building.except(buyers).withColumn("cohort", lit("building_only"))
+    both.unionByName(only)
+      .groupBy($"cohort").agg(count(lit(1)).as("n"))
+      .orderBy($"cohort")
+  }
+
+  val setOpsSql: String =
+    """WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |buyers AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 50000.0),
+      |u AS (
+      |  SELECT c_custkey, 'building_buyer' AS cohort FROM (SELECT * FROM building INTERSECT SELECT * FROM buyers) x
+      |  UNION ALL
+      |  SELECT c_custkey, 'building_only' AS cohort FROM (SELECT * FROM building EXCEPT SELECT * FROM buyers) y)
+      |SELECT cohort, count(*) AS n FROM u GROUP BY cohort ORDER BY cohort""".stripMargin
+
   // ---------------------------------------------------------------- q22
   /** As-of (point-in-time) join: each purchase event paired with the same
     * user's most recent prior view. Spark lacks a native ASOF JOIN; the

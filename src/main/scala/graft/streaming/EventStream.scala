@@ -93,6 +93,18 @@ object EventStream {
         ($"value_cents".cast("double") / 100.0).as("total_value"))
   }
 
+  /** v05: streaming dedup — exactly-once-per-key semantics over the event
+    * stream within the watermark horizon (the at-least-once → effectively-
+    * once repair every ingest pipeline needs). */
+  def streamDedup(spark: SparkSession, streamDir: String): DataFrame = {
+    import spark.implicits._
+    readEventStream(spark, streamDir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** v04: stream-static join — the event stream enriched against a static
     * dimension (user cohort), then aggregated per cohort. The static side
     * is broadcast; on a cluster it would be a slowly-changing dim table. */

@@ -55,6 +55,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.filter(col("n") =!= col("bn")).count() == 0)
   }
 
+  test("v05: streaming dedup yields exactly the distinct event count") {
+    val q = streaming.EventStream.streamDedup(spark, streamDir)
+      .writeStream.outputMode("complete").format("memory").queryName("v05_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("v05_out").agg(sum("n")).head.getLong(0)
+    val expect = sources.Tables.events(spark, sf).select("event_id").distinct().count()
+    assert(got == expect)
+  }
+
   test("v01: sessions never overlap and gaps between sessions exceed the threshold") {
     val s = streaming.EventStream.sessionize(spark, sf)
     val w = org.apache.spark.sql.expressions.Window
