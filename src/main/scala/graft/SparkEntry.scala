@@ -78,7 +78,9 @@ object SparkEntry {
     "r15_history_filter" -> (CciPipeline.historyFilter _),
     "p02_train_test_split" -> (Extras.trainTestSplit _),
     "q23_set_ops" -> (Extras.setOps _),
-    "d06_fuzzy_levenshtein" -> (graft.dedup.Dedup.fuzzyLevenshtein _)
+    "d06_fuzzy_levenshtein" -> (graft.dedup.Dedup.fuzzyLevenshtein _),
+    "r16_partitioned_sink" -> (Extras.partitionedSink _),
+    "r17_incremental_merge" -> (Extras.incrementalMerge _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -140,6 +142,8 @@ object SparkEntry {
     "r15_history_filter" -> CciPipeline.historyFilterSql,
     "p02_train_test_split" -> Extras.trainTestSplitSql,
     "q23_set_ops" -> Extras.setOpsSql,
-    "d06_fuzzy_levenshtein" -> graft.dedup.Dedup.fuzzyLevenshteinSql
+    "d06_fuzzy_levenshtein" -> graft.dedup.Dedup.fuzzyLevenshteinSql,
+    "r16_partitioned_sink" -> Extras.partitionedSinkSql,
+    "r17_incremental_merge" -> Extras.incrementalMergeSql
   )
 }

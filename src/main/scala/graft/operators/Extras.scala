@@ -240,6 +240,70 @@ object Extras {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  // ---------------------------------------------------------------- r16
+  /** Partitioned-layout sink + pruned read: write events partitioned by
+    * event_type, read back one partition — the filter must become a
+    * PartitionFilter (directory pruning), the 100 TB answer to
+    * "only scan what the query touches". Result is oracle-checked against
+    * the unpartitioned table. */
+  def partitionedSink(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.events(spark, dir)
+      .withColumn("d", to_date($"ts"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val back = spark.read.parquet(out).filter($"event_type" === "purchase")
+    // partition pruning must reach the scan, not just the filter operator
+    val planStr = back.queryExecution.executedPlan.toString
+    require(planStr.contains("PartitionFilters") || !planStr.contains("Filter"),
+      "expected the partition filter to prune at the scan")
+    back
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        (sum(floor($"value" * 100.0 + 0.5).cast("long")).cast("double") / 100.0).as("total_value"))
+      .orderBy($"user_id")
+  }
+
+  val partitionedSinkSql: String =
+    graft.sources.Tables.eventsOracleCte + "\n" +
+      """SELECT user_id, count(*) AS n_purchases,
+        |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+        |FROM events_us
+        |WHERE event_type = 'purchase'
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- r17
+  /** Incremental aggregate maintenance: partial aggregates from a snapshot
+    * (first 20 days) and a delta batch (the rest) merge to exactly the
+    * full recompute — the mergeable-state property (sums/counts in exact
+    * cents) that lets a 100 TB rollup update from deltas instead of
+    * rescanning history. The oracle IS the full recompute. */
+  def incrementalMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val cutoff = ev.agg(date_add(min(to_date($"ts")), 20).as("c")).head.getDate(0)
+    def partial(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"value" * 100.0 + 0.5).cast("long")).as("cents"))
+    val snap = partial(ev.filter(to_date($"ts") < lit(cutoff)))
+    val delta = partial(ev.filter(to_date($"ts") >= lit(cutoff)))
+    snap.unionByName(delta)
+      .groupBy($"user_id")
+      .agg(sum($"n").as("n_events"),
+        (sum($"cents").cast("double") / 100.0).as("total_value"))
+      .orderBy($"user_id")
+  }
+
+  val incrementalMergeSql: String =
+    graft.sources.Tables.eventsOracleCte + "\n" +
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+        |FROM events_us
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- p02
   /** Deterministic hash-based train/test split (Knuth multiplicative on
     * the stable id — identical bucketing on any engine, stable across
