@@ -80,7 +80,8 @@ object SparkEntry {
     "q23_set_ops" -> (Extras.setOps _),
     "d06_fuzzy_levenshtein" -> (graft.dedup.Dedup.fuzzyLevenshtein _),
     "r16_partitioned_sink" -> (Extras.partitionedSink _),
-    "r17_incremental_merge" -> (Extras.incrementalMerge _)
+    "r17_incremental_merge" -> (Extras.incrementalMerge _),
+    "q24_time_dims" -> (Extras.timeDims _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -144,6 +145,7 @@ object SparkEntry {
     "q23_set_ops" -> Extras.setOpsSql,
     "d06_fuzzy_levenshtein" -> graft.dedup.Dedup.fuzzyLevenshteinSql,
     "r16_partitioned_sink" -> Extras.partitionedSinkSql,
-    "r17_incremental_merge" -> Extras.incrementalMergeSql
+    "r17_incremental_merge" -> Extras.incrementalMergeSql,
+    "q24_time_dims" -> Extras.timeDimsSql
   )
 }

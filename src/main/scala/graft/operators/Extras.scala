@@ -151,6 +151,33 @@ object Extras {
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q24
+  /** Time-dimension histogram: events by day-of-week x hour. Engines
+    * disagree on dayofweek() numbering, so dow is computed from epoch days
+    * ((days + 4) % 7, Monday=0... 1970-01-01 was a Thursday) with identical
+    * arithmetic on both sides. */
+  def timeDims(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val epochDays = floor(unix_micros($"ts") / lit(86400000000L)).cast("long")
+    Tables.events(spark, dir)
+      .withColumn("dow", (epochDays + 3) % 7) // 0 = Monday
+      .withColumn("hour", floor((unix_micros($"ts") % 86400000000L) / 3600000000L).cast("long"))
+      .groupBy($"dow", $"hour")
+      .agg(count(lit(1)).as("n"),
+        (sum(floor($"value" * 100.0 + 0.5).cast("long")).cast("double") / 100.0).as("total_value"))
+      .orderBy($"dow", $"hour")
+  }
+
+  val timeDimsSql: String =
+    Tables.eventsOracleCte + "\n" +
+      """SELECT (CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) + 3) % 7 AS dow,
+        |  CAST(floor((epoch_us(ts) % 86400000000) / 3600000000) AS BIGINT) AS hour,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+        |FROM events_us
+        |GROUP BY 1, 2
+        |ORDER BY dow, hour""".stripMargin
+
   // ---------------------------------------------------------------- q23
   /** Set operations: INTERSECT / EXCEPT over customer cohorts. */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
