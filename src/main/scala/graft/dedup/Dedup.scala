@@ -133,6 +133,10 @@ object Dedup {
     // oracle keeps the K-column min-aggregate formulation — identical
     // signatures.
     val sig = docShingles(spark, dir)
+      // sub-3-token docs have no shingles: exclude them like the oracle's
+      // exploded-shingle CTE does (their all-MaxValue signatures would
+      // otherwise band every short doc together and divide 0/0 in verify)
+      .filter(size($"shs") > 0)
       .select($"doc_id",
         graft.functions.catalyst.GraftColumns.minhash_sigs(
           transform($"shs", sh => F.polyHash(sh)), MinHashK).as("sigs"))
@@ -308,7 +312,9 @@ object Dedup {
     a.join(b, Seq("label"))
       .filter($"vec_a" < $"vec_b")
       .withColumn("cosine_raw",
-        graft.functions.catalyst.GraftColumns.dot_f64($"va", $"vb") / ($"norm_a" * $"norm_b"))
+        // ANSI zero-norm guard, mirrored by the oracle's CASE
+        when($"norm_a" * $"norm_b" =!= 0.0,
+          graft.functions.catalyst.GraftColumns.dot_f64($"va", $"vb") / ($"norm_a" * $"norm_b")))
       .filter($"cosine_raw" >= CosineThreshold)
       .select($"vec_a", $"vec_b", $"label", F.fr($"cosine_raw", 4).as("cosine"))
       .orderBy($"vec_a", $"vec_b")

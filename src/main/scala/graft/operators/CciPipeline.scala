@@ -67,26 +67,42 @@ object CciPipeline {
   // ---------------------------------------------------------------- r02
   /** Events → per-(user, day) OHLC bars: the reference's daily price frame
     * (daily_function.py:358-366) built from a raw event stream. One shuffle
-    * on (user_id, day); min_by/max_by keep it a single agg pass. */
+    * on (user_id, day); open/close come from row_number with an explicit
+    * (ts, event_id) tiebreak — arg_min/min_by on ts alone would be
+    * nondeterministic across engines if two events ever share a truncated
+    * timestamp. */
   def ohlcBars(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val key = Window.partitionBy($"user_id", to_date($"ts"))
+    val wAsc = key.orderBy($"ts", $"event_id")
+    val wDesc = key.orderBy($"ts".desc, $"event_id".desc)
     Tables.events(spark, dir)
+      .withColumn("rn_first", row_number().over(wAsc))
+      .withColumn("rn_last", row_number().over(wDesc))
       .groupBy($"user_id", to_date($"ts").as("d"))
       .agg(
-        min_by($"value", $"ts").as("open_pr"),
+        max(when($"rn_first" === 1, $"value")).as("open_pr"),
         max($"value").as("high_pr"),
         min($"value").as("low_pr"),
-        max_by($"value", $"ts").as("close_pr"),
+        max(when($"rn_last" === 1, $"value")).as("close_pr"),
         count(lit(1)).as("volume"))
   }
 
   private val barsCte: String =
     """bars AS (
       |  SELECT user_id, CAST(ts AS DATE) AS d,
-      |    arg_min(value, ts) AS open_pr, max(value) AS high_pr,
-      |    min(value) AS low_pr, arg_max(value, ts) AS close_pr,
+      |    max(CASE WHEN rn_first = 1 THEN value END) AS open_pr,
+      |    max(value) AS high_pr,
+      |    min(value) AS low_pr,
+      |    max(CASE WHEN rn_last = 1 THEN value END) AS close_pr,
       |    count(*) AS volume
-      |  FROM events_us GROUP BY 1, 2)""".stripMargin
+      |  FROM (SELECT *,
+      |          row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |                             ORDER BY ts, event_id) AS rn_first,
+      |          row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |                             ORDER BY ts DESC, event_id DESC) AS rn_last
+      |        FROM events_us) e
+      |  GROUP BY 1, 2)""".stripMargin
 
   def ohlcBarsQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -489,7 +505,7 @@ object CciPipeline {
 
   def bestOf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val strat = strategyAgg(spark, dir).cache()
+    val strat = strategyAgg(spark, dir) // already cached inside strategyAgg
     val parts = bestMetrics.map { case (target, metric) =>
       val w = Window.partitionBy($"user_id").orderBy(
         col(metric).desc, $"condition_holding_days", $"condition_target_return",

@@ -154,8 +154,8 @@ object Extras {
   // ---------------------------------------------------------------- q24
   /** Time-dimension histogram: events by day-of-week x hour. Engines
     * disagree on dayofweek() numbering, so dow is computed from epoch days
-    * ((days + 4) % 7, Monday=0... 1970-01-01 was a Thursday) with identical
-    * arithmetic on both sides. */
+    * as (days + 3) % 7 with Monday = 0 (1970-01-01 was a Thursday, so
+    * epoch day 0 maps to 3) with identical arithmetic on both sides. */
   def timeDims(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val epochDays = floor(unix_micros($"ts") / lit(86400000000L)).cast("long")

@@ -64,11 +64,14 @@ object TextAnalysis {
       .select($"doc_id", $"lang", $"source",
         nTok.as("n_tokens"),
         F.fr(stopHits.cast("double") / nTok, 4).as("stopword_ratio"),
-        F.fr(punctCount.cast("double") / length($"text"), 4).as("punct_ratio"),
+        // length guards: empty text would divide by zero under ANSI mode
+        when(length($"text") > 0,
+          F.fr(punctCount.cast("double") / length($"text"), 4)).as("punct_ratio"),
         F.fr(avgTokLen, 4).as("avg_token_len"),
-        F.fr(lit(0.4) * (stopHits.cast("double") / nTok) +
-          lit(0.4) * least(avgTokLen / 10.0, lit(1.0)) +
-          lit(0.2) * (lit(1.0) - punctCount.cast("double") / length($"text")), 4).as("quality_score"))
+        when(length($"text") > 0,
+          F.fr(lit(0.4) * (stopHits.cast("double") / nTok) +
+            lit(0.4) * least(avgTokLen / 10.0, lit(1.0)) +
+            lit(0.2) * (lit(1.0) - punctCount.cast("double") / length($"text")), 4)).as("quality_score"))
       .orderBy($"doc_id")
   }
 
@@ -81,9 +84,9 @@ object TextAnalysis {
     s"""SELECT doc_id, lang, source,
        |  $nTok AS n_tokens,
        |  ${S.fr(s"CAST($stopHits AS DOUBLE) / $nTok", 4)} AS stopword_ratio,
-       |  ${S.fr(s"CAST($punct AS DOUBLE) / length(text)", 4)} AS punct_ratio,
+       |  CASE WHEN length(text) > 0 THEN ${S.fr(s"CAST($punct AS DOUBLE) / length(text)", 4)} END AS punct_ratio,
        |  ${S.fr(avgTokLen, 4)} AS avg_token_len,
-       |  ${S.fr(s"0.4 * (CAST($stopHits AS DOUBLE) / $nTok) + 0.4 * least(($avgTokLen) / 10.0, 1.0) + 0.2 * (1.0 - CAST($punct AS DOUBLE) / length(text))", 4)} AS quality_score
+       |  CASE WHEN length(text) > 0 THEN ${S.fr(s"0.4 * (CAST($stopHits AS DOUBLE) / $nTok) + 0.4 * least(($avgTokLen) / 10.0, 1.0) + 0.2 * (1.0 - CAST($punct AS DOUBLE) / length(text))", 4)} END AS quality_score
        |FROM documents
        |ORDER BY doc_id""".stripMargin
   }
@@ -145,6 +148,9 @@ object TextAnalysis {
       .select($"doc_id", $"text", F.tokens($"text").as("tk"))
       .select($"doc_id", F.polyHash($"text").as("fingerprint"), F.shingles3($"tk").as("shs"))
     docs
+      // sub-3-token docs have no shingles; the oracle's inner join drops
+      // them, so drop them here too instead of emitting NULL
+      .filter(size($"shs") > 0)
       .withColumn("min_shingle_hash",
         array_min(transform($"shs", sh => F.polyHash(sh))))
       .select($"doc_id", $"fingerprint", $"min_shingle_hash")
