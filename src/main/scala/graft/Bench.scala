@@ -1,5 +1,17 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-query benchmark with FULL materialization: every result is written
+  * to the `noop` sink, so projections, window columns and final sorts all
+  * execute. (A `count()` action lets Catalyst prune unused projections and
+  * eliminate sorts, under-measuring projection-heavy queries.)
+  *
+  * The CCI chain's shared persisted subtrees (cci → trades → strategyAgg)
+  * are warmed ONCE up front and reported as their own `cache_build` entry:
+  * per-query numbers are then marginal costs and independent of query
+  * order, while the total still includes all work. `SPARK_GRAFT_ONLY=q01,…`
+  * skips the warm-up so isolated profiling numbers include the chain build
+  * (comparable with cold single-query runs). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,23 +24,31 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    def materialize(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def timed(name: String)(fn: => Unit): Double =
+      try { val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        // a failed query must stand out as -1, not masquerade as a timing
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        -1.0
+      }
+
     // SPARK_GRAFT_ONLY=q01,q03 limits the run (profiling); default = all.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // a failed query must stand out as -1, not masquerade as a timing
-      val secs =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
-        }
-      name -> secs
+    val warm =
+      if (only.isEmpty)
+        Seq("cache_build" -> timed("cache_build")(
+          materialize(operators.CciPipeline.strategyAgg(spark, sfDir))))
+      else Seq.empty
+    val results = warm ++ selected.map { case (name, fn) =>
+      name -> timed(name)(materialize(fn(spark, sfDir)))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
 /** Session factory with graft's scale-oriented defaults.
   *
@@ -27,5 +28,38 @@ object GraftSession {
     val s = builder().getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
+  }
+
+  /** Caller-controlled caching for operators whose subtree is read by
+    * several downstream plans (the CCI chain, dedup indexes).
+    *
+    *  - `spark.graft.cache.enabled=false` turns the persists off entirely —
+    *    a single-shot job should not pay cache-build overhead it never
+    *    amortizes;
+    *  - `spark.graft.cache.storageLevel` picks the level (default
+    *    MEMORY_AND_DISK; on a real cluster MEMORY_AND_DISK_SER or
+    *    DISK_ONLY trades CPU for executor memory headroom).
+    *
+    * Lifetime stays with the caller: `spark.catalog.clearCache()` (or
+    * `unpersist` on the returned Dataset) releases storage. */
+  def maybeCache[T](ds: Dataset[T]): Dataset[T] = {
+    val conf = ds.sparkSession.conf
+    if (conf.get("spark.graft.cache.enabled", "true").toBoolean)
+      ds.persist(StorageLevel.fromString(
+        conf.get("spark.graft.cache.storageLevel", "MEMORY_AND_DISK")))
+    else ds
+  }
+
+  /** Eager local checkpoint, gated the same way: truncates lineage and
+    * materializes NOW (needed when union/self-join branches would race a
+    * lazy cache). `spark.graft.eagerCheckpoint.enabled=false` falls back to
+    * [[maybeCache]] — on a multi-tenant cluster where executor loss is
+    * routine, prefer a reliable `checkpoint()` to an unrecoverable local
+    * one. */
+  def maybeEagerCheckpoint(ds: Dataset[_]): org.apache.spark.sql.DataFrame = {
+    val df = ds.toDF()
+    if (df.sparkSession.conf.get("spark.graft.eagerCheckpoint.enabled", "true").toBoolean)
+      df.localCheckpoint(true)
+    else maybeCache(df)
   }
 }

@@ -81,7 +81,10 @@ object SparkEntry {
     "d06_fuzzy_levenshtein" -> (graft.dedup.Dedup.fuzzyLevenshtein _),
     "r16_partitioned_sink" -> (Extras.partitionedSink _),
     "r17_incremental_merge" -> (Extras.incrementalMerge _),
-    "q24_time_dims" -> (Extras.timeDims _)
+    "q24_time_dims" -> (Extras.timeDims _),
+    "r18_order_reconcile" -> (CciPipeline.orderReconcile _),
+    "r19_latest_snapshot" -> (Extras.latestSnapshot _),
+    "r20_history_grid_sim" -> (CciPipeline.tradesHistoryGrid _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -146,6 +149,9 @@ object SparkEntry {
     "d06_fuzzy_levenshtein" -> graft.dedup.Dedup.fuzzyLevenshteinSql,
     "r16_partitioned_sink" -> Extras.partitionedSinkSql,
     "r17_incremental_merge" -> Extras.incrementalMergeSql,
-    "q24_time_dims" -> Extras.timeDimsSql
+    "q24_time_dims" -> Extras.timeDimsSql,
+    "r18_order_reconcile" -> CciPipeline.orderReconcileSql,
+    "r19_latest_snapshot" -> Extras.latestSnapshotSql,
+    "r20_history_grid_sim" -> CciPipeline.tradesHistoryGridSql
   )
 }

@@ -38,6 +38,16 @@ object Dedup {
   val SimHashBits = 32
   val HammingMax = 3
 
+  /** Stop-shingle document-frequency cap: a shingle seen in more than this
+    * many documents generates NO candidate pairs (its fan-out is quadratic
+    * in df — one "of the and"-class shingle at 100 TB would pair everything
+    * with everything). Pairs are verified on the FULL shingle sets either
+    * way, so the cap only affects candidate recall for pairs whose every
+    * shared shingle is corpus-hot. 64 sits far above the sf corpora's max
+    * df (7 at sf0.01, 25 at sf0.1), so small-SF output is the exact
+    * all-pairs answer — the oracle keeps the uncapped formulation. */
+  val MaxShingleDf = 64
+
   // ---------------------------------------------------------------- d01
   /** Exact dedup by content hash: keep the minimum doc_id per distinct
     * text, report the duplicate cardinality. */
@@ -57,38 +67,50 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ shared
-  /** Exploded distinct 3-gram shingles: the inverted index every near-dup
-    * op joins through. */
-  private def shingleIndex(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    docShingles(spark, dir).select($"doc_id", explode($"shs").as("sh"))
-  }
-
   /** Per-doc distinct shingle arrays (the verify side of LSH). Tokens are
     * projected before the shingle HOF — see [[F.shingles3]]. */
-  private def docShingles(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id", F.tokens($"text").as("tk"))
-      .select($"doc_id", F.shingles3($"tk").as("shs"))
+  private[graft] def docShinglesFrom(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), F.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), F.shingles3(col("tk")).as("shs"))
+
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    docShinglesFrom(Tables.documents(spark, dir))
+
+  /** (doc_a, doc_b, common, na, nb, jaccard) for all pairs sharing at
+    * least one sub-cap shingle.
+    *
+    * Candidate generation goes through the inverted shingle index with the
+    * [[MaxShingleDf]] stop-shingle cap (hot shingles never meet in the
+    * self-join — the cap is what keeps the pair space linear-ish at
+    * 100 TB); verification then intersects the FULL per-doc shingle
+    * arrays, so common/na/nb/jaccard are exact regardless of the cap. The
+    * df window and the candidate self-join share one shuffle on `sh`. */
+  private[graft] def jaccardPairsFrom(docs: DataFrame, maxDf: Int): DataFrame = {
+    val ds = graft.GraftSession.maybeCache(docShinglesFrom(docs))
+    val wsh = Window.partitionBy(col("sh"))
+    val capped = ds.select(col("doc_id"), explode(col("shs")).as("sh"))
+      .withColumn("df", count(lit(1)).over(wsh))
+      .filter(col("df") <= maxDf)
+      .select(col("doc_id"), col("sh"))
+    val cand = capped.toDF("doc_a", "sh")
+      .join(capped.toDF("doc_b", "sh"), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(ds.toDF("doc_a", "sha"), Seq("doc_a"))
+      .join(ds.toDF("doc_b", "shb"), Seq("doc_b"))
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("na", size(col("sha")).cast("long"))
+      .withColumn("nb", size(col("shb")).cast("long"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .select(col("doc_a"), col("doc_b"), col("common"), col("na"), col("nb"), col("jaccard"))
   }
 
   /** (doc_a, doc_b, jaccard) for all pairs sharing >= 1 shingle. */
-  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val sh = shingleIndex(spark, dir).cache()
-    val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
-    val a = sh.toDF("doc_a", "sh")
-    val b = sh.toDF("doc_b", "sh")
-    val common = a.join(b, Seq("sh"))
-      .filter($"doc_a" < $"doc_b")
-      .groupBy($"doc_a", $"doc_b")
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(cnt.toDF("doc_a", "na"), Seq("doc_a"))
-      .join(cnt.toDF("doc_b", "nb"), Seq("doc_b"))
-      .withColumn("jaccard", $"common".cast("double") / ($"na" + $"nb" - $"common"))
-  }
+  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairsFrom(Tables.documents(spark, dir), MaxShingleDf)
 
   private val jaccardCtes: String =
     S.shinglesCte() + ",\n" +
@@ -128,19 +150,18 @@ object Dedup {
     import spark.implicits._
     // All K signatures in one map-side pass (native MinHashSigs over the
     // doc's shingle-hash array): no explode, no K-wide aggregate, no
-    // shuffle before banding. localCheckpoint(eager) materializes them
-    // once so the candidate self-join's two reads don't recompute. The
-    // oracle keeps the K-column min-aggregate formulation — identical
-    // signatures.
-    val sig = docShingles(spark, dir)
+    // shuffle before banding. The eager checkpoint materializes them once
+    // so the candidate self-join's two reads don't recompute (config-gated:
+    // graft.GraftSession.maybeEagerCheckpoint). The oracle keeps the
+    // K-column min-aggregate formulation — identical signatures.
+    val sig = graft.GraftSession.maybeEagerCheckpoint(docShingles(spark, dir)
       // sub-3-token docs have no shingles: exclude them like the oracle's
       // exploded-shingle CTE does (their all-MaxValue signatures would
       // otherwise band every short doc together and divide 0/0 in verify)
       .filter(size($"shs") > 0)
       .select($"doc_id",
         graft.functions.catalyst.GraftColumns.minhash_sigs(
-          transform($"shs", sh => F.polyHash(sh)), MinHashK).as("sigs"))
-      .localCheckpoint(true)
+          transform($"shs", sh => F.polyHash(sh)), MinHashK).as("sigs")))
     val bandStructs = (0 until NumBands).map { b =>
       val keyCols = (0 until BandRows)
         .map(r => element_at($"sigs", b * BandRows + r + 1).cast("string"))
@@ -155,7 +176,7 @@ object Dedup {
       .select($"doc_a", $"doc_b").distinct()
     // Verify ONLY the LSH candidates (never the full pair space): join the
     // per-doc shingle arrays and intersect — codegen'd, bounded per pair.
-    val ds = docShingles(spark, dir).cache()
+    val ds = graft.GraftSession.maybeCache(docShingles(spark, dir))
     cand
       .join(ds.toDF("doc_a", "sha"), Seq("doc_a"))
       .join(ds.toDF("doc_b", "shb"), Seq("doc_b"))
@@ -202,12 +223,11 @@ object Dedup {
     // One map-side pass per doc: hash shingles into an array, collapse to
     // the 32-bit fingerprint with the native SimHash32 expression. (The
     // oracle keeps the relational explode-x32 formulation; same bits.)
-    // cached: both sides of the block self-join read it
-    val sim = docShingles(spark, dir)
+    // persisted: both sides of the block self-join read it
+    val sim = graft.GraftSession.maybeCache(docShingles(spark, dir)
       .select($"doc_id",
         graft.functions.catalyst.GraftColumns.simhash32(
-          transform($"shs", sh => F.polyHash(sh))).as("simhash"))
-      .cache()
+          transform($"shs", sh => F.polyHash(sh))).as("simhash")))
     val ks = (0 until SimHashBits / 8).toDF("k")
     val blocks = sim.crossJoin(broadcast(ks))
       .withColumn("blk", floor($"simhash" / pow(lit(2.0), $"k" * 8)).cast("long") % 256)

@@ -63,9 +63,11 @@ object TextSql {
        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
        |  FROM toks)""".stripMargin
 
+  /** RE2 '.' does not match \n — the char class does, so newline-bearing
+    * documents fold identically to the native expression. */
   def polyHash(expr: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      s"list_transform(regexp_extract_all($expr, '.'), ch -> CAST(ascii(ch) AS BIGINT))), " +
+      s"list_transform(regexp_extract_all($expr, '[\\s\\S]'), ch -> CAST(ascii(ch) AS BIGINT))), " +
       s"(a, b) -> (a * 31 + b) % $HashP)"
 
   def foldSum(expr: String): String =

@@ -175,9 +175,10 @@ object CciPipeline {
       .drop("tps_c", "tps_o")
       // Every downstream operator (signals, futures join, sell lookup,
       // latest-state) re-reads this subtree, often 3x inside one action:
-      // cache it — Spark's CacheManager canonicalizes the plan, so all
+      // persist it — Spark's CacheManager canonicalizes the plan, so all
       // callers share the materialization. Size: one row per (series, day).
-      .cache()
+      // Level + on/off are caller config (graft.GraftSession.maybeCache).
+      .transform(graft.GraftSession.maybeCache(_))
   }
 
   /** Shared oracle CTE chain: events_us → bars → cci. */
@@ -320,9 +321,9 @@ object CciPipeline {
         $"buy_thr".as("condition_buy_cci_threshold"),
         $"condition_stop_loss_cci_threshold",
         $"trade_result", $"sell_date", $"sell_price", $"days_held")
-      // r06/r07/r11 and the ML features all read the trade grid; cached
+      // r06/r07/r11 and the ML features all read the trade grid; persisted
       // (plan-canonicalized) so one materialization serves every caller.
-      .cache()
+      .transform(graft.GraftSession.maybeCache(_))
   }
 
   private val tradesCtes: String =
@@ -438,7 +439,8 @@ object CciPipeline {
       .withColumn("avg_days_held", floor(($"avg_days_held_raw") * 10000.0 + 0.5) / 10000.0)
       .withColumn("total_buy_price", floor(($"total_buy_raw") * 100.0 + 0.5) / 100.0)
       .withColumn("total_sell_price", floor(($"total_sell_raw") * 100.0 + 0.5) / 100.0)
-      .cache() // r07-r10 each read the strategy table; share one build
+      // r07-r10 each read the strategy table; share one build
+      .transform(graft.GraftSession.maybeCache(_))
       .drop("avg_rpdh_raw", "avg_days_held_raw", "total_buy_raw", "total_sell_raw",
         "rpdh_cents", "n_trades", "days_held_sum", "buy_cents", "sell_cents")
   }
@@ -748,6 +750,271 @@ object CciPipeline {
         floor(($"buy_price" * (lit(1.0) + ($"condition_target_return" + TaxRate + FeeRate) / 100.0)) * 1.0 + 0.5) / 1.0)
       .orderBy(tradeOrderCols: _*)
   }
+
+  // ---------------------------------------------------------------- r18
+  /** Order-execution reconciliation (reference check_buy_order_execution
+    * daily_function.py:1632, check_sell_order_execution :1828, driven daily
+    * by update_order_execution :1947): the submitted-order history is
+    * reconciled against the broker's execution feed — the buy leg fills
+    * real_buy_{date,price,qty} and derives the maturity date
+    * (order date + holding_days), the sell leg fills real_sell_* and
+    * resolves the trade result as a status transition
+    * (maturity / reach_target / stop_loss), then the revenue fields net of
+    * tax+fee; unfilled buys drop (the reference's real_buy_qty > 0 filter).
+    * The feed carries several reports per order leg; the newest wins —
+    * the keep-last upsert by order number the reference applies with
+    * drop_duplicates(keep='last') on every refresh.
+    *
+    * Modeled on the TPC-H tables: `orders` is the submitted-order history
+    * keyed by o_orderkey, `lineitem` is the execution feed (odd line
+    * numbers report the buy leg, even the sell leg). Scale shape: ONE
+    * shuffle key (the order number) serves the keep-last window and both
+    * reconciliation joins — co-partitioned end to end. */
+  def orderReconcile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ords = Tables.orders(spark, dir)
+      .select($"o_orderkey".as("order_no"),
+        to_date($"o_orderdate").as("buy_order_date"),
+        (pmod($"o_orderkey", lit(10L)) + 1).cast("int").as("holding_days"))
+    // The ordering must be TOTAL: the feed can repeat a (order, line)
+    // report key, so qty/price break the tie — otherwise keep-last is
+    // engine-nondeterministic under ties.
+    val w = Window.partitionBy($"odno", $"leg")
+      .orderBy($"exec_date".desc, $"l_linenumber".desc,
+        $"l_quantity".desc, $"l_extendedprice".desc)
+    val lastExec = Tables.lineitem(spark, dir)
+      .select($"l_orderkey".as("odno"),
+        when($"l_linenumber" % 2 === 1, "buy").otherwise("sell").as("leg"),
+        to_date($"l_shipdate").as("exec_date"),
+        $"l_linenumber", $"l_quantity", $"l_extendedprice")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .withColumn("fill_qty", floor($"l_quantity")) // integral in the feed
+      .withColumn("fill_price", // avg fill price, whole currency units
+        when($"l_quantity" =!= 0.0, floor($"l_extendedprice" / $"l_quantity" + 0.5)))
+      .select($"odno", $"leg", $"exec_date", $"fill_qty", $"fill_price")
+    val buys = lastExec.filter($"leg" === "buy").select($"odno",
+      $"exec_date".as("real_buy_date"), $"fill_qty".as("real_buy_qty"),
+      $"fill_price".as("real_buy_price"))
+    val sells = lastExec.filter($"leg" === "sell").select($"odno".as("s_odno"),
+      $"exec_date".as("real_sell_date"), $"fill_qty".as("real_sell_qty"),
+      $"fill_price".as("real_sell_price"))
+    ords
+      .join(buys, $"order_no" === $"odno")            // unfilled buys drop
+      .join(sells, $"order_no" === $"s_odno", "left") // sell may be pending
+      .filter($"real_buy_qty" > 0)
+      .withColumn("maturity_date", date_add($"real_buy_date", $"holding_days"))
+      .withColumn("trade_result",
+        when($"real_sell_date" >= $"maturity_date", lit("maturity"))
+          .when($"real_sell_price" > $"real_buy_price", lit("reach_target"))
+          .when($"real_sell_date".isNotNull, lit("stop_loss")))
+      .withColumn("real_revenue",
+        $"real_sell_price" - $"real_buy_price" -
+          (floor($"real_sell_price" * FeeRate + 0.5) + floor($"real_sell_price" * TaxRate + 0.5)))
+      .withColumn("real_days_held",
+        (datediff($"real_sell_date", $"real_buy_date") + 1).cast("long"))
+      .withColumn("real_revenue_rate",
+        when($"real_buy_price" =!= 0,
+          floor(($"real_revenue" / $"real_buy_price" * 100.0) * 100.0 + 0.5) / 100.0))
+      .withColumn("real_revenue_per_days_held",
+        when($"real_days_held" =!= 0,
+          floor(($"real_revenue" / $"real_days_held") * 100.0 + 0.5) / 100.0))
+      .select($"order_no", $"buy_order_date", $"holding_days",
+        $"real_buy_date", $"real_buy_qty", $"real_buy_price", $"maturity_date",
+        $"real_sell_date", $"real_sell_qty", $"real_sell_price",
+        $"trade_result", $"real_revenue", $"real_revenue_rate",
+        $"real_days_held", $"real_revenue_per_days_held")
+      .orderBy($"order_no")
+  }
+
+  val orderReconcileSql: String =
+    s"""WITH ords AS (
+       |  SELECT o_orderkey AS order_no, CAST(o_orderdate AS DATE) AS buy_order_date,
+       |         CAST((o_orderkey % 10) + 1 AS INTEGER) AS holding_days
+       |  FROM orders),
+       |ex AS (
+       |  SELECT l_orderkey AS odno,
+       |         CASE WHEN l_linenumber % 2 = 1 THEN 'buy' ELSE 'sell' END AS leg,
+       |         CAST(l_shipdate AS DATE) AS exec_date,
+       |         l_linenumber, l_quantity, l_extendedprice
+       |  FROM lineitem),
+       |last_ex AS (
+       |  SELECT odno, leg, exec_date,
+       |    CAST(floor(l_quantity) AS BIGINT) AS fill_qty,
+       |    CASE WHEN l_quantity <> 0.0
+       |         THEN CAST(floor(l_extendedprice / l_quantity + 0.5) AS BIGINT) END AS fill_price
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY odno, leg
+       |                                     ORDER BY exec_date DESC, l_linenumber DESC,
+       |                                              l_quantity DESC, l_extendedprice DESC) AS rn
+       |        FROM ex) t
+       |  WHERE rn = 1),
+       |buys AS (SELECT odno, exec_date AS real_buy_date, fill_qty AS real_buy_qty,
+       |                fill_price AS real_buy_price FROM last_ex WHERE leg = 'buy'),
+       |sells AS (SELECT odno AS s_odno, exec_date AS real_sell_date, fill_qty AS real_sell_qty,
+       |                 fill_price AS real_sell_price FROM last_ex WHERE leg = 'sell'),
+       |rec AS (
+       |  SELECT o.order_no, o.buy_order_date, o.holding_days,
+       |    b.real_buy_date, b.real_buy_qty, b.real_buy_price,
+       |    b.real_buy_date + o.holding_days AS maturity_date,
+       |    s.real_sell_date, s.real_sell_qty, s.real_sell_price
+       |  FROM ords o
+       |  JOIN buys b ON o.order_no = b.odno
+       |  LEFT JOIN sells s ON o.order_no = s.s_odno
+       |  WHERE b.real_buy_qty > 0),
+       |rev AS (
+       |  SELECT *,
+       |    real_sell_price - real_buy_price -
+       |      (CAST(floor(real_sell_price * $FeeRate + 0.5) AS BIGINT)
+       |       + CAST(floor(real_sell_price * $TaxRate + 0.5) AS BIGINT)) AS real_revenue,
+       |    CAST(date_diff('day', real_buy_date, real_sell_date) + 1 AS BIGINT) AS real_days_held
+       |  FROM rec)
+       |SELECT order_no, buy_order_date, holding_days,
+       |  real_buy_date, real_buy_qty, real_buy_price, maturity_date,
+       |  real_sell_date, real_sell_qty, real_sell_price,
+       |  CASE WHEN real_sell_date >= maturity_date THEN 'maturity'
+       |       WHEN real_sell_price > real_buy_price THEN 'reach_target'
+       |       WHEN real_sell_date IS NOT NULL THEN 'stop_loss' END AS trade_result,
+       |  real_revenue,
+       |  CASE WHEN real_buy_price <> 0
+       |       THEN floor((real_revenue / real_buy_price * 100.0) * 100.0 + 0.5) / 100.0
+       |  END AS real_revenue_rate,
+       |  real_days_held,
+       |  CASE WHEN real_days_held <> 0
+       |       THEN floor((real_revenue / real_days_held) * 100.0 + 0.5) / 100.0
+       |  END AS real_revenue_per_days_held
+       |FROM rev
+       |ORDER BY order_no""".stripMargin
+
+  // ---------------------------------------------------------------- r20
+  /** History-window grid axis of the trade simulation (reference
+    * process_symbol / process_all_stocks_with_save_optimized,
+    * daily_function.py:887,905: every symbol is simulated once per
+    * `search_history_years`; get_filtered_cci_data :670 keeps the trailing
+    * window from the series' max date before signal detection). The sf
+    * series span ~30 days, so the axis is in days; 100000 models 'all'.
+    *
+    * Window-filter/lag composition matches the reference's post-CCI filter
+    * + shift(1): CCI values come from the FULL series; a signal needs both
+    * its row and its lag row inside the window (the first filtered row's
+    * shift is NaN → never a signal). Each window is a suffix of the
+    * series, so the futures scan needs no re-filtering — every row after
+    * an in-window signal is in-window.
+    *
+    * Scale shape: lag/max-date are computed ONCE over the full series;
+    * the history grid is a broadcast literal that fans out signal rows
+    * only (not the series); everything downstream reuses the r06 plan
+    * with one extra (broadcast) grid column. */
+  val HistoryGridDays: Seq[Int] = Seq(7, 15, 100000)
+
+  def tradesHistoryGrid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = cci(spark, dir)
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+    val sig = c
+      .withColumn("prev_open_cci", lag($"open_cci", 1).over(w))
+      .withColumn("prev_d", lag($"d", 1).over(w))
+      .withColumn("max_d", max($"d").over(Window.partitionBy($"user_id")))
+      .crossJoin(broadcast(HistoryGridDays.toDF("search_history_days")))
+      .filter(datediff($"max_d", $"d") <= $"search_history_days" &&
+        datediff($"max_d", $"prev_d") <= $"search_history_days")
+      .crossJoin(broadcast(BuyThresholds.toDF("buy_thr")))
+      .filter($"prev_open_cci" < $"buy_thr" && $"open_cci" > $"buy_thr")
+      .select($"user_id", $"d".as("buy_date"), $"idx",
+        $"open_pr".as("buy_price"), $"buy_thr", $"search_history_days")
+    val futures = c.select($"user_id".as("f_user"), $"idx".as("fidx"),
+      $"close_pr".as("fclose"), $"close_cci".as("fcci"))
+    val grid = {
+      val hs = HoldingDays.toDF("condition_holding_days")
+      val rs = TargetReturns.toDF("condition_target_return")
+      val ss = StopThresholds.toDF("condition_stop_loss_cci_threshold")
+      hs.crossJoin(rs).crossJoin(ss)
+    }
+    val agg = sig
+      .join(futures,
+        $"user_id" === $"f_user" && $"fidx" > $"idx" && $"fidx" <= $"idx" + MaxHolding)
+      .crossJoin(broadcast(grid))
+      .filter($"fidx" <= $"idx" + $"condition_holding_days")
+      .groupBy($"user_id", $"buy_date", $"idx", $"buy_price", $"buy_thr",
+        $"search_history_days", $"condition_holding_days",
+        $"condition_target_return", $"condition_stop_loss_cci_threshold")
+      .agg(
+        min(when($"fclose" >= $"buy_price" * (lit(1.0) + $"condition_target_return" / 100.0), $"fidx")).as("t_idx"),
+        min(when($"fcci" <= $"condition_stop_loss_cci_threshold", $"fidx")).as("s_idx"),
+        max($"fidx").as("m_idx"))
+    val sel = agg
+      .withColumn("trade_result",
+        when($"t_idx".isNotNull && ($"s_idx".isNull || $"t_idx" < $"s_idx"), lit("reach_target"))
+          .when($"s_idx".isNotNull, lit("stop_loss"))
+          .otherwise(lit("maturity")))
+      .withColumn("sell_idx",
+        when($"t_idx".isNotNull && ($"s_idx".isNull || $"t_idx" < $"s_idx"), $"t_idx")
+          .when($"s_idx".isNotNull, $"s_idx")
+          .otherwise($"m_idx"))
+    val sellRows = c.select($"user_id".as("s_user"), $"idx".as("s_idx2"),
+      $"d".as("sell_date"), $"close_pr".as("sell_price"))
+    sel
+      .join(sellRows, $"user_id" === $"s_user" && $"sell_idx" === $"s_idx2")
+      .withColumn("days_held",
+        when($"trade_result" === "maturity", $"condition_holding_days")
+          .otherwise(datediff($"sell_date", $"buy_date")).cast("long"))
+      .select($"user_id", $"buy_date", $"buy_price", $"search_history_days",
+        $"condition_holding_days", $"condition_target_return",
+        $"buy_thr".as("condition_buy_cci_threshold"),
+        $"condition_stop_loss_cci_threshold",
+        $"trade_result", $"sell_date", $"sell_price", $"days_held")
+      .orderBy($"user_id" +: $"buy_date" +: $"search_history_days" +: tradeOrderCols.drop(2): _*)
+  }
+
+  val tradesHistoryGridSql: String =
+    cciCtes + ",\n" +
+      s"""hsig AS (
+         |  SELECT q.user_id, q.d AS buy_date, q.idx, q.open_pr AS buy_price,
+         |         t.buy_thr, hw.search_history_days
+         |  FROM (SELECT *, lag(open_cci) OVER wo AS prev_open_cci,
+         |               lag(d) OVER wo AS prev_d,
+         |               max(d) OVER (PARTITION BY user_id) AS max_d
+         |        FROM cci WINDOW wo AS (PARTITION BY user_id ORDER BY d)) q
+         |  CROSS JOIN ${valuesSql("hw", "search_history_days", HistoryGridDays)}
+         |  CROSS JOIN ${valuesSql("t", "buy_thr", BuyThresholds)}
+         |  WHERE date_diff('day', q.d, q.max_d) <= hw.search_history_days
+         |    AND date_diff('day', q.prev_d, q.max_d) <= hw.search_history_days
+         |    AND q.prev_open_cci < t.buy_thr AND q.open_cci > t.buy_thr),
+         |hfut AS (
+         |  SELECT g.user_id, g.buy_date, g.idx, g.buy_price, g.buy_thr, g.search_history_days,
+         |    f.idx AS fidx, f.close_pr AS fclose, f.close_cci AS fcci
+         |  FROM hsig g JOIN cci f
+         |    ON f.user_id = g.user_id AND f.idx > g.idx AND f.idx <= g.idx + $MaxHolding),
+         |htr AS (
+         |  SELECT user_id, buy_date, idx, buy_price, buy_thr, search_history_days,
+         |    condition_holding_days, condition_target_return, condition_stop_loss_cci_threshold,
+         |    min(CASE WHEN fclose >= buy_price * (1.0 + condition_target_return / 100.0)
+         |             THEN fidx END) AS t_idx,
+         |    min(CASE WHEN fcci <= condition_stop_loss_cci_threshold THEN fidx END) AS s_idx,
+         |    max(fidx) AS m_idx
+         |  FROM hfut
+         |  CROSS JOIN ${valuesSql("hh", "condition_holding_days", HoldingDays)}
+         |  CROSS JOIN ${valuesSql("rr", "condition_target_return", TargetReturns)}
+         |  CROSS JOIN ${valuesSql("ss", "condition_stop_loss_cci_threshold", StopThresholds)}
+         |  WHERE fidx <= idx + condition_holding_days
+         |  GROUP BY user_id, buy_date, idx, buy_price, buy_thr, search_history_days,
+         |    condition_holding_days, condition_target_return, condition_stop_loss_cci_threshold),
+         |hsel AS (
+         |  SELECT *,
+         |    CASE WHEN t_idx IS NOT NULL AND (s_idx IS NULL OR t_idx < s_idx) THEN 'reach_target'
+         |         WHEN s_idx IS NOT NULL THEN 'stop_loss' ELSE 'maturity' END AS trade_result,
+         |    CASE WHEN t_idx IS NOT NULL AND (s_idx IS NULL OR t_idx < s_idx) THEN t_idx
+         |         WHEN s_idx IS NOT NULL THEN s_idx ELSE m_idx END AS sell_idx
+         |  FROM htr)
+         |SELECT hsel.user_id, buy_date, buy_price, search_history_days,
+         |  condition_holding_days, condition_target_return,
+         |  buy_thr AS condition_buy_cci_threshold, condition_stop_loss_cci_threshold,
+         |  trade_result, c.d AS sell_date, c.close_pr AS sell_price,
+         |  CASE WHEN trade_result = 'maturity' THEN condition_holding_days
+         |       ELSE date_diff('day', buy_date, c.d) END AS days_held
+         |FROM hsel JOIN cci c ON c.user_id = hsel.user_id AND c.idx = hsel.sell_idx
+         |ORDER BY hsel.user_id, buy_date, search_history_days,
+         |  condition_buy_cci_threshold, condition_holding_days,
+         |  condition_target_return, condition_stop_loss_cci_threshold""".stripMargin
 
   val netRevenueSql: String =
     tradesCtes + "\n" +

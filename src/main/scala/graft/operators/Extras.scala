@@ -12,6 +12,21 @@ import graft.sources.Tables
 object Extras {
   val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
 
+  /** Temp sink directory with best-effort cleanup at JVM exit (the
+    * round-trip/sink operators would otherwise leak directories in a
+    * long-lived session; deletion can't happen earlier because the
+    * returned DataFrames read the files lazily). */
+  private[operators] def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+      }
+      del(p.toFile)
+    }))
+    p.toString
+  }
+
   // ---------------------------------------------------------------- q15
   /** Pivot event counts per user (explicit value list → deterministic
     * schema; nulls coalesced to 0 to match the oracle's conditional agg). */
@@ -240,18 +255,23 @@ object Extras {
     * runs before training. */
   def profileColumns(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val li = Tables.lineitem(spark, dir)
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    cols.map { c =>
-      li.agg(
-        lit(c).as("column_name"),
+    // ONE scan: unpivot the profiled columns map-side (stack = 4x row
+    // fan-out, no shuffle), then a single grouped aggregation. A
+    // per-column union would scan lineitem 4x; a single 4-countDistinct
+    // aggregate would Expand every row 5x before the shuffle. The unpivot
+    // keeps one scan and one distinct per group key.
+    Tables.lineitem(spark, dir)
+      .select(expr(s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', $c").mkString(", ") + ") AS (column_name, value)"))
+      .groupBy($"column_name")
+      .agg(
         count(lit(1)).as("n"),
-        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as("n_null"),
-        countDistinct(col(c)).as("n_distinct"),
-        min(col(c)).as("min_value"),
-        max(col(c)).as("max_value"),
-        (sum(floor(col(c) * 10000.0 + 0.5).cast("long")).cast("double") / 10000.0).as("total"))
-    }.reduce(_ unionByName _)
+        sum(when($"value".isNull, 1).otherwise(0)).cast("long").as("n_null"),
+        countDistinct($"value").as("n_distinct"),
+        min($"value").as("min_value"),
+        max($"value").as("max_value"),
+        (sum(floor($"value" * 10000.0 + 0.5).cast("long")).cast("double") / 10000.0).as("total"))
       .orderBy($"column_name")
   }
 
@@ -275,7 +295,7 @@ object Extras {
     * the unpartitioned table. */
   def partitionedSink(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val out = tempDir("graft_part")
     Tables.events(spark, dir)
       .withColumn("d", to_date($"ts"))
       .write.mode("overwrite").partitionBy("event_type").parquet(out)
@@ -300,6 +320,53 @@ object Extras {
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- r19
+  /** Latest-snapshot selection (reference get_latest_best_file,
+    * daily_function.py:1140: scan a directory of dated files, pick the
+    * newest by the date embedded in the name, and read only it before the
+    * recommendation join). Spark-native analogue: a date-partitioned sink,
+    * max-partition discovery from the directory listing (a driver-side
+    * metadata op — the reference's os.listdir), then a partition-pruned
+    * read of ONLY the newest partition, asserted on the physical plan.
+    * At 100 TB this reads one day of a multi-year table. */
+  def latestSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = tempDir("graft_snap")
+    Tables.events(spark, dir)
+      .withColumn("snap_d", to_date($"ts"))
+      .write.mode("overwrite").partitionBy("snap_d").parquet(out)
+    // Max-partition discovery: directory names only, no data scanned.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(out), spark.sparkContext.hadoopConfiguration)
+    val latest = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("snap_d=")).map(_.stripPrefix("snap_d=")).max
+    val back = spark.read.parquet(out).filter($"snap_d" === lit(latest).cast("date"))
+    // The filter must prune to the ONE newest partition at the scan
+    // (inputFiles would not do: it lists the relation before pruning).
+    val scans = back.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    require(scans.nonEmpty, "expected a file scan")
+    require(scans.head.selectedPartitions.partitionCount == 1,
+      s"expected to scan only partition snap_d=$latest, got " +
+        s"${scans.head.selectedPartitions.partitionCount} partitions")
+    back
+      .groupBy($"snap_d", $"event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum(floor($"value" * 100.0 + 0.5).cast("long")).cast("double") / 100.0).as("total_value"))
+      .orderBy($"event_type")
+  }
+
+  val latestSnapshotSql: String =
+    graft.sources.Tables.eventsOracleCte + "\n" +
+      """SELECT CAST(ts AS DATE) AS snap_d, event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+        |FROM events_us
+        |WHERE CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM events_us)
+        |GROUP BY 1, 2
+        |ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- r17
   /** Incremental aggregate maintenance: partial aggregates from a snapshot
     * (first 20 days) and a delta batch (the rest) merge to exactly the
@@ -309,13 +376,16 @@ object Extras {
   def incrementalMerge(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
-    val cutoff = ev.agg(date_add(min(to_date($"ts")), 20).as("c")).head.getDate(0)
+    // The cutoff is a 1-row aggregate broadcast into both branches — no
+    // driver-side .head action, so the whole maintenance run stays one job.
+    val cutoff = ev.agg(date_add(min(to_date($"ts")), 20).as("cutoff"))
     def partial(df: org.apache.spark.sql.DataFrame) = df
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n"),
         sum(floor($"value" * 100.0 + 0.5).cast("long")).as("cents"))
-    val snap = partial(ev.filter(to_date($"ts") < lit(cutoff)))
-    val delta = partial(ev.filter(to_date($"ts") >= lit(cutoff)))
+    val tagged = ev.crossJoin(broadcast(cutoff))
+    val snap = partial(tagged.filter(to_date($"ts") < $"cutoff"))
+    val delta = partial(tagged.filter(to_date($"ts") >= $"cutoff"))
     snap.unionByName(delta)
       .groupBy($"user_id")
       .agg(sum($"n").as("n_events"),
@@ -337,7 +407,10 @@ object Extras {
     * reshuffles/re-runs, the property random splits lack at scale). */
   def trainTestSplit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bucket = pmod($"doc_id" * 2654435761L, lit(100L))
+    // Reduce mod 1e8 BEFORE the Knuth multiply: 1e8 * 2654435761 ≈ 2.7e17
+    // stays inside Int64, so the bucketing never overflows (ANSI mode
+    // throws on overflow) no matter how large doc_id grows at 100 TB.
+    val bucket = pmod(pmod($"doc_id", lit(100000000L)) * 2654435761L, lit(100L))
     Tables.documents(spark, dir)
       .withColumn("split",
         when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"))
@@ -353,8 +426,8 @@ object Extras {
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
       |  count(DISTINCT lang) AS n_langs
       |FROM (SELECT *,
-      |        CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-      |             WHEN (doc_id * 2654435761) % 100 < 90 THEN 'valid'
+      |        CASE WHEN ((doc_id % 100000000) * 2654435761) % 100 < 80 THEN 'train'
+      |             WHEN ((doc_id % 100000000) * 2654435761) % 100 < 90 THEN 'valid'
       |             ELSE 'test' END AS split
       |      FROM documents) t
       |GROUP BY split
@@ -365,7 +438,7 @@ object Extras {
     * second-most-common interchange format). */
   def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val out = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val out = tempDir("graft_json")
     Tables.orders(spark, dir)
       .filter($"o_orderdate" >= lit("2000-01-01"))
       .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
@@ -396,7 +469,7 @@ object Extras {
     * exactly, so the oracle can aggregate the original table). */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val out = tempDir("graft_csv")
     Tables.lineitem(spark, dir)
       .filter($"l_shipdate" >= lit("2000-01-01"))
       .select($"l_orderkey", $"l_returnflag", $"l_quantity", $"l_extendedprice")

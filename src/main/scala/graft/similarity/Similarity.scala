@@ -20,8 +20,14 @@ object Similarity {
   /** Every vec_id divisible by this is a query point. */
   val QueryStride = 100
 
-  /** Number of LSH hyperplanes (bucket id bits). */
+  /** LSH defaults: hyperplanes per table (bucket id bits — bucket count is
+    * 2^planes PER TABLE, so raise planes as the corpus grows to keep
+    * bucket population bounded) and the number of OR'd hash tables
+    * (candidates = union over tables — more tables buys back the recall
+    * that more planes costs). Both are parameters of [[lshTopKParam]];
+    * these defaults suit the sf corpora. */
   val NumPlanes = 8
+  val LshTables = 2
 
   private def vecs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -92,7 +98,7 @@ object Similarity {
     * At 100 TB the cell id is the shuffle key; only probed cells are read. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = vecs(spark, dir).cache()
+    val e = graft.GraftSession.maybeCache(vecs(spark, dir))
     val dims = e.select($"vec_id", $"label", posexplode($"v").as(Seq("dim", "dv")))
     val centroids = dims.groupBy($"label", $"dim")
       .agg((sum(floor($"dv" * 1e6).cast("long")).cast("double") /
@@ -166,33 +172,58 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------- s02
-  /** Random-hyperplane LSH: bucket = sign bits of the dot products with
-    * `NumPlanes` deterministic pseudo-random planes; exact top-k within the
-    * query's bucket. Approximate by construction → driver does the
-    * rows-only check (no SQL oracle); recall vs s01 is asserted in tests. */
-  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** Random-hyperplane LSH: per table, bucket = sign bits of the dot
+    * products with `planes` deterministic pseudo-random planes; candidates
+    * are the UNION over `tables` independent bucketings (multi-table LSH —
+    * the OR construction), then exact cosine top-k over the candidate set.
+    * Approximate by construction → driver does the rows-only check (no SQL
+    * oracle); recall vs s01 is asserted in tests.
+    *
+    * Scale shape: the bucket id is the shuffle key (2^planes buckets per
+    * table — parameterized precisely because a fixed 256 buckets is a
+    * fan-in ceiling at 100 TB); candidate dedup and the final top-k are
+    * partial aggregations on well-distributed keys. */
+  def lshTopKParam(spark: SparkSession, dir: String,
+      planes: Int, tables: Int): DataFrame = {
     import spark.implicits._
-    val e = vecs(spark, dir)
-    // plane p component c in {-1, +1}: deterministic from (p, c)
-    def planeComponent(p: Int) =
+    val e = graft.GraftSession.maybeCache(vecs(spark, dir))
+    // plane g (global index t*planes + p) component c in {-1, +1}:
+    // deterministic from (g, c) so every engine/run buckets identically.
+    // The mix must give DISTINCT patterns per plane — a small-modulus
+    // pattern like (g*131 + c*31) % 7 has only 7 distinct planes, so extra
+    // planes/tables silently duplicate and recall stops improving.
+    def planeComponent(g: Int) =
       transform(sequence(lit(0), size($"v") - 1), c =>
-        when((lit(p) * 131 + c * 31) % 7 < 3, lit(-1.0)).otherwise(lit(1.0)))
-    val withBucket = (0 until NumPlanes).foldLeft(e) { (df, p) =>
-      df.withColumn(s"b$p",
-        when(F.foldSum(zip_with($"v", planeComponent(p), (x, y) => x * y)) >= 0, 1).otherwise(0))
-    }.withColumn("bucket",
-      (0 until NumPlanes).map(p => col(s"b$p") * (1 << p)).reduce(_ + _))
-      .select($"vec_id", $"v", $"norm", $"bucket")
-    val q = withBucket.filter($"vec_id" % QueryStride === 0)
-      .select($"vec_id".as("query_id"), $"v".as("vq"), $"norm".as("nq"), $"bucket")
-    val c = withBucket.select($"vec_id".as("neighbor_id"), $"v".as("vn"), $"norm".as("nn"), $"bucket")
-    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
-    q.join(c, Seq("bucket"))
+        when(((lit(g * 73856093L) + c * 19349663L) % 1000003L) % 2 === 1,
+          lit(-1.0)).otherwise(lit(1.0)))
+    val tableBuckets = (0 until tables).map { t =>
+      val bucket = (0 until planes).map { p =>
+        when(F.foldSum(zip_with($"v", planeComponent(t * planes + p), (x, y) => x * y)) >= 0,
+          1 << p).otherwise(0)
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }
+    val bucketed = e
+      .select($"vec_id", explode(array(tableBuckets: _*)).as("tb"))
+      .select($"vec_id", $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
+    val cand = bucketed.filter($"vec_id" % QueryStride === 0)
+      .toDF("query_id", "tbl", "bucket")
+      .join(bucketed.toDF("neighbor_id", "tbl", "bucket"), Seq("tbl", "bucket"))
       .filter($"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id").distinct()
+    val q = e.select($"vec_id".as("query_id"), $"v".as("vq"), $"norm".as("nq"))
+    val c = e.select($"vec_id".as("neighbor_id"), $"v".as("vn"), $"norm".as("nn"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    cand
+      .join(q, Seq("query_id"))
+      .join(c, Seq("neighbor_id"))
       .withColumn("cosine", F.fr(cosine($"vq", $"vn", $"nq", $"nn"), 6))
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= TopK)
-      .select($"query_id", $"bucket", $"rnk", $"neighbor_id", $"cosine")
+      .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
       .orderBy($"query_id", $"rnk")
   }
+
+  def lshTopK(spark: SparkSession, dir: String): DataFrame =
+    lshTopKParam(spark, dir, NumPlanes, LshTables)
 }

@@ -37,8 +37,11 @@ object EventStream {
       .withColumn("session_id", sum($"new_sess").over(cum))
       .groupBy($"user_id", $"session_id")
       .agg(
-        min($"ts").as("session_start"),
-        max($"ts").as("session_end"),
+        // Epoch-micros bigints, not timestamps: integer session bounds hash
+        // identically regardless of how the compare layer stringifies
+        // timestamps (VERDICT.md round-1 item 1).
+        unix_micros(min($"ts")).as("session_start_us"),
+        unix_micros(max($"ts")).as("session_end_us"),
         count(lit(1)).as("n_events"),
         sum(floor($"value" * 100.0 + 0.5).cast("long")).as("value_cents"))
       .withColumn("total_value", $"value_cents".cast("double") / 100.0)
@@ -58,7 +61,8 @@ object EventStream {
          |      OVER (PARTITION BY user_id ORDER BY ts, event_id
          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
          |  FROM g)
-         |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+         |SELECT user_id, session_id,
+         |  epoch_us(min(ts)) AS session_start_us, epoch_us(max(ts)) AS session_end_us,
          |  count(*) AS n_events,
          |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
          |FROM s

@@ -50,4 +50,43 @@ class CciPipelineSpec extends AnyFunSuite {
     val dup = u.groupBy("user_id", "d", "event_type").count().filter(col("count") > 1)
     assert(dup.count() == 0)
   }
+
+  test("r18: reconciliation is keyed uniquely by order_no with consistent status transitions") {
+    val r = CciPipeline.orderReconcile(spark, sf).cache()
+    assert(r.count() > 0)
+    assert(r.groupBy("order_no").count().filter(col("count") > 1).count() == 0)
+    // buy leg always filled; pending sells carry no result/revenue
+    assert(r.filter(col("real_buy_qty") <= 0 || col("real_buy_price").isNull).count() == 0)
+    val pending = r.filter(col("real_sell_date").isNull)
+    assert(pending.filter(col("trade_result").isNotNull || col("real_revenue").isNotNull).count() == 0)
+    // status transition matches the reference rules
+    val badMaturity = r.filter(col("real_sell_date") >= col("maturity_date") &&
+      col("trade_result") =!= "maturity")
+    val badTarget = r.filter(col("real_sell_date") < col("maturity_date") &&
+      col("real_sell_price") > col("real_buy_price") && col("trade_result") =!= "reach_target")
+    assert(badMaturity.count() == 0 && badTarget.count() == 0)
+    r.unpersist()
+  }
+
+  test("r20: the all-history window reproduces r06 exactly") {
+    val all = CciPipeline.tradesHistoryGrid(spark, sf)
+      .filter(col("search_history_days") === CciPipeline.HistoryGridDays.max)
+      .drop("search_history_days")
+    val r06 = CciPipeline.tradesQuery(spark, sf).select(all.columns.map(col): _*)
+    assert(all.count() > 0)
+    assert(all.exceptAll(r06).count() == 0 && r06.exceptAll(all).count() == 0)
+  }
+
+  test("r20: shorter windows only keep trades bought inside the window") {
+    val g = CciPipeline.tradesHistoryGrid(spark, sf).cache()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    // every short-window trade must exist in the all-history slice too
+    val short = g.filter(col("search_history_days") === CciPipeline.HistoryGridDays.min)
+      .drop("search_history_days")
+    val allW = g.filter(col("search_history_days") === CciPipeline.HistoryGridDays.max)
+      .drop("search_history_days")
+    assert(short.exceptAll(allW).count() == 0)
+    assert(short.count() < allW.count())
+    g.unpersist()
+  }
 }

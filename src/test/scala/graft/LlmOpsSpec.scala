@@ -52,6 +52,42 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(hit.toDouble / total >= 0.3, s"recall ${hit.toDouble / total}")
   }
 
+  test("d02: stop-shingle cap prunes hot-shingle fan-out but keeps genuine near-dups") {
+    import TestSpark.spark.implicits._
+    // 20 docs whose ONLY shared shingle is corpus-hot, plus one genuine
+    // near-dup pair on rare shingles.
+    val hot = (1 to 20).map(i => (i.toLong, s"hot hot hot u${i}a u${i}b u${i}c"))
+    val dup = Seq((100L, "rare alpha beta gamma delta"), (101L, "rare alpha beta gamma delta"))
+    val docs = (hot ++ dup).toDF("doc_id", "text")
+    val capped = dedup.Dedup.jaccardPairsFrom(docs, 5)
+    val uncapped = dedup.Dedup.jaccardPairsFrom(docs, 1000000)
+    // uncapped: C(20,2) hot pairs + the dup pair; capped: the dup pair only
+    assert(uncapped.count() == 190 + 1)
+    assert(capped.count() == 1)
+    assert(capped.filter(col("doc_a") === 100 && col("doc_b") === 101 &&
+      col("jaccard") === 1.0).count() == 1)
+    // the shipped cap is far above the real corpus's max shingle df, so the
+    // sf output is the exact all-pairs answer
+    val real = sources.Tables.documents(spark, sf)
+    val a = dedup.Dedup.jaccardPairsFrom(real, dedup.Dedup.MaxShingleDf)
+    val b = dedup.Dedup.jaccardPairsFrom(real, Int.MaxValue)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("s02: multi-table LSH reaches recall >= 0.8 vs brute force") {
+    val brute = similarity.Similarity.bruteForceTopK(spark, sf)
+      .select("query_id", "neighbor_id")
+    // low selectivity per table (2 planes), 6 OR'd tables: the recall knob
+    // the 100 TB deployment turns (more planes -> smaller buckets, more
+    // tables -> recall back)
+    val lsh = similarity.Similarity.lshTopKParam(spark, sf, 2, 6)
+      .select("query_id", "neighbor_id")
+    val total = brute.count()
+    val hit = brute.intersect(lsh).count()
+    assert(total > 0)
+    assert(hit.toDouble / total >= 0.8, s"recall ${hit.toDouble / total}")
+  }
+
   test("t03: language id predicts the majority language on an English-ish corpus") {
     val pred = operators.TextAnalysis.langId(spark, sf)
     val top = pred.groupBy("predicted_lang").count().orderBy(col("count").desc).head.getString(0)

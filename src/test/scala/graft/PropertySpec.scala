@@ -25,6 +25,14 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("PolyHash: newline-bearing text matches the DuckDB oracle fold") {
+    // DuckDB value for the TextSql.polyHash oracle ('[\s\S]' char split) on
+    // "a\nb" — RE2 '.' would skip the \n and give 3105 instead.
+    assert(PolyHashExpr.hash(UTF8String.fromString("a\nb")) == 93625L)
+    assert(PolyHashExpr.hash(UTF8String.fromString("x\r\ny\tz")) ==
+      ("x\r\ny\tz".foldLeft(0L)((a, c) => (a * 31 + c.toLong) % PolyHashExpr.P)))
+  }
+
   test("MinHashSigs: each signature is the min over the affine-hashed set") {
     val gen = Gen.nonEmptyListOf(Gen.chooseNum(0L, PolyHashExpr.P - 1))
     samples(gen).foreach { xs =>

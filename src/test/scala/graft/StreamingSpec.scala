@@ -68,9 +68,9 @@ class StreamingSpec extends AnyFunSuite {
     val s = streaming.EventStream.sessionize(spark, sf)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("session_id")
-    val bad = s.withColumn("prev_end", lag(col("session_end"), 1).over(w))
-      .filter(col("prev_end").isNotNull &&
-        unix_micros(col("session_start")) - unix_micros(col("prev_end")) <= streaming.EventStream.SessionGapUs)
+    val bad = s.withColumn("prev_end_us", lag(col("session_end_us"), 1).over(w))
+      .filter(col("prev_end_us").isNotNull &&
+        col("session_start_us") - col("prev_end_us") <= streaming.EventStream.SessionGapUs)
     assert(bad.count() == 0)
   }
 }
