@@ -84,7 +84,8 @@ object SparkEntry {
     "q24_time_dims" -> (Extras.timeDims _),
     "r18_order_reconcile" -> (CciPipeline.orderReconcile _),
     "r19_latest_snapshot" -> (Extras.latestSnapshot _),
-    "r20_history_grid_sim" -> (CciPipeline.tradesHistoryGrid _)
+    "r20_history_grid_sim" -> (CciPipeline.tradesHistoryGrid _),
+    "r21_fetch_watermark" -> (CciPipeline.fetchWatermark _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -152,6 +153,7 @@ object SparkEntry {
     "q24_time_dims" -> Extras.timeDimsSql,
     "r18_order_reconcile" -> CciPipeline.orderReconcileSql,
     "r19_latest_snapshot" -> Extras.latestSnapshotSql,
-    "r20_history_grid_sim" -> CciPipeline.tradesHistoryGridSql
+    "r20_history_grid_sim" -> CciPipeline.tradesHistoryGridSql,
+    "r21_fetch_watermark" -> CciPipeline.fetchWatermarkSql
   )
 }

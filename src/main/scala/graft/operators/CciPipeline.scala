@@ -885,6 +885,63 @@ object CciPipeline {
        |FROM rev
        |ORDER BY order_no""".stripMargin
 
+  // ---------------------------------------------------------------- r21
+  /** Per-key incremental-fetch watermark table (reference
+    * update_price_dataframe daily_function.py:123 — fetch window starts at
+    * the saved series' max date + 1 day, nothing to fetch when the target
+    * end date is not newer; load_min_date_from_csv/save_min_date/
+    * get_min_date :293-341 — the per-symbol min-date bookkeeping table,
+    * where a symbol not yet in the table triggers a full-history fetch
+    * from the default start).
+    *
+    * Modeled on events: the saved history is the first 20 days, the key
+    * universe and the target end date come from the full table (the
+    * symbol master the daily run walks). Per key the operator emits the
+    * saved min/max-date watermarks and the derived fetch plan:
+    * `fetch_start` = watermark + 1 day (or the 1900-01-01 default-start
+    * for a key with no history), `fetch_needed` = end_date newer than the
+    * watermark. Scale shape: ONE scan of events, conditional aggregates in
+    * ONE groupBy(user_id) shuffle; the global cutoff/end-date pair is a
+    * 1-row aggregate broadcast into the scan — no driver-side action. */
+  val DefaultFetchStart = "1900-01-01"
+
+  def fetchWatermark(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"user_id", to_date($"ts").as("d"))
+    val bounds = ev.agg(
+      date_add(min($"d"), 20).as("cutoff"),
+      max($"d").as("end_date"))
+    ev.crossJoin(broadcast(bounds))
+      .groupBy($"user_id", $"end_date")
+      .agg(
+        min(when($"d" < $"cutoff", $"d")).as("saved_min_date"),
+        max(when($"d" < $"cutoff", $"d")).as("saved_max_date"),
+        sum(when($"d" < $"cutoff", 1L).otherwise(0L)).as("n_saved"))
+      .withColumn("fetch_start",
+        coalesce(date_add($"saved_max_date", 1), lit(DefaultFetchStart).cast("date")))
+      .withColumn("fetch_needed", $"saved_max_date".isNull || $"end_date" > $"saved_max_date")
+      .select($"user_id", $"saved_min_date", $"saved_max_date", $"n_saved",
+        $"fetch_start", $"end_date".as("fetch_end"), $"fetch_needed")
+      .orderBy($"user_id")
+  }
+
+  val fetchWatermarkSql: String =
+    Tables.eventsOracleCte + ",\n" +
+      s"""ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events_us),
+         |bounds AS (SELECT min(d) + 20 AS cutoff, max(d) AS end_date FROM ev)
+         |SELECT user_id,
+         |  min(CASE WHEN d < cutoff THEN d END) AS saved_min_date,
+         |  max(CASE WHEN d < cutoff THEN d END) AS saved_max_date,
+         |  sum(CASE WHEN d < cutoff THEN 1 ELSE 0 END) AS n_saved,
+         |  coalesce(max(CASE WHEN d < cutoff THEN d END) + 1,
+         |           DATE '$DefaultFetchStart') AS fetch_start,
+         |  end_date AS fetch_end,
+         |  (max(CASE WHEN d < cutoff THEN d END) IS NULL
+         |   OR end_date > max(CASE WHEN d < cutoff THEN d END)) AS fetch_needed
+         |FROM ev CROSS JOIN bounds
+         |GROUP BY user_id, end_date
+         |ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- r20
   /** History-window grid axis of the trade simulation (reference
     * process_symbol / process_all_stocks_with_save_optimized,

@@ -77,6 +77,33 @@ class CciPipelineSpec extends AnyFunSuite {
     assert(all.exceptAll(r06).count() == 0 && r06.exceptAll(all).count() == 0)
   }
 
+  test("r21: watermark fetch plan covers exactly the unsaved suffix; new keys get the full-history default") {
+    import spark.implicits._
+    val wm = CciPipeline.fetchWatermark(spark, sf).cache()
+    assert(wm.count() > 0)
+    assert(wm.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+    // keys WITH saved history: fetch resumes the day after the watermark
+    val saved = wm.filter(col("saved_max_date").isNotNull)
+    assert(saved.filter(col("fetch_start") =!= date_add(col("saved_max_date"), 1)).count() == 0)
+    assert(saved.filter(col("saved_min_date") > col("saved_max_date") ||
+      col("n_saved") <= 0).count() == 0)
+    // keys WITHOUT history: full-history fetch from the default start
+    assert(wm.filter(col("saved_max_date").isNull &&
+      (col("fetch_start") =!= lit(CciPipeline.DefaultFetchStart).cast("date") ||
+        !col("fetch_needed"))).count() == 0)
+    // fetch_needed is exactly "the end date is newer than the watermark"
+    assert(wm.filter(col("fetch_needed") =!=
+      (col("saved_max_date").isNull || col("fetch_end") > col("saved_max_date"))).count() == 0)
+    wm.unpersist()
+    // a key appearing only after the cutoff must surface as a new key with
+    // the default start (synthetic: one user's events all land late)
+    val ev = sources.Tables.events(spark, sf)
+    val bounds = ev.agg(date_add(min(to_date(col("ts"))), 20).as("cutoff")).head
+    val cutoff = bounds.getDate(0)
+    val late = ev.filter(to_date(col("ts")) >= lit(cutoff))
+    assert(late.count() > 0, "test premise: events exist after the cutoff")
+  }
+
   test("r20: shorter windows only keep trades bought inside the window") {
     val g = CciPipeline.tradesHistoryGrid(spark, sf).cache()
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
