@@ -83,26 +83,38 @@ object Dedup {
     * Candidate generation goes through the inverted shingle index with the
     * [[MaxShingleDf]] stop-shingle cap (hot shingles never meet in the
     * self-join — the cap is what keeps the pair space linear-ish at
-    * 100 TB); verification then intersects the FULL per-doc shingle
-    * arrays, so common/na/nb/jaccard are exact regardless of the cap. The
-    * df window and the candidate self-join share one shuffle on `sh`. */
+    * 100 TB); the df window and the candidate self-join share one shuffle
+    * on `sh`.
+    *
+    * `common` is exact regardless of the cap, WITHOUT a per-pair
+    * full-array intersect (1M+ candidate pairs × intersect dominated the
+    * sf0.1 profile): the sub-cap part falls out of the candidate join as
+    * a groupBy count, and the hot part is recovered by intersecting the
+    * per-doc HOT-shingle arrays — bounded small (only df>cap shingles; on
+    * corpora where the cap never engages they are empty and the
+    * correction is free). */
   private[graft] def jaccardPairsFrom(docs: DataFrame, maxDf: Int): DataFrame = {
     val ds = graft.GraftSession.maybeCache(docShinglesFrom(docs))
     val wsh = Window.partitionBy(col("sh"))
-    val capped = ds.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val flagged = ds.select(col("doc_id"), explode(col("shs")).as("sh"))
       .withColumn("df", count(lit(1)).over(wsh))
-      .filter(col("df") <= maxDf)
-      .select(col("doc_id"), col("sh"))
-    val cand = capped.toDF("doc_a", "sh")
+    val capped = flagged.filter(col("df") <= maxDf).select(col("doc_id"), col("sh"))
+    val hot = flagged.filter(col("df") > maxDf)
+      .groupBy(col("doc_id")).agg(collect_list(col("sh")).as("hot_shs"))
+    val commonCold = capped.toDF("doc_a", "sh")
       .join(capped.toDF("doc_b", "sh"), Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-    cand
-      .join(ds.toDF("doc_a", "sha"), Seq("doc_a"))
-      .join(ds.toDF("doc_b", "shb"), Seq("doc_b"))
-      .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
-      .withColumn("na", size(col("sha")).cast("long"))
-      .withColumn("nb", size(col("shb")).cast("long"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common_cold"))
+    val sizes = ds.select(col("doc_id"), size(col("shs")).cast("long").as("nsh"))
+    commonCold
+      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+      .join(hot.toDF("doc_a", "hot_a"), Seq("doc_a"), "left")
+      .join(hot.toDF("doc_b", "hot_b"), Seq("doc_b"), "left")
+      .withColumn("common", col("common_cold") +
+        when(col("hot_a").isNull || col("hot_b").isNull, lit(0L))
+          .otherwise(size(array_intersect(col("hot_a"), col("hot_b"))).cast("long")))
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .select(col("doc_a"), col("doc_b"), col("common"), col("na"), col("nb"), col("jaccard"))

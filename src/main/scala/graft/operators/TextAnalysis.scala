@@ -144,17 +144,21 @@ object TextAnalysis {
     * minimum shingle hash (a 1-wide MinHash), both engine-deterministic. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
+      // sub-3-token docs have no shingles; the oracle's inner join drops
+      // them, so drop them here too. Filter on the TOKEN count, not
+      // size(shingles): a shingle-count predicate would be pushed below
+      // the projection and re-derive the whole shingle chain per row
+      // (HOFs get no common-subexpression elimination).
+      .filter(size(F.tokens($"text")) >= 3)
+      // Sort BEFORE the heavy hashing: orderBy samples its child to build
+      // range partitions, so hashing above the sort runs once instead of
+      // twice (and the sampler only re-reads the cheap filtered scan).
+      .orderBy($"doc_id")
       .select($"doc_id", $"text", F.tokens($"text").as("tk"))
       .select($"doc_id", F.polyHash($"text").as("fingerprint"), F.shingles3($"tk").as("shs"))
-    docs
-      // sub-3-token docs have no shingles; the oracle's inner join drops
-      // them, so drop them here too instead of emitting NULL
-      .filter(size($"shs") > 0)
-      .withColumn("min_shingle_hash",
-        array_min(transform($"shs", sh => F.polyHash(sh))))
-      .select($"doc_id", $"fingerprint", $"min_shingle_hash")
-      .orderBy($"doc_id")
+      .select($"doc_id", $"fingerprint",
+        array_min(transform($"shs", sh => F.polyHash(sh))).as("min_shingle_hash"))
   }
 
   val fingerprintSql: String =
