@@ -85,7 +85,8 @@ object SparkEntry {
     "r18_order_reconcile" -> (CciPipeline.orderReconcile _),
     "r19_latest_snapshot" -> (Extras.latestSnapshot _),
     "r20_history_grid_sim" -> (CciPipeline.tradesHistoryGrid _),
-    "r21_fetch_watermark" -> (CciPipeline.fetchWatermark _)
+    "r21_fetch_watermark" -> (CciPipeline.fetchWatermark _),
+    "d07_dedup_clusters" -> (graft.dedup.Dedup.dedupClusters _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -154,6 +155,7 @@ object SparkEntry {
     "r18_order_reconcile" -> CciPipeline.orderReconcileSql,
     "r19_latest_snapshot" -> Extras.latestSnapshotSql,
     "r20_history_grid_sim" -> CciPipeline.tradesHistoryGridSql,
-    "r21_fetch_watermark" -> CciPipeline.fetchWatermarkSql
+    "r21_fetch_watermark" -> CciPipeline.fetchWatermarkSql,
+    "d07_dedup_clusters" -> graft.dedup.Dedup.dedupClustersSql
   )
 }

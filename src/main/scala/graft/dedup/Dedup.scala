@@ -369,4 +369,80 @@ object Dedup {
        |FROM c WHERE cosine_raw >= $CosineThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
   }
+
+  // ---------------------------------------------------------------- d07
+  /** Near-dup CLUSTER formation: connected components over the d02
+    * near-dup pair graph, then keep-one-per-cluster — the step that turns
+    * pairwise dedup evidence into actual training-set decisions.
+    *
+    * Distributed min-label propagation to fixpoint: every doc starts
+    * labeled with its own id; each round every doc takes the min of its
+    * own label and its neighbors' labels. Each round is one join + one
+    * aggregation, both shuffling on doc_id; the label table is
+    * eager-checkpointed per round so lineage stays flat. Rounds needed =
+    * component diameter — near-dup clusters are shallow (a handful of
+    * rounds); a 100 TB deployment with adversarially long chains would
+    * swap the body for the large-star/small-star rule (Kiveris et al.,
+    * "Connected Components in MapReduce"), which converges in O(log²)
+    * rounds with the same per-round join shape. `MaxCcRounds` bounds the
+    * loop either way.
+    *
+    * Output: every document with its cluster id (= min doc_id reachable),
+    * the cluster size, and whether it is the kept canonical doc. */
+  val MaxCcRounds = 20
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id")
+    val pairs = ngramJaccard(spark, dir).select($"doc_a", $"doc_b")
+    // symmetric edge list, materialized once (read every round)
+    val edges = graft.GraftSession.maybeCache(
+      pairs.unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+        .toDF("src", "dst"))
+    var labels = graft.GraftSession.maybeEagerCheckpoint(
+      docs.select($"doc_id", $"doc_id".as("lbl")))
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < MaxCcRounds) {
+      val nbrMin = edges.join(labels, $"src" === $"doc_id")
+        .groupBy($"dst").agg(min($"lbl").as("nbr_lbl"))
+      val next = graft.GraftSession.maybeEagerCheckpoint(
+        labels.join(nbrMin, $"doc_id" === $"dst", "left")
+          .select($"doc_id", least($"lbl", coalesce($"nbr_lbl", $"lbl")).as("lbl")))
+      changed = next.toDF("doc_id", "new_lbl")
+        .join(labels, Seq("doc_id"))
+        .filter($"new_lbl" =!= $"lbl").count()
+      labels = next
+      round += 1
+    }
+    require(changed == 0, s"component labels did not converge in $MaxCcRounds rounds")
+    val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
+    labels
+      .join(sizes, Seq("lbl"))
+      .select($"doc_id", $"lbl".as("cluster_id"), $"cluster_size",
+        ($"doc_id" === $"lbl").as("is_canonical"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: transitive reachability via a recursive CTE, cluster id =
+    * min reachable doc (identical fixpoint, engine-independent). */
+  val dedupClustersSql: String =
+    jaccardCtes + ",\n" +
+      s"""pairs AS (
+         |  SELECT doc_a, doc_b FROM jac WHERE jaccard >= $JaccardThreshold),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  WITH RECURSIVE r(a, b) AS (
+         |    SELECT doc_id, doc_id FROM documents
+         |    UNION
+         |    SELECT r.a, e.dst FROM r JOIN edges e ON e.src = r.b)
+         |  SELECT * FROM r),
+         |comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |csz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+         |SELECT c.doc_id, c.cluster_id, s.cluster_size,
+         |  c.doc_id = c.cluster_id AS is_canonical
+         |FROM comp c JOIN csz s USING (cluster_id)
+         |ORDER BY c.doc_id""".stripMargin
 }

@@ -88,6 +88,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(hit.toDouble / total >= 0.8, s"recall ${hit.toDouble / total}")
   }
 
+  test("d07: clusters are consistent with the pair graph and keep exactly one canonical per cluster") {
+    import TestSpark.spark.implicits._
+    val cl = dedup.Dedup.dedupClusters(spark, sf).cache()
+    val pairs = dedup.Dedup.ngramJaccard(spark, sf).select("doc_a", "doc_b")
+    // every edge's endpoints landed in the same cluster
+    val lab = cl.select($"doc_id", $"cluster_id")
+    val split = pairs
+      .join(lab.toDF("doc_a", "ca"), Seq("doc_a"))
+      .join(lab.toDF("doc_b", "cb"), Seq("doc_b"))
+      .filter($"ca" =!= $"cb")
+    assert(split.count() == 0)
+    // cluster id is the min member; exactly one canonical per cluster
+    val agg = cl.groupBy($"cluster_id")
+      .agg(min($"doc_id").as("mn"), count(lit(1)).as("n"),
+        sum(when($"is_canonical", 1).otherwise(0)).as("n_canon"))
+    assert(agg.filter($"mn" =!= $"cluster_id" || $"n_canon" =!= 1).count() == 0)
+    // sizes agree with membership
+    assert(cl.join(agg, Seq("cluster_id")).filter($"cluster_size" =!= $"n").count() == 0)
+    // docs with no near-dup edge are singleton canonicals
+    val inPairs = pairs.select($"doc_a".as("doc_id"))
+      .unionByName(pairs.select($"doc_b".as("doc_id"))).distinct()
+    assert(cl.join(inPairs, Seq("doc_id"), "left_anti")
+      .filter($"cluster_size" =!= 1 || !$"is_canonical").count() == 0)
+    cl.unpersist()
+  }
+
   test("t03: language id predicts the majority language on an English-ish corpus") {
     val pred = operators.TextAnalysis.langId(spark, sf)
     val top = pred.groupBy("predicted_lang").count().orderBy(col("count").desc).head.getString(0)
