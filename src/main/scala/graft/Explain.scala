@@ -4,7 +4,7 @@ object Explain {
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q02_filter_project", "q03_shipping_priority", "q05_local_supplier")) {
+    for (q <- sys.env.get("GRAFT_EXPLAIN").map(_.split(",").toSeq).getOrElse(Seq("q02_filter_project"))) {
       println(s"===== $q")
       println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

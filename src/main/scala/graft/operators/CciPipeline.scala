@@ -776,33 +776,39 @@ object CciPipeline {
       .select($"o_orderkey".as("order_no"),
         to_date($"o_orderdate").as("buy_order_date"),
         (pmod($"o_orderkey", lit(10L)) + 1).cast("int").as("holding_days"))
-    // The ordering must be TOTAL: the feed can repeat a (order, line)
-    // report key, so qty/price break the tie — otherwise keep-last is
+    // Keep-last per leg as ONE aggregation on the order number: max_by
+    // over the report-recency struct picks the newest report per leg
+    // (rows of the other leg contribute a null ordering key and are
+    // skipped), so the feed side shuffles ONCE on odno and arrives
+    // co-partitioned for the orders join — a window partitioned on
+    // (odno, leg) would force a second shuffle. The ordering struct must
+    // be TOTAL: the feed can repeat a (order, line) report key, so
+    // qty/price break the tie — otherwise keep-last is
     // engine-nondeterministic under ties.
-    val w = Window.partitionBy($"odno", $"leg")
-      .orderBy($"exec_date".desc, $"l_linenumber".desc,
-        $"l_quantity".desc, $"l_extendedprice".desc)
+    def legLast(legMod: Int) = {
+      val isLeg = $"l_linenumber" % 2 === legMod
+      max_by(
+        when(isLeg, struct(to_date($"l_shipdate").as("exec_date"),
+          $"l_quantity", $"l_extendedprice")),
+        when(isLeg, struct(to_date($"l_shipdate"), $"l_linenumber",
+          $"l_quantity", $"l_extendedprice")))
+    }
+    def fills(s: org.apache.spark.sql.Column) = Seq(
+      s.getField("exec_date"),
+      floor(s.getField("l_quantity")), // integral qty in the feed
+      when(s.getField("l_quantity") =!= 0.0, // avg fill price, whole units
+        floor(s.getField("l_extendedprice") / s.getField("l_quantity") + 0.5)))
     val lastExec = Tables.lineitem(spark, dir)
-      .select($"l_orderkey".as("odno"),
-        when($"l_linenumber" % 2 === 1, "buy").otherwise("sell").as("leg"),
-        to_date($"l_shipdate").as("exec_date"),
-        $"l_linenumber", $"l_quantity", $"l_extendedprice")
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .withColumn("fill_qty", floor($"l_quantity")) // integral in the feed
-      .withColumn("fill_price", // avg fill price, whole currency units
-        when($"l_quantity" =!= 0.0, floor($"l_extendedprice" / $"l_quantity" + 0.5)))
-      .select($"odno", $"leg", $"exec_date", $"fill_qty", $"fill_price")
-    val buys = lastExec.filter($"leg" === "buy").select($"odno",
-      $"exec_date".as("real_buy_date"), $"fill_qty".as("real_buy_qty"),
-      $"fill_price".as("real_buy_price"))
-    val sells = lastExec.filter($"leg" === "sell").select($"odno".as("s_odno"),
-      $"exec_date".as("real_sell_date"), $"fill_qty".as("real_sell_qty"),
-      $"fill_price".as("real_sell_price"))
+      .groupBy($"l_orderkey".as("odno"))
+      .agg(legLast(1).as("b"), legLast(0).as("s"))
+    val legs = lastExec.select(
+      $"odno" +:
+        (fills($"b").zip(Seq("real_buy_date", "real_buy_qty", "real_buy_price")) ++
+          fills($"s").zip(Seq("real_sell_date", "real_sell_qty", "real_sell_price")))
+          .map { case (c, n) => c.as(n) }: _*)
     ords
-      .join(buys, $"order_no" === $"odno")            // unfilled buys drop
-      .join(sells, $"order_no" === $"s_odno", "left") // sell may be pending
-      .filter($"real_buy_qty" > 0)
+      .join(legs, $"order_no" === $"odno")
+      .filter($"real_buy_qty" > 0) // unfilled buys drop
       .withColumn("maturity_date", date_add($"real_buy_date", $"holding_days"))
       .withColumn("trade_result",
         when($"real_sell_date" >= $"maturity_date", lit("maturity"))
