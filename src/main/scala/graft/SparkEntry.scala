@@ -86,7 +86,8 @@ object SparkEntry {
     "r19_latest_snapshot" -> (Extras.latestSnapshot _),
     "r20_history_grid_sim" -> (CciPipeline.tradesHistoryGrid _),
     "r21_fetch_watermark" -> (CciPipeline.fetchWatermark _),
-    "d07_dedup_clusters" -> (graft.dedup.Dedup.dedupClusters _)
+    "d07_dedup_clusters" -> (graft.dedup.Dedup.dedupClusters _),
+    "t05_vocab" -> (TextAnalysis.vocab _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -156,6 +157,7 @@ object SparkEntry {
     "r19_latest_snapshot" -> Extras.latestSnapshotSql,
     "r20_history_grid_sim" -> CciPipeline.tradesHistoryGridSql,
     "r21_fetch_watermark" -> CciPipeline.fetchWatermarkSql,
-    "d07_dedup_clusters" -> graft.dedup.Dedup.dedupClustersSql
+    "d07_dedup_clusters" -> graft.dedup.Dedup.dedupClustersSql,
+    "t05_vocab" -> TextAnalysis.vocabSql
   )
 }

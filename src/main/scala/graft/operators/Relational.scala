@@ -266,11 +266,14 @@ object Relational {
     import spark.implicits._
     Tables.orders(spark, dir)
       .groupBy($"o_orderstatus")
-      .agg(
-        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
-        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"),
-        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"))
+      // one percentile buffer/sort per group, not four: the array form
+      // computes all quantiles from a single collected-values buffer
+      .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.95D))").as("ps"))
+      .select($"o_orderstatus",
+        round(element_at($"ps", 1), 2).as("p25"),
+        round(element_at($"ps", 2), 2).as("p50"),
+        round(element_at($"ps", 3), 2).as("p75"),
+        round(element_at($"ps", 4), 2).as("p95"))
       .orderBy($"o_orderstatus")
   }
 

@@ -139,6 +139,39 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t05
+  /** Corpus vocabulary statistics: top-K terms by total frequency with
+    * per-term document frequency — the global term-stats pass a tokenizer
+    * or stopword/quality heuristic is tuned from.
+    *
+    * Scale shape: explode is map-side; `tf`/`df` come from a two-level
+    * aggregation ((term, doc) partial counts, then term) — a direct
+    * `countDistinct(doc_id)` would Expand every token row before the
+    * shuffle. The top-K is a TakeOrderedAndProject (per-partition heaps +
+    * driver merge of K rows), never a global sort of the vocabulary; the
+    * (tf desc, term) ordering is total so the cut is deterministic. */
+  val VocabTopK = 100
+
+  def vocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(F.tokens($"text")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"term", $"doc_id").agg(count(lit(1)).as("n"))
+      .groupBy($"term").agg(sum($"n").as("tf"), count(lit(1)).as("df"))
+      .orderBy($"tf".desc, $"term")
+      .limit(VocabTopK)
+  }
+
+  val vocabSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |td AS (
+       |  SELECT term, doc_id, count(*) AS n FROM tok WHERE term <> '' GROUP BY 1, 2)
+       |SELECT term, CAST(sum(n) AS BIGINT) AS tf, count(*) AS df
+       |FROM td GROUP BY term
+       |ORDER BY tf DESC, term LIMIT $VocabTopK""".stripMargin
+
   // ---------------------------------------------------------------- t04
   /** Document fingerprinting: full-text polynomial rolling hash plus the
     * minimum shingle hash (a 1-wide MinHash), both engine-deterministic. */

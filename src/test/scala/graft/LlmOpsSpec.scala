@@ -114,6 +114,22 @@ class LlmOpsSpec extends AnyFunSuite {
     cl.unpersist()
   }
 
+  test("t05: vocab stats are internally consistent and capped at top-K") {
+    import TestSpark.spark.implicits._
+    val v = operators.TextAnalysis.vocab(spark, sf).cache()
+    val nDocs = sources.Tables.documents(spark, sf).count()
+    assert(v.count() <= operators.TextAnalysis.VocabTopK)
+    assert(v.filter($"df" > $"tf" || $"df" > nDocs || $"tf" <= 0).count() == 0)
+    // the cut keeps the GLOBAL top-K: every kept tf >= every dropped tf
+    val minKept = v.agg(min($"tf")).head.getLong(0)
+    val all = sources.Tables.documents(spark, sf)
+      .select(explode(functions.TextFunctions.tokens($"text")).as("term"))
+      .filter($"term" =!= "").groupBy($"term").count()
+    val better = all.filter($"count" > minKept).count()
+    assert(better <= operators.TextAnalysis.VocabTopK)
+    v.unpersist()
+  }
+
   test("t03: language id predicts the majority language on an English-ish corpus") {
     val pred = operators.TextAnalysis.langId(spark, sf)
     val top = pred.groupBy("predicted_lang").count().orderBy(col("count").desc).head.getString(0)
