@@ -37,7 +37,10 @@ object Bench {
 
     // SPARK_GRAFT_ONLY=q01,q03 limits the run (profiling); default = all.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // deterministic name order: numbers are comparable across runs (Map
+    // hash order made warm-cache attribution depend on the run)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val warm =
       if (only.isEmpty)
         Seq("cache_build" -> timed("cache_build")(

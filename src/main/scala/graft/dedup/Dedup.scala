@@ -394,21 +394,37 @@ object Dedup {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select($"doc_id")
-    val pairs = ngramJaccard(spark, dir).select($"doc_a", $"doc_b")
-    // symmetric edge list, materialized once (read every round)
-    val edges = graft.GraftSession.maybeCache(
-      pairs.unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-        .toDF("src", "dst"))
+    // The raw (unsorted, unrounded) pair set, materialized ONCE before the
+    // symmetric union: union branches get no cross-branch CSE, and
+    // ngramJaccard's final orderBy would add a range-sampling pass — both
+    // would re-execute the whole d02 chain per branch.
+    val pairs = graft.GraftSession.maybeEagerCheckpoint(
+      jaccardPairs(spark, dir)
+        .filter($"jaccard" >= JaccardThreshold)
+        .select($"doc_a", $"doc_b"))
+    // symmetric edge list over the materialized pairs (read every round)
+    val edges = pairs
+      .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .toDF("src", "dst")
+    // Only docs touching an edge can ever change label: iterate over THEM
+    // (O(near-dup docs), a sliver of the corpus at 100 TB) and union the
+    // untouched singletons back after convergence.
+    val nodes = edges.select($"src".as("doc_id")).distinct()
     var labels = graft.GraftSession.maybeEagerCheckpoint(
-      docs.select($"doc_id", $"doc_id".as("lbl")))
+      nodes.select($"doc_id", $"doc_id".as("lbl")))
     var changed = 1L
     var round = 0
     while (changed > 0 && round < MaxCcRounds) {
       val nbrMin = edges.join(labels, $"src" === $"doc_id")
         .groupBy($"dst").agg(min($"lbl").as("nbr_lbl"))
+      val stepped = labels.join(nbrMin, $"doc_id" === $"dst", "left")
+        .select($"doc_id", least($"lbl", coalesce($"nbr_lbl", $"lbl")).as("l1"))
+      // Pointer jumping (path halving): also adopt my label's own label,
+      // so chain-shaped components converge in O(log diameter) rounds
+      // instead of diameter rounds.
       val next = graft.GraftSession.maybeEagerCheckpoint(
-        labels.join(nbrMin, $"doc_id" === $"dst", "left")
-          .select($"doc_id", least($"lbl", coalesce($"nbr_lbl", $"lbl")).as("lbl")))
+        stepped.join(stepped.toDF("jd", "l2"), $"l1" === $"jd", "left")
+          .select($"doc_id", least($"l1", coalesce($"l2", $"l1")).as("lbl")))
       changed = next.toDF("doc_id", "new_lbl")
         .join(labels, Seq("doc_id"))
         .filter($"new_lbl" =!= $"lbl").count()
@@ -416,8 +432,10 @@ object Dedup {
       round += 1
     }
     require(changed == 0, s"component labels did not converge in $MaxCcRounds rounds")
-    val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
-    labels
+    val withSingletons = labels.unionByName(
+      docs.join(nodes, Seq("doc_id"), "left_anti").select($"doc_id", $"doc_id".as("lbl")))
+    val sizes = withSingletons.groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
+    withSingletons
       .join(sizes, Seq("lbl"))
       .select($"doc_id", $"lbl".as("cluster_id"), $"cluster_size",
         ($"doc_id" === $"lbl").as("is_canonical"))

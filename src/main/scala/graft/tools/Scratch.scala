@@ -30,11 +30,18 @@ object Scratch {
     t("min shingle hash")(noop(docs.select($"doc_id", F.tokens($"text").as("tk"))
       .select($"doc_id", F.shingles3($"tk").as("shs"))
       .select($"doc_id", array_min(transform($"shs", sh => F.polyHash(sh))).as("m"))))
-    import graft.operators.CciPipeline
-    t("cci build")(noop(CciPipeline.cci(spark, dir)))
-    t("trades build")(noop(CciPipeline.trades(spark, dir)))
-    t("strategyAgg build")(noop(CciPipeline.strategyAgg(spark, dir)))
-    t("strategyAgg warm")(noop(CciPipeline.strategyAgg(spark, dir)))
+    import graft.dedup.Dedup
+    t("d02 warm-up")(noop(Dedup.ngramJaccard(spark, dir)))
+    // phase-by-phase replica of dedupClusters
+    t("pairs checkpoint")({
+      val p = graft.GraftSession.maybeEagerCheckpoint(
+        Dedup.jaccardPairsFrom(docs, Dedup.MaxShingleDf)
+          .filter($"jaccard" >= Dedup.JaccardThreshold)
+          .select($"doc_a", $"doc_b"))
+      ()
+    })
+    t("d07 full")(noop(Dedup.dedupClusters(spark, dir)))
+    t("d07 again")(noop(Dedup.dedupClusters(spark, dir)))
     def base = docs
       .select($"doc_id", $"text", F.tokens($"text").as("tk"))
       .select($"doc_id", F.polyHash($"text").as("fingerprint"), F.shingles3($"tk").as("shs"))
