@@ -87,7 +87,8 @@ object SparkEntry {
     "r20_history_grid_sim" -> (CciPipeline.tradesHistoryGrid _),
     "r21_fetch_watermark" -> (CciPipeline.fetchWatermark _),
     "d07_dedup_clusters" -> (graft.dedup.Dedup.dedupClusters _),
-    "t05_vocab" -> (TextAnalysis.vocab _)
+    "t05_vocab" -> (TextAnalysis.vocab _),
+    "p03_curated_corpus" -> (Curation.curatedCorpus _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -158,6 +159,7 @@ object SparkEntry {
     "r20_history_grid_sim" -> CciPipeline.tradesHistoryGridSql,
     "r21_fetch_watermark" -> CciPipeline.fetchWatermarkSql,
     "d07_dedup_clusters" -> graft.dedup.Dedup.dedupClustersSql,
-    "t05_vocab" -> TextAnalysis.vocabSql
+    "t05_vocab" -> TextAnalysis.vocabSql,
+    "p03_curated_corpus" -> Curation.curatedCorpusSql
   )
 }

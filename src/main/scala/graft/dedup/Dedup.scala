@@ -442,9 +442,11 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  /** Oracle: transitive reachability via a recursive CTE, cluster id =
-    * min reachable doc (identical fixpoint, engine-independent). */
-  val dedupClustersSql: String =
+  /** Oracle CTE chain for the cluster fixpoint: transitive reachability
+    * via a recursive CTE, cluster id = min reachable doc (identical
+    * fixpoint, engine-independent). Exposes `clus(doc_id, cluster_id,
+    * cluster_size, is_canonical)` for composition (p03 reuses it). */
+  private[graft] val clusterCtes: String =
     jaccardCtes + ",\n" +
       s"""pairs AS (
          |  SELECT doc_a, doc_b FROM jac WHERE jaccard >= $JaccardThreshold),
@@ -458,9 +460,15 @@ object Dedup {
          |    SELECT r.a, e.dst FROM r JOIN edges e ON e.src = r.b)
          |  SELECT * FROM r),
          |comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
-         |csz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
-         |SELECT c.doc_id, c.cluster_id, s.cluster_size,
-         |  c.doc_id = c.cluster_id AS is_canonical
-         |FROM comp c JOIN csz s USING (cluster_id)
-         |ORDER BY c.doc_id""".stripMargin
+         |csz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1),
+         |clus AS (
+         |  SELECT c.doc_id, c.cluster_id, s.cluster_size,
+         |    c.doc_id = c.cluster_id AS is_canonical
+         |  FROM comp c JOIN csz s USING (cluster_id))""".stripMargin
+
+  val dedupClustersSql: String =
+    clusterCtes + "\n" +
+      """SELECT doc_id, cluster_id, cluster_size, is_canonical
+        |FROM clus
+        |ORDER BY doc_id""".stripMargin
 }

@@ -75,7 +75,9 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  val qualityScoreSql: String = {
+  /** Quality columns as a reusable SELECT body (no ORDER BY) — t02's
+    * oracle and p03's curation oracle share it verbatim. */
+  private[graft] val qualityCoreSql: String = {
     val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
     val nTok = "len(string_split(text, ' '))"
     val stopHits = s"len(list_filter(string_split(text, ' '), t -> t IN ($stopList)))"
@@ -87,9 +89,10 @@ object TextAnalysis {
        |  CASE WHEN length(text) > 0 THEN ${S.fr(s"CAST($punct AS DOUBLE) / length(text)", 4)} END AS punct_ratio,
        |  ${S.fr(avgTokLen, 4)} AS avg_token_len,
        |  CASE WHEN length(text) > 0 THEN ${S.fr(s"0.4 * (CAST($stopHits AS DOUBLE) / $nTok) + 0.4 * least(($avgTokLen) / 10.0, 1.0) + 0.2 * (1.0 - CAST($punct AS DOUBLE) / length(text))", 4)} END AS quality_score
-       |FROM documents
-       |ORDER BY doc_id""".stripMargin
+       |FROM documents""".stripMargin
   }
+
+  val qualityScoreSql: String = qualityCoreSql + "\nORDER BY doc_id"
 
   // ---------------------------------------------------------------- t03
   /** Stopword-profile language id: overlap score per profile, first

@@ -130,6 +130,24 @@ class LlmOpsSpec extends AnyFunSuite {
     v.unpersist()
   }
 
+  test("p03: curated corpus keeps only canonical docs above the quality and length gates") {
+    import TestSpark.spark.implicits._
+    val cur = operators.Curation.curatedCorpus(spark, sf).cache()
+    assert(cur.count() > 0)
+    assert(cur.filter($"quality_score" < operators.Curation.MinQuality ||
+      $"n_tokens" < operators.Curation.MinTokens).count() == 0)
+    // curated docs are exactly canonical in the cluster table
+    val canon = dedup.Dedup.dedupClusters(spark, sf)
+      .filter($"is_canonical").select("doc_id")
+    assert(cur.join(canon, Seq("doc_id"), "left_anti").count() == 0)
+    // no two curated docs share a near-dup cluster
+    val cl = dedup.Dedup.dedupClusters(spark, sf).select("doc_id", "cluster_id")
+    val perCluster = cur.join(cl, Seq("doc_id"))
+      .groupBy("cluster_id").count().filter($"count" > 1)
+    assert(perCluster.count() == 0)
+    cur.unpersist()
+  }
+
   test("t03: language id predicts the majority language on an English-ish corpus") {
     val pred = operators.TextAnalysis.langId(spark, sf)
     val top = pred.groupBy("predicted_lang").count().orderBy(col("count").desc).head.getString(0)
