@@ -88,7 +88,8 @@ object SparkEntry {
     "r21_fetch_watermark" -> (CciPipeline.fetchWatermark _),
     "d07_dedup_clusters" -> (graft.dedup.Dedup.dedupClusters _),
     "t05_vocab" -> (TextAnalysis.vocab _),
-    "p03_curated_corpus" -> (Curation.curatedCorpus _)
+    "p03_curated_corpus" -> (Curation.curatedCorpus _),
+    "r22_trading_calendar" -> (CciPipeline.tradingCalendar _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -160,6 +161,7 @@ object SparkEntry {
     "r21_fetch_watermark" -> CciPipeline.fetchWatermarkSql,
     "d07_dedup_clusters" -> graft.dedup.Dedup.dedupClustersSql,
     "t05_vocab" -> TextAnalysis.vocabSql,
-    "p03_curated_corpus" -> Curation.curatedCorpusSql
+    "p03_curated_corpus" -> Curation.curatedCorpusSql,
+    "r22_trading_calendar" -> CciPipeline.tradingCalendarSql
   )
 }

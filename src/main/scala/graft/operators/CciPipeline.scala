@@ -948,6 +948,60 @@ object CciPipeline {
          |GROUP BY user_id, end_date
          |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- r22
+  /** Trading-calendar gate (reference is_market_open /
+    * daily_function.py:110-120 and the `if not is_holiday(now)` gates at
+    * :1589,1937,1949 — every daily job runs only on a trading day, via the
+    * external KRX holiday calendar). Spark-native analogue: derive the
+    * calendar DIMENSION over the series' date span (no driver action — the
+    * 1-row min/max aggregate explodes into the day sequence), flag
+    * weekends via the engine-aligned epoch-day arithmetic (q24) and
+    * holidays via a deterministic rule standing in for the external
+    * calendar feed, then gate the per-day bar counts to trading days the
+    * way the reference gates its daily runs.
+    *
+    * Scale shape: the calendar is O(days) — trivially broadcastable; bars
+    * aggregate per day in one shuffle; the gate is a broadcast join. */
+  def tradingCalendar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bars = ohlcBars(spark, dir)
+    val cal = bars.agg(min($"d").as("mn"), max($"d").as("mx"))
+      .select(explode(sequence($"mn", $"mx")).as("d"))
+      // dow from epoch days, Monday = 0 (see timeDims): Sat = 5, Sun = 6
+      .withColumn("dow", (datediff($"d", lit("1970-01-01").cast("date")) + 3) % 7)
+      .withColumn("is_weekend", $"dow" >= 5)
+      // stand-in for the external holiday feed: deterministic on the date
+      .withColumn("is_holiday", dayofmonth($"d") % 7 === 3)
+      .withColumn("is_trading_day", !$"is_weekend" && !$"is_holiday")
+    val perDay = bars.groupBy($"d")
+      .agg(count(lit(1)).as("n_bars"), countDistinct($"user_id").as("n_series"))
+    cal.join(perDay, Seq("d"), "left")
+      .filter($"is_trading_day")
+      .select($"d", $"dow",
+        coalesce($"n_bars", lit(0L)).as("n_bars"),
+        coalesce($"n_series", lit(0L)).as("n_series"))
+      .orderBy($"d")
+  }
+
+  val tradingCalendarSql: String =
+    Tables.eventsOracleCte + ",\n" + barsCte + ",\n" +
+      """bounds AS (SELECT min(d) AS mn, max(d) AS mx FROM bars),
+        |cal AS (
+        |  SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS d FROM bounds),
+        |flags AS (
+        |  SELECT d,
+        |    (date_diff('day', DATE '1970-01-01', d) + 3) % 7 AS dow,
+        |    day(d) % 7 = 3 AS is_holiday
+        |  FROM cal),
+        |per_day AS (
+        |  SELECT d, count(*) AS n_bars, count(DISTINCT user_id) AS n_series
+        |  FROM bars GROUP BY d)
+        |SELECT f.d, f.dow,
+        |  coalesce(p.n_bars, 0) AS n_bars, coalesce(p.n_series, 0) AS n_series
+        |FROM flags f LEFT JOIN per_day p USING (d)
+        |WHERE NOT (f.dow >= 5) AND NOT f.is_holiday
+        |ORDER BY f.d""".stripMargin
+
   // ---------------------------------------------------------------- r20
   /** History-window grid axis of the trade simulation (reference
     * process_symbol / process_all_stocks_with_save_optimized,

@@ -104,6 +104,18 @@ class CciPipelineSpec extends AnyFunSuite {
     assert(late.count() > 0, "test premise: events exist after the cutoff")
   }
 
+  test("r22: the calendar gate admits no weekend or synthetic-holiday day") {
+    import spark.implicits._
+    val cal = CciPipeline.tradingCalendar(spark, sf).cache()
+    assert(cal.count() > 0)
+    assert(cal.filter($"dow" >= 5 || dayofmonth($"d") % 7 === 3).count() == 0)
+    // gated days form a subset of the series' span and counts are sane
+    val bounds = CciPipeline.ohlcBars(spark, sf).agg(min($"d"), max($"d")).head
+    assert(cal.filter($"d" < bounds.getDate(0) || $"d" > bounds.getDate(1)).count() == 0)
+    assert(cal.filter($"n_series" > $"n_bars" || $"n_bars" < 0).count() == 0)
+    cal.unpersist()
+  }
+
   test("r20: shorter windows only keep trades bought inside the window") {
     val g = CciPipeline.tradesHistoryGrid(spark, sf).cache()
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
