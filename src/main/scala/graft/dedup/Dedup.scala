@@ -391,7 +391,17 @@ object Dedup {
     * the cluster size, and whether it is the kept canonical doc. */
   val MaxCcRounds = 20
 
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  /** The converged fixpoint is deterministic, and the iterative loop's
+    * checkpoints cannot be shared via plan canonicalization the way lazy
+    * caches are — memoize the cluster table per (session, dir) so
+    * composing operators (p03) reuse one convergence run. */
+  private val clusterMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterMemo.computeIfAbsent((spark, dir), { case (s, d) => computeClusters(s, d) })
+
+  private def computeClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select($"doc_id")
     // The raw (unsorted, unrounded) pair set, materialized ONCE before the
