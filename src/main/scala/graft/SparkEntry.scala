@@ -89,7 +89,8 @@ object SparkEntry {
     "d07_dedup_clusters" -> (graft.dedup.Dedup.dedupClusters _),
     "t05_vocab" -> (TextAnalysis.vocab _),
     "p03_curated_corpus" -> (Curation.curatedCorpus _),
-    "r22_trading_calendar" -> (CciPipeline.tradingCalendar _)
+    "r22_trading_calendar" -> (CciPipeline.tradingCalendar _),
+    "p04_sequence_pack" -> (Curation.sequencePack _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -162,6 +163,7 @@ object SparkEntry {
     "d07_dedup_clusters" -> graft.dedup.Dedup.dedupClustersSql,
     "t05_vocab" -> TextAnalysis.vocabSql,
     "p03_curated_corpus" -> Curation.curatedCorpusSql,
-    "r22_trading_calendar" -> CciPipeline.tradingCalendarSql
+    "r22_trading_calendar" -> CciPipeline.tradingCalendarSql,
+    "p04_sequence_pack" -> Curation.sequencePackSql
   )
 }

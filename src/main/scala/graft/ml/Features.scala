@@ -68,7 +68,7 @@ object Features {
     * probability next to the realized outcome. */
   def trainWinModel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val feats = tradeFeatures(spark, dir).cache()
+    val feats = graft.GraftSession.maybeCache(tradeFeatures(spark, dir))
     val lr = new LogisticRegression()
       .setFeaturesCol("features").setLabelCol("label")
       .setMaxIter(25).setRegParam(0.01)
@@ -80,7 +80,7 @@ object Features {
 
   /** AUC of [[trainWinModel]] on its training grid (test hook). */
   def winModelAuc(spark: SparkSession, dir: String): Double = {
-    val feats = tradeFeatures(spark, dir).cache()
+    val feats = graft.GraftSession.maybeCache(tradeFeatures(spark, dir))
     val lr = new LogisticRegression()
       .setFeaturesCol("features").setLabelCol("label")
       .setMaxIter(25).setRegParam(0.01)

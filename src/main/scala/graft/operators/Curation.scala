@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-corpus curation (SURVEY.md §2 p03): the composition
@@ -43,4 +44,61 @@ object Curation {
          |WHERE c.is_canonical AND q.quality_score >= $MinQuality
          |  AND q.n_tokens >= $MinTokens
          |ORDER BY q.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- p04
+  /** Sequence packing (concat-and-chop): lay the corpus out as one token
+    * stream in doc_id order and chop it into fixed [[PackWindow]]-token
+    * training sequences — each doc gets the pack it starts in and its
+    * token offset inside that pack (docs may straddle pack boundaries,
+    * as pretraining packing does).
+    *
+    * The global running sum is the scale trap here: a single
+    * unpartitioned window would funnel the corpus through ONE task. This
+    * uses the two-level form a 100 TB run needs — an exclusive running
+    * sum WITHIN each doc_id bucket (shuffles on bucket, parallel across
+    * buckets) plus an exclusive running sum OVER the per-bucket totals
+    * (one tiny task over n_buckets rows), joined back broadcast-style.
+    * The oracle states the same quantity as one flat window — identical
+    * values, engine-checkable. */
+  val PackWindow = 512L
+  val PackBucket = 1000L
+
+  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", size(graft.functions.TextFunctions.tokens($"text"))
+        .cast("long").as("n_tokens"))
+      .withColumn("bucket", floor($"doc_id" / PackBucket))
+    val wIn = Window.partitionBy($"bucket").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inBucket = docs
+      .withColumn("cum_in_bucket", coalesce(sum($"n_tokens").over(wIn), lit(0L)))
+    val wB = Window.orderBy($"bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOffsets = docs.groupBy($"bucket")
+      .agg(sum($"n_tokens").as("bucket_total"))
+      .withColumn("bucket_offset", coalesce(sum($"bucket_total").over(wB), lit(0L)))
+      .select($"bucket", $"bucket_offset")
+    inBucket
+      .join(broadcast(bucketOffsets), Seq("bucket"))
+      .withColumn("cum_before", $"bucket_offset" + $"cum_in_bucket")
+      .select($"doc_id", $"n_tokens",
+        floor($"cum_before" / PackWindow).as("pack_id"),
+        ($"cum_before" % PackWindow).as("pack_offset"))
+      .orderBy($"doc_id")
+  }
+
+  val sequencePackSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |cum AS (
+       |  SELECT doc_id, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM toks)
+       |SELECT doc_id, n_tokens,
+       |  CAST(floor(cum_before / $PackWindow) AS BIGINT) AS pack_id,
+       |  cum_before % $PackWindow AS pack_offset
+       |FROM cum
+       |ORDER BY doc_id""".stripMargin
 }

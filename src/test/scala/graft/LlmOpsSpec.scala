@@ -148,6 +148,25 @@ class LlmOpsSpec extends AnyFunSuite {
     cur.unpersist()
   }
 
+  test("p04: packing is a gapless chop of the doc_id-ordered token stream") {
+    import TestSpark.spark.implicits._
+    val p = operators.Curation.sequencePack(spark, sf).cache()
+    val n = sources.Tables.documents(spark, sf).count()
+    assert(p.count() == n)
+    // offsets stay inside the window and pack ids never decrease with doc_id
+    assert(p.filter($"pack_offset" < 0 ||
+      $"pack_offset" >= operators.Curation.PackWindow || $"pack_id" < 0).count() == 0)
+    // reconstruct: cum_before = pack_id * W + offset must equal the
+    // exclusive running sum of n_tokens in doc_id order (flat check)
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val bad = p
+      .withColumn("expect", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .filter($"pack_id" * operators.Curation.PackWindow + $"pack_offset" =!= $"expect")
+    assert(bad.count() == 0)
+    p.unpersist()
+  }
+
   test("t03: language id predicts the majority language on an English-ish corpus") {
     val pred = operators.TextAnalysis.langId(spark, sf)
     val top = pred.groupBy("predicted_lang").count().orderBy(col("count").desc).head.getString(0)
