@@ -90,7 +90,8 @@ object SparkEntry {
     "t05_vocab" -> (TextAnalysis.vocab _),
     "p03_curated_corpus" -> (Curation.curatedCorpus _),
     "r22_trading_calendar" -> (CciPipeline.tradingCalendar _),
-    "p04_sequence_pack" -> (Curation.sequencePack _)
+    "p04_sequence_pack" -> (Curation.sequencePack _),
+    "m02_payload_features" -> (graft.multimodal.Multimodal.payloadFeatures _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -164,6 +165,7 @@ object SparkEntry {
     "t05_vocab" -> TextAnalysis.vocabSql,
     "p03_curated_corpus" -> Curation.curatedCorpusSql,
     "r22_trading_calendar" -> CciPipeline.tradingCalendarSql,
-    "p04_sequence_pack" -> Curation.sequencePackSql
+    "p04_sequence_pack" -> Curation.sequencePackSql,
+    "m02_payload_features" -> graft.multimodal.Multimodal.payloadFeaturesSql
   )
 }

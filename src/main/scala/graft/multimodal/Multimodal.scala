@@ -71,6 +71,82 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Typed result of the codec-free payload analyzer. */
+  final case class PayloadStats(doc_id: Long, media_type: String, n_bytes: Long,
+      n_distinct_bytes: Int, collision_mass: Long, n_printable: Long,
+      min_byte: Int, max_byte: Int)
+
+  // ---------------------------------------------------------------- m02
+  /** m02: REAL (not stubbed) feature extraction over the opaque payload —
+    * the byte-level statistics every media-ingest pipeline computes before
+    * any codec runs: size, byte-alphabet size, collision mass (Σ count²,
+    * the integer-exact analogue of entropy — high for repetitive/padded
+    * payloads, low for compressed/encrypted ones), printable-byte count
+    * and byte range. Runs at the same mapPartitions decode boundary the
+    * codec would, over the raw bytes, with a fixed 256-slot histogram per
+    * record — bounded memory, no driver collection, codec-free.
+    *
+    * The oracle reproduces the identical integers from the text column
+    * (the corpus is ASCII, so UTF-8 bytes == char codes); integer-only
+    * features keep the comparison exact on both engines. */
+  def payloadFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withPayload(spark, dir)
+      .filter(octet_length($"payload") > 0)
+      .select($"doc_id", $"media_type", $"payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { batch =>
+        val hist = new Array[Long](256) // reused per record, zeroed below
+        batch.map { case (id, mt, payload) =>
+          java.util.Arrays.fill(hist, 0L)
+          var i = 0
+          while (i < payload.length) {
+            hist(payload(i) & 0xff) += 1
+            i += 1
+          }
+          var distinct = 0
+          var mass = 0L
+          var printable = 0L
+          var mn = 256
+          var mx = -1
+          var b = 0
+          while (b < 256) {
+            val c = hist(b)
+            if (c > 0) {
+              distinct += 1
+              mass += c * c
+              if (b >= 32 && b <= 126) printable += c
+              if (b < mn) mn = b
+              if (b > mx) mx = b
+            }
+            b += 1
+          }
+          PayloadStats(id, mt, payload.length.toLong, distinct, mass, printable, mn, mx)
+        }
+      }
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
+  val payloadFeaturesSql: String =
+    """WITH ch AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(regexp_extract_all(text, '[\s\S]'), c -> ascii(c))) AS b
+      |  FROM documents WHERE length(text) > 0),
+      |cnt AS (SELECT doc_id, b, count(*) AS c FROM ch GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio'
+      |       ELSE 'video' END AS media_type,
+      |  CAST(sum(c) AS BIGINT) AS n_bytes,
+      |  CAST(count(*) AS INTEGER) AS n_distinct_bytes,
+      |  CAST(sum(c * c) AS BIGINT) AS collision_mass,
+      |  CAST(sum(CASE WHEN b BETWEEN 32 AND 126 THEN c ELSE 0 END) AS BIGINT) AS n_printable,
+      |  CAST(min(b) AS INTEGER) AS min_byte,
+      |  CAST(max(b) AS INTEGER) AS max_byte
+      |FROM cnt GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val mediaMetaSql: String =
     """SELECT doc_id,
       |  CASE WHEN doc_id % 3 = 0 THEN 'image'

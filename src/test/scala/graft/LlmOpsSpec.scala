@@ -173,6 +173,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(top == "en")
   }
 
+  test("m02: payload byte features satisfy their integer invariants") {
+    import TestSpark.spark.implicits._
+    val f = multimodal.Multimodal.payloadFeatures(spark, sf).cache()
+    assert(f.count() > 0)
+    // Cauchy-Schwarz-style bounds: uniform bytes minimize collision mass,
+    // a single repeated byte maximizes it
+    val bad = f.filter(
+      $"collision_mass" < $"n_bytes" || $"collision_mass" > $"n_bytes" * $"n_bytes" ||
+        $"n_printable" > $"n_bytes" || $"n_distinct_bytes" > 256 ||
+        $"n_distinct_bytes" <= 0 || $"min_byte" > $"max_byte" ||
+        ($"n_distinct_bytes" === 1) =!= ($"collision_mass" === $"n_bytes" * $"n_bytes"))
+    assert(bad.count() == 0)
+    f.unpersist()
+  }
+
   test("m01: multimodal decode stub is deterministic and total") {
     val feats = multimodal.Multimodal.decodeFeatures(spark, sf)
     assert(feats.count() == sources.Tables.documents(spark, sf).count())
