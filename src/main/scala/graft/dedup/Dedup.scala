@@ -412,6 +412,17 @@ object Dedup {
       jaccardPairs(spark, dir)
         .filter($"jaccard" >= JaccardThreshold)
         .select($"doc_a", $"doc_b"))
+    clustersFromPairs(docs, pairs)
+  }
+
+  /** The cluster fixpoint over an explicit (doc_a, doc_b) pair table —
+    * exposed so tests can drive it with adversarial graph shapes (long
+    * chains) independent of the corpus. */
+  private[graft] def clustersFromPairs(docsIn: DataFrame,
+      pairsIn: DataFrame): DataFrame = {
+    import docsIn.sparkSession.implicits._
+    val docs = docsIn.select($"doc_id")
+    val pairs = pairsIn.select($"doc_a", $"doc_b")
     // symmetric edge list over the materialized pairs (read every round)
     val edges = pairs
       .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))

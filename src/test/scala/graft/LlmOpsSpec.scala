@@ -130,6 +130,21 @@ class LlmOpsSpec extends AnyFunSuite {
     v.unpersist()
   }
 
+  test("d07: pointer jumping converges a 300-long chain within MaxCcRounds") {
+    import TestSpark.spark.implicits._
+    // worst-case shape for plain min-label propagation (needs ~300 rounds);
+    // pointer jumping must close it in O(log n) <= MaxCcRounds
+    val n = 300L
+    val docs = TestSpark.spark.range(0, n + 50).select($"id".as("doc_id"))
+    val chain = TestSpark.spark.range(0, n - 1)
+      .select($"id".as("doc_a"), ($"id" + 1).as("doc_b"))
+    val cl = dedup.Dedup.clustersFromPairs(docs, chain)
+    val comp = cl.filter($"doc_id" < n)
+    assert(comp.filter($"cluster_id" =!= 0 || $"cluster_size" =!= n).count() == 0)
+    assert(cl.filter($"doc_id" >= n)
+      .filter(!$"is_canonical" || $"cluster_size" =!= 1).count() == 0)
+  }
+
   test("p03: curated corpus keeps only canonical docs above the quality and length gates") {
     import TestSpark.spark.implicits._
     val cur = operators.Curation.curatedCorpus(spark, sf).cache()

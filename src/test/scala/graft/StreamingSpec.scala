@@ -55,6 +55,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.filter(col("n") =!= col("bn")).count() == 0)
   }
 
+  test("v06: streaming corpus ingest dedups by content and matches the batch curation count") {
+    val docDir = {
+      val d = java.nio.file.Files.createTempDirectory("graft_docstream").toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        java.nio.file.Paths.get(s"$d/documents.parquet"))
+      d
+    }
+    val q = streaming.DocStream.dedupIngest(spark, docDir)
+      .writeStream.outputMode("complete").format("memory").queryName("v06_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("v06_out")
+    val batch = sources.Tables.documents(spark, sf)
+      .groupBy("text").agg(min(col("doc_id")).as("doc_id"),
+        first(col("lang")).as("lang"), first(col("source")).as("source"))
+      .filter(size(split(col("text"), " ")) >= streaming.DocStream.MinStreamTokens)
+      .groupBy("lang", "source").agg(count(lit(1)).as("bn"))
+    val joined = got.join(batch, Seq("lang", "source"))
+    assert(joined.count() == got.count() && got.count() > 0)
+    assert(joined.filter(col("n_unique_docs") =!= col("bn")).count() == 0)
+  }
+
   test("v05: streaming dedup yields exactly the distinct event count") {
     val q = streaming.EventStream.streamDedup(spark, streamDir)
       .writeStream.outputMode("complete").format("memory").queryName("v05_out").start()
