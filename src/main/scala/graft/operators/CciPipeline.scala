@@ -35,6 +35,22 @@ object CciPipeline {
   val HoldingDays: Seq[Int] = Seq(5, 10)
   val TargetReturns: Seq[Double] = Seq(2.0, 5.0)
   val MaxHolding: Int = HoldingDays.max
+
+  /** The simulation grid the reference passes as function arguments
+    * (`process_all_stocks_with_save_optimized(..., conditions)`) — the
+    * oracle-checked queries run the defaults; callers tune per deployment.
+    * MaxHolding derives from the grid so the bounded futures join always
+    * covers the largest holding window. */
+  final case class GridConfig(
+      cciN: Int = CciN,
+      buyThresholds: Seq[Double] = BuyThresholds,
+      stopThresholds: Seq[Double] = StopThresholds,
+      holdingDays: Seq[Int] = HoldingDays,
+      targetReturns: Seq[Double] = TargetReturns) {
+    require(cciN >= 1 && holdingDays.nonEmpty && buyThresholds.nonEmpty &&
+      stopThresholds.nonEmpty && targetReturns.nonEmpty)
+    def maxHolding: Int = holdingDays.max
+  }
   /** daily_function.py:99-100 */
   val TaxRate = 0.0018
   val FeeRate = 0.00007
@@ -151,10 +167,13 @@ object CciPipeline {
     * identical fold order to the DuckDB oracle's list_reduce. SMA is
     * derived from the same list so both sides sum in the same order.
     */
-  def cci(spark: SparkSession, dir: String): DataFrame = {
+  def cci(spark: SparkSession, dir: String): DataFrame =
+    cci(spark, dir, GridConfig())
+
+  def cci(spark: SparkSession, dir: String, cfg: GridConfig): DataFrame = {
     import spark.implicits._
     val wOrd = Window.partitionBy($"user_id").orderBy($"d")
-    val wf = wOrd.rowsBetween(-(CciN - 1), 0)
+    val wf = wOrd.rowsBetween(-(cfg.cciN - 1), 0)
     def foldSum(c: org.apache.spark.sql.Column) =
       aggregate(c, lit(0.0), (acc, x) => acc + x)
     ohlcBars(spark, dir)
@@ -169,9 +188,9 @@ object CciPipeline {
       .withColumn("mad_c", foldSum(transform($"tps_c", x => abs(x - $"sma_c"))) / $"cnt")
       .withColumn("mad_o", foldSum(transform($"tps_o", x => abs(x - $"sma_o"))) / $"cnt")
       .withColumn("close_cci",
-        when($"cnt" >= CciN && $"mad_c" =!= 0.0, ($"tp_c" - $"sma_c") / (lit(0.015) * $"mad_c")))
+        when($"cnt" >= cfg.cciN && $"mad_c" =!= 0.0, ($"tp_c" - $"sma_c") / (lit(0.015) * $"mad_c")))
       .withColumn("open_cci",
-        when($"cnt" >= CciN && $"mad_o" =!= 0.0, ($"tp_o" - $"sma_o") / (lit(0.015) * $"mad_o")))
+        when($"cnt" >= cfg.cciN && $"mad_o" =!= 0.0, ($"tp_o" - $"sma_o") / (lit(0.015) * $"mad_o")))
       .drop("tps_c", "tps_o")
       // Every downstream operator (signals, futures join, sell lookup,
       // latest-state) re-reads this subtree, often 3x inside one action:
@@ -228,11 +247,12 @@ object CciPipeline {
   // ---------------------------------------------------------------- r05
   /** Buy-signal crossover: prev CCI below threshold, current above
     * (daily_function.py:724-725). Thresholds are a broadcast literal grid. */
-  private def signalsDf(spark: SparkSession, dir: String): DataFrame = {
+  private def signalsDf(spark: SparkSession, dir: String,
+      cfg: GridConfig = GridConfig()): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"d")
-    val thr = BuyThresholds.toDF("buy_thr")
-    cci(spark, dir)
+    val thr = cfg.buyThresholds.toDF("buy_thr")
+    cci(spark, dir, cfg)
       .withColumn("prev_open_cci", lag($"open_cci", 1).over(w))
       .crossJoin(broadcast(thr))
       .filter($"prev_open_cci" < $"buy_thr" && $"open_cci" > $"buy_thr")
@@ -274,22 +294,25 @@ object CciPipeline {
     * per-trade outcome is a single partial-aggregable groupBy. The final
     * sell-row lookup is one more co-partitioned join on (user_id, idx).
     */
-  def trades(spark: SparkSession, dir: String): DataFrame = {
+  def trades(spark: SparkSession, dir: String): DataFrame =
+    trades(spark, dir, GridConfig())
+
+  def trades(spark: SparkSession, dir: String, cfg: GridConfig): DataFrame = {
     import spark.implicits._
-    val c = cci(spark, dir)
+    val c = cci(spark, dir, cfg)
     val futures = c.select($"user_id".as("f_user"), $"idx".as("fidx"),
       $"d".as("fd"), $"close_pr".as("fclose"), $"close_cci".as("fcci"))
-    val sig = signalsDf(spark, dir)
+    val sig = signalsDf(spark, dir, cfg)
       .select($"user_id", $"d".as("buy_date"), $"idx", $"open_pr".as("buy_price"), $"buy_thr")
     val grid = {
-      val hs = HoldingDays.toDF("condition_holding_days")
-      val rs = TargetReturns.toDF("condition_target_return")
-      val ss = StopThresholds.toDF("condition_stop_loss_cci_threshold")
+      val hs = cfg.holdingDays.toDF("condition_holding_days")
+      val rs = cfg.targetReturns.toDF("condition_target_return")
+      val ss = cfg.stopThresholds.toDF("condition_stop_loss_cci_threshold")
       hs.crossJoin(rs).crossJoin(ss)
     }
     val joined = sig
       .join(futures,
-        $"user_id" === $"f_user" && $"fidx" > $"idx" && $"fidx" <= $"idx" + MaxHolding)
+        $"user_id" === $"f_user" && $"fidx" > $"idx" && $"fidx" <= $"idx" + cfg.maxHolding)
       .crossJoin(broadcast(grid))
       .filter($"fidx" <= $"idx" + $"condition_holding_days")
     val agg = joined

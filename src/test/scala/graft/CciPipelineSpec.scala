@@ -104,6 +104,20 @@ class CciPipelineSpec extends AnyFunSuite {
     assert(late.count() > 0, "test premise: events exist after the cutoff")
   }
 
+  test("GridConfig: custom grids restrict the simulation coherently") {
+    import spark.implicits._
+    // narrowing one grid axis reproduces exactly that slice of the default
+    val narrow = CciPipeline.trades(spark, sf,
+      CciPipeline.GridConfig(holdingDays = Seq(5)))
+    val slice = CciPipeline.trades(spark, sf)
+      .filter($"condition_holding_days" === 5)
+    assert(narrow.count() > 0)
+    assert(narrow.exceptAll(slice).count() == 0 && slice.exceptAll(narrow).count() == 0)
+    // a longer CCI window leaves more of each series' head un-scored
+    val wide = CciPipeline.cci(spark, sf, CciPipeline.GridConfig(cciN = 8))
+    assert(wide.filter($"idx" < 8 && $"close_cci".isNotNull).count() == 0)
+  }
+
   test("r22: the calendar gate admits no weekend or synthetic-holiday day") {
     import spark.implicits._
     val cal = CciPipeline.tradingCalendar(spark, sf).cache()
