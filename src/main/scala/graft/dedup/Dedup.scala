@@ -137,11 +137,18 @@ object Dedup {
         |  FROM common JOIN cnt x ON x.doc_id = doc_a JOIN cnt y ON y.doc_id = doc_b)""".stripMargin
 
   // ---------------------------------------------------------------- d02
-  /** n-gram Jaccard near-dup pairs through the inverted shingle index. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** n-gram Jaccard near-dup pairs through the inverted shingle index.
+    * Threshold and stop-shingle cap are caller-tunable (the oracle-checked
+    * query runs the defaults); a 100 TB deployment raises the threshold
+    * for precision or lowers the cap for hotter corpora. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccard(spark, dir, JaccardThreshold, MaxShingleDf)
+
+  def ngramJaccard(spark: SparkSession, dir: String,
+      threshold: Double, maxDf: Int): DataFrame = {
     import spark.implicits._
-    jaccardPairs(spark, dir)
-      .filter($"jaccard" >= JaccardThreshold)
+    jaccardPairsFrom(Tables.documents(spark, dir), maxDf)
+      .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", $"common", $"na", $"nb",
         F.fr($"jaccard", 4).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
@@ -331,7 +338,11 @@ object Dedup {
     * the blocking key is whatever coarse clustering/partition is available;
     * never the full cross product). Dot/norm folds are explicit so the
     * oracle's arithmetic is identical. */
-  def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+  def embeddingCosine(spark: SparkSession, dir: String): DataFrame =
+    embeddingCosine(spark, dir, CosineThreshold)
+
+  def embeddingCosine(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
     import spark.implicits._
     // Norms are per-vector: compute them once before the pair join (the
     // oracle's per-pair sqrt(na)*sqrt(nb) sees the identical values).
@@ -347,7 +358,7 @@ object Dedup {
         // ANSI zero-norm guard, mirrored by the oracle's CASE
         when($"norm_a" * $"norm_b" =!= 0.0,
           graft.functions.catalyst.GraftColumns.dot_f64($"va", $"vb") / ($"norm_a" * $"norm_b")))
-      .filter($"cosine_raw" >= CosineThreshold)
+      .filter($"cosine_raw" >= threshold)
       .select($"vec_a", $"vec_b", $"label", F.fr($"cosine_raw", 4).as("cosine"))
       .orderBy($"vec_a", $"vec_b")
   }
