@@ -91,7 +91,9 @@ object SparkEntry {
     "p03_curated_corpus" -> (Curation.curatedCorpus _),
     "r22_trading_calendar" -> (CciPipeline.tradingCalendar _),
     "p04_sequence_pack" -> (Curation.sequencePack _),
-    "m02_payload_features" -> (graft.multimodal.Multimodal.payloadFeatures _)
+    "m02_payload_features" -> (graft.multimodal.Multimodal.payloadFeatures _),
+    "s04_ann_ivf_trained" -> ((s: SparkSession, d: String) =>
+      graft.similarity.Similarity.ivfTrainedTopK(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -226,4 +226,52 @@ object Similarity {
 
   def lshTopK(spark: SparkSession, dir: String): DataFrame =
     lshTopKParam(spark, dir, NumPlanes, LshTables)
+
+  // ---------------------------------------------------------------- s04
+  /** IVF with a TRAINED coarse quantizer: KMeans centroids (the ml03
+    * model) replace s03's fixed-point label-derived cells — the shape a
+    * production IVF index actually ships. The centroid table is tiny
+    * (k × dim) and broadcast; each query ranks centroids by L2 (the
+    * ||q||² term is constant per query, so score = ||c||² − 2·q·c),
+    * probes the [[IvfProbe]] nearest cells, and exact cosine re-ranks
+    * only those cells' members. At 100 TB the cell id is the shuffle key
+    * and unprobed cells are never read. Approximate by construction →
+    * rows-only in the driver; recall vs s01 asserted in tests. */
+  val IvfCells = 10
+  val IvfProbe = 4
+
+  def ivfTrainedTopK(spark: SparkSession, dir: String,
+      k: Int = IvfCells, nProbe: Int = IvfProbe): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = graft.GraftSession.maybeCache(vecs(spark, dir)
+      .withColumn("features", array_to_vector($"v")))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(graft.ml.Features.Seed).setFeaturesCol("features")
+      .fit(e)
+    val assigned = model.transform(e)
+      .select($"vec_id", $"v", $"norm", $"prediction".as("cell"))
+    val centDf = spark.createDataFrame(
+      model.clusterCenters.toSeq.zipWithIndex.map { case (c, i) => (i, c.toArray) })
+      .toDF("cell", "cv")
+    val wProbe = Window.partitionBy($"query_id").orderBy($"score", $"cell")
+    val probes = assigned.filter($"vec_id" % QueryStride === 0)
+      .select($"vec_id".as("query_id"), $"v".as("vq"), $"norm".as("nq"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("score", F.foldSum(transform($"cv", x => x * x)) -
+        lit(2.0) * graft.functions.catalyst.GraftColumns.dot_f64($"vq", $"cv"))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter($"prnk" <= nProbe)
+      .select($"query_id", $"vq", $"nq", $"cell")
+    val members = assigned
+      .select($"cell", $"vec_id".as("neighbor_id"), $"v".as("vn"), $"norm".as("nn"))
+    val wTop = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    probes.join(members, Seq("cell"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("cosine", F.fr(cosine($"vq", $"vn", $"nq", $"nn"), 6))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter($"rnk" <= TopK)
+      .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
+      .orderBy($"query_id", $"rnk")
+  }
 }

@@ -130,6 +130,17 @@ class LlmOpsSpec extends AnyFunSuite {
     v.unpersist()
   }
 
+  test("s04: trained-quantizer IVF reaches high recall vs brute force") {
+    val brute = similarity.Similarity.bruteForceTopK(spark, sf)
+      .select("query_id", "neighbor_id")
+    val ivf = similarity.Similarity.ivfTrainedTopK(spark, sf)
+      .select("query_id", "neighbor_id")
+    val total = brute.count()
+    val hit = brute.intersect(ivf).count()
+    assert(total > 0)
+    assert(hit.toDouble / total >= 0.8, s"recall ${hit.toDouble / total}")
+  }
+
   test("d07: pointer jumping converges a 300-long chain within MaxCcRounds") {
     import TestSpark.spark.implicits._
     // worst-case shape for plain min-label propagation (needs ~300 rounds);
