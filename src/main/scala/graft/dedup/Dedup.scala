@@ -96,8 +96,11 @@ object Dedup {
   private[graft] def jaccardPairsFrom(docs: DataFrame, maxDf: Int): DataFrame = {
     val ds = graft.GraftSession.maybeCache(docShinglesFrom(docs))
     val wsh = Window.partitionBy(col("sh"))
-    val flagged = ds.select(col("doc_id"), explode(col("shs")).as("sh"))
-      .withColumn("df", count(lit(1)).over(wsh))
+    // The df-flagged inverted index feeds BOTH candidate-join branches and
+    // the hot-shingle branch — persist it or the explode + window runs 3x.
+    val flagged = graft.GraftSession.maybeCache(
+      ds.select(col("doc_id"), explode(col("shs")).as("sh"))
+        .withColumn("df", count(lit(1)).over(wsh)))
     val capped = flagged.filter(col("df") <= maxDf).select(col("doc_id"), col("sh"))
     val hot = flagged.filter(col("df") > maxDf)
       .groupBy(col("doc_id")).agg(collect_list(col("sh")).as("hot_shs"))
