@@ -308,12 +308,15 @@ object Dedup {
     // names (tiny) and expanding back to part pairs avoids pushing the
     // big identical-name groups through the variant join.
     val names = p.select($"p_type", $"p_name").distinct()
-    val nv = names.withColumn("variant",
-      explode(array_union(
-        array($"p_name"),
-        transform(sequence(lit(1), length($"p_name")), i =>
-          concat($"p_name".substr(lit(1), i - 1),
-            $"p_name".substr(i + 1, lit(100000)))))))
+    // materialized once: both self-join branches read the variant table
+    // (union branches get no cross-branch CSE)
+    val nv = graft.GraftSession.maybeEagerCheckpoint(
+      names.withColumn("variant",
+        explode(array_union(
+          array($"p_name"),
+          transform(sequence(lit(1), length($"p_name")), i =>
+            concat($"p_name".substr(lit(1), i - 1),
+              $"p_name".substr(i + 1, lit(100000))))))))
     val namePairs = nv.toDF("p_type", "name_a", "variant")
       .join(nv.toDF("p_type", "name_b", "variant"), Seq("p_type", "variant"))
       .select($"p_type", $"name_a", $"name_b").distinct()
