@@ -961,7 +961,7 @@ object CciPipeline {
          |SELECT user_id,
          |  min(CASE WHEN d < cutoff THEN d END) AS saved_min_date,
          |  max(CASE WHEN d < cutoff THEN d END) AS saved_max_date,
-         |  sum(CASE WHEN d < cutoff THEN 1 ELSE 0 END) AS n_saved,
+         |  CAST(sum(CASE WHEN d < cutoff THEN 1 ELSE 0 END) AS BIGINT) AS n_saved,
          |  coalesce(max(CASE WHEN d < cutoff THEN d END) + 1,
          |           DATE '$DefaultFetchStart') AS fetch_start,
          |  end_date AS fetch_end,

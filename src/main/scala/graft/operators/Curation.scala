@@ -98,7 +98,7 @@ object Curation {
        |  FROM toks)
        |SELECT doc_id, n_tokens,
        |  CAST(floor(cum_before / $PackWindow) AS BIGINT) AS pack_id,
-       |  cum_before % $PackWindow AS pack_offset
+       |  CAST(cum_before % $PackWindow AS BIGINT) AS pack_offset
        |FROM cum
        |ORDER BY doc_id""".stripMargin
 }

@@ -57,9 +57,9 @@ object EventStream {
          |  FROM events_us),
          |s AS (
          |  SELECT user_id, ts, event_id, value,
-         |    sum(CASE WHEN gap_us IS NULL OR gap_us > $SessionGapUs THEN 1 ELSE 0 END)
+         |    CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > $SessionGapUs THEN 1 ELSE 0 END)
          |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          |  FROM g)
          |SELECT user_id, session_id,
          |  epoch_us(min(ts)) AS session_start_us, epoch_us(max(ts)) AS session_end_us,

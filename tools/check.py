@@ -59,6 +59,22 @@ def main():
             print(f"FAIL {name}: rows spark={len(got_rows)} oracle={len(want_rows)}")
             n_fail += 1
             continue
+        # Driver-compare emulation: if the driver fetches via pandas, a
+        # DuckDB HUGEINT (sum of ints, hugeint %) becomes float64 -> "5.0"
+        # vs Spark's int64 "5" -> hash mismatch on every row even though
+        # fetchall values are identical. Flag any float-vs-int dtype split.
+        try:
+            odf = con.execute(sql).df()
+            sdf = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            bad = [c for c in odf.columns if c in sdf.columns
+                   and (("float" in str(odf[c].dtype)) != ("float" in str(sdf[c].dtype)))]
+            if bad:
+                print(f"FAIL {name}: float/int dtype split (pandas-mode driver hazard): "
+                      + ", ".join(f"{c} oracle={odf[c].dtype} spark={sdf[c].dtype}" for c in bad))
+                n_fail += 1
+                continue
+        except Exception as e:
+            print(f"WARN {name}: dtype probe failed: {e}")
         hg, hw = table_hash(got_rows, got_cols), table_hash(want_rows, want_cols)
         if hg != hw:
             print(f"FAIL {name}: hash mismatch ({len(got_rows)} rows)")
