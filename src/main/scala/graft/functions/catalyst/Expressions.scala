@@ -146,6 +146,52 @@ case class MinHashSigs(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): MinHashSigs = copy(child = c)
 }
 
+object ArrayFoldExpr {
+  /** Left-fold sum with 0.0 init in index order — equals
+    * `aggregate(arr, 0.0, (a,x) -> a+x)` and the oracle's
+    * `list_reduce(list_prepend(0.0, l), (a,b) -> a+b)`. */
+  def sum(xs: ArrayData): Double = {
+    val n = xs.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += xs.getDouble(i); i += 1 }
+    acc
+  }
+
+  /** Sum of |x − m| in index order — equals
+    * `aggregate(transform(arr, x -> abs(x - m)), 0.0, (a,x) -> a+x)`
+    * without materializing the transformed array. */
+  def absDevSum(xs: ArrayData, m: Double): Double = {
+    val n = xs.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += math.abs(xs.getDouble(i) - m); i += 1 }
+    acc
+  }
+}
+
+case class ArraySumF64(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    ArrayFoldExpr.sum(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.catalyst.ArrayFoldExpr.sum($c)")
+  override protected def withNewChildInternal(c: Expression): ArraySumF64 = copy(child = c)
+}
+
+case class AbsDevSumF64(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, m: Any): Any =
+    ArrayFoldExpr.absDevSum(a.asInstanceOf[ArrayData], m.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, m) => s"graft.functions.catalyst.ArrayFoldExpr.absDevSum($a, $m)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AbsDevSumF64 =
+    copy(left = l, right = r)
+}
+
 object GraftColumns {
   import org.apache.spark.sql.GraftShim
 
@@ -155,4 +201,8 @@ object GraftColumns {
   def simhash32(c: Column): Column = GraftShim.column(SimHash32(GraftShim.expression(c)))
   def minhash_sigs(c: Column, k: Int): Column =
     GraftShim.column(MinHashSigs(GraftShim.expression(c), k))
+  def array_sum_f64(c: Column): Column =
+    GraftShim.column(ArraySumF64(GraftShim.expression(c)))
+  def abs_dev_sum_f64(arr: Column, mean: Column): Column =
+    GraftShim.column(AbsDevSumF64(GraftShim.expression(arr), GraftShim.expression(mean)))
 }

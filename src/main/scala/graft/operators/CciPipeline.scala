@@ -174,8 +174,11 @@ object CciPipeline {
     import spark.implicits._
     val wOrd = Window.partitionBy($"user_id").orderBy($"d")
     val wf = wOrd.rowsBetween(-(cfg.cciN - 1), 0)
-    def foldSum(c: org.apache.spark.sql.Column) =
-      aggregate(c, lit(0.0), (acc, x) => acc + x)
+    // Native codegen folds (same index-order left fold, 0.0 init, as the
+    // aggregate/transform HOF reference semantics and the oracle's
+    // list_reduce): the interpretive lambdas were the hot part of the
+    // chain's cache build at sf0.1.
+    import graft.functions.catalyst.GraftColumns.{array_sum_f64, abs_dev_sum_f64}
     ohlcBars(spark, dir)
       .withColumn("tp_c", ($"high_pr" + $"low_pr" + $"close_pr") / 3.0)
       .withColumn("tp_o", ($"high_pr" + $"low_pr" + $"open_pr") / 3.0)
@@ -183,10 +186,10 @@ object CciPipeline {
       .withColumn("tps_c", collect_list($"tp_c").over(wf))
       .withColumn("tps_o", collect_list($"tp_o").over(wf))
       .withColumn("cnt", size($"tps_c"))
-      .withColumn("sma_c", foldSum($"tps_c") / $"cnt")
-      .withColumn("sma_o", foldSum($"tps_o") / $"cnt")
-      .withColumn("mad_c", foldSum(transform($"tps_c", x => abs(x - $"sma_c"))) / $"cnt")
-      .withColumn("mad_o", foldSum(transform($"tps_o", x => abs(x - $"sma_o"))) / $"cnt")
+      .withColumn("sma_c", array_sum_f64($"tps_c") / $"cnt")
+      .withColumn("sma_o", array_sum_f64($"tps_o") / $"cnt")
+      .withColumn("mad_c", abs_dev_sum_f64($"tps_c", $"sma_c") / $"cnt")
+      .withColumn("mad_o", abs_dev_sum_f64($"tps_o", $"sma_o") / $"cnt")
       .withColumn("close_cci",
         when($"cnt" >= cfg.cciN && $"mad_c" =!= 0.0, ($"tp_c" - $"sma_c") / (lit(0.015) * $"mad_c")))
       .withColumn("open_cci",

@@ -246,9 +246,9 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val e = graft.GraftSession.maybeCache(vecs(spark, dir)
       .withColumn("features", array_to_vector($"v")))
-    val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(k).setSeed(graft.ml.Features.Seed).setFeaturesCol("features")
-      .fit(e)
+    // One quantizer per (session, dir, k): shared with ml03 and memoized,
+    // so a session running both pays a single KMeans fit.
+    val model = graft.ml.Features.fittedKmeans(spark, dir, k)
     val assigned = model.transform(e)
       .select($"vec_id", $"v", $"norm", $"prediction".as("cell"))
     val centDf = spark.createDataFrame(
