@@ -68,11 +68,13 @@ object Dedup {
 
   // ------------------------------------------------------------ shared
   /** Per-doc distinct shingle arrays (the verify side of LSH). Tokens are
-    * projected before the shingle HOF — see [[F.shingles3]]. */
-  private[graft] def docShinglesFrom(docs: DataFrame): DataFrame =
+    * projected before the shingle HOF — see [[F.shingles3]]. `carry` keeps
+    * extra input columns (the streaming caller threads its watermarked
+    * event-time column through). */
+  private[graft] def docShinglesFrom(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
     docs
-      .select(col("doc_id"), F.tokens(col("text")).as("tk"))
-      .select(col("doc_id"), F.shingles3(col("tk")).as("shs"))
+      .select(col("doc_id") +: F.tokens(col("text")).as("tk") +: carry.map(col): _*)
+      .select(col("doc_id") +: F.shingles3(col("tk")).as("shs") +: carry.map(col): _*)
 
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     docShinglesFrom(Tables.documents(spark, dir))
@@ -164,6 +166,30 @@ object Dedup {
          |WHERE jaccard >= $JaccardThreshold
          |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** `array<struct<band, bkey>>` of LSH band keys from a K-wide minhash
+    * signature array — shared by batch d03 and the streaming candidate
+    * detector (v07) so both flag identical near-dup candidates. */
+  def bandArray(sigs: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{array, concat_ws, element_at, lit, struct}
+    array((0 until NumBands).map { b =>
+      val keyCols = (0 until BandRows)
+        .map(r => element_at(sigs, b * BandRows + r + 1).cast("string"))
+      struct(lit(b).as("band"), concat_ws("-", keyCols: _*).as("bkey"))
+    }: _*)
+  }
+
+  /** Per-doc minhash signatures (the d03 map-side pass) from a documents
+    * frame — exposed for the streaming detector and tests. */
+  private[graft] def minhashSignatures(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    import docs.sparkSession.implicits._
+    docShinglesFrom(docs, carry)
+      .filter(size($"shs") > 0)
+      .select($"doc_id" +:
+        graft.functions.catalyst.GraftColumns.minhash_sigs(
+          transform($"shs", sh => F.polyHash(sh)), MinHashK).as("sigs") +:
+        carry.map(col): _*)
+  }
+
   // ---------------------------------------------------------------- d03
   /** MinHash + LSH banding: per-doc K-wide signature over shingle hashes,
     * band keys shuffle candidates together, then exact Jaccard verifies.
@@ -176,21 +202,14 @@ object Dedup {
     // so the candidate self-join's two reads don't recompute (config-gated:
     // graft.GraftSession.maybeEagerCheckpoint). The oracle keeps the
     // K-column min-aggregate formulation — identical signatures.
-    val sig = graft.GraftSession.maybeEagerCheckpoint(docShingles(spark, dir)
-      // sub-3-token docs have no shingles: exclude them like the oracle's
-      // exploded-shingle CTE does (their all-MaxValue signatures would
-      // otherwise band every short doc together and divide 0/0 in verify)
-      .filter(size($"shs") > 0)
-      .select($"doc_id",
-        graft.functions.catalyst.GraftColumns.minhash_sigs(
-          transform($"shs", sh => F.polyHash(sh)), MinHashK).as("sigs")))
-    val bandStructs = (0 until NumBands).map { b =>
-      val keyCols = (0 until BandRows)
-        .map(r => element_at($"sigs", b * BandRows + r + 1).cast("string"))
-      struct(lit(b).as("band"), concat_ws("-", keyCols: _*).as("bkey"))
-    }
+    // sub-3-token docs have no shingles: minhashSignatures excludes them
+    // like the oracle's exploded-shingle CTE does (their all-MaxValue
+    // signatures would otherwise band every short doc together and divide
+    // 0/0 in verify)
+    val sig = graft.GraftSession.maybeEagerCheckpoint(
+      minhashSignatures(Tables.documents(spark, dir)))
     val bands = sig
-      .select($"doc_id", explode(array(bandStructs: _*)).as("bb"))
+      .select($"doc_id", explode(bandArray($"sigs")).as("bb"))
       .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
     val cand = bands.toDF("doc_a", "band", "bkey")
       .join(bands.toDF("doc_b", "band", "bkey"), Seq("band", "bkey"))

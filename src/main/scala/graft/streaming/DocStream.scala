@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 import graft.functions.{TextFunctions => F}
@@ -46,5 +47,67 @@ object DocStream {
       .groupBy($"lang", $"source")
       .agg(count(lit(1)).as("n_unique_docs"),
         sum($"n_chars").as("total_chars"))
+  }
+
+  // ---------------------------------------------------------------- v07
+  /** Per-band member cap: a pathological hot band (boilerplate corpus)
+    * stops emitting pairs past this many members instead of growing state
+    * without bound — the batch d03 df-cap analogue for streams. */
+  val MaxBandMembers = 64
+
+  /** Emitted near-dup candidate: `doc_b` arrived while `doc_a` was already
+    * in the band's state (doc_a < doc_b after per-batch ordering). */
+  final case class LshCandidate(doc_a: Long, doc_b: Long, band: Int)
+  /** Public: Spark's state encoder codegen needs constructor access. */
+  final case class BandMembers(docIds: List[Long])
+
+  /** v07: streaming MinHash-LSH near-dup candidate detection — the
+    * streaming twin of batch d03's candidate generation. Each arriving
+    * document computes the same K-wide native minhash signature and the
+    * same band keys as the batch operator ([[graft.dedup.Dedup.bandArray]]);
+    * a per-band state of previously seen doc ids emits a candidate pair for
+    * every collision within the watermark horizon.
+    *
+    * Inline suppression would need a second stateful aggregation over
+    * doc_id (any-band collision); the shape that ships at 100 TB emits the
+    * candidate stream instead and lets a downstream batch join run the
+    * exact-Jaccard verify (d03's verify stage, unchanged) — detection is
+    * latency-critical, verification is not. State is per band key, expired
+    * by the event-time timeout at the watermark horizon, and capped at
+    * [[MaxBandMembers]]. */
+  def lshCandidates(spark: SparkSession, streamDir: String): Dataset[LshCandidate] = {
+    import spark.implicits._
+    // ingest_ts (the watermarked event-time column) must survive into the
+    // stateful operator's input for the event-time timeout to bind
+    val bands = graft.dedup.Dedup.minhashSignatures(
+        readDocStream(spark, streamDir).withWatermark("ingest_ts", "1 hour"),
+        carry = Seq("ingest_ts"))
+      .withColumn("bb", explode(graft.dedup.Dedup.bandArray(col("sigs"))))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"),
+        col("ingest_ts"))
+      .as[(Long, Int, String, java.sql.Timestamp)]
+    bands
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[BandMembers, LshCandidate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, _, state: GroupState[BandMembers]) if state.hasTimedOut =>
+          state.remove(); Iterator.empty
+        case ((band, _), rows, state: GroupState[BandMembers]) =>
+          // deterministic within a batch: process in doc_id order
+          val arriving = rows.map(_._1).toSeq.distinct.sorted
+          var seen = state.getOption.map(_.docIds).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[LshCandidate]
+          arriving.foreach { d =>
+            if (seen.size < MaxBandMembers) {
+              seen.foreach(p => if (p != d) out += LshCandidate(math.min(p, d), math.max(p, d), band))
+              seen = d :: seen
+            }
+          }
+          state.update(BandMembers(seen))
+          // expire the band with the horizon: no arrivals for 1h -> drop
+          if (!state.hasTimedOut)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3600L * 1000)
+          out.iterator
+      }
   }
 }

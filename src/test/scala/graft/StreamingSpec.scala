@@ -77,6 +77,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.filter(col("n_unique_docs") =!= col("bn")).count() == 0)
   }
 
+  test("v07: streaming LSH candidates equal the batch band-collision pair set") {
+    val docDir = {
+      val d = java.nio.file.Files.createTempDirectory("graft_docstream7").toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        java.nio.file.Paths.get(s"$d/documents.parquet"))
+      d
+    }
+    val q = streaming.DocStream.lshCandidates(spark, docDir)
+      .writeStream.outputMode("append").format("memory").queryName("v07_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("v07_out").select("doc_a", "doc_b").distinct()
+    // batch twin: same signatures, same band keys, self-join per band
+    val bands = dedup.Dedup.minhashSignatures(sources.Tables.documents(spark, sf))
+      .withColumn("bb", explode(dedup.Dedup.bandArray(col("sigs"))))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val batch = bands.toDF("doc_a", "band", "bkey")
+      .join(bands.toDF("doc_b", "band", "bkey"), Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).count() == 0, "streaming emitted a pair batch banding would not")
+    assert(batch.exceptAll(got).count() == 0, "streaming missed a batch band collision")
+    // and therefore every verified d03 near-dup pair is detected
+    val verified = dedup.Dedup.minhashLsh(spark, sf).select("doc_a", "doc_b")
+    assert(verified.exceptAll(got).count() == 0)
+  }
+
   test("v05: streaming dedup yields exactly the distinct event count") {
     val q = streaming.EventStream.streamDedup(spark, streamDir)
       .writeStream.outputMode("complete").format("memory").queryName("v05_out").start()
