@@ -92,6 +92,7 @@ object SparkEntry {
     "r22_trading_calendar" -> (CciPipeline.tradingCalendar _),
     "p04_sequence_pack" -> (Curation.sequencePack _),
     "m02_payload_features" -> (graft.multimodal.Multimodal.payloadFeatures _),
+    "m03_frame_sample" -> (graft.multimodal.Multimodal.frameSamples _),
     "s04_ann_ivf_trained" -> ((s: SparkSession, d: String) =>
       graft.similarity.Similarity.ivfTrainedTopK(s, d))
   )
@@ -168,6 +169,7 @@ object SparkEntry {
     "p03_curated_corpus" -> Curation.curatedCorpusSql,
     "r22_trading_calendar" -> CciPipeline.tradingCalendarSql,
     "p04_sequence_pack" -> Curation.sequencePackSql,
-    "m02_payload_features" -> graft.multimodal.Multimodal.payloadFeaturesSql
+    "m02_payload_features" -> graft.multimodal.Multimodal.payloadFeaturesSql,
+    "m03_frame_sample" -> graft.multimodal.Multimodal.frameSamplesSql
   )
 }

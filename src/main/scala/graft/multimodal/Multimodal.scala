@@ -147,6 +147,81 @@ object Multimodal {
       |FROM cnt GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m03
+  /** Bytes per sampled "frame" and the per-document frame cap. */
+  val FrameBytes = 64
+  val MaxFrames = 8
+
+  /** One sampled frame: the decode boundary's one-to-many output row. */
+  final case class FrameSample(doc_id: Long, frame_idx: Int, frame_ts_ms: Long,
+      frame_len: Int, frame_fp: Long)
+
+  /** m03: frame sampling at the decode boundary — the one-to-many shape
+    * (video in, bounded frame batch out) a real media pipeline needs. A
+    * real implementation would seek the container's keyframe index inside
+    * this same mapPartitions and emit decoded frames; the stub samples
+    * [[MaxFrames]] evenly spaced [[FrameBytes]]-wide payload slices and
+    * fingerprints them with the same polynomial fold the text operators
+    * use, so the output is deterministic and oracle-checkable. Memory per
+    * task stays bounded by frames-per-record × frame size, never the whole
+    * partition; the payload column itself is never shuffled — only the
+    * small frame rows are. */
+  def frameSamples(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val P = graft.functions.TextFunctions.HashP
+    withPayload(spark, dir)
+      .filter($"media_type" === "video" && octet_length($"payload") > 0)
+      .select($"doc_id", $"payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, payload) =>
+          // ??? <- real codec seek/decode goes here; deterministic fake:
+          val len = payload.length.toLong
+          val nf = math.min(MaxFrames.toLong, math.max(1L, len / FrameBytes)).toInt
+          (0 until nf).iterator.map { i =>
+            val off = i.toLong * len / nf // floor division (positive)
+            val flen = math.min(FrameBytes.toLong, len - off).toInt
+            var acc = 0L
+            var j = 0
+            while (j < flen) {
+              acc = (acc * 31 + (payload(off.toInt + j) & 0xff)) % P
+              j += 1
+            }
+            FrameSample(id, i, off * 40, flen, acc)
+          }
+        }
+      }
+      .toDF()
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  /** The corpus is ASCII, so text chars == payload bytes: the oracle
+    * samples the same slices with substr and folds the same hash. */
+  val frameSamplesSql: String = {
+    import graft.functions.{TextSql => S}
+    s"""WITH vids AS (
+       |  SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS len
+       |  FROM documents
+       |  WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0),
+       |nfr AS (
+       |  SELECT doc_id, text, len,
+       |    least($MaxFrames, greatest(1, len // $FrameBytes)) AS n
+       |  FROM vids),
+       |fr AS (
+       |  SELECT doc_id, text, len, n, unnest(range(n)) AS i FROM nfr),
+       |sl AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       |    (i * len) // n AS off,
+       |    CAST(least($FrameBytes, len - (i * len) // n) AS INTEGER) AS frame_len,
+       |    substr(text, CAST((i * len) // n + 1 AS INTEGER),
+       |           CAST(least($FrameBytes, len - (i * len) // n) AS INTEGER)) AS slice
+       |  FROM fr)
+       |SELECT doc_id, frame_idx, off * 40 AS frame_ts_ms, frame_len,
+       |  ${S.polyHash("slice")} AS frame_fp
+       |FROM sl
+       |ORDER BY doc_id, frame_idx""".stripMargin
+  }
+
   val mediaMetaSql: String =
     """SELECT doc_id,
       |  CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -219,4 +219,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(feats.count() == sources.Tables.documents(spark, sf).count())
     assert(feats.filter(col("width") < 1 || col("height") < 1).count() == 0)
   }
+
+  test("m03: frame sampling is bounded, contiguous and covers every video doc") {
+    import TestSpark.spark.implicits._
+    val fr = multimodal.Multimodal.frameSamples(spark, sf).cache()
+    val perDoc = fr.groupBy($"doc_id").agg(
+      count(lit(1)).as("n"), max($"frame_idx").as("mx"), min($"frame_idx").as("mn"))
+    // bounded per record, frame indexes contiguous from 0
+    assert(perDoc.filter($"n" > multimodal.Multimodal.MaxFrames).count() == 0)
+    assert(perDoc.filter($"mn" =!= 0 || $"mx" =!= $"n" - 1).count() == 0)
+    // every non-empty video doc emits frames
+    val vids = multimodal.Multimodal.withPayload(spark, sf)
+      .filter($"media_type" === "video" && octet_length($"payload") > 0)
+    assert(perDoc.count() == vids.count())
+    assert(fr.filter($"frame_len" < 1 || $"frame_len" > multimodal.Multimodal.FrameBytes)
+      .count() == 0)
+    fr.unpersist()
+  }
 }
