@@ -87,6 +87,7 @@ object SparkEntry {
     "r20_history_grid_sim" -> (CciPipeline.tradesHistoryGrid _),
     "r21_fetch_watermark" -> (CciPipeline.fetchWatermark _),
     "d07_dedup_clusters" -> (graft.dedup.Dedup.dedupClusters _),
+    "d08_dedup_incremental" -> (graft.dedup.Dedup.incrementalDedup _),
     "t05_vocab" -> (TextAnalysis.vocab _),
     "p03_curated_corpus" -> (Curation.curatedCorpus _),
     "r22_trading_calendar" -> (CciPipeline.tradingCalendar _),
@@ -165,6 +166,7 @@ object SparkEntry {
     "r20_history_grid_sim" -> CciPipeline.tradesHistoryGridSql,
     "r21_fetch_watermark" -> CciPipeline.fetchWatermarkSql,
     "d07_dedup_clusters" -> graft.dedup.Dedup.dedupClustersSql,
+    "d08_dedup_incremental" -> graft.dedup.Dedup.incrementalDedupSql,
     "t05_vocab" -> TextAnalysis.vocabSql,
     "p03_curated_corpus" -> Curation.curatedCorpusSql,
     "r22_trading_calendar" -> CciPipeline.tradingCalendarSql,

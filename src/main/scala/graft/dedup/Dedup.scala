@@ -229,7 +229,10 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  val minhashLshSql: String = {
+  /** jaccardCtes + the minhash signature / band-key CTEs (`sig`, `bands`)
+    * — the oracle-side twin of [[minhashSignatures]] + [[bandArray]],
+    * shared by d03 and d08. */
+  private lazy val lshBandCtes: String = {
     val sigExprs = (0 until MinHashK)
       .map(i => s"min((x * ${hashA(i)} + ${hashB(i)}) % ${F.HashP}) AS h$i")
       .mkString(",\n    ")
@@ -244,8 +247,12 @@ object Dedup {
          |    $sigExprs
          |  FROM xh GROUP BY doc_id),
          |bands AS (
-         |  $bandSelects),
-         |cand AS (
+         |  $bandSelects)""".stripMargin
+  }
+
+  val minhashLshSql: String =
+    lshBandCtes + ",\n" +
+      s"""cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
@@ -253,7 +260,80 @@ object Dedup {
          |FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
          |WHERE jaccard >= $JaccardThreshold
          |ORDER BY j.doc_a, j.doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- d08
+  /** The trailing fraction of the doc-id range treated as the newly
+    * arriving delta; everything below is the already-ingested base. */
+  val DeltaFraction = 0.8
+
+  /** d08: incremental dedup — the daily-ingest shape at 100 TB. A new
+    * delta batch is checked against the existing corpus WITHOUT ever
+    * re-pairing the corpus with itself: band keys are derived for both
+    * sides (at scale the base side is a maintained index, written once and
+    * bucketed by band key), but the candidate join keeps only pairs whose
+    * LATER member is a delta doc, so candidate volume scales with
+    * |delta| × collision-rate, not |corpus|². Each delta doc reports its
+    * earliest near-dup partner (base doc or earlier delta doc) after the
+    * exact-Jaccard verify; unmatched delta docs pass through admitted.
+    * The cutoff derives from a 1-row aggregate broadcast — no driver
+    * action. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val cutoff = docs.agg(
+      floor(max($"doc_id") * DeltaFraction).cast("long").as("cutoff"))
+    val bands = minhashSignatures(docs)
+      .withColumn("bb", explode(bandArray($"sigs")))
+      .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
+      .crossJoin(broadcast(cutoff))
+    val deltaBands = bands.filter($"doc_id" >= $"cutoff")
+      .select($"doc_id".as("doc_b"), $"band", $"bkey")
+    val cand = bands.select($"doc_id".as("doc_a"), $"band", $"bkey")
+      .join(deltaBands, Seq("band", "bkey"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    val ds = graft.GraftSession.maybeCache(docShingles(spark, dir))
+    val dups = cand
+      .join(ds.toDF("doc_a", "sha"), Seq("doc_a"))
+      .join(ds.toDF("doc_b", "shb"), Seq("doc_b"))
+      .withColumn("common", size(array_intersect($"sha", $"shb")))
+      .withColumn("jaccard",
+        $"common".cast("double") / (size($"sha") + size($"shb") - $"common"))
+      .filter($"jaccard" >= JaccardThreshold)
+      .groupBy($"doc_b")
+      .agg(min($"doc_a").as("dup_of"), min_by($"jaccard", $"doc_a").as("jacc"))
+    docs.crossJoin(broadcast(cutoff))
+      .filter($"doc_id" >= $"cutoff")
+      .select($"doc_id")
+      .join(dups.withColumnRenamed("doc_b", "doc_id"), Seq("doc_id"), "left")
+      .select($"doc_id", $"dup_of".isNotNull.as("is_dup"), $"dup_of",
+        F.fr($"jacc", 4).as("jaccard"))
+      .orderBy($"doc_id")
   }
+
+  val incrementalDedupSql: String =
+    lshBandCtes + ",\n" +
+      s"""cut AS (
+         |  SELECT CAST(floor(max(doc_id) * $DeltaFraction) AS BIGINT) AS cutoff
+         |  FROM documents),
+         |icand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  CROSS JOIN cut
+         |  WHERE b.doc_id >= cutoff),
+         |dup AS (
+         |  SELECT c.doc_b AS doc_id, min(j.doc_a) AS dup_of,
+         |    arg_min(j.jaccard, j.doc_a) AS jacc
+         |  FROM icand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+         |  WHERE j.jaccard >= $JaccardThreshold
+         |  GROUP BY c.doc_b)
+         |SELECT d.doc_id, dup.doc_id IS NOT NULL AS is_dup, dup.dup_of,
+         |  ${S.fr("dup.jacc", 4)} AS jaccard
+         |FROM documents d CROSS JOIN cut
+         |LEFT JOIN dup ON dup.doc_id = d.doc_id
+         |WHERE d.doc_id >= cutoff
+         |ORDER BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- d04
   /** SimHash near-dup: 32-bit sign-aggregated fingerprint over shingle

@@ -88,6 +88,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(hit.toDouble / total >= 0.8, s"recall ${hit.toDouble / total}")
   }
 
+  test("d08: incremental dedup flags exactly the delta docs d03 pairs with an earlier doc") {
+    import TestSpark.spark.implicits._
+    val inc = dedup.Dedup.incrementalDedup(spark, sf).cache()
+    val cutoff = sources.Tables.documents(spark, sf)
+      .agg(floor(max($"doc_id") * dedup.Dedup.DeltaFraction).cast("long")).head.getLong(0)
+    // output covers the delta only, one row per delta doc
+    val delta = sources.Tables.documents(spark, sf).filter($"doc_id" >= cutoff)
+    assert(inc.count() == delta.count())
+    // every flagged dup points at a strictly earlier doc with >= threshold overlap
+    assert(inc.filter($"is_dup" && ($"dup_of" >= $"doc_id" ||
+      $"jaccard" < dedup.Dedup.JaccardThreshold)).count() == 0)
+    // agreement with batch d03 restricted to pairs whose later member is delta:
+    // a delta doc is flagged iff d03 verified it against an earlier partner
+    val d03dups = dedup.Dedup.minhashLsh(spark, sf)
+      .filter($"doc_b" >= cutoff).select($"doc_b".as("doc_id")).distinct()
+    val flagged = inc.filter($"is_dup").select($"doc_id")
+    assert(flagged.exceptAll(d03dups).count() == 0)
+    assert(d03dups.exceptAll(flagged).count() == 0)
+    inc.unpersist()
+  }
+
   test("d07: clusters are consistent with the pair graph and keep exactly one canonical per cluster") {
     import TestSpark.spark.implicits._
     val cl = dedup.Dedup.dedupClusters(spark, sf).cache()
