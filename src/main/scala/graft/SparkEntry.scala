@@ -92,6 +92,7 @@ object SparkEntry {
     "p03_curated_corpus" -> (Curation.curatedCorpus _),
     "r22_trading_calendar" -> (CciPipeline.tradingCalendar _),
     "p04_sequence_pack" -> (Curation.sequencePack _),
+    "p05_stratified_sample" -> (Curation.stratifiedSample _),
     "m02_payload_features" -> (graft.multimodal.Multimodal.payloadFeatures _),
     "m03_frame_sample" -> (graft.multimodal.Multimodal.frameSamples _),
     "s04_ann_ivf_trained" -> ((s: SparkSession, d: String) =>
@@ -171,6 +172,7 @@ object SparkEntry {
     "p03_curated_corpus" -> Curation.curatedCorpusSql,
     "r22_trading_calendar" -> CciPipeline.tradingCalendarSql,
     "p04_sequence_pack" -> Curation.sequencePackSql,
+    "p05_stratified_sample" -> Curation.stratifiedSampleSql,
     "m02_payload_features" -> graft.multimodal.Multimodal.payloadFeaturesSql,
     "m03_frame_sample" -> graft.multimodal.Multimodal.frameSamplesSql
   )

@@ -63,6 +63,55 @@ object Curation {
   val PackWindow = 512L
   val PackBucket = 1000L
 
+  // ---------------------------------------------------------------- p05
+  /** 1/SampleDiv of each stratum is kept (integer-exact quota). */
+  val SampleDiv = 4L
+
+  /** p05: deterministic stratified sampling — the exact-allocation
+    * downsample every training-data mix step needs (per-(lang, source)
+    * quotas, reproducible across runs and engines). Docs rank inside their
+    * stratum by a salted content-independent hash of the doc id (uniform,
+    * but deterministic — no RNG, so both engines and any rerun agree) and
+    * the first ceil(n/SampleDiv) survive.
+    *
+    * Scale shape: one shuffle on the stratum key for the rank window; the
+    * per-stratum quota rides the same window (count over the full
+    * partition), so no second pass or join. A skewed mega-stratum is the
+    * usual caveat — the hash-rank is still a single partition per stratum,
+    * so at 100 TB you'd pre-split hot strata (salt the stratum key, take
+    * quota/salt per split) exactly like the skew-join recipe. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => F}
+    val w = Window.partitionBy($"lang", $"source")
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .withColumn("h", F.polyHash(concat($"doc_id".cast("string"), lit("-p05"))))
+    docs
+      .withColumn("rn", row_number().over(w.orderBy($"h", $"doc_id")))
+      .withColumn("stratum_n", count(lit(1)).over(w).cast("long"))
+      .filter($"rn" <= ($"stratum_n" + SampleDiv - 1) / SampleDiv)
+      .select($"doc_id", $"lang", $"source", $"stratum_n", $"rn".cast("long").as("rn"))
+      .orderBy($"doc_id")
+  }
+
+  val stratifiedSampleSql: String = {
+    import graft.functions.{TextSql => S}
+    s"""WITH h AS (
+       |  SELECT doc_id, lang, source,
+       |    ${S.polyHash("CAST(doc_id AS VARCHAR) || '-p05'")} AS hh
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, lang, source,
+       |    row_number() OVER (PARTITION BY lang, source ORDER BY hh, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY lang, source) AS stratum_n
+       |  FROM h)
+       |SELECT doc_id, lang, source, CAST(stratum_n AS BIGINT) AS stratum_n,
+       |  CAST(rn AS BIGINT) AS rn
+       |FROM r
+       |WHERE rn <= (stratum_n + ${SampleDiv - 1}) // $SampleDiv
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def sequencePack(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, dir)

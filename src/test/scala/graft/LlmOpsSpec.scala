@@ -195,6 +195,22 @@ class LlmOpsSpec extends AnyFunSuite {
     cur.unpersist()
   }
 
+  test("p05: stratified sample takes exactly ceil(n/div) docs per stratum, deterministically") {
+    import TestSpark.spark.implicits._
+    val s1 = operators.Curation.stratifiedSample(spark, sf).cache()
+    val quotas = sources.Tables.documents(spark, sf)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("n"))
+    val taken = s1.groupBy($"lang", $"source").agg(count(lit(1)).as("k"))
+    val off = quotas.join(taken, Seq("lang", "source"), "left")
+      .filter(coalesce($"k", lit(0L)) =!= floor(
+        ($"n" + operators.Curation.SampleDiv - 1) / operators.Curation.SampleDiv).cast("long"))
+    assert(off.count() == 0)
+    // deterministic: a second run selects the identical doc set
+    val s2 = operators.Curation.stratifiedSample(spark, sf)
+    assert(s1.select("doc_id").exceptAll(s2.select("doc_id")).count() == 0)
+    s1.unpersist()
+  }
+
   test("p04: packing is a gapless chop of the doc_id-ordered token stream") {
     import TestSpark.spark.implicits._
     val p = operators.Curation.sequencePack(spark, sf).cache()
