@@ -88,7 +88,9 @@ object SparkEntry {
     "r21_fetch_watermark" -> (CciPipeline.fetchWatermark _),
     "d07_dedup_clusters" -> (graft.dedup.Dedup.dedupClusters _),
     "d08_dedup_incremental" -> (graft.dedup.Dedup.incrementalDedup _),
+    "d09_dedup_embedding_ivf" -> (graft.similarity.Similarity.embeddingDedupIvf _),
     "t05_vocab" -> (TextAnalysis.vocab _),
+    "t06_decontaminate" -> (TextAnalysis.decontaminate _),
     "p03_curated_corpus" -> (Curation.curatedCorpus _),
     "r22_trading_calendar" -> (CciPipeline.tradingCalendar _),
     "p04_sequence_pack" -> (Curation.sequencePack _),
@@ -168,7 +170,9 @@ object SparkEntry {
     "r21_fetch_watermark" -> CciPipeline.fetchWatermarkSql,
     "d07_dedup_clusters" -> graft.dedup.Dedup.dedupClustersSql,
     "d08_dedup_incremental" -> graft.dedup.Dedup.incrementalDedupSql,
+    "d09_dedup_embedding_ivf" -> graft.similarity.Similarity.embeddingDedupIvfSql,
     "t05_vocab" -> TextAnalysis.vocabSql,
+    "t06_decontaminate" -> TextAnalysis.decontaminateSql,
     "p03_curated_corpus" -> Curation.curatedCorpusSql,
     "r22_trading_calendar" -> CciPipeline.tradingCalendarSql,
     "p04_sequence_pack" -> Curation.sequencePackSql,

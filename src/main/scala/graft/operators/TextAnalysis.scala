@@ -205,4 +205,59 @@ object TextAnalysis {
          |SELECT fp.doc_id, fingerprint, min_shingle_hash
          |FROM fp JOIN msh ON fp.doc_id = msh.doc_id
          |ORDER BY fp.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t06
+  /** Every EvalStride-th doc plays the held-out eval set. */
+  val EvalStride = 50
+  /** Shingle-overlap ratio at or above which a doc is contaminated. */
+  val ContaminationThreshold = 0.3
+
+  /** t06: benchmark decontamination — flag training docs whose word-3-gram
+    * shingles overlap a held-out eval set's shingle vocabulary (the check
+    * every pretraining corpus runs so benchmarks stay out of the training
+    * mix). The eval shingle vocabulary is small by construction (eval sets
+    * are benchmarks, not corpora), so it BROADCASTS and the overlap count
+    * is a map-side join against the distinct-shingle explode — at 100 TB
+    * this is one scan of the corpus with no shuffle on the big side
+    * (the per-doc groupBy re-aggregates doc-partitioned rows). */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val shingles = graft.dedup.Dedup
+      .docShinglesFrom(Tables.documents(spark, dir))
+      .filter(size($"shs") > 0)
+      .select($"doc_id", explode($"shs").as("sh"))
+    val evalSet = shingles.filter($"doc_id" % EvalStride === 0)
+      .select($"sh").distinct()
+    val overlap = shingles.filter($"doc_id" % EvalStride =!= 0)
+      .join(broadcast(evalSet), Seq("sh"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
+    graft.dedup.Dedup.docShinglesFrom(Tables.documents(spark, dir))
+      .filter($"doc_id" % EvalStride =!= 0 && size($"shs") > 0)
+      .select($"doc_id", size($"shs").cast("long").as("nsh"))
+      .join(overlap, Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce($"n_overlap", lit(0L)))
+      .withColumn("overlap_ratio", F.fr($"n_overlap".cast("double") / $"nsh", 4))
+      .withColumn("contaminated", $"overlap_ratio" >= ContaminationThreshold)
+      .select($"doc_id", $"nsh", $"n_overlap", $"overlap_ratio", $"contaminated")
+      .orderBy($"doc_id")
+  }
+
+  val decontaminateSql: String =
+    S.shinglesCte() + ",\n" +
+      s"""ev AS (SELECT DISTINCT sh FROM shingles WHERE doc_id % $EvalStride = 0),
+         |ov AS (
+         |  SELECT s.doc_id, count(*) AS n_overlap
+         |  FROM shingles s JOIN ev USING (sh)
+         |  WHERE s.doc_id % $EvalStride <> 0
+         |  GROUP BY s.doc_id),
+         |sz AS (
+         |  SELECT doc_id, count(*) AS nsh FROM shingles
+         |  WHERE doc_id % $EvalStride <> 0 GROUP BY doc_id)
+         |SELECT sz.doc_id, CAST(sz.nsh AS BIGINT) AS nsh,
+         |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  ${S.fr("CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / sz.nsh", 4)} AS overlap_ratio,
+         |  ${S.fr("CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / sz.nsh", 4)}
+         |    >= $ContaminationThreshold AS contaminated
+         |FROM sz LEFT JOIN ov ON ov.doc_id = sz.doc_id
+         |ORDER BY sz.doc_id""".stripMargin
 }

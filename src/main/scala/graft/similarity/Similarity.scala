@@ -274,4 +274,87 @@ object Similarity {
       .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
       .orderBy($"query_id", $"rnk")
   }
+
+  // ---------------------------------------------------------------- d09
+  /** d09: embedding near-dup with DATA-DERIVED blocking — d05's shape
+    * with the label column replaced by an IVF cell assignment (nearest
+    * fixed-point centroid by quantized L2, engine-deterministic): the
+    * corpus blocks itself, no metadata needed. Pairs form only within a
+    * cell, so candidate volume is Σ cell² not corpus²; at 100 TB the cell
+    * id is the shuffle key, exactly like s03/s04's read path. Assignment
+    * uses integer-quantized scores (floor micro/nano units) so both
+    * engines pick identical cells; the cosine verify reuses s01's exact
+    * arithmetic. */
+  def embeddingDedupIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = graft.GraftSession.maybeCache(vecs(spark, dir))
+    val dims = e.select($"vec_id", posexplode($"v").as(Seq("dim", "dv")))
+    val labDims = e.select($"label", posexplode($"v").as(Seq("dim", "dv")))
+    val centroids = labDims.groupBy($"label", $"dim")
+      .agg((sum(floor($"dv" * 1e6).cast("long")).cast("double") /
+        count(lit(1)) / 1e6).as("cv"))
+    val cn2 = centroids.groupBy($"label")
+      .agg(sum(floor($"cv" * $"cv" * 1e9).cast("long")).as("cn2q"))
+    val aw = Window.partitionBy($"vec_id").orderBy($"score", $"label")
+    val assigned = dims.join(centroids, Seq("dim"))
+      .groupBy($"vec_id", $"label")
+      .agg(sum(floor($"dv" * $"cv" * 1e9).cast("long")).as("dotq"))
+      .join(cn2, Seq("label"))
+      .withColumn("score", $"cn2q" - lit(2L) * $"dotq")
+      .withColumn("arnk", row_number().over(aw))
+      .filter($"arnk" === 1)
+      .select($"vec_id", $"label".as("cell"))
+    val m = e.join(assigned, Seq("vec_id"))
+      .select($"vec_id", $"cell", $"v", $"norm")
+    m.toDF("vec_a", "cell", "va", "na")
+      .join(m.toDF("vec_b", "cell", "vb", "nb"), Seq("cell"))
+      .filter($"vec_a" < $"vec_b")
+      .withColumn("cosine", F.fr(cosine($"va", $"vb", $"na", $"nb"), 6))
+      .filter($"cosine" >= graft.dedup.Dedup.CosineThreshold)
+      .select($"vec_a", $"vec_b", $"cell", $"cosine")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val embeddingDedupIvfSql: String = {
+    val dot = S.foldSum("list_transform(range(1, len(va) + 1), i -> va[i] * vb[i])")
+    val na = S.foldSum("list_transform(va, x -> x * x)")
+    val nb = S.foldSum("list_transform(vb, x -> x * x)")
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |dims AS (
+       |  SELECT vec_id, label, i - 1 AS dim, v[i] AS dv
+       |  FROM e, unnest(range(1, len(v) + 1)) AS t(i)),
+       |centroids AS (
+       |  SELECT label, dim,
+       |    CAST(sum(CAST(floor(dv * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |      / count(*) / 1000000.0 AS cv
+       |  FROM dims GROUP BY label, dim),
+       |cn2 AS (
+       |  SELECT label,
+       |    sum(CAST(floor(cv * cv * 1000000000.0) AS BIGINT)) AS cn2q
+       |  FROM centroids GROUP BY label),
+       |sc AS (
+       |  SELECT d.vec_id, c.label,
+       |    sum(CAST(floor(d.dv * c.cv * 1000000000.0) AS BIGINT)) AS dotq
+       |  FROM dims d JOIN centroids c ON c.dim = d.dim
+       |  GROUP BY d.vec_id, c.label),
+       |asg AS (
+       |  SELECT vec_id, label AS cell FROM (
+       |    SELECT s.vec_id, s.label,
+       |      row_number() OVER (PARTITION BY s.vec_id
+       |                         ORDER BY (n.cn2q - 2 * s.dotq), s.label) AS arnk
+       |    FROM sc s JOIN cn2 n USING (label)) z
+       |  WHERE arnk = 1),
+       |m AS (SELECT e.vec_id, asg.cell, e.v FROM e JOIN asg USING (vec_id)),
+       |pr AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell,
+       |    a.v AS va, b.v AS vb
+       |  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT vec_a, vec_b, cell,
+       |    ${S.fr(s"CASE WHEN (sqrt($na) * sqrt($nb)) <> 0.0 THEN ($dot) / (sqrt($na) * sqrt($nb)) END", 6)} AS cosine
+       |  FROM pr)
+       |SELECT vec_a, vec_b, cell, cosine
+       |FROM scored WHERE cosine >= ${graft.dedup.Dedup.CosineThreshold}
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
 }
