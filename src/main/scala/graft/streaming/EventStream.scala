@@ -123,6 +123,32 @@ object EventStream {
       .agg(count(lit(1)).as("n"))
   }
 
+  // ---------------------------------------------------------------- v08
+  /** v08: stream-stream interval join — views joined to the same user's
+    * purchases within the following hour (the attribution join every
+    * event pipeline runs). Both sides carry watermarks and the join
+    * condition bounds the event-time range, so state on each side is
+    * dropped once the watermark passes the interval: bounded state, the
+    * only shape a stream-stream join can ship with at scale. */
+  def viewToPurchase(spark: SparkSession, streamDir: String): DataFrame = {
+    import spark.implicits._
+    val views = readEventStream(spark, streamDir)
+      .filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    val purchases = readEventStream(spark, streamDir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("purchase_ts"),
+        floor($"value" * 100.0 + 0.5).cast("long").as("purchase_cents"))
+      .withWatermark("purchase_ts", "10 minutes")
+    views.join(purchases,
+      views("user_id") === purchases("user_id") &&
+        $"purchase_ts" > $"view_ts" &&
+        $"purchase_ts" <= $"view_ts" + expr("INTERVAL 1 HOUR"))
+      .select(views("user_id"), $"view_id", $"view_ts",
+        $"purchase_id", $"purchase_ts", $"purchase_cents")
+  }
+
   final case class SessionUpdate(user_id: Long, session_start_us: Long,
       n_events: Long, total_cents: Long, closed: Boolean)
   /** Public: Spark's state encoder codegen needs constructor access. */

@@ -82,12 +82,21 @@ class EngineSpec extends AnyFunSuite {
     val t05 = SparkEntry.queries("t05_vocab")(spark, sf).queryExecution.executedPlan
     assert(t05.toString.contains("TakeOrderedAndProject"),
       "t05 top-k should plan as TakeOrderedAndProject")
-    // near-dup ops never plan a cartesian product
+    // near-dup ops never plan a cartesian product (the 1-row cutoff
+    // broadcast in d08 is the one permitted cross join — broadcast, not
+    // cartesian)
     Seq("d02_dedup_ngram_jaccard", "d03_dedup_minhash_lsh", "d04_dedup_simhash",
-      "d06_fuzzy_levenshtein").foreach { q =>
-      val cart = collectAll(finalPlanOf(q), { case _: CartesianProductExec => true })
-      assert(cart.isEmpty, s"$q plans a cartesian product")
-    }
+      "d06_fuzzy_levenshtein", "d08_dedup_incremental", "d09_dedup_embedding_ivf")
+      .foreach { q =>
+        val cart = collectAll(finalPlanOf(q), { case _: CartesianProductExec => true })
+        assert(cart.isEmpty, s"$q plans a cartesian product")
+      }
+    // t06: the eval shingle vocabulary must broadcast — the corpus-side
+    // explode must NOT shuffle into a sort-merge join
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val t06bc = collectAll(finalPlanOf("t06_decontaminate"),
+      { case _: BroadcastHashJoinExec => true })
+    assert(t06bc.nonEmpty, "t06 eval set should broadcast-hash-join")
   }
 
   test("q18: typed Aggregator matches the untyped cents aggregation") {

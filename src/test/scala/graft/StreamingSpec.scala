@@ -105,6 +105,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(verified.exceptAll(got).count() == 0)
   }
 
+  test("v08: stream-stream interval join matches the batch attribution join") {
+    val q = streaming.EventStream.viewToPurchase(spark, streamDir)
+      .writeStream.outputMode("append").format("memory").queryName("v08_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("v08_out")
+    val ev = sources.Tables.events(spark, sf)
+    val batch = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts")),
+        Seq("user_id"))
+      .filter(col("purchase_ts") > col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+    assert(got.count() > 0)
+    // append emits once both watermarks close a match; on a replayed static
+    // file everything except the trailing horizon closes — every emitted
+    // row must be a batch row, and most batch rows must be emitted
+    val key = Seq("view_id", "purchase_id")
+    assert(got.select(key.map(col): _*).exceptAll(batch.select(key.map(col): _*)).count() == 0)
+    assert(got.count().toDouble / batch.count() >= 0.8)
+  }
+
   test("v05: streaming dedup yields exactly the distinct event count") {
     val q = streaming.EventStream.streamDedup(spark, streamDir)
       .writeStream.outputMode("complete").format("memory").queryName("v05_out").start()
