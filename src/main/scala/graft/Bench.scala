@@ -63,9 +63,11 @@ object Bench {
       val sfName = new java.io.File(sfDir).getName
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }
-    val out = Seq(2, 1).map(line).find(_.length <= 1750).getOrElse {
-      // last resort: top-24 slowest + the rest as one "other" bucket
-      val top = results.sortBy(-_._2).take(24)
+    // fit budget: 2000-char tail − ~81 sbt "[success]" trailer − 7 "[info] "
+    // prefix, with a little slack
+    val out = Seq(2, 1).map(line).find(_.length <= 1880).getOrElse {
+      // last resort: top-40 slowest + the rest as one "other" bucket
+      val top = results.sortBy(-_._2).take(40)
       val other = total - top.map(_._2).sum
       val qs = (top :+ ("other" -> other))
         .map { case (k, v) => "\"" + k + "\":" + "%.2f".format(v) }
