@@ -67,4 +67,18 @@ class PropertySpec extends AnyFunSuite {
       assert(d1 == d2) // per-index products commute exactly in IEEE
     }
   }
+
+  test("ArraySumF64/AbsDevSumF64: bit-identical to the left fold they replaced") {
+    import graft.functions.catalyst.ArrayFoldExpr
+    val vecGen = Gen.chooseNum(0, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6)))
+    samples(vecGen).foreach { xs =>
+      val arr = new GenericArrayData(xs.toArray)
+      // exact equality with the aggregate(0.0, a+x) fold the CCI oracle uses
+      assert(ArrayFoldExpr.sum(arr) == xs.foldLeft(0.0)(_ + _))
+      val m = if (xs.nonEmpty) xs.sum / xs.size else 0.0
+      val ref = xs.foldLeft(0.0)((acc, x) => acc + math.abs(x - m))
+      assert(ArrayFoldExpr.absDevSum(arr, m) == ref)
+    }
+  }
 }
