@@ -93,6 +93,7 @@ object SparkEntry {
     "t06_decontaminate" -> (TextAnalysis.decontaminate _),
     "p03_curated_corpus" -> (Curation.curatedCorpus _),
     "r22_trading_calendar" -> (CciPipeline.tradingCalendar _),
+    "r24_orc_roundtrip" -> (Extras.orcRoundtrip _),
     "p04_sequence_pack" -> (Curation.sequencePack _),
     "p05_stratified_sample" -> (Curation.stratifiedSample _),
     "m02_payload_features" -> (graft.multimodal.Multimodal.payloadFeatures _),
@@ -175,6 +176,7 @@ object SparkEntry {
     "t06_decontaminate" -> TextAnalysis.decontaminateSql,
     "p03_curated_corpus" -> Curation.curatedCorpusSql,
     "r22_trading_calendar" -> CciPipeline.tradingCalendarSql,
+    "r24_orc_roundtrip" -> Extras.orcRoundtripSql,
     "p04_sequence_pack" -> Curation.sequencePackSql,
     "p05_stratified_sample" -> Curation.stratifiedSampleSql,
     "m02_payload_features" -> graft.multimodal.Multimodal.payloadFeaturesSql,

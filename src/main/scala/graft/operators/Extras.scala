@@ -498,4 +498,40 @@ object Extras {
       |WHERE l_shipdate >= TIMESTAMP '2000-01-01'
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- r24
+  /** r24: ORC roundtrip — the third columnar format a warehouse-facing
+    * library must speak (parquet is the native store, CSV/JSON the
+    * interchange edges — r12/r14). Values survive the ORC writer/reader
+    * bit-exactly (doubles, strings, timestamps-as-dates), which the oracle
+    * checks by aggregating the same rows straight from the source table:
+    * any roundtrip lossiness would hash-mismatch. ORC's predicate pushdown
+    * profile mirrors parquet's, so the scan-side posture (§5) carries
+    * over. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = tempDir("graft_orc")
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+        to_date($"o_orderdate").as("o_date"))
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"o_totalprice" * 100.0 + 0.5).cast("long")).as("price_cents"),
+        min($"o_date").as("first_date"), max($"o_date").as("last_date"))
+      .select($"o_orderstatus", $"n",
+        ($"price_cents".cast("double") / 100.0).as("total_price"),
+        $"first_date", $"last_date")
+      .orderBy($"o_orderstatus")
+  }
+
+  val orcRoundtripSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price,
+      |  min(CAST(o_orderdate AS DATE)) AS first_date,
+      |  max(CAST(o_orderdate AS DATE)) AS last_date
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
 }
