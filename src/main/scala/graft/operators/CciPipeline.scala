@@ -89,18 +89,18 @@ object CciPipeline {
     * timestamp. */
   def ohlcBars(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val key = Window.partitionBy($"user_id", to_date($"ts"))
-    val wAsc = key.orderBy($"ts", $"event_id")
-    val wDesc = key.orderBy($"ts".desc, $"event_id".desc)
+    // Single-pass bars: open/close via min_by/max_by on the (ts, event_id)
+    // struct (unique per event, so deterministic) — one shuffle + hash agg.
+    // The prior formulation ranked with TWO window sorts (asc + desc
+    // row_number) before aggregating; the oracle keeps that row_number
+    // formulation, so the hash gate proves the two agree bit-for-bit.
     Tables.events(spark, dir)
-      .withColumn("rn_first", row_number().over(wAsc))
-      .withColumn("rn_last", row_number().over(wDesc))
       .groupBy($"user_id", to_date($"ts").as("d"))
       .agg(
-        max(when($"rn_first" === 1, $"value")).as("open_pr"),
+        min_by($"value", struct($"ts", $"event_id")).as("open_pr"),
         max($"value").as("high_pr"),
         min($"value").as("low_pr"),
-        max(when($"rn_last" === 1, $"value")).as("close_pr"),
+        max_by($"value", struct($"ts", $"event_id")).as("close_pr"),
         count(lit(1)).as("volume"))
   }
 
