@@ -83,10 +83,9 @@ object CciPipeline {
   // ---------------------------------------------------------------- r02
   /** Events → per-(user, day) OHLC bars: the reference's daily price frame
     * (daily_function.py:358-366) built from a raw event stream. One shuffle
-    * on (user_id, day); open/close come from row_number with an explicit
-    * (ts, event_id) tiebreak — arg_min/min_by on ts alone would be
-    * nondeterministic across engines if two events ever share a truncated
-    * timestamp. */
+    * on (user_id, day); open/close order by the full (ts, event_id) struct —
+    * ts alone would be nondeterministic across engines if two events ever
+    * share a truncated timestamp. */
   def ohlcBars(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // Single-pass bars: open/close via min_by/max_by on the (ts, event_id)
@@ -137,12 +136,16 @@ object CciPipeline {
     * delta batch against a snapshot via unionByName first). */
   def upsertKeepLast(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"user_id", to_date($"ts"), $"event_type")
-      .orderBy($"ts".desc, $"event_id".desc)
+    // Keep-last as one max_by hash aggregation on the unique (ts, event_id)
+    // struct — one shuffle, no per-partition sort, and (unlike the window
+    // rank) map-side partial aggregation halves what shuffles. The oracle
+    // keeps the row_number formulation; the hash gate proves equality.
     Tables.events(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"user_id", to_date($"ts").as("d"), $"event_type", $"event_id", $"value")
+      .groupBy($"user_id", to_date($"ts").as("d"), $"event_type")
+      .agg(
+        max_by($"event_id", struct($"ts", $"event_id")).as("event_id"),
+        max_by($"value", struct($"ts", $"event_id")).as("value"))
+      .select($"user_id", $"d", $"event_type", $"event_id", $"value")
       .orderBy($"user_id", $"d", $"event_type")
   }
 
