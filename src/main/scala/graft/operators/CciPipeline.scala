@@ -131,9 +131,9 @@ object CciPipeline {
   // ---------------------------------------------------------------- r03
   /** Incremental-merge upsert: dedup by business key keeping the latest
     * record (reference drop_duplicates(subset=[date], keep='last'),
-    * daily_function.py:492,516). Implemented as row_number over the key so
-    * it stays a single shuffle (at 100 TB: same plan works for merging a
-    * delta batch against a snapshot via unionByName first). */
+    * daily_function.py:492,516). A single shuffle either way (at 100 TB:
+    * same plan works for merging a delta batch against a snapshot via
+    * unionByName first). */
   def upsertKeepLast(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // Keep-last as one max_by hash aggregation on the unique (ts, event_id)
