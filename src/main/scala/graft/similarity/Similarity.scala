@@ -227,6 +227,53 @@ object Similarity {
   def lshTopK(spark: SparkSession, dir: String): DataFrame =
     lshTopKParam(spark, dir, NumPlanes, LshTables)
 
+  /** DuckDB twin of [[lshTopKParam]]: the planes are a deterministic
+    * function of (global plane index, dimension), and the sign test runs
+    * on a fold computed in the identical index order, so both engines
+    * bucket identically — s02 is approximate w.r.t. exact ANN but fully
+    * deterministic, hence oracle-checkable. */
+  def lshTopKSqlFor(planes: Int, tables: Int): String = {
+    def planeDot(g: Int): String = {
+      val sign = s"CASE WHEN ((${g.toLong * 73856093L} + (i-1)*19349663) % 1000003) % 2 = 1 " +
+        "THEN -1.0 ELSE 1.0 END"
+      S.foldSum(s"list_transform(range(1, len(v) + 1), i -> v[i] * ($sign))")
+    }
+    val tableSelects = (0 until tables).map { t =>
+      val bucket = (0 until planes).map { p =>
+        s"(CASE WHEN (${planeDot(t * planes + p)}) >= 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString("\n      + ")
+      s"SELECT vec_id, $t AS tbl,\n      $bucket AS bucket FROM e"
+    }.mkString("\n  UNION ALL\n  ")
+    val dot = S.foldSum("list_transform(range(1, len(vq) + 1), i -> vq[i] * vn[i])")
+    val nq = S.foldSum("list_transform(vq, x -> x * x)")
+    val nn = S.foldSum("list_transform(vn, x -> x * x)")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (
+       |  $tableSelects),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |  WHERE q.vec_id % $QueryStride = 0 AND q.vec_id <> c.vec_id),
+       |p AS (
+       |  SELECT query_id, neighbor_id, eq.v AS vq, ec.v AS vn
+       |  FROM cand
+       |  JOIN e eq ON eq.vec_id = query_id
+       |  JOIN e ec ON ec.vec_id = neighbor_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    ${S.fr(s"CASE WHEN (sqrt($nq) * sqrt($nn)) <> 0.0 THEN ($dot) / (sqrt($nq) * sqrt($nn)) END", 6)} AS cosine
+       |  FROM p),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, rnk, neighbor_id, cosine
+       |FROM ranked WHERE rnk <= $TopK
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  val lshTopKSql: String = lshTopKSqlFor(NumPlanes, LshTables)
+
   // ---------------------------------------------------------------- s04
   /** IVF with a TRAINED coarse quantizer: KMeans centroids (the ml03
     * model) replace s03's fixed-point label-derived cells — the shape a
