@@ -93,8 +93,9 @@ object DocStream {
         case (_, _, state: GroupState[BandMembers]) if state.hasTimedOut =>
           state.remove(); Iterator.empty
         case ((band, _), rows, state: GroupState[BandMembers]) =>
+          val rs = rows.toSeq
           // deterministic within a batch: process in doc_id order
-          val arriving = rows.map(_._1).toSeq.distinct.sorted
+          val arriving = rs.map(_._1).distinct.sorted
           var seen = state.getOption.map(_.docIds).getOrElse(Nil)
           val out = scala.collection.mutable.ArrayBuffer.empty[LshCandidate]
           arriving.foreach { d =>
@@ -104,9 +105,13 @@ object DocStream {
             }
           }
           state.update(BandMembers(seen))
-          // expire the band with the horizon: no arrivals for 1h -> drop
-          if (!state.hasTimedOut)
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3600L * 1000)
+          // Expire the band one horizon after its LATEST arrival — not
+          // after the current watermark, which is still 0 in the first
+          // batch and would expire every band before the next one.
+          // Clamped above the watermark (Spark rejects a timeout <= it).
+          val maxTsMs = rs.map(_._4.getTime).max
+          state.setTimeoutTimestamp(
+            math.max(maxTsMs + 3600L * 1000, state.getCurrentWatermarkMs() + 1))
           out.iterator
       }
   }

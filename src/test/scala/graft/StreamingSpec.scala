@@ -105,6 +105,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(verified.exceptAll(got).count() == 0)
   }
 
+  test("v07: band state survives across batches within the horizon (cross-batch collisions)") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_docstream7b")
+    val docs = sources.Tables.documents(spark, sf)
+    val cut = 250L
+    def addHalf(cond: org.apache.spark.sql.Column, n: Int): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_half$n").toString
+      docs.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, base.resolve(s"h$n.parquet"))
+    }
+    addHalf(col("doc_id") < cut, 1)
+    val q = streaming.DocStream.lshCandidates(spark, base.toString)
+      .writeStream.outputMode("append").format("memory").queryName("v07b_out").start()
+    try {
+      q.processAllAvailable()
+      addHalf(col("doc_id") >= cut, 2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("v07b_out").select("doc_a", "doc_b").distinct()
+    val bands = dedup.Dedup.minhashSignatures(docs)
+      .withColumn("bb", explode(dedup.Dedup.bandArray(col("sigs"))))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val batch = bands.toDF("doc_a", "band", "bkey")
+      .join(bands.toDF("doc_b", "band", "bkey"), Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // the batch-1 state must still be live when batch 2 arrives: every
+    // cross-cut band collision has to be emitted
+    val crossBatch = batch.filter(col("doc_a") < cut && col("doc_b") >= cut)
+    assert(crossBatch.count() > 0, "test corpus has no cross-cut collisions; pick another cut")
+    assert(crossBatch.exceptAll(got).count() == 0, "cross-batch collisions were lost")
+    assert(batch.exceptAll(got).count() == 0)
+    assert(got.exceptAll(batch).count() == 0)
+  }
+
   test("v08: stream-stream interval join matches the batch attribution join") {
     val q = streaming.EventStream.viewToPurchase(spark, streamDir)
       .writeStream.outputMode("append").format("memory").queryName("v08_out").start()
