@@ -12,6 +12,10 @@ class EngineSpec extends AnyFunSuite {
       .head()
     assert(got.getLong(0) == functions.catalyst.PolyHashExpr.hash(UTF8String.fromString("abc")))
     assert(got.getDouble(1) == 11.0)
+    val folds = spark.sql(
+      "SELECT graft_array_sum(array(1.0d, 2.5d)) AS s, graft_abs_dev_sum(array(1.0d, 3.0d), 2.0d) AS a")
+      .head()
+    assert(folds.getDouble(0) == 3.5 && folds.getDouble(1) == 2.0)
   }
 
   test("bucketed join plans without a shuffle exchange and matches plain join") {
