@@ -1031,6 +1031,63 @@ object CciPipeline {
         |WHERE NOT (f.dow >= 5) AND NOT f.is_holiday
         |ORDER BY f.d""".stripMargin
 
+  // ---------------------------------------------------------------- r25
+  /** Price bands are close-price deciles of width [[Scd2BandWidth]]. */
+  val Scd2BandWidth = 10.0
+
+  /** r25: SCD type-2 dimension build (gaps-and-islands) — the
+    * slowly-changing-dimension history table the reference's keep-last
+    * upsert (r03, SCD1) throws away. Each user's daily close price is
+    * discretized into a band; consecutive-day runs of the same band
+    * collapse into one validity interval (valid_from/valid_to,
+    * is_current on the user's last day). One lag window + one running
+    * count + one aggregation, all sharing the per-user shuffle; at
+    * 100 TB this is the standard incremental dim-history build with the
+    * series key as the only shuffle key. */
+  def scd2Bands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+    val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    ohlcBars(spark, dir)
+      .select($"user_id", $"d", floor($"close_pr" / Scd2BandWidth).cast("long").as("band"))
+      .withColumn("chg", when(lag($"band", 1).over(w).isNull ||
+        lag($"band", 1).over(w) =!= $"band", 1).otherwise(0))
+      .withColumn("grp", sum($"chg").over(cum).cast("long"))
+      .groupBy($"user_id", $"grp")
+      .agg(min($"band").as("band"), min($"d").as("valid_from"),
+        max($"d").as("valid_to"), count(lit(1)).as("n_days"))
+      .withColumn("is_current",
+        $"valid_to" === max($"valid_to").over(Window.partitionBy($"user_id")))
+      .select($"user_id", $"band", $"valid_from", $"valid_to", $"n_days", $"is_current")
+      .orderBy($"user_id", $"valid_from")
+  }
+
+  val scd2BandsSql: String =
+    Tables.eventsOracleCte + ",\n" + barsCte + ",\n" +
+      s"""bnd AS (
+         |  SELECT user_id, d,
+         |    CAST(floor(close_pr / $Scd2BandWidth) AS BIGINT) AS band
+         |  FROM bars),
+         |chg AS (
+         |  SELECT user_id, d, band,
+         |    CASE WHEN lag(band) OVER (PARTITION BY user_id ORDER BY d) IS NULL
+         |           OR lag(band) OVER (PARTITION BY user_id ORDER BY d) <> band
+         |         THEN 1 ELSE 0 END AS c
+         |  FROM bnd),
+         |grp AS (
+         |  SELECT user_id, d, band,
+         |    CAST(sum(c) OVER (PARTITION BY user_id ORDER BY d
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS g
+         |  FROM chg),
+         |iv AS (
+         |  SELECT user_id, g, min(band) AS band, min(d) AS valid_from,
+         |    max(d) AS valid_to, count(*) AS n_days
+         |  FROM grp GROUP BY user_id, g)
+         |SELECT user_id, band, valid_from, valid_to, CAST(n_days AS BIGINT) AS n_days,
+         |  valid_to = max(valid_to) OVER (PARTITION BY user_id) AS is_current
+         |FROM iv
+         |ORDER BY user_id, valid_from""".stripMargin
+
   // ---------------------------------------------------------------- r20
   /** History-window grid axis of the trade simulation (reference
     * process_symbol / process_all_stocks_with_save_optimized,

@@ -166,6 +166,34 @@ object Extras {
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q25
+  /** q25: explicit GROUPING SETS — the hand-picked grouping combinations
+    * a report layer asks for when rollup/cube over-produce (here: totals
+    * by status, by priority, and the grand total — but NOT the full
+    * status×priority matrix). One Expand + one aggregation exactly like
+    * rollup/cube; `grouping_id` disambiguates the all-null rows. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority"), Seq.empty),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        (sum(floor($"o_totalprice" * 100.0 + 0.5).cast("long")).cast("double") / 100.0).as("total_price"))
+      .select($"o_orderstatus", $"o_orderpriority", $"gid", $"n_orders", $"total_price")
+      .orderBy($"gid", $"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- q24
   /** Time-dimension histogram: events by day-of-week x hour. Engines
     * disagree on dayofweek() numbering, so dow is computed from epoch days
