@@ -206,6 +206,52 @@ object TextAnalysis {
          |FROM fp JOIN msh ON fp.doc_id = msh.doc_id
          |ORDER BY fp.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t07
+  /** Bigrams below this corpus count are noise and dropped. */
+  val BigramMinCount = 5L
+
+  /** t07: corpus bigram language-model statistics — count(w1 w2),
+    * count(w1 ·) and the conditional probability p(w2|w1), the table a
+    * classic n-gram LM (or a perplexity-based quality filter) reads. Two
+    * hash aggregations sharing the exploded-pair scan; conditional
+    * probability is a single integer-over-integer division so both
+    * engines produce the identical double. At 100 TB the bigram key is
+    * the shuffle key with map-side partial counts — word frequency skew
+    * lands on different reducers per DISTINCT bigram, and the stop-word
+    * head is bounded by the vocabulary, not the corpus. */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.documents(spark, dir)
+      .select(F.tokens($"text").as("tk"))
+      .filter(size($"tk") >= 2)
+      .select(explode(transform(sequence(lit(1), size($"tk") - 1), i =>
+        struct(element_at($"tk", i).as("w1"), element_at($"tk", i + 1).as("w2")))).as("pr"))
+      .select($"pr.w1".as("w1"), $"pr.w2".as("w2"))
+    val bi = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val uni = bi.groupBy($"w1").agg(sum($"c2").as("c1"))
+    bi.join(uni, Seq("w1"))
+      .filter($"c2" >= BigramMinCount)
+      .select($"w1", $"w2", $"c2", $"c1",
+        F.fr($"c2".cast("double") / $"c1", 6).as("p_cond"))
+      .orderBy($"w1", $"w2")
+  }
+
+  val bigramLmSql: String =
+    s"""WITH toks AS (SELECT string_split(text, ' ') AS tk FROM documents),
+       |pairs AS (
+       |  SELECT unnest(list_transform(range(1, len(tk)),
+       |    i -> {'w1': tk[i], 'w2': tk[i+1]})) AS pr
+       |  FROM toks WHERE len(tk) >= 2),
+       |bi AS (
+       |  SELECT pr.w1 AS w1, pr.w2 AS w2, count(*) AS c2
+       |  FROM pairs GROUP BY 1, 2),
+       |uni AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bi GROUP BY w1)
+       |SELECT bi.w1, bi.w2, CAST(c2 AS BIGINT) AS c2, c1,
+       |  ${graft.functions.TextSql.fr("CAST(c2 AS DOUBLE) / c1", 6)} AS p_cond
+       |FROM bi JOIN uni ON uni.w1 = bi.w1
+       |WHERE c2 >= $BigramMinCount
+       |ORDER BY bi.w1, bi.w2""".stripMargin
+
   // ---------------------------------------------------------------- t06
   /** Every EvalStride-th doc plays the held-out eval set. */
   val EvalStride = 50
