@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses one JSON line out of the captured stdout
+// tail; sbt's default LoggedOutput prefixes every forked-process line with
+// "[info] " which breaks that parse. StdoutOutput passes the forked JVM's
+// stdout/stderr through raw.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

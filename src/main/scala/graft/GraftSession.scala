@@ -44,10 +44,15 @@ object GraftSession {
     * `unpersist` on the returned Dataset) releases storage. */
   def maybeCache[T](ds: Dataset[T]): Dataset[T] = {
     val conf = ds.sparkSession.conf
-    if (conf.get("spark.graft.cache.enabled", "true").toBoolean)
-      ds.persist(StorageLevel.fromString(
-        conf.get("spark.graft.cache.storageLevel", "MEMORY_AND_DISK")))
-    else ds
+    if (conf.get("spark.graft.cache.enabled", "true").toBoolean) {
+      // Re-invocations rebuild an identical plan; CacheManager canonicalizes
+      // and would reuse the existing entry but logs a WARN per call. Probe
+      // the storage level first so repeat callers are silent no-ops.
+      if (ds.storageLevel == StorageLevel.NONE)
+        ds.persist(StorageLevel.fromString(
+          conf.get("spark.graft.cache.storageLevel", "MEMORY_AND_DISK")))
+      else ds
+    } else ds
   }
 
   /** Eager local checkpoint, gated the same way: truncates lineage and
