@@ -1219,6 +1219,55 @@ object CciPipeline {
          |  condition_buy_cci_threshold, condition_holding_days,
          |  condition_target_return, condition_stop_loss_cci_threshold""".stripMargin
 
+  // ---------------------------------------------------------------- r23
+  /** Run-metrics digest: the end-of-run accounting the reference posts as
+    * its notification summary (daily_function.py:1136-1137 run length +
+    * runtime message, :1387 candidate count, :1533-1534 buy-signal count,
+    * :934-936 processed-symbol tallies) — re-expressed as one (metric,
+    * value) table over the pipeline stages instead of side-effecting
+    * string messages.
+    *
+    * Scale shape: every metric is a partial-aggregable global count over
+    * the already-persisted chain stages (bars → signals → trades →
+    * strategies), so each contributes one map-side-combined 1-row
+    * aggregate; the union is 8 rows. No extra shuffle beyond each count's
+    * single-row reduce, and nothing here adds a driver-side action. */
+  def runDigest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def unpivot(df: DataFrame): DataFrame = {
+      val pairs = df.columns
+        .map(c => s"'$c', CAST(`$c` AS BIGINT)").mkString(", ")
+      df.selectExpr(s"stack(${df.columns.length}, $pairs) AS (metric, value)")
+    }
+    unpivot(ohlcBars(spark, dir).agg(
+        count(lit(1)).as("n_bars"),
+        countDistinct($"user_id").as("n_series")))
+      .unionAll(unpivot(signalsDf(spark, dir).agg(count(lit(1)).as("n_signals"))))
+      .unionAll(unpivot(trades(spark, dir).agg(
+        count(lit(1)).as("n_trades"),
+        sum(when($"trade_result" === "reach_target", 1L).otherwise(0L)).as("n_reach_target"),
+        sum(when($"trade_result" === "stop_loss", 1L).otherwise(0L)).as("n_stop_loss"),
+        sum(when($"trade_result" === "maturity", 1L).otherwise(0L)).as("n_maturity"))))
+      .unionAll(unpivot(strategyAgg(spark, dir).agg(count(lit(1)).as("n_strategies"))))
+      .orderBy($"metric")
+  }
+
+  val runDigestSql: String =
+    strategyCte + "\n" +
+      """SELECT metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT 'n_bars' AS metric, count(*) AS value FROM bars
+        |  UNION ALL SELECT 'n_series', count(DISTINCT user_id) FROM bars
+        |  UNION ALL SELECT 'n_signals', count(*) FROM sig
+        |  UNION ALL SELECT 'n_trades', count(*) FROM trades
+        |  UNION ALL SELECT 'n_reach_target',
+        |    count(CASE WHEN trade_result = 'reach_target' THEN 1 END) FROM trades
+        |  UNION ALL SELECT 'n_stop_loss',
+        |    count(CASE WHEN trade_result = 'stop_loss' THEN 1 END) FROM trades
+        |  UNION ALL SELECT 'n_maturity',
+        |    count(CASE WHEN trade_result = 'maturity' THEN 1 END) FROM trades
+        |  UNION ALL SELECT 'n_strategies', count(*) FROM strat2) u
+        |ORDER BY metric""".stripMargin
+
   val netRevenueSql: String =
     tradesCtes + "\n" +
       s"""SELECT *,

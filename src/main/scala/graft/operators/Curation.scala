@@ -112,6 +112,77 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p06
+  /** Target language mix: weight × [[MixFrac]] × total corpus tokens is
+    * each language's token budget. */
+  val MixWeights: Seq[(String, Double)] =
+    Seq("de" -> 0.20, "en" -> 0.40, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.10)
+  val MixFrac = 0.25
+
+  /** p06: domain-mix sampling — greedy token-budget fill per language, the
+    * data-mixing step that shapes a pretraining corpus to a target
+    * distribution (e.g. 40% en / 20% de / …). Docs are taken in
+    * deterministic salted-hash order within their language until the
+    * language's token budget (weight × MixFrac × total corpus tokens) is
+    * exhausted; a doc is taken iff the budget is not already spent before
+    * it starts, so runs and engines agree exactly.
+    *
+    * Scale shape: the corpus token total is a 1-row aggregate joined back
+    * broadcast-style (never a driver action); the weight table is a
+    * broadcast literal; the per-language running sum is one window shuffle
+    * on the language key. A mega-language stratum is the p05 caveat — at
+    * 100 TB pre-split hot languages (salt the key, budget/salt per split)
+    * exactly like the skew-join recipe. */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => F}
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source",
+        size(F.tokens($"text")).cast("long").as("n_tokens"),
+        F.polyHash(concat($"doc_id".cast("string"), lit("-p06"))).as("h"))
+    val total = docs.agg(sum($"n_tokens").as("total_tokens"))
+    val weights = MixWeights.toDF("lang", "weight")
+    val w = Window.partitionBy($"lang").orderBy($"h", $"doc_id")
+    docs
+      .join(broadcast(weights), Seq("lang"))
+      .crossJoin(broadcast(total))
+      .withColumn("cum_before", coalesce(
+        sum($"n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("lang_budget",
+        floor($"weight" * $"total_tokens" * MixFrac).cast("long"))
+      .filter($"cum_before" < $"lang_budget")
+      .select($"doc_id", $"lang", $"source", $"n_tokens", $"cum_before", $"lang_budget")
+      .orderBy($"doc_id")
+  }
+
+  val domainMixSql: String = {
+    import graft.functions.{TextSql => S}
+    // weights as DOUBLE literals: DuckDB would otherwise type 0.20 as
+    // DECIMAL and compute the budget exactly while Spark rounds in binary —
+    // identical IEEE ops on both sides instead (SURVEY.md §6).
+    val values = MixWeights
+      .map { case (l, wt) => s"('$l', CAST($wt AS DOUBLE))" }.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ${S.polyHash("CAST(doc_id AS VARCHAR) || '-p06'")} AS h
+       |  FROM documents),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM d),
+       |wt AS (SELECT * FROM (VALUES $values) v(lang, weight)),
+       |r AS (
+       |  SELECT d.doc_id, d.lang, d.source, d.n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY d.lang
+       |      ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before,
+       |    CAST(floor(wt.weight * tot.total_tokens * $MixFrac) AS BIGINT)
+       |      AS lang_budget
+       |  FROM d JOIN wt USING (lang) CROSS JOIN tot)
+       |SELECT doc_id, lang, source, n_tokens, cum_before, lang_budget
+       |FROM r WHERE cum_before < lang_budget
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def sequencePack(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, dir)

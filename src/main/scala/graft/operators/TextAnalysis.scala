@@ -252,6 +252,85 @@ object TextAnalysis {
        |WHERE c2 >= $BigramMinCount
        |ORDER BY bi.w1, bi.w2""".stripMargin
 
+  // ---------------------------------------------------------------- t08
+  /** Rounded top-token / duplicate-bigram fractions at or above these mark
+    * a document repetitive (the Gopher-class repetition gate). */
+  val RepTopTokenFrac = 0.2
+  val RepDupBigramFrac = 0.2
+
+  /** t08: repetition scoring — the "excessively repeated content" quality
+    * signal every pretraining corpus filters on (Rae et al. 2021 §A1.1
+    * style): per document, the fraction of tokens taken by the single most
+    * frequent token and the fraction of duplicated bigrams; either above
+    * its threshold flags the doc.
+    *
+    * Scale shape: the bigram-duplication side is pure map-side HOF
+    * arithmetic over the token array (no shuffle); the top-token count is
+    * the t05 two-level aggregation ((doc, term) partial counts → per-doc
+    * max) whose shuffle key is doc-dominated, so there is no hot key. The
+    * join back is doc_id-to-doc_id, co-partitioned with the aggregation
+    * output. */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame =
+    repetitionScoreFrom(Tables.documents(spark, dir))
+
+  /** [[repetitionScore]] over any (doc_id, text) frame (synthetic corpora
+    * in tests). */
+  def repetitionScoreFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val base = docs
+      .select($"doc_id", F.tokens($"text").as("tk"))
+      .filter(size($"tk") >= 2)
+    val bigrams = transform(sequence(lit(1), size($"tk") - 1), i =>
+      concat_ws(" ", element_at($"tk", i), element_at($"tk", i + 1)))
+    val mapSide = base.select($"doc_id",
+      size($"tk").cast("long").as("n_tokens"),
+      size(array_distinct($"tk")).cast("long").as("n_distinct"),
+      (size($"tk") - 1).cast("long").as("n_bigrams"),
+      size(array_distinct(bigrams)).cast("long").as("n_distinct_bigrams"))
+    val topTok = base.select($"doc_id", explode($"tk").as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("n"))
+      .groupBy($"doc_id").agg(max($"n").as("top_token_n"))
+    mapSide.join(topTok, Seq("doc_id"))
+      .select($"doc_id", $"n_tokens", $"n_distinct", $"top_token_n",
+        F.fr($"top_token_n".cast("double") / $"n_tokens", 4).as("top_token_frac"),
+        F.fr(lit(1.0) - $"n_distinct_bigrams".cast("double") / $"n_bigrams", 4)
+          .as("dup_bigram_frac"))
+      // flag on the ROUNDED fractions so both engines compare identically
+      .withColumn("repetitive",
+        $"top_token_frac" >= RepTopTokenFrac || $"dup_bigram_frac" >= RepDupBigramFrac)
+      .orderBy($"doc_id")
+  }
+
+  val repetitionScoreSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |base AS (
+       |  SELECT doc_id,
+       |    CAST(len(tk) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+       |    CAST(len(tk) - 1 AS BIGINT) AS n_bigrams,
+       |    CAST(len(list_distinct(list_transform(range(1, len(tk)),
+       |      i -> tk[i] || ' ' || tk[i+1]))) AS BIGINT) AS n_distinct_bigrams
+       |  FROM toks),
+       |tt AS (
+       |  SELECT doc_id, max(n) AS top_token_n FROM (
+       |    SELECT doc_id, term, count(*) AS n
+       |    FROM (SELECT doc_id, unnest(tk) AS term FROM toks) u
+       |    GROUP BY 1, 2) c
+       |  GROUP BY 1),
+       |scored AS (
+       |  SELECT b.doc_id, n_tokens, n_distinct, top_token_n,
+       |    ${S.fr("CAST(top_token_n AS DOUBLE) / n_tokens", 4)} AS top_token_frac,
+       |    ${S.fr("1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams", 4)} AS dup_bigram_frac
+       |  FROM base b JOIN tt USING (doc_id))
+       |SELECT doc_id, n_tokens, n_distinct, top_token_n, top_token_frac,
+       |  dup_bigram_frac,
+       |  top_token_frac >= $RepTopTokenFrac OR dup_bigram_frac >= $RepDupBigramFrac
+       |    AS repetitive
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- t06
   /** Every EvalStride-th doc plays the held-out eval set. */
   val EvalStride = 50

@@ -142,4 +142,14 @@ class CciPipelineSpec extends AnyFunSuite {
     assert(short.count() < allW.count())
     g.unpersist()
   }
+
+  test("r23: run digest matches direct stage counts and outcomes partition trades") {
+    val d = CciPipeline.runDigest(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d("n_trades") == CciPipeline.trades(spark, sf).count())
+    assert(d("n_bars") == CciPipeline.ohlcBars(spark, sf).count())
+    assert(d("n_strategies") == CciPipeline.strategyAgg(spark, sf).count())
+    assert(d("n_reach_target") + d("n_stop_loss") + d("n_maturity") == d("n_trades"))
+    assert(d("n_series") > 0 && d("n_signals") > 0)
+  }
 }

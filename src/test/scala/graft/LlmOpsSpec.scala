@@ -273,4 +273,50 @@ class LlmOpsSpec extends AnyFunSuite {
       .count() == 0)
     fr.unpersist()
   }
+
+  test("t08: repetition gate flags a degenerate doc and passes a diverse one") {
+    import TestSpark.spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"), // one token everywhere
+      (2L, "to be or not to be that is the question here today"),
+      (3L, "ab cd ab cd ab cd ab cd ab cd")) // two tokens, all dup bigrams
+      .toDF("doc_id", "text")
+    val r = operators.TextAnalysis.repetitionScoreFrom(docs)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Boolean]("repetitive"))
+    assert(r(3L).getAs[Boolean]("repetitive"))
+    assert(!r(2L).getAs[Boolean]("repetitive"))
+    assert(r(1L).getAs[Double]("top_token_frac") == 1.0)
+    assert(r(1L).getAs[Double]("dup_bigram_frac") == 0.8)
+    // structural invariants over the real corpus
+    val c = operators.TextAnalysis.repetitionScore(spark, sf)
+    assert(c.filter($"n_distinct" > $"n_tokens" || $"top_token_n" < 1 ||
+      $"top_token_frac" < 0 || $"top_token_frac" > 1 ||
+      $"dup_bigram_frac" < 0 || $"dup_bigram_frac" > 1).count() == 0)
+  }
+
+  test("p06: domain mix respects per-language token budgets, deterministically") {
+    import TestSpark.spark.implicits._
+    val m1 = operators.Curation.domainMix(spark, sf).cache()
+    assert(m1.count() > 0)
+    // the recorded budget matches an independent recomputation
+    val total = sources.Tables.documents(spark, sf)
+      .select(sum(size(split($"text", " ")).cast("long")).as("t")).head.getLong(0)
+    val budgets = operators.Curation.MixWeights.map { case (l, wt) =>
+      l -> math.floor(wt * total * operators.Curation.MixFrac).toLong
+    }.toMap
+    val recorded = m1.select($"lang", $"lang_budget").distinct().collect()
+    recorded.foreach(r => assert(r.getLong(1) == budgets(r.getString(0))))
+    // greedy fill: no language overshoots its budget by more than the one
+    // doc that straddles the boundary
+    val over = m1.groupBy($"lang").agg(
+      sum($"n_tokens").as("taken"), max($"n_tokens").as("biggest"),
+      max($"lang_budget").as("budget"))
+      .filter($"taken" >= $"budget" + $"biggest")
+    assert(over.count() == 0)
+    // deterministic: a second run selects the identical doc set
+    val m2 = operators.Curation.domainMix(spark, sf)
+    assert(m1.select("doc_id").exceptAll(m2.select("doc_id")).count() == 0)
+    m1.unpersist()
+  }
 }
