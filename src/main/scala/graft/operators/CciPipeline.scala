@@ -801,6 +801,13 @@ object CciPipeline {
     * reconciliation joins — co-partitioned end to end. */
   def orderReconcile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    reconDf(spark, dir).orderBy($"order_no")
+  }
+
+  /** r18 core without the presentation sort (r26's ledger re-sorts on its
+    * own key; an inner order would just burn a range exchange). */
+  private def reconDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val ords = Tables.orders(spark, dir)
       .select($"o_orderkey".as("order_no"),
         to_date($"o_orderdate").as("buy_order_date"),
@@ -859,10 +866,11 @@ object CciPipeline {
         $"real_sell_date", $"real_sell_qty", $"real_sell_price",
         $"trade_result", $"real_revenue", $"real_revenue_rate",
         $"real_days_held", $"real_revenue_per_days_held")
-      .orderBy($"order_no")
   }
 
-  val orderReconcileSql: String =
+  /** CTE prefix through `rec` (the reconciled fills) — shared by r18's
+    * revenue projection and r26's position ledger. */
+  private val orderReconcileCtes: String =
     s"""WITH ords AS (
        |  SELECT o_orderkey AS order_no, CAST(o_orderdate AS DATE) AS buy_order_date,
        |         CAST((o_orderkey % 10) + 1 AS INTEGER) AS holding_days
@@ -895,7 +903,10 @@ object CciPipeline {
        |  FROM ords o
        |  JOIN buys b ON o.order_no = b.odno
        |  LEFT JOIN sells s ON o.order_no = s.s_odno
-       |  WHERE b.real_buy_qty > 0),
+       |  WHERE b.real_buy_qty > 0)""".stripMargin
+
+  val orderReconcileSql: String =
+    orderReconcileCtes + s""",
        |rev AS (
        |  SELECT *,
        |    real_sell_price - real_buy_price -
@@ -919,6 +930,70 @@ object CciPipeline {
        |  END AS real_revenue_per_days_held
        |FROM rev
        |ORDER BY order_no""".stripMargin
+
+  // ---------------------------------------------------------------- r26
+  /** Position ledger: running holdings quantity and cash balance per
+    * account from the reconciled order fills — the state the reference
+    * reads back from the broker before every sell decision
+    * (hankook_api.py:283 get_stock_balance, consumed at
+    * daily_function.py:1547 df_real_history and the order sizing at
+    * :1335), re-expressed as an auditable event-sourced ledger instead of
+    * an API snapshot.
+    *
+    * Scale shape: each reconciled order explodes map-side into its buy
+    * and (if filled) sell fill — no second read of the reconcile subtree —
+    * then ONE window shuffle on the account key computes both running
+    * sums; (event_date, order_no, side) is a total order within an
+    * account so the cumsums are engine-deterministic. The custkey join is
+    * orderkey-to-orderkey, co-partitioned with the reconcile output. */
+  def positionLedger(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val custs = Tables.orders(spark, dir)
+      .select($"o_orderkey".as("order_no"), $"o_custkey".as("cust_id"))
+    val fills = reconDf(spark, dir)
+      .join(custs, Seq("order_no"))
+      .select($"cust_id", $"order_no", explode(array(
+        struct(lit("buy").as("side"), $"real_buy_date".as("event_date"),
+          $"real_buy_qty".as("qty_delta"),
+          (-$"real_buy_qty" * $"real_buy_price").as("cash_delta")),
+        struct(lit("sell").as("side"), $"real_sell_date".as("event_date"),
+          (-$"real_sell_qty").as("qty_delta"),
+          ($"real_sell_qty" * $"real_sell_price").as("cash_delta")))).as("f"))
+      .select($"cust_id", $"f.event_date".as("event_date"), $"order_no",
+        $"f.side".as("side"), $"f.qty_delta".as("qty_delta"),
+        $"f.cash_delta".as("cash_delta"))
+      .filter($"event_date".isNotNull && $"qty_delta" =!= 0)
+    val w = Window.partitionBy($"cust_id")
+      .orderBy($"event_date", $"order_no", $"side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fills
+      .withColumn("position_qty", sum($"qty_delta").over(w))
+      .withColumn("cash_balance", sum($"cash_delta").over(w))
+      .orderBy($"cust_id", $"event_date", $"order_no", $"side")
+  }
+
+  val positionLedgerSql: String =
+    orderReconcileCtes + s""",
+       |cust AS (SELECT o_orderkey AS order_no, o_custkey AS cust_id FROM orders),
+       |fills AS (
+       |  SELECT c.cust_id, r.real_buy_date AS event_date, r.order_no,
+       |    'buy' AS side, r.real_buy_qty AS qty_delta,
+       |    -r.real_buy_qty * r.real_buy_price AS cash_delta
+       |  FROM rec r JOIN cust c USING (order_no)
+       |  UNION ALL
+       |  SELECT c.cust_id, r.real_sell_date, r.order_no,
+       |    'sell', -r.real_sell_qty, r.real_sell_qty * r.real_sell_price
+       |  FROM rec r JOIN cust c USING (order_no)
+       |  WHERE r.real_sell_date IS NOT NULL AND r.real_sell_qty <> 0)
+       |SELECT cust_id, event_date, order_no, side,
+       |  CAST(qty_delta AS BIGINT) AS qty_delta,
+       |  CAST(cash_delta AS BIGINT) AS cash_delta,
+       |  CAST(sum(qty_delta) OVER w AS BIGINT) AS position_qty,
+       |  CAST(sum(cash_delta) OVER w AS BIGINT) AS cash_balance
+       |FROM fills
+       |WINDOW w AS (PARTITION BY cust_id ORDER BY event_date, order_no, side
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY cust_id, event_date, order_no, side""".stripMargin
 
   // ---------------------------------------------------------------- r21
   /** Per-key incremental-fetch watermark table (reference

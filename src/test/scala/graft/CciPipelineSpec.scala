@@ -152,4 +152,24 @@ class CciPipelineSpec extends AnyFunSuite {
     assert(d("n_reach_target") + d("n_stop_loss") + d("n_maturity") == d("n_trades"))
     assert(d("n_series") > 0 && d("n_signals") > 0)
   }
+
+  test("r26: ledger cumsums reconcile with per-account fill totals") {
+    val l = CciPipeline.positionLedger(spark, sf).cache()
+    assert(l.count() > 0)
+    // at most one buy + one sell fill per order
+    assert(l.groupBy("order_no", "side").count().filter(col("count") > 1).count() == 0)
+    // the last running value per account equals the account's fill total
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cust_id"))
+      .orderBy(col("event_date"), col("order_no"), col("side"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val bad = l
+      .withColumn("tot_qty", sum(col("qty_delta")).over(w))
+      .withColumn("tot_cash", sum(col("cash_delta")).over(w))
+      .withColumn("last_pos", last(col("position_qty")).over(w))
+      .withColumn("last_cash", last(col("cash_balance")).over(w))
+      .filter(col("tot_qty") =!= col("last_pos") || col("tot_cash") =!= col("last_cash"))
+    assert(bad.count() == 0)
+    l.unpersist()
+  }
 }
