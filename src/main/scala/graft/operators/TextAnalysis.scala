@@ -331,6 +331,85 @@ object TextAnalysis {
        |FROM scored
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t09
+  /** t09: LM-based document scoring — per-doc mean conditional probability
+    * of its bigrams under the corpus bigram LM (t07) plus LM coverage, the
+    * CCNet-style "how well does a reference LM predict this doc" quality
+    * signal (low scores mark gibberish, high scores boilerplate).
+    *
+    * Float discipline: per-doc averaging is an ordering-dependent double
+    * reduction, so the rounded p_cond is converted to EXACT integer
+    * millionths (floor(p*1e6+0.5) as BIGINT) before the sum — both engines
+    * add integers in any order — and the mean is derived from the integer
+    * sum with a fixed division chain (SURVEY.md §6).
+    *
+    * Scale shape: the doc-bigram explode is map-side; the LM is the
+    * (w1,w2)-keyed two-level aggregation of the SAME exploded frame
+    * (persisted, so one scan feeds both sides); the probability lookup is
+    * a shuffle join on the bigram key where the LM side is vocab-bounded
+    * (c2 >= BigramMinCount cut) — a hot bigram is 1:1 with its single LM
+    * row, so there is no fan-out — and the per-doc rollup shuffles on
+    * doc_id. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScoreFrom(Tables.documents(spark, dir))
+
+  /** [[lmScore]] over any (doc_id, text) frame (synthetic corpora in
+    * tests). */
+  def lmScoreFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val dp = graft.GraftSession.maybeCache(
+      docs
+        .select($"doc_id", F.tokens($"text").as("tk"))
+        .filter(size($"tk") >= 2)
+        .select($"doc_id", explode(transform(sequence(lit(1), size($"tk") - 1), i =>
+          struct(element_at($"tk", i).as("w1"), element_at($"tk", i + 1).as("w2")))).as("pr"))
+        .select($"doc_id", $"pr.w1".as("w1"), $"pr.w2".as("w2")))
+    val bi = dp.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val uni = bi.groupBy($"w1").agg(sum($"c2").as("c1"))
+    val lm = bi.join(uni, Seq("w1"))
+      .filter($"c2" >= BigramMinCount)
+      .select($"w1", $"w2", F.fr($"c2".cast("double") / $"c1", 6).as("p_cond"))
+    dp.join(lm, Seq("w1", "w2"), "left")
+      .groupBy($"doc_id").agg(
+        count(lit(1)).as("n_pairs"),
+        count($"p_cond").as("n_matched"),
+        sum(when($"p_cond".isNotNull,
+          floor($"p_cond" * lit(1e6) + 0.5).cast("long"))).as("sum_p6"))
+      .select($"doc_id", $"n_pairs", $"n_matched",
+        F.fr($"n_matched".cast("double") / $"n_pairs", 4).as("lm_coverage"),
+        when($"n_matched" > 0,
+          F.fr($"sum_p6".cast("double") / lit(1e6) / $"n_matched", 6)).as("avg_p_cond"))
+      .orderBy($"doc_id")
+  }
+
+  val lmScoreSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |dp AS (
+       |  SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+       |      i -> {'w1': tk[i], 'w2': tk[i+1]})) AS pr
+       |    FROM toks WHERE len(tk) >= 2) q),
+       |bi AS (SELECT w1, w2, count(*) AS c2 FROM dp GROUP BY 1, 2),
+       |uni AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bi GROUP BY 1),
+       |lm AS (
+       |  SELECT bi.w1, bi.w2,
+       |    ${S.fr("CAST(c2 AS DOUBLE) / c1", 6)} AS p_cond
+       |  FROM bi JOIN uni ON uni.w1 = bi.w1
+       |  WHERE c2 >= $BigramMinCount),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_pairs, count(p_cond) AS n_matched,
+       |    CAST(sum(CASE WHEN p_cond IS NOT NULL
+       |      THEN CAST(floor(p_cond * 1e6 + 0.5) AS BIGINT) END) AS BIGINT) AS sum_p6
+       |  FROM dp LEFT JOIN lm ON dp.w1 = lm.w1 AND dp.w2 = lm.w2
+       |  GROUP BY doc_id)
+       |SELECT doc_id, CAST(n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(n_matched AS BIGINT) AS n_matched,
+       |  ${S.fr("CAST(n_matched AS DOUBLE) / n_pairs", 4)} AS lm_coverage,
+       |  CASE WHEN n_matched > 0
+       |    THEN ${S.fr("CAST(sum_p6 AS DOUBLE) / 1e6 / n_matched", 6)} END AS avg_p_cond
+       |FROM agg
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- t06
   /** Every EvalStride-th doc plays the held-out eval set. */
   val EvalStride = 50

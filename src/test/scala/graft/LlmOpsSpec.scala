@@ -295,6 +295,28 @@ class LlmOpsSpec extends AnyFunSuite {
       $"dup_bigram_frac" < 0 || $"dup_bigram_frac" > 1).count() == 0)
   }
 
+  test("t09: LM score is 1.0 on a fully predictable corpus, null with no LM match") {
+    import TestSpark.spark.implicits._
+    // five docs of the same bigram clear BigramMinCount => p_cond = 1.0;
+    // the sixth doc shares no surviving bigram => no match, null score
+    val docs = ((1L to 5L).map(i => (i, "alpha beta")) :+ (6L, "unique tokens here"))
+      .toDF("doc_id", "text")
+    val r = operators.TextAnalysis.lmScoreFrom(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    (1L to 5L).foreach { i =>
+      assert(r(i).getAs[Double]("avg_p_cond") == 1.0)
+      assert(r(i).getAs[Double]("lm_coverage") == 1.0)
+    }
+    assert(r(6L).getAs[Long]("n_matched") == 0L)
+    assert(r(6L).isNullAt(r(6L).fieldIndex("avg_p_cond")))
+    // corpus-level invariants
+    val c = operators.TextAnalysis.lmScore(spark, sf)
+    assert(c.filter($"lm_coverage" < 0 || $"lm_coverage" > 1 ||
+      $"n_matched" > $"n_pairs" ||
+      ($"avg_p_cond".isNotNull && ($"avg_p_cond" <= 0 || $"avg_p_cond" > 1)))
+      .count() == 0)
+  }
+
   test("p06: domain mix respects per-language token budgets, deterministically") {
     import TestSpark.spark.implicits._
     val m1 = operators.Curation.domainMix(spark, sf).cache()
