@@ -948,9 +948,24 @@ object CciPipeline {
     * orderkey-to-orderkey, co-partitioned with the reconcile output. */
   def positionLedger(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val fills = orderFills(spark, dir)
+    val w = Window.partitionBy($"cust_id")
+      .orderBy($"event_date", $"order_no", $"side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fills
+      .withColumn("position_qty", sum($"qty_delta").over(w))
+      .withColumn("cash_balance", sum($"cash_delta").over(w))
+      .orderBy($"cust_id", $"event_date", $"order_no", $"side")
+  }
+
+  /** r26's fill stream (no running sums): each reconciled order exploded
+    * map-side into its buy/sell fills. Also the staging input for the v09
+    * streaming ledger. */
+  private[graft] def orderFills(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val custs = Tables.orders(spark, dir)
       .select($"o_orderkey".as("order_no"), $"o_custkey".as("cust_id"))
-    val fills = reconDf(spark, dir)
+    reconDf(spark, dir)
       .join(custs, Seq("order_no"))
       .select($"cust_id", $"order_no", explode(array(
         struct(lit("buy").as("side"), $"real_buy_date".as("event_date"),
@@ -963,13 +978,6 @@ object CciPipeline {
         $"f.side".as("side"), $"f.qty_delta".as("qty_delta"),
         $"f.cash_delta".as("cash_delta"))
       .filter($"event_date".isNotNull && $"qty_delta" =!= 0)
-    val w = Window.partitionBy($"cust_id")
-      .orderBy($"event_date", $"order_no", $"side")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    fills
-      .withColumn("position_qty", sum($"qty_delta").over(w))
-      .withColumn("cash_balance", sum($"cash_delta").over(w))
-      .orderBy($"cust_id", $"event_date", $"order_no", $"side")
   }
 
   val positionLedgerSql: String =

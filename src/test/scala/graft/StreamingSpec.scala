@@ -173,6 +173,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("v09: streaming ledger replays to exactly the batch r26 running values") {
+    val fillDir = java.nio.file.Files.createTempDirectory("graft_fills").toString
+    operators.CciPipeline.orderFills(spark, sf)
+      .write.mode("overwrite").parquet(fillDir)
+    val q = streaming.LedgerStream.runningLedger(spark, fillDir)
+      .writeStream.outputMode("append").format("memory").queryName("v09_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("v09_out")
+    val batch = operators.CciPipeline.positionLedger(spark, sf)
+    assert(got.count() == batch.count() && got.count() > 0)
+    // single-batch replay applies fills in ledger order per account, so
+    // every running value must match the batch window cumsum exactly
+    val cols = Seq("cust_id", "event_date", "order_no", "side",
+      "qty_delta", "cash_delta", "position_qty", "cash_balance").map(col)
+    assert(got.select(cols: _*).exceptAll(batch.select(cols: _*)).count() == 0)
+  }
+
   test("v01: sessions never overlap and gaps between sessions exceed the threshold") {
     val s = streaming.EventStream.sessionize(spark, sf)
     val w = org.apache.spark.sql.expressions.Window
