@@ -94,6 +94,28 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** p05's documented hot-stratum swap-in, now code instead of a comment:
+    * the stratum key pre-split into `salts` hash sub-strata with the quota
+    * taken per split (ceil(split_n / SampleDiv)). The rank window
+    * partitions on the SALTED key, so a 100-TB mega-stratum spreads
+    * across `salts` tasks instead of funnelling through one; the selected
+    * set differs from [[stratifiedSample]] only by per-split ceil rounding
+    * (at most `salts - 1` extra docs per stratum, asserted in the spec). */
+  def stratifiedSamplePresplit(spark: SparkSession, dir: String,
+      salts: Int = 8): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => F}
+    val w = Window.partitionBy($"lang", $"source", $"salt")
+    graft.sources.Tables.documents(spark, dir)
+      .withColumn("h", F.polyHash(concat($"doc_id".cast("string"), lit("-p05"))))
+      .withColumn("salt", pmod($"doc_id", lit(salts.toLong)))
+      .withColumn("rn", row_number().over(w.orderBy($"h", $"doc_id")))
+      .withColumn("split_n", count(lit(1)).over(w).cast("long"))
+      .filter($"rn" <= ($"split_n" + SampleDiv - 1) / SampleDiv)
+      .select($"doc_id", $"lang", $"source", $"salt", $"split_n",
+        $"rn".cast("long").as("rn"))
+  }
+
   val stratifiedSampleSql: String = {
     import graft.functions.{TextSql => S}
     s"""WITH h AS (

@@ -307,4 +307,45 @@ object Relational {
       |GROUP BY c_nationkey
       |HAVING avg(c_acctbal) > (SELECT avg(c_acctbal) FROM customer)
       |ORDER BY c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q26
+  /** Per-order quantity total above this marks a large-volume order. */
+  val Q26MinQty = 300L
+
+  /** TPC-H Q18 style large-volume customers: HAVING-filtered aggregate
+    * semi-reduction on the per-order quantity total, joined back to
+    * orders and customer for the report. Quantities sum as exact integers
+    * so both engines agree; the top-k rides a total ordering
+    * (totalprice desc, date, orderkey).
+    *
+    * Scale shape: lineitem shuffles ONCE on orderkey for the HAVING
+    * aggregate and arrives co-partitioned for the orders join; the
+    * surviving order set is tiny (the filter is the point of Q18), so AQE
+    * broadcasts it into the customer join rather than shuffling the full
+    * customer table; the limit is a TakeOrdered, never a global sort. */
+  def q26LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bigOrders = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum(floor($"l_quantity" + 0.5).cast("long")).as("sum_qty"))
+      .filter($"sum_qty" > Q26MinQty)
+    Tables.orders(spark, dir)
+      .join(bigOrders, $"o_orderkey" === $"l_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice", $"sum_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderdate", $"o_orderkey")
+      .limit(100)
+  }
+
+  val q26Sql: String =
+    s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+       |FROM (SELECT l_orderkey,
+       |        CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty
+       |      FROM lineitem GROUP BY l_orderkey) b
+       |JOIN orders ON o_orderkey = b.l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE sum_qty > $Q26MinQty
+       |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+       |LIMIT 100""".stripMargin
 }

@@ -211,6 +211,34 @@ class LlmOpsSpec extends AnyFunSuite {
     s1.unpersist()
   }
 
+  test("p05 presplit: salted quotas stay within ceil-rounding of exact, window spreads") {
+    import TestSpark.spark.implicits._
+    val salts = 8
+    val s = operators.Curation.stratifiedSamplePresplit(spark, sf, salts).cache()
+    val quotas = sources.Tables.documents(spark, sf)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("n"))
+    val taken = s.groupBy($"lang", $"source").agg(count(lit(1)).as("k"))
+    // per-split ceil rounding may overshoot the exact stratum quota by at
+    // most one doc per non-empty split, and never undershoots it
+    val off = quotas.join(taken, Seq("lang", "source"), "left")
+      .withColumn("exact", floor(($"n" + operators.Curation.SampleDiv - 1) /
+        operators.Curation.SampleDiv).cast("long"))
+      .filter(coalesce($"k", lit(0L)) < $"exact" ||
+        coalesce($"k", lit(0L)) >= $"exact" + salts)
+    assert(off.count() == 0)
+    // the rank window really partitions on the salted key: every
+    // (stratum, salt) split obeys its own ceil quota
+    val perSplit = s.groupBy($"lang", $"source", $"salt")
+      .agg(count(lit(1)).as("k"), max($"split_n").as("n"))
+      .filter($"k" =!= floor(($"n" + operators.Curation.SampleDiv - 1) /
+        operators.Curation.SampleDiv).cast("long"))
+    assert(perSplit.count() == 0)
+    // deterministic
+    val s2 = operators.Curation.stratifiedSamplePresplit(spark, sf, salts)
+    assert(s.select("doc_id").exceptAll(s2.select("doc_id")).count() == 0)
+    s.unpersist()
+  }
+
   test("p04: packing is a gapless chop of the doc_id-ordered token stream") {
     import TestSpark.spark.implicits._
     val p = operators.Curation.sequencePack(spark, sf).cache()
