@@ -134,6 +134,62 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p07
+  /** p07: corpus report ("corpus card") — the per-language accounting a
+    * dataset release ships: document and token counts, mean quality score
+    * and how many documents the repetition gate flags, in one pass over
+    * the t02 quality columns left-joined to the t08 repetition verdicts
+    * (sub-2-token docs have no verdict and count as not repetitive).
+    *
+    * Float discipline: the per-language quality mean is derived from an
+    * exact integer ten-thousandths sum of the ROUNDED per-doc scores, so
+    * the distributed reduction is order-independent (SURVEY.md §6).
+    * Scale shape: both inputs shuffle once on doc_id for the join, the
+    * rollup is a partial-aggregable groupBy on the language key. */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => F}
+    val qual = TextAnalysis.qualityScore(spark, dir)
+      .select($"doc_id", $"lang", $"n_tokens", $"quality_score")
+    val rep = TextAnalysis.repetitionScore(spark, dir)
+      .select($"doc_id", $"repetitive")
+    qual.join(rep, Seq("doc_id"), "left")
+      .withColumn("repetitive", coalesce($"repetitive", lit(false)))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens".cast("long")).as("total_tokens"),
+        count($"quality_score").as("n_scored"),
+        sum(when($"quality_score".isNotNull,
+          floor($"quality_score" * lit(1e4) + 0.5).cast("long"))).as("sum_q4"),
+        sum(when($"repetitive", 1L).otherwise(0L)).as("n_repetitive"))
+      .select($"lang", $"n_docs", $"total_tokens", $"n_scored",
+        F.fr($"sum_q4".cast("double") / lit(1e4) / $"n_scored", 4).as("avg_quality"),
+        $"n_repetitive")
+      .orderBy($"lang")
+  }
+
+  val corpusReportSql: String = {
+    import graft.functions.{TextSql => S}
+    TextAnalysis.repetitionCtes + ",\n" +
+      "qual AS (\n" + TextAnalysis.qualityCoreSql + "),\n" +
+      s"""rep AS (
+         |  SELECT doc_id,
+         |    top_token_frac >= ${TextAnalysis.RepTopTokenFrac}
+         |      OR dup_bigram_frac >= ${TextAnalysis.RepDupBigramFrac} AS repetitive
+         |  FROM scored),
+         |j AS (
+         |  SELECT q.lang, q.n_tokens, q.quality_score,
+         |    coalesce(r.repetitive, false) AS repetitive
+         |  FROM qual q LEFT JOIN rep r USING (doc_id))
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  count(quality_score) AS n_scored,
+         |  ${S.fr("CAST(sum(CASE WHEN quality_score IS NOT NULL THEN CAST(floor(quality_score * 1e4 + 0.5) AS BIGINT) END) AS DOUBLE) / 1e4 / count(quality_score)", 4)} AS avg_quality,
+         |  CAST(count(CASE WHEN repetitive THEN 1 END) AS BIGINT) AS n_repetitive
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   // ---------------------------------------------------------------- p06
   /** Target language mix: weight × [[MixFrac]] × total corpus tokens is
     * each language's token budget. */

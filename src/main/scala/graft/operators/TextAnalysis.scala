@@ -301,7 +301,8 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  val repetitionScoreSql: String =
+  /** t08's CTE chain through `scored` — p07's corpus report reuses it. */
+  private[graft] val repetitionCtes: String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
        |  WHERE len(string_split(text, ' ')) >= 2),
@@ -323,7 +324,10 @@ object TextAnalysis {
        |  SELECT b.doc_id, n_tokens, n_distinct, top_token_n,
        |    ${S.fr("CAST(top_token_n AS DOUBLE) / n_tokens", 4)} AS top_token_frac,
        |    ${S.fr("1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams", 4)} AS dup_bigram_frac
-       |  FROM base b JOIN tt USING (doc_id))
+       |  FROM base b JOIN tt USING (doc_id))""".stripMargin
+
+  val repetitionScoreSql: String =
+    repetitionCtes + s"""
        |SELECT doc_id, n_tokens, n_distinct, top_token_n, top_token_frac,
        |  dup_bigram_frac,
        |  top_token_frac >= $RepTopTokenFrac OR dup_bigram_frac >= $RepDupBigramFrac

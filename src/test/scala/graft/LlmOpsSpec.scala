@@ -345,6 +345,22 @@ class LlmOpsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("p07: corpus report totals reconcile with the documents table") {
+    import TestSpark.spark.implicits._
+    val rpt = operators.Curation.corpusReport(spark, sf).cache()
+    val docs = sources.Tables.documents(spark, sf)
+    assert(rpt.agg(sum($"n_docs")).head.getLong(0) == docs.count())
+    val tok = docs.agg(sum(size(split($"text", " ")).cast("long"))).head.getLong(0)
+    assert(rpt.agg(sum($"total_tokens")).head.getLong(0) == tok)
+    assert(rpt.filter($"n_repetitive" > $"n_docs" || $"n_scored" > $"n_docs" ||
+      $"avg_quality" < 0 || $"avg_quality" > 1).count() == 0)
+    // the repetitive tally equals the t08 gate's own count
+    val flagged = operators.TextAnalysis.repetitionScore(spark, sf)
+      .filter($"repetitive").count()
+    assert(rpt.agg(sum($"n_repetitive")).head.getLong(0) == flagged)
+    rpt.unpersist()
+  }
+
   test("p06: domain mix respects per-language token budgets, deterministically") {
     import TestSpark.spark.implicits._
     val m1 = operators.Curation.domainMix(spark, sf).cache()
