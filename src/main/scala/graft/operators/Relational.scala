@@ -338,6 +338,53 @@ object Relational {
       .limit(100)
   }
 
+  // ---------------------------------------------------------------- q27
+  /** TPC-H Q2 spirit (no partsupp table in this schema): the cheapest
+    * supplier per part derived from lineitem history — per (part,
+    * supplier) minimum ROUNDED unit price, then keep-first argmin per
+    * part via one min_by aggregation over the (price, suppkey) ordering
+    * struct (the r08/r02 keep-first pattern; min is order-independent, so
+    * no float-parity hazard). Scale shape: two hash aggregations sharing
+    * the partkey shuffle, then broadcast-joined name lookups; no window,
+    * no sort below the presentation ORDER BY. */
+  def q27CheapestSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => F}
+    val ps = Tables.lineitem(spark, dir)
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(min(F.fr($"l_extendedprice" / $"l_quantity", 2)).as("unit_price"))
+    val best = ps.groupBy($"l_partkey")
+      .agg(min_by(struct($"l_suppkey", $"unit_price"),
+        struct($"unit_price", $"l_suppkey")).as("b"))
+      .select($"l_partkey", $"b.l_suppkey".as("best_suppkey"),
+        $"b.unit_price".as("best_unit_price"))
+    best
+      .join(broadcast(Tables.part(spark, dir)), $"l_partkey" === $"p_partkey")
+      .join(broadcast(Tables.supplier(spark, dir)), $"best_suppkey" === $"s_suppkey")
+      .select($"p_partkey", $"p_name", $"best_suppkey", $"s_name", $"best_unit_price")
+      .orderBy($"p_partkey")
+  }
+
+  val q27Sql: String = {
+    import graft.functions.{TextSql => S}
+    s"""WITH ps AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    min(${S.fr("l_extendedprice / l_quantity", 2)}) AS unit_price
+       |  FROM lineitem GROUP BY 1, 2),
+       |best AS (
+       |  SELECT l_partkey, l_suppkey AS best_suppkey,
+       |    unit_price AS best_unit_price,
+       |    row_number() OVER (PARTITION BY l_partkey
+       |                       ORDER BY unit_price, l_suppkey) AS rn
+       |  FROM ps)
+       |SELECT p_partkey, p_name, best_suppkey, s_name, best_unit_price
+       |FROM best
+       |JOIN part ON p_partkey = l_partkey
+       |JOIN supplier ON s_suppkey = best_suppkey
+       |WHERE rn = 1
+       |ORDER BY p_partkey""".stripMargin
+  }
+
   val q26Sql: String =
     s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
        |FROM (SELECT l_orderkey,
