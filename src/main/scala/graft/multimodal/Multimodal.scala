@@ -235,4 +235,44 @@ object Multimodal {
       |  CAST(octet_length(encode(text)) AS BIGINT) * 40 AS duration_ms
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- m04
+  /** m04: media-mix report — the per-modality accounting (docs, bytes,
+    * duration) a multimodal ingest run publishes next to the corpus card
+    * (p07). All features are exact integers off the m01 metadata, so the
+    * per-type rollup is a single partial-aggregable groupBy with no
+    * float-parity hazard; the mean derives from the integer sums. */
+  def mediaReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => F}
+    mediaMeta(spark, dir)
+      .groupBy($"media_type")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"byte_len").as("total_bytes"),
+        max($"byte_len").as("max_bytes"),
+        sum($"duration_ms").as("total_duration_ms"))
+      .select($"media_type", $"n_docs", $"total_bytes", $"max_bytes",
+        F.fr($"total_bytes".cast("double") / $"n_docs", 2).as("avg_bytes"),
+        $"total_duration_ms")
+      .orderBy($"media_type")
+  }
+
+  val mediaReportSql: String = {
+    import graft.functions.{TextSql => S}
+    s"""WITH meta AS (
+       |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |              WHEN doc_id % 3 = 1 THEN 'audio'
+       |              ELSE 'video' END AS media_type,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       |    CAST(octet_length(encode(text)) AS BIGINT) * 40 AS duration_ms
+       |  FROM documents)
+       |SELECT media_type, count(*) AS n_docs,
+       |  CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+       |  max(byte_len) AS max_bytes,
+       |  ${S.fr("CAST(sum(byte_len) AS DOUBLE) / count(*)", 2)} AS avg_bytes,
+       |  CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms
+       |FROM meta GROUP BY media_type
+       |ORDER BY media_type""".stripMargin
+  }
 }
