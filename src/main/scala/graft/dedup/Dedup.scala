@@ -66,6 +66,50 @@ object Dedup {
       |GROUP BY md5(text)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d10
+  /** d10: near-exact dedup after canonicalization — the C4/RefinedWeb-style
+    * pass that catches documents identical up to case, punctuation and
+    * whitespace, which d01's raw-content hash misses. Normalization is
+    * lowercase → strip non-alphanumerics → collapse runs of spaces → trim;
+    * dedup then groups on the normalized hash keeping the minimum doc id,
+    * and reports how many RAW variants each canonical form collapsed
+    * (`n_variants`, via a two-level aggregation — no countDistinct
+    * Expand). One shuffle on the normalized hash; trivially 100-TB-safe,
+    * exactly like d01. */
+  def normalizedDedup(spark: SparkSession, dir: String): DataFrame =
+    normalizedDedupFrom(Tables.documents(spark, dir))
+
+  /** [[normalizedDedup]] over any (doc_id, text) frame (synthetic corpora
+    * in tests). */
+  def normalizedDedupFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val norm = trim(regexp_replace(
+      regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " "))
+    docs
+      .select($"doc_id", md5($"text").as("raw_hash"), md5(norm).as("norm_hash"))
+      .groupBy($"norm_hash", $"raw_hash")
+      .agg(min($"doc_id").as("min_id"), count(lit(1)).as("n"))
+      .groupBy($"norm_hash")
+      .agg(min($"min_id").as("doc_id"), sum($"n").as("dup_count"),
+        count(lit(1)).as("n_variants"))
+      .select($"doc_id", $"norm_hash", $"dup_count", $"n_variants")
+      .orderBy($"doc_id")
+  }
+
+  val normalizedDedupSql: String =
+    """WITH nh AS (
+      |  SELECT doc_id, md5(text) AS raw_hash,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+      |  FROM documents),
+      |l1 AS (
+      |  SELECT norm_hash, raw_hash, min(doc_id) AS min_id, count(*) AS n
+      |  FROM nh GROUP BY 1, 2)
+      |SELECT min(min_id) AS doc_id, norm_hash,
+      |  CAST(sum(n) AS BIGINT) AS dup_count, count(*) AS n_variants
+      |FROM l1 GROUP BY norm_hash
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ shared
   /** Per-doc distinct shingle arrays (the verify side of LSH). Tokens are
     * projected before the shingle HOF — see [[F.shingles3]]. `carry` keeps

@@ -302,6 +302,22 @@ class LlmOpsSpec extends AnyFunSuite {
     fr.unpersist()
   }
 
+  test("d10: normalization collapses case/punct/whitespace variants, keeps min id") {
+    import TestSpark.spark.implicits._
+    val docs = Seq(
+      (1L, "Hello,  World!"), (2L, "hello world"), (3L, "HELLO   world."),
+      (4L, "a different document"))
+      .toDF("doc_id", "text")
+    val r = graft.dedup.Dedup.normalizedDedupFrom(docs).collect()
+    assert(r.length == 2)
+    val hello = r.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(hello.getAs[Long]("dup_count") == 3L)
+    assert(hello.getAs[Long]("n_variants") == 3L)
+    // corpus level: canonical count never exceeds d01's raw-hash count
+    val raw = graft.dedup.Dedup.exact(spark, sf).count()
+    assert(graft.dedup.Dedup.normalizedDedup(spark, sf).count() <= raw)
+  }
+
   test("t08: repetition gate flags a degenerate doc and passes a diverse one") {
     import TestSpark.spark.implicits._
     val docs = Seq(
