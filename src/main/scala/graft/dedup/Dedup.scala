@@ -110,6 +110,68 @@ object Dedup {
       |FROM l1 GROUP BY norm_hash
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d11
+  /** Flag fraction for the span-dup gate: the sf corpus is bimodal (clone
+    * docs ~1.0, organic docs 0.0 at 5-gram spans), so any mid threshold
+    * gives the same verdicts; 0.3 matches Gopher's duplicated-n-gram
+    * ballpark. */
+  val SpanDupFracMax = 0.3
+
+  /** d11: sub-document span dedup (the Gopher/RefinedWeb duplicated-n-gram
+    * gate). Per document: how many of its 5-gram token spans also occur in
+    * at least one OTHER document, as a fraction of its span positions —
+    * clones score ~1, organic text ~0.
+    *
+    * Scale shape: spans explode map-side; one shuffle on the span key
+    * computes per-(doc, span) multiplicity AND the cross-doc document
+    * frequency in the same partitioning (count over the span window —
+    * d02's inverted-index trick); the per-doc rollup is a second shuffle
+    * on doc_id. NO pair space is ever built — unlike pairwise dedup this
+    * is linear in total span occurrences, so there is no hot-key cap to
+    * tune. Within-doc repeats (t08's business) do not count: a span seen
+    * 3x in one doc only has df = 1. */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame =
+    spanDedupFrom(Tables.documents(spark, dir))
+
+  def spanDedupFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val occ = docs
+      .select($"doc_id", F.tokens($"text").as("tk"))
+      .select($"doc_id", explode(F.spans5($"tk")).as("sh"))
+      .groupBy($"doc_id", $"sh").agg(count(lit(1)).as("n_occ"))
+    // occ is distinct per (doc, span) ⇒ a count over the span window is
+    // the cross-doc document frequency, sharing the span-key shuffle.
+    val dup = occ
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy($"sh")))
+      .filter($"n_docs" >= 2)
+      .groupBy($"doc_id").agg(sum($"n_occ").as("dup_spans"))
+    val totals = docs.select($"doc_id",
+      greatest(size(F.tokens($"text")) - 4, lit(0)).cast("long").as("n_spans"))
+    totals.join(dup, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_spans",
+        coalesce($"dup_spans", lit(0L)).as("dup_spans"))
+      .withColumn("dup_frac", F.fr(
+        $"dup_spans".cast("double") / nullif($"n_spans", lit(0L)), 4))
+      .withColumn("flagged", coalesce($"dup_frac" > SpanDupFracMax, lit(false)))
+      .orderBy($"doc_id")
+  }
+
+  val spanDedupSql: String =
+    S.spans5Cte() + ",\n" +
+      s"""occ AS (SELECT doc_id, sh, count(*) AS n_occ FROM spans GROUP BY 1, 2),
+         |dfc AS (SELECT doc_id, n_occ, count(*) OVER (PARTITION BY sh) AS n_docs FROM occ),
+         |dup AS (SELECT doc_id, CAST(sum(n_occ) AS BIGINT) AS dup_spans
+         |        FROM dfc WHERE n_docs >= 2 GROUP BY 1),
+         |tot AS (SELECT doc_id,
+         |          CAST(greatest(len(string_split(text, ' ')) - 4, 0) AS BIGINT) AS n_spans
+         |        FROM documents)
+         |SELECT tot.doc_id, n_spans, coalesce(dup_spans, 0) AS dup_spans,
+         |  ${S.fr("CAST(coalesce(dup_spans, 0) AS DOUBLE) / nullif(n_spans, 0)", 4)} AS dup_frac,
+         |  coalesce(${S.fr("CAST(coalesce(dup_spans, 0) AS DOUBLE) / nullif(n_spans, 0)", 4)} > $SpanDupFracMax,
+         |    false) AS flagged
+         |FROM tot LEFT JOIN dup ON tot.doc_id = dup.doc_id
+         |ORDER BY tot.doc_id""".stripMargin
+
   // ------------------------------------------------------------ shared
   /** Per-doc distinct shingle arrays (the verify side of LSH). Tokens are
     * projected before the shingle HOF — see [[F.shingles3]]. `carry` keeps

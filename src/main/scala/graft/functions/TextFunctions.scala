@@ -31,6 +31,19 @@ object TextFunctions {
         concat_ws(" ", element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Word 5-gram spans WITH multiplicity (no array_distinct) from a
+    * PRE-PROJECTED tokens column — the span-dedup (d11) unit: long enough
+    * that random text rarely collides, so a cross-document duplicate span
+    * is real shared content (Gopher's duplicated-n-gram gate uses the same
+    * idea). Distinctness is NOT applied: each token position contributes
+    * one span, so per-doc span counts are position counts. */
+  def spans5(tk: Column): Column =
+    when(size(tk) >= 5,
+      transform(sequence(lit(1), size(tk) - 4), i =>
+        concat_ws(" ", element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2),
+          element_at(tk, i + 3), element_at(tk, i + 4))))
+      .otherwise(array().cast("array<string>"))
+
   /** Deterministic polynomial hash over the characters of a string:
     * fold(acc = 0; acc = (acc·31 + code) mod P). Matches
     * [[TextSql.polyHash]] exactly (same traversal order, same mod).
@@ -61,6 +74,15 @@ object TextSql {
        |shingles AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 1),
        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+       |  FROM toks)""".stripMargin
+
+  /** 5-gram spans with multiplicity (the [[TextFunctions.spans5]] twin);
+    * range(1, n) is empty for n <= 1, so docs under 5 tokens emit none. */
+  def spans5Cte(table: String = "documents"): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $table),
+       |spans AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 3),
+       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS sh
        |  FROM toks)""".stripMargin
 
   /** RE2 '.' does not match \n — the char class does, so newline-bearing

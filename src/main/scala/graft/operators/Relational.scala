@@ -395,4 +395,148 @@ object Relational {
        |WHERE sum_qty > $Q26MinQty
        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
        |LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  /** "Late" for the Q4/Q21 shapes: this schema carries no commit/receipt
+    * dates, so a line is late when it shipped more than N days after the
+    * order date. */
+  val Q04LateDays = 60
+  val Q28LateDays = 90
+
+  /** TPC-H Q4 shape: EXISTS-style left-semi join with a non-equi extra
+    * predicate (lineitem shipped late for THAT order), then a count per
+    * order priority. Scale shape: the date filter prunes orders at the
+    * scan; the semi join shuffles both sides on orderkey ONCE and emits
+    * at most one row per order (no fan-out, no distinct needed); the
+    * priority agg is a 5-group partial-aggregable rollup. */
+  def q04OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1997-01-01") && $"o_orderdate" < lit("1997-07-01"))
+    val l = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_shipdate")
+    o.join(l, $"l_orderkey" === $"o_orderkey" &&
+        $"l_shipdate" > $"o_orderdate" + expr(s"INTERVAL $Q04LateDays DAYS"), "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q04Sql: String =
+    s"""SELECT o_orderpriority, count(*) AS order_count
+       |FROM orders
+       |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+       |  AND EXISTS (SELECT 1 FROM lineitem
+       |              WHERE l_orderkey = o_orderkey
+       |                AND l_shipdate > o_orderdate + INTERVAL $Q04LateDays DAY)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  /** TPC-H Q21 shape: suppliers who were the ONLY late supplier on a
+    * multi-supplier order. The classic formulation is EXISTS + NOT EXISTS
+    * against the same fact; re-expressed as two aggregations so the fact
+    * is scanned once for each role and no correlated subquery fan-out
+    * exists: (a) distinct late (order, supplier) pairs → orders with
+    * exactly ONE late supplier (that supplier falls out of the same agg
+    * as max over a 1-row group — no second pass); (b) distinct (order,
+    * supplier) pairs → per-order supplier counts (two-level distinct, no
+    * Expand). Both share the orderkey shuffle; supplier names broadcast;
+    * the final top-k is a TakeOrdered, not a global sort. */
+  def q28WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val late = li
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" > $"o_orderdate" + expr(s"INTERVAL $Q28LateDays DAYS"))
+      .select($"l_orderkey", $"l_suppkey").distinct()
+    val sole = late.groupBy($"l_orderkey")
+      .agg(max($"l_suppkey").as("waiter"), count(lit(1)).as("n_late"))
+      .filter($"n_late" === 1)
+    val nsupp = li.select($"l_orderkey", $"l_suppkey").distinct()
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("ns"))
+      .filter($"ns" >= 2)
+    sole.join(nsupp, Seq("l_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_name")),
+        $"waiter" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(25)
+  }
+
+  val q28Sql: String =
+    s"""WITH late AS (
+       |  SELECT l_orderkey, l_suppkey
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_shipdate > o_orderdate + INTERVAL $Q28LateDays DAY
+       |  GROUP BY 1, 2),
+       |sole AS (
+       |  SELECT l_orderkey, max(l_suppkey) AS waiter
+       |  FROM late GROUP BY 1 HAVING count(*) = 1),
+       |nsupp AS (
+       |  SELECT l_orderkey, count(*) AS ns
+       |  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) GROUP BY 1)
+       |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+       |FROM sole JOIN nsupp USING (l_orderkey)
+       |JOIN supplier ON s_suppkey = waiter
+       |WHERE ns >= 2
+       |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin
+
+  // ---------------------------------------------------------------- q29
+  /** Q8 market-share parameters: the share of PROMO-part volume supplied
+    * by the target nation, per order year. */
+  val Q29PartType = "PROMO"
+  val Q29Nation = "NATION_7"
+
+  /** TPC-H Q8 shape: conditional-share aggregation over a star join.
+    * Float discipline: volume = price × (1 − discount) is summed as exact
+    * integer ten-thousandths (cents × hundredths) so the two engines'
+    * reduction orders cannot diverge; ONE double division at the end.
+    * Scale shape: part (filtered), supplier and nation broadcast; the only
+    * fact-fact shuffle is lineitem ⨝ orders on orderkey; the year rollup
+    * is 7 groups, fully partial-aggregable. (The bigint volume sum holds
+    * ~9e15 / 1e9-per-row ≈ 10M rows per (year) group per exact double
+    * representability — far beyond any realistic per-group volume once
+    * partials combine; overflow of the int64 itself needs 9e18.) */
+  def q29MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => F}
+    def cents(c: Column): Column = floor(c * 100 + 0.5).cast("long")
+    val vol = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.part(spark, dir)
+        .filter($"p_type" === Q29PartType).select($"p_partkey")),
+        $"l_partkey" === $"p_partkey")
+      .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(spark, dir).select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .select(year($"o_orderdate").as("o_year"),
+        (cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))).as("v"),
+        $"n_name")
+    vol.groupBy($"o_year")
+      .agg(F.fr(
+        sum(when($"n_name" === Q29Nation, $"v").otherwise(0L)).cast("double")
+          / sum($"v").cast("double"), 4).as("mkt_share"))
+      .orderBy($"o_year")
+  }
+
+  val q29Sql: String = {
+    import graft.functions.{TextSql => S}
+    s"""WITH vol AS (
+       |  SELECT year(o_orderdate) AS o_year,
+       |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+       |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS v,
+       |    n_name
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN part ON p_partkey = l_partkey
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN nation ON n_nationkey = s_nationkey
+       |  WHERE p_type = '$Q29PartType')
+       |SELECT o_year,
+       |  ${S.fr(s"CAST(sum(CASE WHEN n_name = '$Q29Nation' THEN v ELSE 0 END) AS DOUBLE) / CAST(sum(v) AS DOUBLE)", 4)} AS mkt_share
+       |FROM vol GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

@@ -318,6 +318,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(graft.dedup.Dedup.normalizedDedup(spark, sf).count() <= raw)
   }
 
+  test("d11: cross-doc duplicated spans flag clones, ignore within-doc repeats") {
+    import TestSpark.spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),          // organic
+      (2L, "a b c d e f g h i j"),          // exact clone of 1 -> frac 1.0
+      (3L, "z y x w v u t s r q"),          // organic, unshared
+      (4L, "m m m m m m m m m m"))          // within-doc repeat only -> df 1
+      .toDF("doc_id", "text")
+    val r = graft.dedup.Dedup.spanDedupFrom(docs).collect()
+    assert(r.length == 4)
+    def row(id: Long) = r.find(_.getAs[Long]("doc_id") == id).get
+    assert(row(1L).getAs[Double]("dup_frac") == 1.0 && row(1L).getAs[Boolean]("flagged"))
+    assert(row(2L).getAs[Double]("dup_frac") == 1.0)
+    assert(row(3L).getAs[Long]("dup_spans") == 0L && !row(3L).getAs[Boolean]("flagged"))
+    // doc 4's span "m m m m m" repeats 6x but only within itself: not dup
+    assert(row(4L).getAs[Long]("dup_spans") == 0L && !row(4L).getAs[Boolean]("flagged"))
+    // corpus level: the d07 clone cluster docs are exactly the flagged set shape
+    val sfr = graft.dedup.Dedup.spanDedup(spark, sf)
+    assert(sfr.filter($"flagged").count() > 0)
+    assert(sfr.filter(!$"flagged" && $"dup_frac" === 0.0).count() > 0)
+  }
+
   test("t08: repetition gate flags a degenerate doc and passes a diverse one") {
     import TestSpark.spark.implicits._
     val docs = Seq(

