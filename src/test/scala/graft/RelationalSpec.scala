@@ -71,6 +71,41 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q31 custdist histogram accounts for every customer exactly once") {
+    import org.apache.spark.sql.functions._
+    val total = operators.TpchMore.q31CustDist(spark, sf)
+      .agg(sum("custdist")).head.getLong(0)
+    assert(total == sources.Tables.customer(spark, sf).count())
+  }
+
+  test("q32 promo share is a single row within (0, 100)") {
+    val rows = operators.TpchMore.q32PromoShare(spark, sf).collect()
+    assert(rows.length == 1)
+    val s = rows.head.getDouble(0)
+    assert(s > 0.0 && s < 100.0)
+  }
+
+  test("q37 returns only suppliers tied at the exact maximum revenue") {
+    val rows = operators.TpchMore.q37TopSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(r => r.getDouble(r.fieldIndex("total_revenue"))).distinct
+    assert(revs.length == 1)
+  }
+
+  test("q40 high + low counts equal the late-line total") {
+    import org.apache.spark.sql.functions._
+    val df = operators.TpchMore.q40LateByClass(spark, sf)
+    val sums = df.agg(sum("high_line_count") + sum("low_line_count")).head.getLong(0)
+    val li = sources.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1998-01-01") && col("l_shipdate") < lit("1999-01-01"))
+      .join(sources.Tables.orders(spark, sf).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") +
+        expr(s"INTERVAL ${operators.TpchMore.Q40LateDays} DAYS"))
+      .count()
+    assert(sums == li)
+  }
+
   test("entry smoke: rows > 0") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
