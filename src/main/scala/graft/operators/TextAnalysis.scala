@@ -468,4 +468,54 @@ object TextAnalysis {
          |    >= $ContaminationThreshold AS contaminated
          |FROM sz LEFT JOIN ov ON ov.doc_id = sz.doc_id
          |ORDER BY sz.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t10
+  val TfidfTopK = 3
+
+  /** t10: top-K distinctive terms per document — tf-idf in spirit, ranked
+    * by the integer triple (tf DESC, df ASC, term) instead of
+    * tf·log(N/df): a float idf can flip ranks between engines on a last-ulp
+    * log() difference, while the lexicographic key carries the same signal
+    * (frequent-in-doc, rare-in-corpus wins) and is engine-exact. df and tf
+    * ride along in the output so a caller can compute any idf flavor.
+    *
+    * Scale shape: tokens explode map-side into a (doc_id, term) partial
+    * aggregation; df is a term-keyed count of that result (vocab-sized, NOT
+    * broadcast — at 100 TB the vocabulary is 1e8+, so the tf⨝df join stays
+    * a shuffle join sharing df's term partitioning); the per-doc top-k is a
+    * doc-keyed window. The tf subtree feeds both branches, so it is
+    * persisted via the caller-config cache ([[graft.GraftSession.maybeCache]]),
+    * not recomputed. A hot term ("the") is ONE row after the tf agg —
+    * nothing here buffers a term's full posting list in one task (the df
+    * count is a partial-aggregable groupBy, not a window over term). */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = graft.GraftSession.maybeCache(
+      Tables.documents(spark, dir)
+        .select($"doc_id", explode(F.tokens($"text")).as("term"))
+        .filter($"term" =!= "")
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf")))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"tf".desc, $"df".asc, $"term")
+    tf.join(df, Seq("term"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= TfidfTopK)
+      .select($"doc_id", $"term", $"tf", $"df", $"rk")
+      .orderBy($"doc_id", $"rk")
+  }
+
+  val tfidfTopTermsSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+       |  WHERE t <> '' GROUP BY 1, 2),
+       |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |ranked AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+       |    row_number() OVER (PARTITION BY tf.doc_id
+       |                       ORDER BY tf.tf DESC, dfq.df ASC, tf.term) AS rk
+       |  FROM tf JOIN dfq USING (term))
+       |SELECT doc_id, term, tf, df, rk FROM ranked
+       |WHERE rk <= $TfidfTopK ORDER BY doc_id, rk""".stripMargin
 }

@@ -423,4 +423,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(m1.select("doc_id").exceptAll(m2.select("doc_id")).count() == 0)
     m1.unpersist()
   }
+
+  test("t10: per-doc top terms are capped at K, ranked contiguously, top-1 has the doc's max tf") {
+    import TestSpark.spark.implicits._
+    val k = operators.TextAnalysis.TfidfTopK
+    val rows = operators.TextAnalysis.tfidfTopTerms(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.values.foreach { g =>
+      assert(g.length <= k)
+      assert(g.map(_.getInt(g.head.fieldIndex("rk"))).sorted.sameElements(1 to g.length))
+    }
+    // spot-check one doc: rank-1 tf equals the true max term frequency
+    val (docId, g0) = byDoc.head
+    val top1 = g0.minBy(_.getInt(g0.head.fieldIndex("rk")))
+    val maxTf = sources.Tables.documents(spark, sf)
+      .filter($"doc_id" === docId)
+      .select(explode(split($"text", " ")).as("t")).filter($"t" =!= "")
+      .groupBy($"t").count().agg(max("count")).head.getLong(0)
+    assert(top1.getLong(top1.fieldIndex("tf")) == maxTf)
+  }
 }

@@ -190,6 +190,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.select(cols: _*).exceptAll(batch.select(cols: _*)).count() == 0)
   }
 
+  test("v10: streaming upsert sink converges to the batch keep-last snapshot") {
+    import TestSpark.spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val streamDir = s"$base/stream"; val targetDir = s"$base/target"
+    val ckpt = s"$base/ckpt"
+    new java.io.File(streamDir).mkdirs()
+    // three waves of bar updates: later versions override, new keys insert
+    def wave(rows: Seq[(Long, String, Long, Double)], file: String): Unit =
+      rows.toDF("series_id", "d", "version", "close")
+        .select($"series_id", to_date($"d").as("bar_date"), $"version", $"close")
+        .coalesce(1).write.mode("append").parquet(streamDir)
+    val w1 = Seq((1L, "2024-01-01", 1L, 10.0), (2L, "2024-01-01", 1L, 20.0),
+      (9L, "2024-01-02", 1L, 90.0))
+    val w2 = Seq((1L, "2024-01-01", 2L, 11.5), (3L, "2024-01-01", 1L, 30.0))
+    val w3 = Seq((2L, "2024-01-01", 3L, 22.0), (9L, "2024-01-02", 2L, 91.0),
+      (17L, "2024-01-03", 1L, 70.0))
+    val all = w1 ++ w2 ++ w3
+    val q = streaming.UpsertStream.upsertQuery(spark, streamDir, targetDir, ckpt)
+    try {
+      wave(w1, "w1"); q.processAllAvailable()
+      wave(w2, "w2"); q.processAllAvailable()
+      wave(w3, "w3"); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(targetDir)
+      .select($"series_id", $"bar_date", $"version", $"close")
+    val expected = streaming.UpsertStream.keepLast(
+      all.toDF("series_id", "d", "version", "close")
+        .select($"series_id", to_date($"d").as("bar_date"), $"version", $"close"))
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).count() == 0 && expected.exceptAll(got).count() == 0)
+    // dynamic overwrite really bucketed the layout: only touched buckets exist
+    // partition-column type inference reads `bucket` back as int — cast
+    val buckets = spark.read.parquet(targetDir)
+      .select(col("bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val expectedBuckets = all.map(_._1 % streaming.UpsertStream.NumBuckets).toSet
+    assert(buckets == expectedBuckets)
+  }
+
   test("v01: sessions never overlap and gaps between sessions exceed the threshold") {
     val s = streaming.EventStream.sessionize(spark, sf)
     val w = org.apache.spark.sql.expressions.Window
