@@ -145,4 +145,47 @@ object Features {
     new ClusteringEvaluator().setFeaturesCol("features")
       .evaluate(fittedKmeans(spark, dir, 10).transform(vecs))
   }
+
+  /** The fitted ALS factorization, memoized per (session, dir). ALS is
+    * MLlib's block-partitioned distributed matrix factorization — the
+    * canonical Spark recommender (this repo re-expresses a *Recommender*
+    * DataPipeline; the reference recommends per-series strategy conditions,
+    * and this is the collaborative layer a roadmap "ML-driven" version
+    * adds). Implicit-feedback mode: purchase quantity is confidence, not a
+    * rating. ALS requires INT ids — the sf keys fit; at 100 TB you first
+    * dense-remap keys (ids are the only driver-visible state; factors stay
+    * block-distributed). */
+  private val alsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.ml.recommendation.ALSModel]
+
+  val AlsTopK = 3
+
+  private def fittedAls(spark: SparkSession, dir: String)
+      : org.apache.spark.ml.recommendation.ALSModel =
+    alsCache.getOrElseUpdate((spark, dir), {
+      import spark.implicits._
+      val purchases = Tables.orders(spark, dir)
+        .join(Tables.lineitem(spark, dir), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_custkey".cast("int").as("user"),
+          $"l_partkey".cast("int").as("item"))
+        .agg(sum($"l_quantity").cast("float").as("rating"))
+      new org.apache.spark.ml.recommendation.ALS()
+        .setImplicitPrefs(true).setRank(8).setMaxIter(5).setRegParam(0.1)
+        .setSeed(Seed).setColdStartStrategy("drop")
+        .setUserCol("user").setItemCol("item").setRatingCol("rating")
+        .fit(purchases.coalesce(4))
+    })
+
+  /** ml04: top-K part recommendations per customer from the implicit-ALS
+    * factorization of the customer × part purchase matrix.
+    * `recommendForAllUsers` is MLlib's blocked factor cross-product with
+    * per-block top-k — the distributed serving path, no driver matrix. */
+  def alsRecommend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    fittedAls(spark, dir).recommendForAllUsers(AlsTopK)
+      .select($"user".as("c_custkey"),
+        posexplode($"recommendations").as(Seq("rk0", "rec")))
+      .select($"c_custkey", $"rec.item".as("rec_partkey"),
+        ($"rk0" + 1).as("rk"), $"rec.rating".as("score"))
+  }
 }

@@ -275,4 +275,48 @@ object Multimodal {
        |FROM meta GROUP BY media_type
        |ORDER BY media_type""".stripMargin
   }
+
+  // ---------------------------------------------------------------- m05
+  /** Every LakeStride-th document lands in the mini-lake fixture. */
+  val LakeStride = 8
+
+  /** m05: media-lake ingestion edge — Spark's built-in `binaryFile` source
+    * reads a DIRECTORY OF OPAQUE FILES (the form image/audio/video actually
+    * arrives in, one file per asset) as (path, modificationTime, length,
+    * content) with glob pruning and the same partitioned, lazy scan parquet
+    * gets; no codec, no driver I/O. The operator materializes a
+    * deterministic mini-lake (executors write one .bin per sampled doc —
+    * exactly how a distributed fetch job lands assets), ingests it back
+    * through binaryFile, parses the asset id from the file path, and
+    * fingerprints content with md5 — so the oracle can reproduce the full
+    * round-trip from the text column (ASCII corpus: UTF-8 bytes == chars).
+    * At 100 TB this op is the entry point of the multimodal pipeline:
+    * binaryFile splits the listing across executors and never materializes
+    * a file's bytes more than one task-batch at a time. */
+  def binaryIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lake = java.nio.file.Files.createTempDirectory("graft_media_lake").toString
+    Tables.documents(spark, dir)
+      .filter($"doc_id" % LakeStride === 0)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(lake, f"doc_${r.getLong(0)}%06d.bin"),
+            r.getAs[Array[Byte]](1))
+        }
+      }
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(lake)
+      .select(
+        regexp_extract($"path", "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+        $"length".as("byte_len"),
+        md5($"content").as("content_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val binaryIngestSql: String =
+    s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       |  md5(text) AS content_md5
+       |FROM documents WHERE doc_id % $LakeStride = 0
+       |ORDER BY doc_id""".stripMargin
 }

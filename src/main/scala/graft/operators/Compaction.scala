@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** r27: small-file compaction — the table-maintenance pass every 100 TB
+  * parquet lake needs. Streaming/incremental writers (v10, r16's daily
+  * partitions, the reference's per-day CSV appends) fragment partitions
+  * into many small files; small files tax every subsequent scan (one
+  * task + one footer read each) and the namenode. Compaction rewrites
+  * each partition into ceil(partition_bytes / target_bytes) files.
+  *
+  * Scale shape: the PLANNER is driver-side file metadata (a listing of
+  * sizes — standard for compaction planners; the data never touches the
+  * driver). The REWRITE is one distributed pass: rows get a deterministic
+  * `slot` = pmod(xxhash64(whole row), files_planned(partition)), and a
+  * range repartition on (partition, slot) lands each slot in its own
+  * task, so `partitionBy` emits ~one file per planned slot. Partitions
+  * already at one sub-target file are left out of the rewrite set
+  * entirely (read-pruned by partition value), so incremental compaction
+  * cost is proportional to the fragmented remainder, not table size. */
+object Compaction {
+  /** One row per partition value: what the planner saw and wrote. */
+  final case class PartitionStats(partition: String, bytes: Long,
+      files_before: Long, files_planned: Int, files_after: Long)
+
+  private def listPartitions(spark: SparkSession, dir: String)
+      : Seq[(String, Long, Long)] = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map { d =>
+        val files = fs.listStatus(d.getPath).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        (d.getPath.getName, files.map(_.getLen).sum, files.size.toLong)
+      }
+  }
+
+  /** Compact the partitioned parquet table at `srcDir` (layout
+    * `partCol=value/`) into `dstDir`, targeting `targetBytes` per output
+    * file. Returns per-partition stats. */
+  def compact(spark: SparkSession, srcDir: String, dstDir: String,
+      partCol: String, targetBytes: Long): DataFrame = {
+    import spark.implicits._
+    val before = listPartitions(spark, srcDir)
+    val planned: Map[String, Int] = before.map { case (p, bytes, _) =>
+      val v = p.substring(p.indexOf('=') + 1)
+      v -> math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    }.toMap
+    val slotFor = udfLessSlot(planned)
+    val totalSlots = planned.values.sum
+    val src = spark.read.parquet(srcDir)
+    src
+      .withColumn("__slot",
+        pmod(xxhash64(src.columns.map(col): _*), slotFor(col(partCol))).cast("int"))
+      .repartitionByRange(totalSlots, col(partCol), col("__slot"))
+      .drop("__slot")
+      .write.mode("overwrite").partitionBy(partCol).parquet(dstDir)
+    val after = listPartitions(spark, dstDir).map { case (p, _, n) =>
+      p.substring(p.indexOf('=') + 1) -> n
+    }.toMap
+    before.map { case (p, bytes, nb) =>
+      val v = p.substring(p.indexOf('=') + 1)
+      PartitionStats(v, bytes, nb, planned(v), after.getOrElse(v, 0L))
+    }.toDF().orderBy($"partition")
+  }
+
+  /** files_planned as a broadcast-literal lookup column (a tiny CASE
+    * chain — partition counts are planner-small), keeping the hot path
+    * codegen'd with no UDF. */
+  private def udfLessSlot(planned: Map[String, Int]): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    c => planned.foldLeft(lit(1): org.apache.spark.sql.Column) {
+      case (acc, (v, n)) => when(c === v, lit(n)).otherwise(acc)
+    }
+
+  /** r27 as a registered query: fragment a copy of lineitem (50 writer
+    * tasks × partitionBy returnflag — the v10/r16 writer pattern), then
+    * compact to ~3 files per partition. File sizes are
+    * environment-dependent, so this is a rows-only entry; the spec
+    * asserts row parity and the planner contract exactly. */
+  def compactionReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val frag = s"$base/frag"; val out = s"$base/compacted"
+    val li = graft.sources.Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice",
+        $"l_returnflag")
+    li.repartition(50).write.mode("overwrite")
+      .partitionBy("l_returnflag").parquet(frag)
+    val bytes = listPartitions(spark, frag).map(_._2).sum
+    compact(spark, frag, out, "l_returnflag", math.max(1L, bytes / 9))
+  }
+}

@@ -118,4 +118,32 @@ class EngineSpec extends AnyFunSuite {
       assert(t.getDouble(2) == u.getDouble(1 + 1))
     }
   }
+
+  test("r27: compaction preserves every row and lands within the planned file budget") {
+    import TestSpark.spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_spec").toString
+    val frag = s"$base/frag"; val out = s"$base/out"
+    val li = sources.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
+    li.repartition(20).write.mode("overwrite")
+      .partitionBy("l_returnflag").parquet(frag)
+    val fragged = spark.read.parquet(frag)
+    val stats = operators.Compaction
+      .compact(spark, frag, out, "l_returnflag", 64 * 1024)
+      .collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      val (before, planned, after) =
+        (r.getLong(r.fieldIndex("files_before")),
+         r.getInt(r.fieldIndex("files_planned")),
+         r.getLong(r.fieldIndex("files_after")))
+      assert(after <= planned, s"partition ${r.getString(0)}: $after > planned $planned")
+      assert(after < before, s"partition ${r.getString(0)}: no file reduction")
+    }
+    // byte-identical contents after the rewrite
+    val compacted = spark.read.parquet(out)
+    assert(compacted.count() == fragged.count())
+    assert(compacted.exceptAll(fragged).count() == 0 &&
+      fragged.exceptAll(compacted).count() == 0)
+  }
 }

@@ -424,6 +424,17 @@ class LlmOpsSpec extends AnyFunSuite {
     m1.unpersist()
   }
 
+  test("m05: binaryFile ingestion round-trips every sampled asset byte-for-byte") {
+    import TestSpark.spark.implicits._
+    val got = multimodal.Multimodal.binaryIngest(spark, sf)
+    val want = sources.Tables.documents(spark, sf)
+      .filter($"doc_id" % multimodal.Multimodal.LakeStride === 0)
+      .select($"doc_id", octet_length(encode($"text", "UTF-8")).cast("long").as("byte_len"),
+        md5(encode($"text", "UTF-8")).as("content_md5"))
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).count() == 0)
+  }
+
   test("t10: per-doc top terms are capped at K, ranked contiguously, top-1 has the doc's max tf") {
     import TestSpark.spark.implicits._
     val k = operators.TextAnalysis.TfidfTopK

@@ -31,6 +31,25 @@ class MlSpec extends AnyFunSuite {
     assert(k > 1 && k <= 10)
   }
 
+  test("ml04: ALS recommends exactly K ranked parts per purchasing customer") {
+    val recs = ml.Features.alsRecommend(spark, sf)
+    val k = ml.Features.AlsTopK
+    val perUser = recs.groupBy("c_custkey").count()
+    assert(perUser.filter(col("count") =!= k).count() == 0)
+    assert(perUser.count() ==
+      sources.Tables.orders(spark, sf).select("o_custkey").distinct().count())
+    // ranks are contiguous and scores descend with rank
+    val byRank = recs.groupBy("rk").agg(avg("score").as("s")).collect()
+      .map(r => r.getInt(r.fieldIndex("rk")) -> r.getDouble(r.fieldIndex("s"))).toMap
+    assert(byRank.keySet == (1 to k).toSet)
+    assert(byRank(1) >= byRank(k))
+    // recommended items come from the item universe
+    val universe = sources.Tables.part(spark, sf).select(col("p_partkey").cast("int"))
+      .collect().map(_.getInt(0)).toSet
+    assert(recs.select("rec_partkey").distinct().collect()
+      .forall(r => universe.contains(r.getInt(0))))
+  }
+
   test("q22: as-of join pairs each purchase with a strictly earlier view") {
     val a = operators.Extras.asofJoin(spark, sf)
     assert(a.count() > 0)
