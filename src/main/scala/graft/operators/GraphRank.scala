@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** q43: trade-flow centrality — PageRank over the nation → nation shipping
+  * graph (supplier nation ships to customer nation, edge weight = shipped
+  * dollar volume). Demonstrates the ITERATIVE join-aggregate capability an
+  * analytics engine needs (label propagation, centrality, affinity —
+  * anything fixed-point) expressed as a bounded loop of declarative steps.
+  *
+  * Engine-exact by construction: ALL arithmetic is 64-bit integer —
+  * edge weights in whole dollars, per-edge shares in parts-per-million
+  * (`(w * 1e6) div W`), damping as `(85 * S) div 100` — so both engines
+  * floor identically and the oracle can replay the same five unrolled
+  * iterations with `//`. No float ever enters the fixed point.
+  *
+  * Scale shape: the edge list aggregates once from the fact join (nations²
+  * rows — tiny — but the SAME plan holds for any node domain); each
+  * iteration is one shuffle on dst (the contribution rollup) plus a
+  * broadcast-sized node join; the rank vector is O(nodes). Five
+  * iterations = five chained stages, no driver data path except the
+  * node-count literal (planner state, like r27's size listing). */
+object GraphRank {
+  val Iters = 5
+
+  def tradeRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def tenK(p: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
+      floor(p * 100 + 0.5).cast("long") * (lit(100L) - floor(d * 100 + 0.5).cast("long"))
+    val nations = Tables.nation(spark, dir).select($"n_nationkey", $"n_name")
+    val n = nations.count() // node-domain size: planner-scale driver state
+    val initPr = 1000000L / n
+    val base = 150000L / n
+    val weighted = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"s_nationkey".as("src"), $"c_nationkey".as("dst"),
+        tenK($"l_extendedprice", $"l_discount").as("v"))
+      .groupBy($"src", $"dst")
+      .agg(expr("sum(v) div 10000").as("w"))
+      .filter($"src" =!= $"dst" && $"w" > 0)
+    val outW = weighted.groupBy($"src").agg(sum($"w").as("tw"))
+    val share = graft.GraftSession.maybeCache(
+      weighted.join(outW, Seq("src"))
+        .select($"src", $"dst", expr("(w * 1000000) div tw").as("share_ppm")))
+    // dangling nodes (no out-edges — real at small SF where few suppliers
+    // exist) redistribute their mass uniformly each iteration, the
+    // standard fix; d is a 1-row aggregate broadcast back in.
+    val srcs = share.select($"src").distinct()
+    var pr = nations.select($"n_nationkey".as("node")).withColumn("pr", lit(initPr))
+    for (_ <- 1 to Iters) {
+      val dang = pr.join(srcs, $"node" === $"src", "left_anti")
+        .agg(coalesce(sum($"pr"), lit(0L)).as("d"))
+      val contrib = share.join(pr, $"src" === $"node")
+        .select($"dst", expr("(pr * share_ppm) div 1000000").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("s"))
+      pr = nations.select($"n_nationkey".as("node"))
+        .join(contrib, $"node" === $"dst", "left")
+        .crossJoin(broadcast(dang))
+        .select($"node",
+          (lit(base) + expr(s"(85 * (coalesce(s, 0) + d div $n)) div 100")).as("pr"))
+    }
+    pr.join(broadcast(nations), $"node" === $"n_nationkey")
+      .select($"n_name", $"pr".as("rank_micros"))
+      .orderBy($"rank_micros".desc, $"n_name")
+  }
+
+  val tradeRankSql: String = {
+    val edges =
+      """edges AS (
+        |  SELECT s_nationkey AS src, c_nationkey AS dst,
+        |    sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
+        |        * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))) // 10000 AS w
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  GROUP BY 1, 2 HAVING src <> dst AND w > 0),
+        |ow AS (SELECT src, sum(w) AS tw FROM edges GROUP BY 1),
+        |shr AS (SELECT e.src, e.dst, (e.w * 1000000) // tw AS share_ppm
+        |        FROM edges e JOIN ow USING (src)),
+        |nn AS (SELECT count(*) AS n FROM nation),
+        |pr0 AS (SELECT n_nationkey AS node, 1000000 // n AS pr FROM nation, nn)""".stripMargin
+    val iters = (1 to Iters).map { i =>
+      s"""d$i AS (SELECT coalesce(sum(pr), 0) AS d FROM pr${i - 1}
+         |        WHERE node NOT IN (SELECT DISTINCT src FROM shr)),
+         |c$i AS (SELECT dst, sum((pr * share_ppm) // 1000000) AS s
+         |        FROM shr JOIN pr${i - 1} ON src = node GROUP BY 1),
+         |pr$i AS (SELECT n_nationkey AS node,
+         |           (150000 // n) + (85 * (coalesce(s, 0) + d // n)) // 100 AS pr
+         |         FROM nation CROSS JOIN nn CROSS JOIN d$i
+         |         LEFT JOIN c$i ON n_nationkey = dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edges,
+       |$iters
+       |SELECT n_name, CAST(pr AS BIGINT) AS rank_micros
+       |FROM pr$Iters JOIN nation ON n_nationkey = node
+       |ORDER BY rank_micros DESC, n_name""".stripMargin
+  }
+}

@@ -106,6 +106,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(sums == li)
   }
 
+  test("q41 funnel stages are monotonically non-increasing") {
+    val rows = operators.EventAnalytics.funnel(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("view", "click", "purchase"))
+    assert(rows("click") <= rows("view"))
+    assert(rows("purchase") <= rows("click"))
+  }
+
+  test("q43 ranks sum to ~1e6 and every nation gets at least the damping base") {
+    val rows = operators.GraphRank.tradeRank(spark, sf).collect()
+    val n = rows.length
+    assert(n > 0)
+    val prs = rows.map(r => r.getLong(r.fieldIndex("rank_micros")))
+    // integer flooring only ever loses mass: total <= 1e6, but within 1%
+    val total = prs.sum
+    assert(total <= 1000000L && total > 990000L, s"total $total")
+    assert(prs.forall(_ >= 150000L / n))
+  }
+
   test("entry smoke: rows > 0") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
