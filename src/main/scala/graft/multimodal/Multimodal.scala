@@ -286,7 +286,9 @@ object Multimodal {
     * content) with glob pruning and the same partitioned, lazy scan parquet
     * gets; no codec, no driver I/O. The operator materializes a
     * deterministic mini-lake (executors write one .bin per sampled doc —
-    * exactly how a distributed fetch job lands assets), ingests it back
+    * exactly how a distributed fetch job lands assets; local-mode test
+    * fixture writes via java.nio, a cluster fetch job would open the same
+    * paths through the Hadoop FileSystem API), ingests it back
     * through binaryFile, parses the asset id from the file path, and
     * fingerprints content with md5 — so the oracle can reproduce the full
     * round-trip from the text column (ASCII corpus: UTF-8 bytes == chars).

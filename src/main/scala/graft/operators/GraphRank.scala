@@ -90,9 +90,13 @@ object GraphRank {
       .orderBy($"rank_micros".desc, $"n_name")
   }
 
+  /** NOTE: every CTE is MATERIALIZED — DuckDB inlines plain CTEs, so the
+    * doubled pr_{i-1} reference (dangling + contributions) would expand the
+    * expression tree 2^Iters-fold, exactly the lineage blowup the Spark
+    * side caches away; at sf0.1 the inlined form spilled >80 GB. */
   val tradeRankSql: String = {
     val edges =
-      """edges AS (
+      """edges AS MATERIALIZED (
         |  SELECT s_nationkey AS src, c_nationkey AS dst,
         |    sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
         |        * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))) // 10000 AS w
@@ -101,17 +105,17 @@ object GraphRank {
         |  JOIN customer ON c_custkey = o_custkey
         |  JOIN supplier ON s_suppkey = l_suppkey
         |  GROUP BY 1, 2 HAVING src <> dst AND w > 0),
-        |ow AS (SELECT src, sum(w) AS tw FROM edges GROUP BY 1),
-        |shr AS (SELECT e.src, e.dst, (e.w * 1000000) // tw AS share_ppm
+        |ow AS MATERIALIZED (SELECT src, sum(w) AS tw FROM edges GROUP BY 1),
+        |shr AS MATERIALIZED (SELECT e.src, e.dst, (e.w * 1000000) // tw AS share_ppm
         |        FROM edges e JOIN ow USING (src)),
-        |nn AS (SELECT count(*) AS n FROM nation),
-        |pr0 AS (SELECT n_nationkey AS node, 1000000 // n AS pr FROM nation, nn)""".stripMargin
+        |nn AS MATERIALIZED (SELECT count(*) AS n FROM nation),
+        |pr0 AS MATERIALIZED (SELECT n_nationkey AS node, 1000000 // n AS pr FROM nation, nn)""".stripMargin
     val iters = (1 to Iters).map { i =>
-      s"""d$i AS (SELECT coalesce(sum(pr), 0) AS d FROM pr${i - 1}
+      s"""d$i AS MATERIALIZED (SELECT coalesce(sum(pr), 0) AS d FROM pr${i - 1}
          |        WHERE node NOT IN (SELECT DISTINCT src FROM shr)),
-         |c$i AS (SELECT dst, sum((pr * share_ppm) // 1000000) AS s
+         |c$i AS MATERIALIZED (SELECT dst, sum((pr * share_ppm) // 1000000) AS s
          |        FROM shr JOIN pr${i - 1} ON src = node GROUP BY 1),
-         |pr$i AS (SELECT n_nationkey AS node,
+         |pr$i AS MATERIALIZED (SELECT n_nationkey AS node,
          |           (150000 // n) + (85 * (coalesce(s, 0) + d // n)) // 100 AS pr
          |         FROM nation CROSS JOIN nn CROSS JOIN d$i
          |         LEFT JOIN c$i ON n_nationkey = dst)""".stripMargin
