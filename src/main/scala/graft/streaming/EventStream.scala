@@ -97,6 +97,40 @@ object EventStream {
         ($"value_cents".cast("double") / 100.0).as("total_value"))
   }
 
+  /** v11: NATIVE session-window aggregation — Spark's built-in
+    * `session_window` (dynamic-gap merging windows in the streaming state
+    * store) instead of v03's hand-rolled flatMapGroupsWithState or v01's
+    * batch lag-cumsum. State is one merging window per open session,
+    * expired by the watermark; append mode emits a session once the
+    * watermark passes its close. The SAME expression runs in batch
+    * (sessionWindowsBatch), so the spec asserts exact streaming↔batch
+    * parity on the closed set. Window end is last-event + gap (the
+    * session_window contract), not last-event time as in v01. */
+  def sessionWindows(spark: SparkSession, streamDir: String): DataFrame = {
+    import spark.implicits._
+    readEventStream(spark, streamDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor($"value" * 100.0 + 0.5).cast("long")).as("value_cents"))
+      .select($"user_id", unix_micros($"sw.start").as("session_start_us"),
+        unix_micros($"sw.end").as("session_close_us"), $"n_events",
+        ($"value_cents".cast("double") / 100.0).as("total_value"))
+  }
+
+  /** The batch twin of [[sessionWindows]] — identical expression, batch
+    * execution (session_window works in both). */
+  def sessionWindowsBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor($"value" * 100.0 + 0.5).cast("long")).as("value_cents"))
+      .select($"user_id", unix_micros($"sw.start").as("session_start_us"),
+        unix_micros($"sw.end").as("session_close_us"), $"n_events",
+        ($"value_cents".cast("double") / 100.0).as("total_value"))
+  }
+
   /** v05: streaming dedup — exactly-once-per-key semantics over the event
     * stream within the watermark horizon (the at-least-once → effectively-
     * once repair every ingest pipeline needs). */

@@ -32,6 +32,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.filter(col("n") =!= col("bn")).count() == 0)
   }
 
+  test("v11: native session_window streaming agg matches its batch twin on the closed set") {
+    val q = streaming.EventStream.sessionWindows(spark, streamDir)
+      .writeStream.outputMode("append").format("memory").queryName("v11_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("v11_out")
+    assert(got.count() > 0)
+    val batch = streaming.EventStream.sessionWindowsBatch(spark, sf)
+      .withColumnRenamed("n_events", "bn").withColumnRenamed("total_value", "bv")
+    // every emitted (watermark-closed) session appears in batch with
+    // identical bounds, count and value
+    val joined = got.join(batch, Seq("user_id", "session_start_us", "session_close_us"))
+    assert(joined.count() == got.count())
+    assert(joined.filter(col("n_events") =!= col("bn") || col("total_value") =!= col("bv"))
+      .count() == 0)
+    // the native gap semantics agree with v01's lag-cumsum sessionization
+    // on this corpus: same number of sessions per user in batch
+    val v01 = streaming.EventStream.sessionize(spark, sf)
+      .groupBy("user_id").count().withColumnRenamed("count", "c1")
+    val vb = batch.groupBy("user_id").count().withColumnRenamed("count", "c2")
+    assert(v01.join(vb, Seq("user_id")).filter(col("c1") =!= col("c2")).count() == 0)
+  }
+
   test("v03: stateful sessionizer emits only closed sessions with positive counts") {
     val q = streaming.EventStream.statefulSessions(spark, streamDir)
       .writeStream.outputMode("append").format("memory").queryName("v03_out").start()
