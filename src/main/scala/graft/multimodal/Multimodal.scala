@@ -297,7 +297,11 @@ object Multimodal {
     * a file's bytes more than one task-batch at a time. */
   def binaryIngest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val lake = java.nio.file.Files.createTempDirectory("graft_media_lake").toString
+    // deterministic per-input lake dir: file names are doc-id-derived, so
+    // repeat invocations overwrite in place instead of leaking a corpus
+    // sample into /tmp per call
+    val lake = s"${System.getProperty("java.io.tmpdir")}/graft_media_lake_${dir.hashCode.toHexString}"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(lake))
     Tables.documents(spark, dir)
       .filter($"doc_id" % LakeStride === 0)
       .select($"doc_id", encode($"text", "UTF-8").as("payload"))

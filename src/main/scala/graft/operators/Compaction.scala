@@ -39,29 +39,52 @@ object Compaction {
 
   /** Compact the partitioned parquet table at `srcDir` (layout
     * `partCol=value/`) into `dstDir`, targeting `targetBytes` per output
-    * file. Returns per-partition stats. */
+    * file. Partitions already within their file budget are BYTE-COPIED
+    * (FS copy, no decode, no scan) — only the fragmented remainder goes
+    * through the distributed rewrite, which is what makes incremental
+    * compaction cost proportional to fragmentation, not table size.
+    * Returns per-partition stats. */
   def compact(spark: SparkSession, srcDir: String, dstDir: String,
       partCol: String, targetBytes: Long): DataFrame = {
     import spark.implicits._
     val before = listPartitions(spark, srcDir)
+    def value(p: String): String = p.substring(p.indexOf('=') + 1)
     val planned: Map[String, Int] = before.map { case (p, bytes, _) =>
-      val v = p.substring(p.indexOf('=') + 1)
-      v -> math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      value(p) -> math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     }.toMap
-    val slotFor = udfLessSlot(planned)
-    val totalSlots = planned.values.sum
-    val src = spark.read.parquet(srcDir)
-    src
-      .withColumn("__slot",
-        pmod(xxhash64(src.columns.map(col): _*), slotFor(col(partCol))).cast("int"))
-      .repartitionByRange(totalSlots, col(partCol), col("__slot"))
-      .drop("__slot")
-      .write.mode("overwrite").partitionBy(partCol).parquet(dstDir)
-    val after = listPartitions(spark, dstDir).map { case (p, _, n) =>
-      p.substring(p.indexOf('=') + 1) -> n
-    }.toMap
+    val (compactParts, fragmented) = before.partition { case (p, _, nFiles) =>
+      nFiles <= planned(value(p))
+    }
+    // pass-through partitions: straight file copies on the driver's FS
+    // handle (metadata-scale loop; bytes move FS-side, nothing decodes)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcFs = new Path(srcDir).getFileSystem(conf)
+    compactParts.foreach { case (p, _, _) =>
+      val from = new Path(srcDir, p); val to = new Path(dstDir, p)
+      srcFs.mkdirs(to)
+      srcFs.listStatus(from).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .foreach { f =>
+          org.apache.hadoop.fs.FileUtil.copy(
+            srcFs, f.getPath, srcFs, new Path(to, f.getPath.getName), false, conf)
+        }
+    }
+    if (fragmented.nonEmpty) {
+      val fragValues = fragmented.map { case (p, _, _) => value(p) }
+      val fragPlanned = planned.view.filterKeys(fragValues.contains).toMap
+      val slotFor = udfLessSlot(fragPlanned)
+      val totalSlots = fragPlanned.values.sum
+      val src = spark.read.parquet(srcDir)
+        .filter(col(partCol).isin(fragValues: _*))   // partition-pruned read
+      src
+        .withColumn("__slot",
+          pmod(xxhash64(src.columns.map(col): _*), slotFor(col(partCol))).cast("int"))
+        .repartitionByRange(totalSlots, col(partCol), col("__slot"))
+        .drop("__slot")
+        .write.mode("append").partitionBy(partCol).parquet(dstDir)
+    }
+    val after = listPartitions(spark, dstDir).map { case (p, _, n) => value(p) -> n }.toMap
     before.map { case (p, bytes, nb) =>
-      val v = p.substring(p.indexOf('=') + 1)
+      val v = value(p)
       PartitionStats(v, bytes, nb, planned(v), after.getOrElse(v, 0L))
     }.toDF().orderBy($"partition")
   }
@@ -81,8 +104,12 @@ object Compaction {
     * asserts row parity and the planner contract exactly. */
   def compactionReport(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // deterministic per-input workspace, overwritten on every call — a
+    // fresh createTempDirectory per invocation would leak a corpus copy
+    // into /tmp per bench/verify run
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_${dir.hashCode.toHexString}"
     val frag = s"$base/frag"; val out = s"$base/compacted"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(out))
     val li = graft.sources.Tables.lineitem(spark, dir)
       .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice",
         $"l_returnflag")

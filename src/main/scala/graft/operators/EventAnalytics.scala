@@ -24,11 +24,13 @@ object EventAnalytics {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
       .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
-    val v = ev.filter($"event_type" === "view")
-      .groupBy($"user_id").agg(min($"us").as("t1"))
-    val c = ev.filter($"event_type" === "click")
+    // each stage feeds BOTH the next stage's join and its own count —
+    // persist (caller-config) or the events scan re-runs per sink
+    val v = graft.GraftSession.maybeCache(ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("t1")))
+    val c = graft.GraftSession.maybeCache(ev.filter($"event_type" === "click")
       .join(v, Seq("user_id")).filter($"us" > $"t1")
-      .groupBy($"user_id").agg(min($"us").as("t2"))
+      .groupBy($"user_id").agg(min($"us").as("t2")))
     val p = ev.filter($"event_type" === "purchase")
       .join(c, Seq("user_id")).filter($"us" > $"t2")
       .groupBy($"user_id").agg(min($"us").as("t3"))
@@ -69,8 +71,9 @@ object EventAnalytics {
   def retention(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val wk = floor((floor(unix_micros($"ts") / lit(86400000000L)) + 3) / 7).cast("long")
-    val userWeeks = Tables.events(spark, dir)
-      .select($"user_id", wk.as("wk")).distinct()
+    // feeds both the cohort aggregate and the cell join — persist once
+    val userWeeks = graft.GraftSession.maybeCache(Tables.events(spark, dir)
+      .select($"user_id", wk.as("wk")).distinct())
     val cohorts = userWeeks.groupBy($"user_id").agg(min($"wk").as("cohort_week"))
     userWeeks.join(cohorts, Seq("user_id"))
       .groupBy($"cohort_week", ($"wk" - $"cohort_week").as("week_offset"))

@@ -28,8 +28,7 @@ object GraphRank {
 
   def tradeRank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def tenK(p: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
-      floor(p * 100 + 0.5).cast("long") * (lit(100L) - floor(d * 100 + 0.5).cast("long"))
+    import graft.functions.Money.tenK
     val nations = Tables.nation(spark, dir).select($"n_nationkey", $"n_name")
     val n = nations.count() // node-domain size: planner-scale driver state
     val initPr = 1000000L / n
@@ -82,8 +81,13 @@ object GraphRank {
       // iterative-algorithm idiom, not an optimization knob, hence
       // .cache() directly rather than the caller-config maybeCache; one
       // partition keeps each tiny stage at scheduling floor (a 1e8-node
-      // graph would key the vector on node ranges instead).
+      // graph would key the vector on node ranges instead). Forcing the
+      // build per iteration lets the superseded iterate unpersist
+      // immediately — state stays ONE vector, not Iters of them.
+      val prev = pr
       pr = prNext.coalesce(1).cache()
+      pr.count()
+      prev.unpersist(blocking = false)
     }
     pr.join(broadcast(nations), $"node" === $"n_nationkey")
       .select($"n_name", $"pr".as("rank_micros"))

@@ -20,11 +20,7 @@ import graft.sources.Tables
   * Scale notes per query are on each method.
   */
 object TpchMore {
-  /** price → exact integer cents (round-half-up, matching the oracle). */
-  private def cents(c: Column): Column = floor(c * 100 + 0.5).cast("long")
-  /** lineitem revenue in exact integer ten-thousandths of a dollar. */
-  private def tenK(price: Column, disc: Column): Column =
-    cents(price) * (lit(100L) - cents(disc))
+  import graft.functions.Money.{cents, tenK}
   /** ten-thousandths → dollars rounded to cents; written EXACTLY as the
     * oracle's floor(s/100.0+0.5)/100.0 (same IEEE ops in the same order —
     * fr(s/10000.0, 2) would compute (s/1e4)*100 which can land 1 ulp away

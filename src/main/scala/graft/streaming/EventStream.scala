@@ -106,10 +106,11 @@ object EventStream {
     * (sessionWindowsBatch), so the spec asserts exact streaming↔batch
     * parity on the closed set. Window end is last-event + gap (the
     * session_window contract), not last-event time as in v01. */
-  def sessionWindows(spark: SparkSession, streamDir: String): DataFrame = {
-    import spark.implicits._
-    readEventStream(spark, streamDir)
-      .withWatermark("ts", "1 hour")
+  /** The ONE session_window aggregation both modes share — the spec's
+    * streaming↔batch parity guarantee is structural, not copy-paste. */
+  private def sessionWindowAgg(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
       .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
       .agg(count(lit(1)).as("n_events"),
         sum(floor($"value" * 100.0 + 0.5).cast("long")).as("value_cents"))
@@ -118,18 +119,13 @@ object EventStream {
         ($"value_cents".cast("double") / 100.0).as("total_value"))
   }
 
-  /** The batch twin of [[sessionWindows]] — identical expression, batch
-    * execution (session_window works in both). */
-  def sessionWindowsBatch(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.events(spark, dir)
-      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(floor($"value" * 100.0 + 0.5).cast("long")).as("value_cents"))
-      .select($"user_id", unix_micros($"sw.start").as("session_start_us"),
-        unix_micros($"sw.end").as("session_close_us"), $"n_events",
-        ($"value_cents".cast("double") / 100.0).as("total_value"))
-  }
+  def sessionWindows(spark: SparkSession, streamDir: String): DataFrame =
+    sessionWindowAgg(readEventStream(spark, streamDir).withWatermark("ts", "1 hour"))
+
+  /** The batch twin of [[sessionWindows]] — same expression by
+    * construction (session_window runs in both modes). */
+  def sessionWindowsBatch(spark: SparkSession, dir: String): DataFrame =
+    sessionWindowAgg(Tables.events(spark, dir))
 
   /** v05: streaming dedup — exactly-once-per-key semantics over the event
     * stream within the watermark horizon (the at-least-once → effectively-

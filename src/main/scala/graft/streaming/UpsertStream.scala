@@ -56,8 +56,13 @@ object UpsertStream {
     val touched = withBucket.select($"bucket").distinct()
       .collect().map(_.getLong(0))          // ≤ NumBuckets values — driver-safe
     if (touched.isEmpty) return
+    // Snapshot existence via the Hadoop FileSystem API — java.io.File
+    // answers false for every non-local filesystem, which would silently
+    // replace touched buckets with the bare delta (data loss on HDFS/S3).
+    val targetPath = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = targetPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing =
-      if (new java.io.File(targetDir).exists())
+      if (fs.exists(targetPath))
         spark.read.parquet(targetDir).filter($"bucket".isin(touched: _*))
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         barSchema.add("bucket", LongType))

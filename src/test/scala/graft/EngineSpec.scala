@@ -145,5 +145,20 @@ class EngineSpec extends AnyFunSuite {
     assert(compacted.count() == fragged.count())
     assert(compacted.exceptAll(fragged).count() == 0 &&
       fragged.exceptAll(compacted).count() == 0)
+    // idempotence: compacting the compacted table is pure pass-through —
+    // every partition is within budget, so files are byte-copied, not
+    // rewritten (files_after == files_before), and contents are unchanged
+    val out2 = s"$base/out2"
+    val stats2 = operators.Compaction
+      .compact(spark, out, out2, "l_returnflag", 64 * 1024)
+      .collect()
+    stats2.foreach { r =>
+      assert(r.getLong(r.fieldIndex("files_after")) ==
+        r.getLong(r.fieldIndex("files_before")),
+        s"partition ${r.getString(0)}: pass-through should not rewrite")
+    }
+    val copied = spark.read.parquet(out2)
+    assert(copied.count() == fragged.count() &&
+      copied.exceptAll(fragged).count() == 0)
   }
 }

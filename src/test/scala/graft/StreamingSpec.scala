@@ -219,7 +219,7 @@ class StreamingSpec extends AnyFunSuite {
     val ckpt = s"$base/ckpt"
     new java.io.File(streamDir).mkdirs()
     // three waves of bar updates: later versions override, new keys insert
-    def wave(rows: Seq[(Long, String, Long, Double)], file: String): Unit =
+    def wave(rows: Seq[(Long, String, Long, Double)]): Unit =
       rows.toDF("series_id", "d", "version", "close")
         .select($"series_id", to_date($"d").as("bar_date"), $"version", $"close")
         .coalesce(1).write.mode("append").parquet(streamDir)
@@ -231,9 +231,9 @@ class StreamingSpec extends AnyFunSuite {
     val all = w1 ++ w2 ++ w3
     val q = streaming.UpsertStream.upsertQuery(spark, streamDir, targetDir, ckpt)
     try {
-      wave(w1, "w1"); q.processAllAvailable()
-      wave(w2, "w2"); q.processAllAvailable()
-      wave(w3, "w3"); q.processAllAvailable()
+      wave(w1); q.processAllAvailable()
+      wave(w2); q.processAllAvailable()
+      wave(w3); q.processAllAvailable()
     } finally q.stop()
     val got = spark.read.parquet(targetDir)
       .select($"series_id", $"bar_date", $"version", $"close")
