@@ -562,4 +562,51 @@ object Extras {
       |FROM orders
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- r28
+  /** r28: schema evolution on read — the lake-maintenance reality that a
+    * long-lived table's early files lack columns added later. An "old
+    * generation" (orderkey, quantity) and a "new generation" (plus
+    * extendedprice) land as parquet under one root; `mergeSchema=true`
+    * unions the schemas at read time, null-filling the missing column in
+    * old files. The verification aggregate proves the null-fill: rows per
+    * generation, exact quantity sums over BOTH, and a price sum that only
+    * the new generation contributes to. At scale mergeSchema's footer
+    * union runs distributed (one task per file footer) — no driver scan;
+    * the steady-state alternative (a table catalog holding the canonical
+    * schema) reads the same files with the same null-fill semantics. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = tempDir("graft_evolve")
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("2000-01-01"))
+    li.filter($"l_orderkey" % 2 === 0)
+      .select($"l_orderkey", $"l_quantity")
+      .write.mode("overwrite").parquet(s"$root/gen=old")
+    li.filter($"l_orderkey" % 2 === 1)
+      .select($"l_orderkey", $"l_quantity", $"l_extendedprice")
+      .write.mode("overwrite").parquet(s"$root/gen=new")
+    spark.read.option("mergeSchema", "true").parquet(root)
+      .groupBy($"gen")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"l_quantity" * 100.0 + 0.5).cast("long")).as("qty_cents"),
+        count($"l_extendedprice").as("n_priced"),
+        sum(floor($"l_extendedprice" * 100.0 + 0.5).cast("long")).as("price_cents"))
+      .select($"gen", $"n",
+        ($"qty_cents".cast("double") / 100.0).as("total_qty"), $"n_priced",
+        (coalesce($"price_cents", lit(0L)).cast("double") / 100.0).as("total_price"))
+      .orderBy($"gen")
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'old' ELSE 'new' END AS gen,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_qty,
+      |  CAST(sum(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_priced,
+      |  CAST(coalesce(sum(CASE WHEN l_orderkey % 2 = 1
+      |    THEN CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) END), 0) AS DOUBLE) / 100.0 AS total_price
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
 }
