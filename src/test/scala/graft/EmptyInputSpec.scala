@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-input robustness: every composable (frame-parameterized)
+  * entry point must return an EMPTY (or correctly trivial) result on empty
+  * input and behave on single-row input — never throw. An incremental
+  * pipeline's first run and a fully-filtered partition both hand operators
+  * exactly these shapes. */
+class EmptyInputSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def oneDoc = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+
+  test("dedup From-operators tolerate empty and singleton corpora") {
+    assert(dedup.Dedup.normalizedDedupFrom(emptyDocs).count() == 0)
+    assert(dedup.Dedup.normalizedDedupFrom(oneDoc).count() == 1)
+    assert(dedup.Dedup.spanDedupFrom(emptyDocs).count() == 0)
+    // one doc shares spans with NO other doc: present, zero dup fraction
+    val one = dedup.Dedup.spanDedupFrom(oneDoc).collect()
+    assert(one.length == 1 &&
+      one.head.getDouble(one.head.fieldIndex("dup_frac")) == 0.0)
+  }
+
+  test("text From-operators tolerate empty and singleton corpora") {
+    assert(operators.TextAnalysis.repetitionScoreFrom(emptyDocs).count() == 0)
+    assert(operators.TextAnalysis.repetitionScoreFrom(oneDoc).count() == 1)
+  }
+
+  test("streaming keepLast tolerates empty and resolves singleton trivially") {
+    val schema = streaming.UpsertStream.barSchema
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    assert(streaming.UpsertStream.keepLast(empty).count() == 0)
+    val one = Seq((1L, java.sql.Date.valueOf("2024-01-01"), 1L, 10.0))
+      .toDF("series_id", "bar_date", "version", "close")
+    assert(streaming.UpsertStream.keepLast(one).count() == 1)
+  }
+
+  test("upsert mergeBatch bootstraps an empty target from the first batch") {
+    val base = java.nio.file.Files.createTempDirectory("graft_empty_upsert").toString
+    val target = s"$base/t"
+    val batch = Seq((3L, java.sql.Date.valueOf("2024-01-02"), 1L, 30.0))
+      .toDF("series_id", "bar_date", "version", "close")
+    streaming.UpsertStream.mergeBatch(batch, target)
+    val got = spark.read.parquet(target)
+    assert(got.count() == 1)
+    assert(got.select("series_id").head.getLong(0) == 3L)
+  }
+}
