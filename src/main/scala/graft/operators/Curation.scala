@@ -299,4 +299,67 @@ object Curation {
        |  CAST(cum_before % $PackWindow AS BIGINT) AS pack_offset
        |FROM cum
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- p08
+  /** Curriculum quality bands (fixed thresholds — a global quantile split
+    * would need a full sort; fixed bands are engine-exact AND
+    * scale-free). Band boundaries (0.25/0.5/0.75) are exactly
+    * representable doubles, so flooring cannot straddle engines. */
+  val CurriculumBands = 4
+  /** Knuth multiplicative-hash salt for the deterministic within-band
+    * shuffle (doc_id ≤ ~1e12 keeps the product within int64). */
+  val CurriculumSalt = 2654435761L
+  val CurriculumMod = 1000000007L
+
+  /** p08: curriculum ordering — the deterministic global TRAINING ORDER a
+    * curriculum-learning run consumes: ascending quality band (easy→hard
+    * by the t02 quality score), pseudo-random within a band (salted
+    * multiplicative hash — deterministic, resumable, seedable), and one
+    * exact global sequence number. Scale shape: the within-band rank is a
+    * band-keyed window; band offsets are a [[CurriculumBands]]-row
+    * broadcast (p04's two-level cumsum trick — the only global window
+    * runs over 4 rows, never the corpus). */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = TextAnalysis.qualityScore(spark, dir)
+      .select($"doc_id", coalesce($"quality_score", lit(0.0)).as("quality"))
+    val banded = q
+      .withColumn("band",
+        least(floor($"quality" * CurriculumBands), lit((CurriculumBands - 1).toDouble))
+          .cast("int"))
+      .withColumn("ord", ($"doc_id" * CurriculumSalt) % CurriculumMod)
+    val wIn = Window.partitionBy($"band").orderBy($"ord", $"doc_id")
+    val wB = Window.orderBy($"band").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = banded.groupBy($"band").agg(count(lit(1)).as("n"))
+      .withColumn("band_offset", coalesce(sum($"n").over(wB), lit(0L)))
+      .select($"band", $"band_offset")
+    banded
+      .join(broadcast(offsets), Seq("band"))
+      .withColumn("seq", $"band_offset" + row_number().over(wIn) - 1)
+      .select($"seq", $"doc_id", $"band", $"quality")
+      .orderBy($"seq")
+  }
+
+  val curriculumSql: String =
+    s"""WITH qs AS (
+       |${TextAnalysis.qualityCoreSql}),
+       |b AS (
+       |  SELECT doc_id, coalesce(quality_score, 0.0) AS quality,
+       |    CAST(least(floor(coalesce(quality_score, 0.0) * $CurriculumBands),
+       |      ${CurriculumBands - 1}) AS INTEGER) AS band,
+       |    (doc_id * $CurriculumSalt) % $CurriculumMod AS ord
+       |  FROM qs),
+       |r AS (
+       |  SELECT doc_id, quality, band,
+       |    row_number() OVER (PARTITION BY band ORDER BY ord, doc_id) AS rk
+       |  FROM b),
+       |o AS (SELECT band, count(*) AS n FROM b GROUP BY 1),
+       |off AS (
+       |  SELECT band, coalesce(sum(n) OVER (ORDER BY band
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS band_offset
+       |  FROM o)
+       |SELECT CAST(off.band_offset + r.rk - 1 AS BIGINT) AS seq,
+       |  r.doc_id, r.band, r.quality
+       |FROM r JOIN off USING (band)
+       |ORDER BY seq""".stripMargin
 }

@@ -449,6 +449,16 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("p08: curriculum sequence is a 0..n-1 permutation with non-decreasing bands") {
+    val rows = operators.Curation.curriculum(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val seqs = rows.map(_.getLong(0)).sorted
+    assert(seqs.sameElements(0L until rows.length))
+    // ascending-band curriculum: bands never decrease along the sequence
+    val bands = rows.sortBy(_.getLong(0)).map(_.getInt(2))
+    assert(bands.zip(bands.tail).forall { case (a, b) => a <= b })
+  }
+
   test("m05: binaryFile ingestion round-trips every sampled asset byte-for-byte") {
     import TestSpark.spark.implicits._
     val got = multimodal.Multimodal.binaryIngest(spark, sf)
