@@ -83,8 +83,10 @@ object Dedup {
     * in tests). */
   def normalizedDedupFrom(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
+    // \s classes (not the literal space) so tabs/newlines normalize AS
+    // whitespace instead of being deleted and gluing words together
     val norm = trim(regexp_replace(
-      regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " "))
+      regexp_replace(lower($"text"), "[^a-z0-9\\s]", ""), "\\s+", " "))
     docs
       .select($"doc_id", md5($"text").as("raw_hash"), md5(norm).as("norm_hash"))
       .groupBy($"norm_hash", $"raw_hash")
@@ -100,7 +102,7 @@ object Dedup {
     """WITH nh AS (
       |  SELECT doc_id, md5(text) AS raw_hash,
       |    md5(trim(regexp_replace(regexp_replace(lower(text),
-      |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+      |      '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_hash
       |  FROM documents),
       |l1 AS (
       |  SELECT norm_hash, raw_hash, min(doc_id) AS min_id, count(*) AS n
@@ -368,8 +370,9 @@ object Dedup {
          |ORDER BY j.doc_a, j.doc_b""".stripMargin
 
   // ---------------------------------------------------------------- d08
-  /** The trailing fraction of the doc-id range treated as the newly
-    * arriving delta; everything below is the already-ingested base. */
+  /** Delta CUTOFF position: ids ≥ floor(max_id × this) form the newly
+    * arriving delta (i.e. the trailing 1−this of the id range — 0.8 ⇒ a
+    * 20% delta batch); everything below is the already-ingested base. */
   val DeltaFraction = 0.8
 
   /** d08: incremental dedup — the daily-ingest shape at 100 TB. A new
@@ -616,12 +619,19 @@ object Dedup {
   /** The converged fixpoint is deterministic, and the iterative loop's
     * checkpoints cannot be shared via plan canonicalization the way lazy
     * caches are — memoize the cluster table per (session, dir) so
-    * composing operators (p03) reuse one convergence run. */
-  private val clusterMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    * composing operators (p03) reuse one convergence run. WEAK session
+    * keys: a strong (session, dir) key would pin stopped SparkSessions
+    * (and their dead local checkpoints) for the JVM lifetime in a
+    * many-session host (test suites, notebook servers). */
+  private val clusterMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]])
 
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    clusterMemo.computeIfAbsent((spark, dir), { case (s, d) => computeClusters(s, d) })
+    clusterMemo.synchronized {
+      clusterMemo.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+    }.getOrElseUpdate(dir, computeClusters(spark, dir))
 
   private def computeClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -306,8 +306,6 @@ object CciPipeline {
   def trades(spark: SparkSession, dir: String, cfg: GridConfig): DataFrame = {
     import spark.implicits._
     val c = cci(spark, dir, cfg)
-    val futures = c.select($"user_id".as("f_user"), $"idx".as("fidx"),
-      $"d".as("fd"), $"close_pr".as("fclose"), $"close_cci".as("fcci"))
     val sig = signalsDf(spark, dir, cfg)
       .select($"user_id", $"d".as("buy_date"), $"idx", $"open_pr".as("buy_price"), $"buy_thr")
     val grid = {
@@ -316,15 +314,34 @@ object CciPipeline {
       val ss = cfg.stopThresholds.toDF("condition_stop_loss_cci_threshold")
       hs.crossJoin(rs).crossJoin(ss)
     }
-    val joined = sig
+    tradeOutcomes(c, sig, grid, cfg.maxHolding, Nil)
+      // r06/r07/r11 and the ML features all read the trade grid; persisted
+      // (plan-canonicalized) so one materialization serves every caller.
+      .transform(graft.GraftSession.maybeCache(_))
+  }
+
+  /** The signal→outcome trade core shared by r06 (`trades`) and the
+    * r20 history-grid variant: bounded futures self-join × broadcast
+    * condition grid → first-hit aggregation (t_idx/s_idx/m_idx) → outcome
+    * precedence (target before stop before maturity) → sell-row lookup +
+    * days_held. `sig` must carry (user_id, buy_date, idx, buy_price,
+    * buy_thr) plus any `extraCols`, which ride through grouping and into
+    * the output between buy_price and the condition columns. Keeping the
+    * precedence rule in ONE place: a fix here reaches every grid variant. */
+  private def tradeOutcomes(c: DataFrame, sig: DataFrame, grid: DataFrame,
+      maxHolding: Int, extraCols: Seq[String]): DataFrame = {
+    import c.sparkSession.implicits._
+    val futures = c.select($"user_id".as("f_user"), $"idx".as("fidx"),
+      $"close_pr".as("fclose"), $"close_cci".as("fcci"))
+    val groupCols = (Seq("user_id", "buy_date", "idx", "buy_price", "buy_thr") ++
+      extraCols ++ Seq("condition_holding_days", "condition_target_return",
+        "condition_stop_loss_cci_threshold")).map(col)
+    val agg = sig
       .join(futures,
-        $"user_id" === $"f_user" && $"fidx" > $"idx" && $"fidx" <= $"idx" + cfg.maxHolding)
+        $"user_id" === $"f_user" && $"fidx" > $"idx" && $"fidx" <= $"idx" + maxHolding)
       .crossJoin(broadcast(grid))
       .filter($"fidx" <= $"idx" + $"condition_holding_days")
-    val agg = joined
-      .groupBy($"user_id", $"buy_date", $"idx", $"buy_price", $"buy_thr",
-        $"condition_holding_days", $"condition_target_return",
-        $"condition_stop_loss_cci_threshold")
+      .groupBy(groupCols: _*)
       .agg(
         min(when($"fclose" >= $"buy_price" * (lit(1.0) + $"condition_target_return" / 100.0), $"fidx")).as("t_idx"),
         min(when($"fcci" <= $"condition_stop_loss_cci_threshold", $"fidx")).as("s_idx"),
@@ -345,14 +362,11 @@ object CciPipeline {
       .withColumn("days_held",
         when($"trade_result" === "maturity", $"condition_holding_days")
           .otherwise(datediff($"sell_date", $"buy_date")).cast("long"))
-      .select($"user_id", $"buy_date", $"buy_price",
+      .select(($"user_id" +: $"buy_date" +: $"buy_price" +: extraCols.map(col)) ++ Seq(
         $"condition_holding_days", $"condition_target_return",
         $"buy_thr".as("condition_buy_cci_threshold"),
         $"condition_stop_loss_cci_threshold",
-        $"trade_result", $"sell_date", $"sell_price", $"days_held")
-      // r06/r07/r11 and the ML features all read the trade grid; persisted
-      // (plan-canonicalized) so one materialization serves every caller.
-      .transform(graft.GraftSession.maybeCache(_))
+        $"trade_result", $"sell_date", $"sell_price", $"days_held"): _*)
   }
 
   private val tradesCtes: String =
@@ -1207,47 +1221,13 @@ object CciPipeline {
       .filter($"prev_open_cci" < $"buy_thr" && $"open_cci" > $"buy_thr")
       .select($"user_id", $"d".as("buy_date"), $"idx",
         $"open_pr".as("buy_price"), $"buy_thr", $"search_history_days")
-    val futures = c.select($"user_id".as("f_user"), $"idx".as("fidx"),
-      $"close_pr".as("fclose"), $"close_cci".as("fcci"))
     val grid = {
       val hs = HoldingDays.toDF("condition_holding_days")
       val rs = TargetReturns.toDF("condition_target_return")
       val ss = StopThresholds.toDF("condition_stop_loss_cci_threshold")
       hs.crossJoin(rs).crossJoin(ss)
     }
-    val agg = sig
-      .join(futures,
-        $"user_id" === $"f_user" && $"fidx" > $"idx" && $"fidx" <= $"idx" + MaxHolding)
-      .crossJoin(broadcast(grid))
-      .filter($"fidx" <= $"idx" + $"condition_holding_days")
-      .groupBy($"user_id", $"buy_date", $"idx", $"buy_price", $"buy_thr",
-        $"search_history_days", $"condition_holding_days",
-        $"condition_target_return", $"condition_stop_loss_cci_threshold")
-      .agg(
-        min(when($"fclose" >= $"buy_price" * (lit(1.0) + $"condition_target_return" / 100.0), $"fidx")).as("t_idx"),
-        min(when($"fcci" <= $"condition_stop_loss_cci_threshold", $"fidx")).as("s_idx"),
-        max($"fidx").as("m_idx"))
-    val sel = agg
-      .withColumn("trade_result",
-        when($"t_idx".isNotNull && ($"s_idx".isNull || $"t_idx" < $"s_idx"), lit("reach_target"))
-          .when($"s_idx".isNotNull, lit("stop_loss"))
-          .otherwise(lit("maturity")))
-      .withColumn("sell_idx",
-        when($"t_idx".isNotNull && ($"s_idx".isNull || $"t_idx" < $"s_idx"), $"t_idx")
-          .when($"s_idx".isNotNull, $"s_idx")
-          .otherwise($"m_idx"))
-    val sellRows = c.select($"user_id".as("s_user"), $"idx".as("s_idx2"),
-      $"d".as("sell_date"), $"close_pr".as("sell_price"))
-    sel
-      .join(sellRows, $"user_id" === $"s_user" && $"sell_idx" === $"s_idx2")
-      .withColumn("days_held",
-        when($"trade_result" === "maturity", $"condition_holding_days")
-          .otherwise(datediff($"sell_date", $"buy_date")).cast("long"))
-      .select($"user_id", $"buy_date", $"buy_price", $"search_history_days",
-        $"condition_holding_days", $"condition_target_return",
-        $"buy_thr".as("condition_buy_cci_threshold"),
-        $"condition_stop_loss_cci_threshold",
-        $"trade_result", $"sell_date", $"sell_price", $"days_held")
+    tradeOutcomes(c, sig, grid, MaxHolding, Seq("search_history_days"))
       .orderBy($"user_id" +: $"buy_date" +: $"search_history_days" +: tradeOrderCols.drop(2): _*)
   }
 

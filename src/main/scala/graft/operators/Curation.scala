@@ -307,8 +307,12 @@ object Curation {
     * representable doubles, so flooring cannot straddle engines. */
   val CurriculumBands = 4
   /** Knuth multiplicative-hash salt for the deterministic within-band
-    * shuffle (doc_id ≤ ~1e12 keeps the product within int64). */
+    * shuffle. The id is reduced mod [[CurriculumIdMod]] BEFORE the
+    * multiply — 2654435761 × (1e9−1) ≈ 2.7e18 stays inside int64, whereas
+    * multiplying a raw 64-bit id first would overflow (ANSI throws) past
+    * doc_id ≈ 3.5e9. Same discipline as p02's split hash. */
   val CurriculumSalt = 2654435761L
+  val CurriculumIdMod = 1000000000L
   val CurriculumMod = 1000000007L
 
   /** p08: curriculum ordering — the deterministic global TRAINING ORDER a
@@ -327,7 +331,7 @@ object Curation {
       .withColumn("band",
         least(floor($"quality" * CurriculumBands), lit((CurriculumBands - 1).toDouble))
           .cast("int"))
-      .withColumn("ord", ($"doc_id" * CurriculumSalt) % CurriculumMod)
+      .withColumn("ord", (pmod($"doc_id", lit(CurriculumIdMod)) * CurriculumSalt) % CurriculumMod)
     val wIn = Window.partitionBy($"band").orderBy($"ord", $"doc_id")
     val wB = Window.orderBy($"band").rowsBetween(Window.unboundedPreceding, -1)
     val offsets = banded.groupBy($"band").agg(count(lit(1)).as("n"))
@@ -347,7 +351,7 @@ object Curation {
        |  SELECT doc_id, coalesce(quality_score, 0.0) AS quality,
        |    CAST(least(floor(coalesce(quality_score, 0.0) * $CurriculumBands),
        |      ${CurriculumBands - 1}) AS INTEGER) AS band,
-       |    (doc_id * $CurriculumSalt) % $CurriculumMod AS ord
+       |    ((doc_id % $CurriculumIdMod) * $CurriculumSalt) % $CurriculumMod AS ord
        |  FROM qs),
        |r AS (
        |  SELECT doc_id, quality, band,

@@ -76,6 +76,10 @@ object EventStream {
   /** `streamDir` must be a DIRECTORY of event parquet files (the file
     * stream source tails directories; new files become new micro-batches). */
   def readEventStream(spark: SparkSession, streamDir: String): DataFrame = {
+    // same defensive conf + nanos→micros normalization as Tables.events
+    // (Tables.scala): the schema-inference batch read below rejects
+    // TIMESTAMP(NANOS) parquet without it on a caller-built session
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(streamDir).schema
     spark.readStream
       .schema(schema)
@@ -210,7 +214,12 @@ object EventStream {
               case s if us - s.lastUs > SessionGapUs =>
                 out += SessionUpdate(uid, s.startUs, s.n, s.cents, closed = true)
                 st = SessState(us, us, 1, cents)
-              case s => st = SessState(s.startUs, us, s.n + 1, s.cents + cents)
+              case s =>
+                // cross-batch late event: never rewind the session clock
+                // (lastUs = us would let a late arrival shrink the gap
+                // baseline and falsely split the session on the next event)
+                st = SessState(math.min(s.startUs, us), math.max(s.lastUs, us),
+                  s.n + 1, s.cents + cents)
             }
           }
           if (st != null) state.update(st) else state.remove()
