@@ -64,6 +64,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.filter(!col("closed")).count() == 0)
   }
 
+  test("v03: a cross-batch late event does not rewind the session clock") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
+    // ts column written as LONG nanos — matching the events.parquet shape
+    // readEventStream normalizes (timestamp_micros(ts div 1000))
+    def write(rows: Seq[(Long, Long, Double)]): Unit =
+      rows.toDF("user_id", "m", "value")
+        .select(lit(1L).as("event_id"), ($"m" * 60L * 1000000000L).as("ts"),
+          $"user_id", lit("view").as("event_type"), $"value", lit("{}").as("props"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    // batch 1: events at minute 0 and 10 (one open session, last = 10)
+    write(Seq((7L, 0L, 1.0), (7L, 10L, 1.0)))
+    val q = streaming.EventStream.statefulSessions(spark, dir)
+      .writeStream.outputMode("append").format("memory").queryName("v03_late").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a LATE event (minute 5) plus one at minute 31 — the true
+      // gap from minute 10 is 21 min < 30, so the session must NOT split
+      write(Seq((7L, 5L, 1.0), (7L, 31L, 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // nothing closed: all four events form one still-open session
+    assert(spark.table("v03_late").filter(col("user_id") === 7L).count() == 0)
+  }
+
   test("v04: stream-static join counts equal the batch equivalent") {
     val q = streaming.EventStream.streamStaticJoin(spark, streamDir, sf)
       .writeStream.outputMode("complete").format("memory").queryName("v04_out").start()
