@@ -306,13 +306,16 @@ class LlmOpsSpec extends AnyFunSuite {
     import TestSpark.spark.implicits._
     val docs = Seq(
       (1L, "Hello,  World!"), (2L, "hello world"), (3L, "HELLO   world."),
+      // non-space whitespace must normalize AS whitespace ("hello world"),
+      // not delete to "helloworld" — the bug the core review caught
+      (5L, "hello\nworld"), (6L, "hello\tworld"),
       (4L, "a different document"))
       .toDF("doc_id", "text")
     val r = graft.dedup.Dedup.normalizedDedupFrom(docs).collect()
     assert(r.length == 2)
     val hello = r.find(_.getAs[Long]("doc_id") == 1L).get
-    assert(hello.getAs[Long]("dup_count") == 3L)
-    assert(hello.getAs[Long]("n_variants") == 3L)
+    assert(hello.getAs[Long]("dup_count") == 5L)
+    assert(hello.getAs[Long]("n_variants") == 5L)
     // corpus level: canonical count never exceeds d01's raw-hash count
     val raw = graft.dedup.Dedup.exact(spark, sf).count()
     assert(graft.dedup.Dedup.normalizedDedup(spark, sf).count() <= raw)
