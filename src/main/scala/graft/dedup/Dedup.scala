@@ -83,10 +83,12 @@ object Dedup {
     * in tests). */
   def normalizedDedupFrom(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    // \s classes (not the literal space) so tabs/newlines normalize AS
-    // whitespace instead of being deleted and gluing words together
-    val norm = trim(regexp_replace(
-      regexp_replace(lower($"text"), "[^a-z0-9\\s]", ""), "\\s+", " "))
+    // Single-pass codegen canonicalizer (lowercase → strip non-[a-z0-9\s]
+    // → collapse \s runs → trim): semantics of
+    //   trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+    // — which the oracle keeps — without two interpreted regex passes over
+    // every byte (the round-4 bench's top non-ML cost, 9 s at sf0.1).
+    val norm = graft.functions.catalyst.GraftColumns.normalize_text($"text")
     docs
       .select($"doc_id", md5($"text").as("raw_hash"), md5(norm).as("norm_hash"))
       .groupBy($"norm_hash", $"raw_hash")
@@ -125,13 +127,22 @@ object Dedup {
     * clones score ~1, organic text ~0.
     *
     * Scale shape: spans explode map-side; one shuffle on the span key
-    * computes per-(doc, span) multiplicity AND the cross-doc document
-    * frequency in the same partitioning (count over the span window —
-    * d02's inverted-index trick); the per-doc rollup is a second shuffle
-    * on doc_id. NO pair space is ever built — unlike pairwise dedup this
-    * is linear in total span occurrences, so there is no hot-key cap to
-    * tune. Within-doc repeats (t08's business) do not count: a span seen
-    * 3x in one doc only has df = 1. */
+    * computes per-(doc, span) multiplicity. The cross-doc verdict is then
+    * taken by COMPLEMENT, not by window or join-back: a span with df = 1
+    * lives in exactly one document, so `min(doc_id)` under the span-key
+    * groupBy names that document and `dup_spans = n_spans − (occurrences
+    * of the doc's df=1 spans)`. Every aggregate (count / min / sum) is
+    * map-side partial-aggregable, so a stop-span present in 10M documents
+    * collapses to one row per map partition — there is NO operator that
+    * materializes a hot span's full (doc, span) occurrence list in a
+    * single task (the round-4 flag on the `count().over(partitionBy(sh))`
+    * formulation), and no hot-key join back on `sh` either: after the
+    * span-key groupBy every remaining key is a doc_id, which is uniform
+    * by construction. NO pair space is ever built — linear in total span
+    * occurrences, no df cap to tune (hot spans cost one aggregation row,
+    * not a fan-out). Within-doc repeats (t08's business) do not count: a
+    * span seen 3x in one doc only has df = 1 and lands in the unique
+    * complement. */
   def spanDedup(spark: SparkSession, dir: String): DataFrame =
     spanDedupFrom(Tables.documents(spark, dir))
 
@@ -141,17 +152,23 @@ object Dedup {
       .select($"doc_id", F.tokens($"text").as("tk"))
       .select($"doc_id", explode(F.spans5($"tk")).as("sh"))
       .groupBy($"doc_id", $"sh").agg(count(lit(1)).as("n_occ"))
-    // occ is distinct per (doc, span) ⇒ a count over the span window is
-    // the cross-doc document frequency, sharing the span-key shuffle.
-    val dup = occ
-      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy($"sh")))
-      .filter($"n_docs" >= 2)
-      .groupBy($"doc_id").agg(sum($"n_occ").as("dup_spans"))
+    // occ is distinct per (doc, span) ⇒ count per sh is the cross-doc
+    // document frequency. For df = 1 spans min(doc_id) IS the owning doc,
+    // so the per-doc unique-occurrence total needs no row-level join.
+    val uniq = occ
+      .groupBy($"sh")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("only_doc"),
+        sum($"n_occ").as("occ_sum"))
+      .filter($"n_docs" === 1)
+      .groupBy($"only_doc").agg(sum($"occ_sum").as("uniq_spans"))
+      .withColumnRenamed("only_doc", "doc_id")
     val totals = docs.select($"doc_id",
       greatest(size(F.tokens($"text")) - 4, lit(0)).cast("long").as("n_spans"))
-    totals.join(dup, Seq("doc_id"), "left")
+    // n_spans == Σ n_occ over the doc's occ rows, so the complement of the
+    // unique-span occurrence total is exactly "occurrences of df≥2 spans".
+    totals.join(uniq, Seq("doc_id"), "left")
       .select($"doc_id", $"n_spans",
-        coalesce($"dup_spans", lit(0L)).as("dup_spans"))
+        ($"n_spans" - coalesce($"uniq_spans", lit(0L))).as("dup_spans"))
       .withColumn("dup_frac", F.fr(
         $"dup_spans".cast("double") / nullif($"n_spans", lit(0L)), 4))
       .withColumn("flagged", coalesce($"dup_frac" > SpanDupFracMax, lit(false)))

@@ -146,6 +146,53 @@ case class MinHashSigs(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): MinHashSigs = copy(child = c)
 }
 
+object NormalizeTextExpr {
+  /** Java/RE2 `\s` is exactly these six ASCII chars (no UNICODE flag on
+    * either engine) — NBSP etc. are NOT whitespace and get stripped,
+    * gluing words, exactly as the regex composition does. */
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** One-pass equivalent of d10's canonicalizer
+    * `trim(regexp_replace(regexp_replace(lower(s), "[^a-z0-9\s]", ""), "\s+", " "))`
+    * — lowercase, drop non-[a-z0-9\s], collapse whitespace runs, trim —
+    * without materializing the three intermediate strings or running two
+    * interpreted regex passes over every byte (the round-4 bench's top
+    * non-ML cost). Equals the regex composition for all BMP text:
+    * per-char toLowerCase differs from String.toLowerCase only on
+    * expansions like İ→i+U+0307 whose extra combining char the class
+    * filter deletes on both paths. */
+  def normalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val n = str.length
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    var i = 0
+    while (i < n) {
+      val c = Character.toLowerCase(str.charAt(i))
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        pendingSpace = false
+        sb.append(c)
+      } else if (isWs(c)) {
+        pendingSpace = true
+      } // anything else: stripped (also erases a lone İ-expansion mark)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+case class NormalizeText(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    NormalizeTextExpr.normalize(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.catalyst.NormalizeTextExpr.normalize($c)")
+  override protected def withNewChildInternal(c: Expression): NormalizeText = copy(child = c)
+}
+
 object ArrayFoldExpr {
   /** Left-fold sum with 0.0 init in index order — equals
     * `aggregate(arr, 0.0, (a,x) -> a+x)` and the oracle's
@@ -201,6 +248,8 @@ object GraftColumns {
   def simhash32(c: Column): Column = GraftShim.column(SimHash32(GraftShim.expression(c)))
   def minhash_sigs(c: Column, k: Int): Column =
     GraftShim.column(MinHashSigs(GraftShim.expression(c), k))
+  def normalize_text(c: Column): Column =
+    GraftShim.column(NormalizeText(GraftShim.expression(c)))
   def array_sum_f64(c: Column): Column =
     GraftShim.column(ArraySumF64(GraftShim.expression(c)))
   def abs_dev_sum_f64(arr: Column, mean: Column): Column =

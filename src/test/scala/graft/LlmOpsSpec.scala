@@ -258,6 +258,34 @@ class LlmOpsSpec extends AnyFunSuite {
     p.unpersist()
   }
 
+  test("p04 scale shape: telescoped cumsum, every window partitioned, ids straddle supers") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // ids span 4 super-buckets (PackBucket² = 1e6 apart) with uneven
+    // bucket occupancy — exercises level 2/3 partitioning that the sf
+    // corpora (all ids in super-bucket 0) leave degenerate.
+    val ids = Seq(0L, 1L, 999L, 1000L, 500500L, 1000000L, 1000001L,
+      2345678L, 2345679L, 3999999L)
+    val docs = ids.map(i => (i, s"w1 w2 w3 w$i")).toDF("doc_id", "text")
+    val out = operators.Curation.sequencePackFrom(docs)
+    val wins = out.queryExecution.optimizedPlan.collect { case lw: LWindow => lw }
+    assert(wins.size == 3)
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "no accidental unpartitioned window anywhere in p04")
+    // the one DECLARED single-partition window (pmod(sbucket, 1)) sits
+    // above BOTH aggregation levels: its input was reduced PackBucket²
+    // (= 10^6)-fold before the single task.
+    assert(wins.count(_.child.collect { case a: Aggregate => a }.size >= 2) == 1)
+    // values: exclusive flat cumsum in doc_id order, 4 tokens per doc
+    val r = out.orderBy($"doc_id").collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq == ids)
+    r.zipWithIndex.foreach { case (row, i) =>
+      val cum = row.getAs[Long]("pack_id") * operators.Curation.PackWindow +
+        row.getAs[Long]("pack_offset")
+      assert(cum == 4L * i)
+    }
+  }
+
   test("t03: language id predicts the majority language on an English-ish corpus") {
     val pred = operators.TextAnalysis.langId(spark, sf)
     val top = pred.groupBy("predicted_lang").count().orderBy(col("count").desc).head.getString(0)
@@ -341,6 +369,26 @@ class LlmOpsSpec extends AnyFunSuite {
     val sfr = graft.dedup.Dedup.spanDedup(spark, sf)
     assert(sfr.filter($"flagged").count() > 0)
     assert(sfr.filter(!$"flagged" && $"dup_frac" === 0.0).count() > 0)
+  }
+
+  test("d11 scale shape: hot stop-span stays partial-aggregable, no window in plan") {
+    import TestSpark.spark.implicits._
+    // One stop-span shared by 200 docs plus a unique tail per doc. The
+    // round-4 flag: count().over(partitionBy(sh)) materialized all 200
+    // (doc, span) rows of the hot span in ONE window partition; the
+    // complement formulation keeps every aggregate map-side partial.
+    val docs = (1 to 200).map(i =>
+      (i.toLong, s"the quick brown fox jumps u$i v$i w$i x$i y$i"))
+      .toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.spanDedupFrom(docs)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "span df must come from a partial-aggregable groupBy, not a window")
+    val r = out.collect()
+    assert(r.length == 200)
+    // 10 tokens -> 6 spans; only "the quick brown fox jumps" is cross-doc
+    assert(r.forall(_.getAs[Long]("n_spans") == 6L))
+    assert(r.forall(_.getAs[Long]("dup_spans") == 1L))
+    assert(r.forall(!_.getAs[Boolean]("flagged"))) // 1/6 < 0.3
   }
 
   test("t08: repetition gate flags a degenerate doc and passes a diverse one") {

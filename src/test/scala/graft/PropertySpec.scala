@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.catalyst.{DotF64Expr, MinHashSigsExpr, PolyHashExpr, SimHash32Expr}
+import graft.functions.catalyst.{DotF64Expr, MinHashSigsExpr, NormalizeTextExpr, PolyHashExpr, SimHash32Expr}
 
 /** Property tests over the native expressions (raw ScalaCheck generators,
   * fixed seeds — the scalatest bridge artifact is not on the offline
@@ -31,6 +31,22 @@ class PropertySpec extends AnyFunSuite {
     assert(PolyHashExpr.hash(UTF8String.fromString("a\nb")) == 93625L)
     assert(PolyHashExpr.hash(UTF8String.fromString("x\r\ny\tz")) ==
       ("x\r\ny\tz".foldLeft(0L)((a, c) => (a * 31 + c.toLong) % PolyHashExpr.P)))
+  }
+
+  test("NormalizeText: one-pass normalizer equals the regex composition") {
+    // the exact composition d10's oracle keeps (Java regex == what Spark's
+    // regexp_replace compiles; \s is the same 6-char class in RE2)
+    def ref(s: String): String = s.toLowerCase
+      .replaceAll("[^a-z0-9\\s]", "").replaceAll("\\s+", " ").trim
+    val palette = Gen.oneOf(('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++
+      Seq(' ', '\t', '\n', '\r', '\u000B', '\f', '.', ',', '!', '-', '_',
+        '\u00A0', '\u00E9', '\u00DF', '\u4E2D', '\u0130', '\u212A'))
+    val gen = Gen.listOf(palette).map(_.mkString)
+    (samples(gen, 400) ++ Seq("", "  ", "\t\n", "A.\u00A0B", "a\u000B\u000Bb\u000Bc"))
+      .foreach { s =>
+        assert(NormalizeTextExpr.normalize(UTF8String.fromString(s)).toString == ref(s),
+          s"mismatch on ${s.map(c => f"\\u${c.toInt}%04x").mkString}")
+      }
   }
 
   test("MinHashSigs: each signature is the min over the affine-hashed set") {
