@@ -46,9 +46,56 @@ object Bench {
         Seq("cache_build" -> timed("cache_build")(
           materialize(operators.CciPipeline.strategyAgg(spark, sfDir))))
       else Seq.empty
-    val results = warm ++ selected.map { case (name, fn) =>
+    val queryResults = selected.map { case (name, fn) =>
       name -> timed(name)(materialize(fn(spark, sfDir)))
     }
+
+    // ---- x01–x03: Zipf-skew join demo (bench-only; correctness of the
+    // variants' equality is asserted in SkewSpec, PERF.md records the
+    // comparison). Generated data, so no Verify/oracle row.
+    def withConf(pairs: (String, String)*)(fn: => Unit): Unit = {
+      val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try fn
+      finally olds.foreach { case (k, ov) =>
+        ov.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+    val skewOff = "spark.sql.adaptive.skewJoin.enabled" -> "false"
+    val skewNames = Seq("x01_skew_join_naive", "x02_skew_join_aqe", "x03_skew_join_salted")
+      .filter(n => only.forall(_.contains(n)))
+    val skewResults = if (skewNames.isEmpty) Seq.empty[(String, Double)] else {
+      import operators.Skew
+      // trades cached once: the three entries time the JOIN strategy, not
+      // the (identical) generation
+      val trades = Skew.zipfTrades(spark, Skew.SkewTradeRows, Skew.SkewSymbols)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stats = Skew.symbolStats(spark, Skew.SkewSymbols)
+      trades.count()
+      val out = skewNames.map {
+        case n @ "x01_skew_join_naive" =>
+          // hot symbol (~15% of rows) lands in ONE reducer of the forced
+          // sort-merge join: the un-mitigated straggler baseline
+          n -> timed(n)(withConf(skewOff)(
+            materialize(Skew.skewedFeeTotals(trades, stats, salted = false))))
+        case n @ "x02_skew_join_aqe" =>
+          // AQE skew-split, thresholds sized to the demo corpus (the
+          // 256 MB default targets cluster-scale partitions)
+          n -> timed(n)(withConf(
+            "spark.sql.adaptive.skewJoin.enabled" -> "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64m",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32m")(
+            materialize(Skew.skewedFeeTotals(trades, stats, salted = false))))
+        case n =>
+          // static salting: hot key spread over SkewSalts reducers with
+          // AQE's skew handling off — the no-AQE mitigation
+          n -> timed(n)(withConf(skewOff)(
+            materialize(Skew.skewedFeeTotals(trades, stats, salted = true))))
+      }
+      trades.unpersist()
+      out
+    }
+    val results = warm ++ queryResults ++ skewResults
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // The driver keeps only the LAST 2000 chars of stdout and tries to
     // parse one JSON line out of them; sbt's "[success] Total time..."
