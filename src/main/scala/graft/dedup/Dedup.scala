@@ -636,19 +636,15 @@ object Dedup {
   /** The converged fixpoint is deterministic, and the iterative loop's
     * checkpoints cannot be shared via plan canonicalization the way lazy
     * caches are — memoize the cluster table per (session, dir) so
-    * composing operators (p03) reuse one convergence run. WEAK session
-    * keys: a strong (session, dir) key would pin stopped SparkSessions
-    * (and their dead local checkpoints) for the JVM lifetime in a
-    * many-session host (test suites, notebook servers). */
-  private val clusterMemo = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]])
+    * composing operators (p03) reuse one convergence run.
+    * [[graft.SessionMemo]] holds the DataFrame through a SOFT reference
+    * under a weak session key — the fix the round-4 review asked for: a
+    * strongly-held DataFrame references its session via queryExecution,
+    * which made the previous WeakHashMap-of-strong-values unreclaimable. */
+  private val clusterMemo = new graft.SessionMemo[String, DataFrame]
 
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    clusterMemo.synchronized {
-      clusterMemo.computeIfAbsent(spark,
-        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
-    }.getOrElseUpdate(dir, computeClusters(spark, dir))
+    clusterMemo.getOrElseUpdate(spark, dir)(computeClusters(spark, dir))
 
   private def computeClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

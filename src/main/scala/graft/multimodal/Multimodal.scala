@@ -8,13 +8,14 @@ import graft.sources.Tables
 /** Multimodal column handling (SURVEY.md §2 m-rows): media payloads are
   * opaque `binary` columns with typed metadata travelling alongside.
   *
-  * The decode step itself (image/audio libs) is STUBBED — this container
-  * has no codecs — but the Spark-side plumbing is real: binary columns,
-  * typed metadata schema, bounded-batch partition processing, and a
-  * deterministic fake feature extractor so pipelines downstream of decode
-  * are testable. At scale the binary column stays columnar in parquet and
-  * the decode is a mapPartitions over arrow-sized batches; nothing here
-  * ever collects to the driver.
+  * The decode boundary carries ONE real codec — PNG dimensions via
+  * `javax.imageio` (JDK-builtin, see [[decodeFeaturesFrom]]) — proving
+  * the mapPartitions plumbing takes an actual library; audio/video
+  * decode stays STUBBED (this container ships no such codecs) behind the
+  * same boundary with a deterministic fake, so pipelines downstream of
+  * decode are testable. At scale the binary column stays columnar in
+  * parquet and the decode is a mapPartitions over arrow-sized batches;
+  * nothing here ever collects to the driver.
   */
 object Multimodal {
   /** Typed result of the (stubbed) decoder. */
@@ -33,24 +34,48 @@ object Multimodal {
           .otherwise("video"))
   }
 
-  /** STUB decoder: a real implementation would decode `payload` with an
-    * image/audio codec inside mapPartitions (bounded memory per batch).
-    * The fake features are deterministic functions of the payload so tests
-    * and downstream operators behave like the real thing. */
-  def decodeFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+  /** PNG magic: 0x89 'P' 'N' 'G'. */
+  private[graft] def isPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+
+  /** Decoder at the mapPartitions boundary. The PNG branch is REAL — it
+    * decodes width/height/channels with `javax.imageio` (ships with the
+    * JDK, so this container can prove the boundary carries an actual
+    * codec library); audio/video and non-PNG images keep the
+    * deterministic stub (`???` in a real deployment: those codecs are
+    * not installed here). Either way the per-record work is bounded and
+    * nothing collects to the driver — swapping a stub branch for a codec
+    * call changes no plumbing. */
+  def decodeFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] =
+    decodeFeaturesFrom(withPayload(spark, dir))
+
+  /** [[decodeFeatures]] over any (doc_id, media_type, payload) frame
+    * (real-PNG fixtures in tests). */
+  def decodeFeaturesFrom(df: DataFrame): Dataset[MediaFeatures] = {
+    val spark = df.sparkSession
     import spark.implicits._
-    withPayload(spark, dir)
-      .select($"doc_id", $"media_type", $"payload")
+    df.select($"doc_id", $"media_type", $"payload")
       .as[(Long, String, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (id, mt, payload) =>
-          // ??? <- real codec call goes here; deterministic fake instead:
           val len = payload.length.toLong
-          MediaFeatures(id, mt, len,
-            width = (len % 640).toInt + 1,
-            height = ((len * 7) % 480).toInt + 1,
-            channels = 3,
-            duration_ms = len * 40)
+          val img =
+            if (isPng(payload))
+              Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+            else None
+          img match {
+            case Some(i) =>
+              MediaFeatures(id, mt, len, i.getWidth, i.getHeight,
+                i.getColorModel.getNumComponents, duration_ms = 0L)
+            case None =>
+              // ??? <- real audio/video codec call goes here;
+              // deterministic fake instead:
+              MediaFeatures(id, mt, len,
+                width = (len % 640).toInt + 1,
+                height = ((len * 7) % 480).toInt + 1,
+                channels = 3,
+                duration_ms = len * 40)
+          }
         }
       }
   }
@@ -299,8 +324,12 @@ object Multimodal {
     import spark.implicits._
     // deterministic per-input lake dir: file names are doc-id-derived, so
     // repeat invocations overwrite in place instead of leaking a corpus
-    // sample into /tmp per call
+    // sample into /tmp per call. Purged first (as compactionReport does):
+    // a regenerated corpus at the same path, or a 32-bit hashCode
+    // collision, must not leave stale doc_*.bin files to be ingested —
+    // the oracle reads only the CURRENT documents table.
     val lake = s"${System.getProperty("java.io.tmpdir")}/graft_media_lake_${dir.hashCode.toHexString}"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(lake))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(lake))
     Tables.documents(spark, dir)
       .filter($"doc_id" % LakeStride === 0)

@@ -418,8 +418,9 @@ object Similarity {
   val PqTrainMax = 2048
   val PqTrainIters = 10
 
-  private val pqCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Array[Array[Array[Double]]]]
+  // weak-session memo (codebook arrays are session-free, so entries die
+  // with the session — no pinning; see graft.SessionMemo)
+  private val pqCache = new graft.SessionMemo[String, Array[Array[Array[Double]]]]
 
   /** Per-subspace codebooks (M × K × D/M doubles — planner-scale state,
     * like an IVF centroid table). PQ codebooks train on a BOUNDED sample
@@ -431,7 +432,7 @@ object Similarity {
     * first-K init, first-min assignment. */
   private def pqCodebooks(spark: SparkSession, dir: String, sub: Int)
       : Array[Array[Array[Double]]] =
-    pqCache.getOrElseUpdate((spark, dir), {
+    pqCache.getOrElseUpdate(spark, dir) {
       import spark.implicits._
       val sample: Array[Array[Double]] = vecs(spark, dir).filter($"norm" > 0)
         .select($"vec_id", transform($"v", x => x / $"norm").as("vn"))
@@ -463,7 +464,7 @@ object Similarity {
         }
         cent
       }
-    })
+    }
 
   private def sqL2(a: Array[Double], off: Int, b: Array[Double]): Double = {
     var s = 0.0; var i = 0
@@ -483,9 +484,32 @@ object Similarity {
     * distributed. At 100 TB this composes with the s04 coarse quantizer
     * (probe cells first, ADC within probed cells); approximate by
     * construction → rows-only, recall vs s01 asserted in the spec. */
-  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** Default serving batch for the registered s05 query: every
+    * [[QueryStride]]-th corpus vector — a harness convenience so the
+    * driver-checked entry needs no external request table. NOT the
+    * production contract: this derivation grows with the corpus. */
+  def pqQueryDefault(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .filter($"vec_id" % QueryStride === 0)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+  }
+
+  def pqTopK(spark: SparkSession, dir: String): DataFrame =
+    pqTopKWith(spark, dir, pqQueryDefault(spark, dir))
+
+  /** s05 with an EXPLICIT query table (vec_id, v: array<double>) — the
+    * serving contract made a parameter: `queries` is the request batch,
+    * collected to the driver and broadcast as one M×K distance LUT per
+    * query, so its size (not the corpus's) bounds driver/executor memory.
+    * Pass a bounded request-sized table; the corpus side (encoding,
+    * scoring, re-rank) stays fully distributed regardless. */
+  def pqTopKWith(spark: SparkSession, dir: String, queries: DataFrame): DataFrame = {
     import spark.implicits._
     val e = graft.GraftSession.maybeCache(vecs(spark, dir))
+    val qv = queries
+      .select($"vec_id", $"v")
+      .withColumn("norm", sqrt(F.foldSum(transform($"v", x => x * x))))
     val dim = e.select(size($"v")).head.getInt(0)
     val sub = dim / PqSubspaces
     val cb = pqCodebooks(spark, dir, sub)
@@ -509,7 +533,7 @@ object Similarity {
           (id, codes.toSeq)
         }
       }
-    val queryBatch = e.filter($"vec_id" % QueryStride === 0 && $"norm" > 0)
+    val queryBatch = qv.filter($"norm" > 0)
       .select($"vec_id", transform($"v", x => x / $"norm").as("vn"))
       .as[(Long, Seq[Double])].collect()
       .map { case (id, vn) => (id, vn.toArray) }
@@ -534,8 +558,7 @@ object Similarity {
       .withColumn("crnk", row_number().over(wC))
       .filter($"crnk" <= PqRerank * TopK)
       .select($"query_id", $"neighbor_id")
-    val q = e.filter($"vec_id" % QueryStride === 0)
-      .select($"vec_id".as("query_id"), $"v".as("vq"), $"norm".as("nq"))
+    val q = qv.select($"vec_id".as("query_id"), $"v".as("vq"), $"norm".as("nq"))
     val c2 = e.select($"vec_id".as("neighbor_id"), $"v".as("vn2"), $"norm".as("nn"))
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
     cands

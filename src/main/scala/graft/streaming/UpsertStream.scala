@@ -16,14 +16,13 @@ import org.apache.spark.sql.types._
   * Scale shape: the snapshot is hash-partitioned on `bucket` =
   * pmod(series_id, NumBuckets); a micro-batch touches only the buckets its
   * keys hash into, the merge reads ONLY those partitions back (partition
-  * pruning on the bucket filter), and the write uses dynamic partition
-  * overwrite so untouched buckets are never rewritten — per-batch cost is
-  * proportional to the delta's bucket footprint, not snapshot size. On a
-  * real deployment the snapshot would be a transactional table format
-  * (the read-merge-overwrite below is the no-transaction fallback and is
-  * why the merged frame is fully materialized before the overwrite
-  * commits); the PLAN — prune → keep-last per key → dynamic overwrite —
-  * is the same.
+  * pruning on the bucket filter), and only touched buckets are rewritten —
+  * per-batch cost is proportional to the delta's bucket footprint, not
+  * snapshot size. The commit is staging-write + per-bucket atomic rename
+  * (never an overwrite of its own input), so a crash leaves each bucket
+  * either fully-old or fully-new; a transactional table format would add
+  * cross-bucket atomicity, but the PLAN — prune → keep-last per key →
+  * swap touched buckets — is the same.
   */
 object UpsertStream {
   val NumBuckets = 8
@@ -69,13 +68,28 @@ object UpsertStream {
     val merged = keepLast(existing.unionByName(withBucket)
         .select($"series_id", $"bar_date", $"version", $"close"))
       .withColumn("bucket", pmod($"series_id", lit(NumBuckets)))
-      .persist()
-    merged.count()                           // materialize BEFORE the overwrite deletes inputs
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket")
-      .parquet(targetDir)
-    merged.unpersist()
+    // Crash-safe merge: write the merged buckets to a STAGING path (reads
+    // the live snapshot, writes elsewhere — no self-referential overwrite,
+    // so no task retry or recompute can ever read a file mid-delete), then
+    // swap each touched bucket in with an atomic per-directory rename.
+    // A crash between swaps leaves every bucket either old-complete or
+    // new-complete (never mixed), and the staging copy survives for
+    // recovery; cross-bucket atomicity is what a transactional table
+    // format would add.
+    val staging = new org.apache.hadoop.fs.Path(targetDir + ".staging")
+    fs.delete(staging, true)
+    merged.write.mode("overwrite").partitionBy("bucket")
+      .parquet(staging.toString)
+    touched.foreach { k =>
+      val src = new org.apache.hadoop.fs.Path(staging, s"bucket=$k")
+      val dst = new org.apache.hadoop.fs.Path(targetPath, s"bucket=$k")
+      if (fs.exists(src)) {
+        fs.mkdirs(targetPath)
+        fs.delete(dst, true)
+        fs.rename(src, dst)
+      }
+    }
+    fs.delete(staging, true)
   }
 
   def upsertQuery(spark: SparkSession, streamDir: String, targetDir: String,

@@ -313,6 +313,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(feats.filter(col("width") < 1 || col("height") < 1).count() == 0)
   }
 
+  test("m01: the decode boundary carries a REAL codec - PNG dims via javax.imageio") {
+    import TestSpark.spark.implicits._
+    // synthesize a real 37x21 PNG on the driver; the DECODE runs in
+    // executor tasks inside the same mapPartitions the stub uses
+    val img = new java.awt.image.BufferedImage(
+      37, 21, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 21; x <- 0 until 37)
+      img.setRGB(x, y, (x * 7919 + y * 104729) & 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    assert(multimodal.Multimodal.isPng(png))
+    val textBytes = "plain text bytes".getBytes("UTF-8")
+    val docs = Seq((1L, "image", png), (2L, "audio", textBytes))
+      .toDF("doc_id", "media_type", "payload")
+    val r = multimodal.Multimodal.decodeFeaturesFrom(docs)
+      .collect().map(f => f.doc_id -> f).toMap
+    // real decoded dimensions, not the stub's length-derived fakes
+    assert(r(1L).width == 37 && r(1L).height == 21 && r(1L).channels == 3)
+    assert(r(1L).byte_len == png.length.toLong)
+    // non-PNG payloads keep the deterministic stub features
+    assert(r(2L).width == (textBytes.length % 640) + 1)
+    assert(r(2L).duration_ms == textBytes.length.toLong * 40)
+  }
+
   test("m03: frame sampling is bounded, contiguous and covers every video doc") {
     import TestSpark.spark.implicits._
     val fr = multimodal.Multimodal.frameSamples(spark, sf).cache()
@@ -498,6 +523,26 @@ class LlmOpsSpec extends AnyFunSuite {
       val key = (r.getLong(r.fieldIndex("query_id")), r.getLong(r.fieldIndex("neighbor_id")))
       bfMap.get(key).foreach(c => assert(c == r.getDouble(r.fieldIndex("cosine"))))
     }
+  }
+
+  test("s05: an explicit bounded query table drives the serving path") {
+    import TestSpark.spark.implicits._
+    val ids = Seq(0L, 200L, 400L)
+    val queries = sources.Tables.embeddings(spark, sf)
+      .filter($"vec_id".isin(ids: _*))
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val r = similarity.Similarity.pqTopKWith(spark, sf, queries).collect()
+    assert(r.map(_.getLong(0)).toSet == ids.toSet)
+    r.groupBy(_.getLong(0)).values.foreach(g =>
+      assert(g.length == similarity.Similarity.TopK))
+    // per-query results are independent of the rest of the batch: the
+    // explicit table agrees with the default derivation on shared queries
+    def triples(rows: Array[org.apache.spark.sql.Row]) = rows.map(x =>
+      (x.getLong(x.fieldIndex("query_id")), x.getInt(x.fieldIndex("rnk")),
+        x.getLong(x.fieldIndex("neighbor_id")))).toSet
+    val dflt = similarity.Similarity.pqTopK(spark, sf).collect()
+      .filter(row => ids.contains(row.getLong(row.fieldIndex("query_id"))))
+    assert(triples(r) == triples(dflt))
   }
 
   test("p08: curriculum sequence is a 0..n-1 permutation with non-decreasing bands") {

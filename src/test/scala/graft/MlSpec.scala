@@ -31,6 +31,23 @@ class MlSpec extends AnyFunSuite {
     assert(k > 1 && k <= 10)
   }
 
+  test("ml fits persist: a fresh memo scope reloads models instead of refitting") {
+    // Prime: ensure each model exists on disk (may or may not fit here,
+    // depending on suite order / a prior run's workspace).
+    ml.Features.trainWinModel(spark, sf).count()
+    ml.Features.kmeansCells(spark, sf, 10).count()
+    ml.Features.alsRecommend(spark, sf).count()
+    // Drop the in-memory memos — the state a NEW session/JVM starts with —
+    // and re-run all three: every model must LOAD (fit count unchanged).
+    ml.Features.clearMemos()
+    val fitsBefore = ml.Features.fitCount.get()
+    ml.Features.trainWinModel(spark, sf).count()
+    ml.Features.kmeansCells(spark, sf, 10).count()
+    ml.Features.alsRecommend(spark, sf).count()
+    assert(ml.Features.fitCount.get() == fitsBefore,
+      "persisted models must reload without refitting")
+  }
+
   test("ml04: ALS recommends exactly K ranked parts per purchasing customer") {
     val recs = ml.Features.alsRecommend(spark, sf)
     val k = ml.Features.AlsTopK
