@@ -30,9 +30,6 @@ object GraphRank {
     import spark.implicits._
     import graft.functions.Money.tenK
     val nations = Tables.nation(spark, dir).select($"n_nationkey", $"n_name")
-    val n = nations.count() // node-domain size: planner-scale driver state
-    val initPr = 1000000L / n
-    val base = 150000L / n
     val weighted = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
         $"l_orderkey" === $"o_orderkey")
@@ -45,6 +42,29 @@ object GraphRank {
       .groupBy($"src", $"dst")
       .agg(expr("sum(v) div 10000").as("w"))
       .filter($"src" =!= $"dst" && $"w" > 0)
+    // nations² node domain → the single-partition vector layout
+    val pr = pageRankCore(nations.select($"n_nationkey".as("node")), weighted,
+      rankPartitions = 1)
+    pr.join(broadcast(nations), $"node" === $"n_nationkey")
+      .select($"n_name", $"pr".as("rank_micros"))
+      .orderBy($"rank_micros".desc, $"n_name")
+  }
+
+  /** The integer PageRank fixed point over an explicit node domain
+    * (`node`) and weighted edge list (`src`, `dst`, `w`) — q43's loop,
+    * parameterized by the rank-vector layout. `rankPartitions = 1` is
+    * the small-domain idiom (the nations graph: a coalesced vector keeps
+    * each tiny stage at scheduling floor); a LARGE node domain passes a
+    * partition count (matched to `spark.sql.shuffle.partitions` so the
+    * per-iteration src = node join can reuse the cached hash
+    * distribution) and the vector never funnels through one task. */
+  private[graft] def pageRankCore(nodesIn: DataFrame, weighted: DataFrame,
+      rankPartitions: Int): DataFrame = {
+    import nodesIn.sparkSession.implicits._
+    val nodes = nodesIn.select($"node")
+    val n = nodes.count() // node-domain size: planner-scale driver state
+    val initPr = 1000000L / n
+    val base = 150000L / n
     val outW = weighted.groupBy($"src").agg(sum($"w").as("tw"))
     val share = graft.GraftSession.maybeCache(
       weighted.join(outW, Seq("src"))
@@ -57,15 +77,14 @@ object GraphRank {
     // iteration drops its anti-join + cross-join pair — the fixed-point
     // loop is per-stage-overhead-bound, so halving stages halves latency.
     val srcs = share.select($"src").distinct()
-    val hasDangling = !nations
-      .join(srcs, $"n_nationkey" === $"src", "left_anti").isEmpty
-    var pr = nations.select($"n_nationkey".as("node")).withColumn("pr", lit(initPr))
+    val hasDangling = !nodes
+      .join(srcs, $"node" === $"src", "left_anti").isEmpty
+    var pr = nodes.withColumn("pr", lit(initPr))
     for (_ <- 1 to Iters) {
       val contrib = share.join(pr, $"src" === $"node")
         .select($"dst", expr("(pr * share_ppm) div 1000000").as("c"))
         .groupBy($"dst").agg(sum($"c").as("s"))
-      val prBase = nations.select($"n_nationkey".as("node"))
-        .join(contrib, $"node" === $"dst", "left")
+      val prBase = nodes.join(contrib, $"node" === $"dst", "left")
       val prNext =
         if (hasDangling) {
           val dang = pr.join(srcs, $"node" === $"src", "left_anti")
@@ -79,19 +98,17 @@ object GraphRank {
       // doubles per iteration (2^Iters plan blowup — measured 824
       // exchanges unrolled vs 30 cached). The cache is the
       // iterative-algorithm idiom, not an optimization knob, hence
-      // .cache() directly rather than the caller-config maybeCache; one
-      // partition keeps each tiny stage at scheduling floor (a 1e8-node
-      // graph would key the vector on node ranges instead). Forcing the
-      // build per iteration lets the superseded iterate unpersist
-      // immediately — state stays ONE vector, not Iters of them.
+      // .cache() directly rather than the caller-config maybeCache.
+      // Forcing the build per iteration lets the superseded iterate
+      // unpersist immediately — state stays ONE vector, not Iters of
+      // them.
       val prev = pr
-      pr = prNext.coalesce(1).cache()
+      pr = (if (rankPartitions <= 1) prNext.coalesce(1)
+            else prNext.repartition(rankPartitions, $"node")).cache()
       pr.count()
       prev.unpersist(blocking = false)
     }
-    pr.join(broadcast(nations), $"node" === $"n_nationkey")
-      .select($"n_name", $"pr".as("rank_micros"))
-      .orderBy($"rank_micros".desc, $"n_name")
+    pr
   }
 
   /** NOTE: every CTE is MATERIALIZED — DuckDB inlines plain CTEs, so the

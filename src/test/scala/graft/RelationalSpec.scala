@@ -125,6 +125,35 @@ class RelationalSpec extends AnyFunSuite {
     assert(prs.forall(_ >= 150000L / n))
   }
 
+  test("q43 core scales: 1e5-node synthetic graph on a range-keyed rank vector") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions.{lit, pmod}
+    val n = 100000L
+    // deterministic 2-regular-ish digraph (self-loops dropped): every node
+    // has out-edges, so the dangling branch is skipped — the common shape
+    val nodes = spark.range(n).select($"id".as("node"))
+    val edges = spark.range(n)
+      .select($"id".as("src"),
+        pmod($"id" * 31 + 7, lit(n)).as("dst"), ($"id" % 10 + 1).as("w"))
+      .unionByName(spark.range(n).select($"id".as("src"),
+        pmod($"id" * 17 + 3, lit(n)).as("dst"), ($"id" % 7 + 1).as("w")))
+      .filter($"src" =!= $"dst")
+    val pr = operators.GraphRank.pageRankCore(nodes, edges, rankPartitions = 8)
+    // the vector layout is the parameterized 8-way key distribution,
+    // never a single funnel task
+    assert(pr.rdd.getNumPartitions == 8)
+    assert(pr.count() == n)
+    import org.apache.spark.sql.functions.{sum => fsum, min => fmin}
+    val agg = pr.agg(fsum($"pr").as("total"), fmin($"pr").as("mn")).head()
+    val total = agg.getLong(0)
+    // integer flooring only loses mass — at 10 rank-micros per node the
+    // per-edge floors bite hard, so the invariant is bounds, not
+    // conservation: total ≤ 1e6 and ≥ n·base (every node keeps the base)
+    assert(total <= 1000000L && total >= n * (150000L / n), s"total $total")
+    assert(agg.getLong(1) >= 150000L / n)
+    pr.unpersist()
+  }
+
   test("entry smoke: rows > 0") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
