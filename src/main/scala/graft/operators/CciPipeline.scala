@@ -250,6 +250,93 @@ object CciPipeline {
         |  floor((close_cci) * 10000.0 + 0.5) / 10000.0 AS close_cci, floor((open_cci) * 10000.0 + 0.5) / 10000.0 AS open_cci
         |FROM cci ORDER BY user_id, d""".stripMargin
 
+  /** r04 at unbounded series length. The window form partitions by
+    * series, so ONE series with 100M bars becomes ONE sort task — the
+    * last single-task shape in the flagship chain. This variant bounds
+    * every task at ~`chunkRows` rows without changing a single output
+    * value:
+    *
+    *  1. a per-series ordinal WITHOUT a whole-series window: row_number
+    *     within (series, calendar-month bucket) plus per-series running
+    *     offsets over the bucket COUNTS (the p04 telescoped-cumsum
+    *     trick — the offsets window is per-series over month rows,
+    *     bounded by months per series, never bars; counts need no
+    *     neighbor data, so sparse months cost nothing);
+    *  2. row-count chunks of `chunkRows` ≥ cciN−1: a chunk's first rows
+    *     need exactly the last cciN−1 rows of the PREVIOUS chunk,
+    *     replicated in as flagged context rows (row-count chunks make
+    *     the context single-hop by construction — calendar chunks would
+    *     cascade across sparse periods);
+    *  3. the identical rolling fold, windowed per (series, chunk) and
+    *     ordered by the ordinal; context rows contribute to frames and
+    *     are then dropped.
+    *
+    * Identical arithmetic in identical fold order ⇒ bit-equal to
+    * [[cci]] (spec-asserted row-for-row at chunkRows barely above the
+    * context width), with every window/sort task ≤ chunkRows + cciN − 1
+    * rows regardless of series length. */
+  def cciChunked(spark: SparkSession, dir: String,
+      cfg: GridConfig = GridConfig(), chunkRows: Int = 10000): DataFrame = {
+    import spark.implicits._
+    require(chunkRows >= cfg.cciN - 1,
+      "context must fit in the single preceding chunk")
+    import graft.functions.catalyst.GraftColumns.{array_sum_f64, abs_dev_sum_f64}
+    val bars = ohlcBars(spark, dir)
+      .withColumn("bucket", year($"d") * 12 + month($"d"))
+    val wB = Window.partitionBy($"user_id", $"bucket").orderBy($"d")
+    val wOff = Window.partitionBy($"user_id").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bars.groupBy($"user_id", $"bucket")
+      .agg(count(lit(1)).as("nb"))
+      .withColumn("b_off", coalesce(sum($"nb").over(wOff), lit(0L)))
+      .select($"user_id", $"bucket", $"b_off")
+    val indexed = bars
+      .withColumn("ord_in_b", row_number().over(wB))
+      .join(offsets, Seq("user_id", "bucket"))
+      .withColumn("idx", ($"b_off" + $"ord_in_b").cast("int"))
+      .drop("bucket", "ord_in_b", "b_off")
+    val withChunk = indexed
+      .withColumn("chunk", floor(($"idx" - 1) / chunkRows.toDouble).cast("long"))
+    val ctx = withChunk
+      .filter(($"idx" - 1) % chunkRows >= chunkRows - (cfg.cciN - 1))
+      .withColumn("chunk", $"chunk" + 1)
+      .withColumn("is_ctx", lit(true))
+    val wOrd = Window.partitionBy($"user_id", $"chunk").orderBy($"idx")
+    val wf = wOrd.rowsBetween(-(cfg.cciN - 1), 0)
+    withChunk.withColumn("is_ctx", lit(false))
+      .unionByName(ctx)
+      .withColumn("tp_c", ($"high_pr" + $"low_pr" + $"close_pr") / 3.0)
+      .withColumn("tp_o", ($"high_pr" + $"low_pr" + $"open_pr") / 3.0)
+      .withColumn("tps_c", collect_list($"tp_c").over(wf))
+      .withColumn("tps_o", collect_list($"tp_o").over(wf))
+      .withColumn("cnt", size($"tps_c"))
+      .withColumn("sma_c", array_sum_f64($"tps_c") / $"cnt")
+      .withColumn("sma_o", array_sum_f64($"tps_o") / $"cnt")
+      .withColumn("mad_c", abs_dev_sum_f64($"tps_c", $"sma_c") / $"cnt")
+      .withColumn("mad_o", abs_dev_sum_f64($"tps_o", $"sma_o") / $"cnt")
+      .withColumn("close_cci",
+        when($"cnt" >= cfg.cciN && $"mad_c" =!= 0.0,
+          ($"tp_c" - $"sma_c") / (lit(0.015) * $"mad_c")))
+      .withColumn("open_cci",
+        when($"cnt" >= cfg.cciN && $"mad_o" =!= 0.0,
+          ($"tp_o" - $"sma_o") / (lit(0.015) * $"mad_o")))
+      .filter(!$"is_ctx")
+      .drop("tps_c", "tps_o", "is_ctx", "chunk")
+  }
+
+  /** [[cciChunked]] through [[cciQuery]]'s projection (spec equality vs
+    * the window form's oracle-checked output). */
+  def cciChunkedQuery(spark: SparkSession, dir: String, chunkRows: Int): DataFrame = {
+    import spark.implicits._
+    cciChunked(spark, dir, GridConfig(), chunkRows)
+      .select($"user_id", $"d", $"idx", $"open_pr", $"close_pr",
+        (floor(($"sma_c") * 10000.0 + 0.5) / 10000.0).as("sma_close"),
+        (floor(($"mad_c") * 10000.0 + 0.5) / 10000.0).as("mad_close"),
+        (floor(($"close_cci") * 10000.0 + 0.5) / 10000.0).as("close_cci"),
+        (floor(($"open_cci") * 10000.0 + 0.5) / 10000.0).as("open_cci"))
+      .orderBy($"user_id", $"d")
+  }
+
   // ---------------------------------------------------------------- r05
   /** Buy-signal crossover: prev CCI below threshold, current above
     * (daily_function.py:724-725). Thresholds are a broadcast literal grid. */

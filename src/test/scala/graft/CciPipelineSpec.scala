@@ -16,6 +16,29 @@ class CciPipelineSpec extends AnyFunSuite {
     assert(c.filter(col("idx") >= CciPipeline.CciN && col("close_cci").isNotNull).count() > 0)
   }
 
+  test("r04 chunked: bounded-task rolling CCI is bit-equal to the window form") {
+    // chunkRows = 25, barely above the CciN-1 = 19 context width, forces
+    // many chunks per series and every row class: chunk-0 warm-up nulls,
+    // context-fed chunk starts, mid-chunk rows
+    val w = CciPipeline.cciQuery(spark, sf).collect()
+    val c = CciPipeline.cciChunkedQuery(spark, sf, chunkRows = 25).collect()
+    assert(w.length == c.length && w.nonEmpty)
+    w.zip(c).foreach { case (a, b) => assert(a == b, s"\n$a\n$b") }
+    // and the plan never windows BAR-scale data by the bare series key:
+    // any series-only window must sit above the bucket-count aggregate
+    // (months-per-series rows), the rest partition on (series, bucket) or
+    // (series, chunk)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = CciPipeline.cciChunked(spark, sf, CciPipeline.GridConfig(), 25)
+      .queryExecution.optimizedPlan
+    val wins = plan.collect { case lw: LWindow => lw }
+    assert(wins.nonEmpty)
+    wins.filter(_.partitionSpec.size < 2).foreach { lw =>
+      assert(lw.child.collect { case a: Aggregate => a }.nonEmpty,
+        "series-only window must run over aggregated bucket counts, not bars")
+    }
+  }
+
   test("r02: bars respect OHLC invariants") {
     val bad = CciPipeline.ohlcBars(spark, sf)
       .filter(col("high_pr") < col("low_pr") ||
