@@ -95,7 +95,27 @@ object Bench {
       trades.unpersist()
       out
     }
-    val results = warm ++ queryResults ++ skewResults
+    // x04/x05: the CCI chain itself on Zipf-length series — window form
+    // (hot series = one sort task) vs the chunked bit-equal rewrite.
+    val cciSkewNames = Seq("x04_cci_window_skew", "x05_cci_chunked_skew")
+      .filter(n => only.forall(_.contains(n)))
+    val cciSkewResults = if (cciSkewNames.isEmpty) Seq.empty[(String, Double)] else {
+      import operators.{CciPipeline, Skew}
+      val bars = Skew.zipfBars(spark, Skew.SkewBarRows, Skew.SkewBarSeries)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bars.count()
+      val cfg = CciPipeline.GridConfig()
+      val out = cciSkewNames.map {
+        case n @ "x04_cci_window_skew" =>
+          n -> timed(n)(materialize(CciPipeline.cciFromBars(bars, cfg)))
+        case n =>
+          n -> timed(n)(materialize(
+            CciPipeline.cciChunkedFromBars(bars, cfg, chunkRows = 10000)))
+      }
+      bars.unpersist()
+      out
+    }
+    val results = warm ++ queryResults ++ skewResults ++ cciSkewResults
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // The driver keeps only the LAST 2000 chars of stdout and tries to
     // parse one JSON line out of them; sbt's "[success] Total time..."

@@ -173,8 +173,20 @@ object CciPipeline {
   def cci(spark: SparkSession, dir: String): DataFrame =
     cci(spark, dir, GridConfig())
 
-  def cci(spark: SparkSession, dir: String, cfg: GridConfig): DataFrame = {
-    import spark.implicits._
+  def cci(spark: SparkSession, dir: String, cfg: GridConfig): DataFrame =
+    cciFromBars(ohlcBars(spark, dir), cfg)
+      // Every downstream operator (signals, futures join, sell lookup,
+      // latest-state) re-reads this subtree, often 3x inside one action:
+      // persist it — Spark's CacheManager canonicalizes the plan, so all
+      // callers share the materialization. Size: one row per (series, day).
+      // Level + on/off are caller config (graft.GraftSession.maybeCache).
+      .transform(graft.GraftSession.maybeCache(_))
+
+  /** The rolling-CCI computation over any OHLC bars frame
+    * (user_id, d, open_pr, high_pr, low_pr, close_pr, volume) — the
+    * skew bench drives it with synthetic Zipf-length series. */
+  def cciFromBars(bars: DataFrame, cfg: GridConfig): DataFrame = {
+    import bars.sparkSession.implicits._
     val wOrd = Window.partitionBy($"user_id").orderBy($"d")
     val wf = wOrd.rowsBetween(-(cfg.cciN - 1), 0)
     // Native codegen folds (same index-order left fold, 0.0 init, as the
@@ -182,7 +194,7 @@ object CciPipeline {
     // list_reduce): the interpretive lambdas were the hot part of the
     // chain's cache build at sf0.1.
     import graft.functions.catalyst.GraftColumns.{array_sum_f64, abs_dev_sum_f64}
-    ohlcBars(spark, dir)
+    bars
       .withColumn("tp_c", ($"high_pr" + $"low_pr" + $"close_pr") / 3.0)
       .withColumn("tp_o", ($"high_pr" + $"low_pr" + $"open_pr") / 3.0)
       .withColumn("idx", row_number().over(wOrd))
@@ -198,12 +210,6 @@ object CciPipeline {
       .withColumn("open_cci",
         when($"cnt" >= cfg.cciN && $"mad_o" =!= 0.0, ($"tp_o" - $"sma_o") / (lit(0.015) * $"mad_o")))
       .drop("tps_c", "tps_o")
-      // Every downstream operator (signals, futures join, sell lookup,
-      // latest-state) re-reads this subtree, often 3x inside one action:
-      // persist it — Spark's CacheManager canonicalizes the plan, so all
-      // callers share the materialization. Size: one row per (series, day).
-      // Level + on/off are caller config (graft.GraftSession.maybeCache).
-      .transform(graft.GraftSession.maybeCache(_))
   }
 
   /** Shared oracle CTE chain: events_us → bars → cci. */
@@ -276,12 +282,17 @@ object CciPipeline {
     * context width), with every window/sort task ≤ chunkRows + cciN − 1
     * rows regardless of series length. */
   def cciChunked(spark: SparkSession, dir: String,
-      cfg: GridConfig = GridConfig(), chunkRows: Int = 10000): DataFrame = {
-    import spark.implicits._
+      cfg: GridConfig = GridConfig(), chunkRows: Int = 10000): DataFrame =
+    cciChunkedFromBars(ohlcBars(spark, dir), cfg, chunkRows)
+
+  /** [[cciChunked]] over any OHLC bars frame (skew bench / tests). */
+  def cciChunkedFromBars(barsIn: DataFrame, cfg: GridConfig,
+      chunkRows: Int): DataFrame = {
+    import barsIn.sparkSession.implicits._
     require(chunkRows >= cfg.cciN - 1,
       "context must fit in the single preceding chunk")
     import graft.functions.catalyst.GraftColumns.{array_sum_f64, abs_dev_sum_f64}
-    val bars = ohlcBars(spark, dir)
+    val bars = barsIn
       .withColumn("bucket", year($"d") * 12 + month($"d"))
     val wB = Window.partitionBy($"user_id", $"bucket").orderBy($"d")
     val wOff = Window.partitionBy($"user_id").orderBy($"bucket")

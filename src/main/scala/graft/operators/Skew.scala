@@ -65,6 +65,39 @@ object Skew {
       .select($"id".as("s_id"), (pmod($"id" * 7L, lit(100L)) + 1L).as("fee_bps"))
   }
 
+  /** Bars / series for the CCI-chain skew bench (x04/x05): one
+    * rank-1 series carries ~ln(2)/ln(S) of all bars, so the window-form
+    * rolling CCI funnels it through one sort task. */
+  val SkewBarRows = 8000000L
+  val SkewBarSeries = 4
+
+  /** Deterministic OHLC bars with Zipf-length series: per-series bar
+    * counts follow 1/r (driver-computed — S values, planner-scale), rows
+    * come off `spark.range` joined to the broadcast (series, lo, hi)
+    * offset table, dates are contiguous from 2000-01-01 per series, and
+    * prices are hash-derived. The reference's per-symbol fan-out shape
+    * (daily_function.py:905) at production skew. */
+  def zipfBars(spark: org.apache.spark.sql.SparkSession, totalRows: Long,
+      series: Int): DataFrame = {
+    import spark.implicits._
+    val weights = (1 to series).map(r => 1.0 / r)
+    val z = weights.sum
+    val counts = weights.map(w => math.max(30L, math.round(totalRows * w / z)))
+    val bounds = counts.zipWithIndex
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, hi), (c, i)) => (i.toLong, hi, hi + c) }
+      .drop(1)
+    val boundsDf = bounds.toDF("series", "lo", "hi")
+    val price = (pmod(xxhash64($"id", lit("px")), lit(10000L)).cast("double") + 10000.0) / 100.0
+    spark.range(bounds.last._3)
+      .join(broadcast(boundsDf), $"id" >= $"lo" && $"id" < $"hi")
+      .select($"series".as("user_id"), ($"id" - $"lo").cast("int").as("i"),
+        price.as("close_pr"))
+      .select($"user_id",
+        date_add(lit(java.sql.Date.valueOf("2000-01-01")), $"i").as("d"),
+        $"close_pr".as("open_pr"), ($"close_pr" + 1.0).as("high_pr"),
+        ($"close_pr" - 1.0).as("low_pr"), $"close_pr", lit(1L).as("volume"))
+  }
+
   /** Fee totals per symbol over a trades ⋈ stats join — the skew-bench
     * workload. The join is HINTED to sort-merge: at demo scale the
     * 100-row dim would broadcast and no skew would exist, but at 100 TB

@@ -57,6 +57,32 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("zipfBars: Zipf series lengths, contiguous dates, chunked CCI equals window CCI") {
+    import spark.implicits._
+    val bars = Skew.zipfBars(spark, 20000L, 20).cache()
+    val counts = bars.groupBy($"user_id").count().collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    assert(counts.size == 20)
+    // rank-1 series dominates, ~1/r decay
+    assert(counts(0L) > 2L * counts(3L))
+    // per-series dates are contiguous from the epoch start (no gaps)
+    val gaps = bars.groupBy($"user_id").agg(
+      count(lit(1)).as("n"), min($"d").as("mn"), max($"d").as("mx"))
+      .filter(datediff($"mx", $"mn") =!= $"n" - 1)
+    assert(gaps.count() == 0)
+    // the chunked rewrite is bit-equal to the window form on skewed series
+    val cfg = operators.CciPipeline.GridConfig()
+    val w = operators.CciPipeline.cciFromBars(bars, cfg)
+      .select($"user_id", $"d", $"idx", $"cnt", $"close_cci", $"open_cci")
+      .orderBy($"user_id", $"d").collect()
+    val c = operators.CciPipeline.cciChunkedFromBars(bars, cfg, chunkRows = 100)
+      .select($"user_id", $"d", $"idx", $"cnt", $"close_cci", $"open_cci")
+      .orderBy($"user_id", $"d").collect()
+    assert(w.length == c.length && w.nonEmpty)
+    w.zip(c).foreach { case (a, b) => assert(a == b, s"\n$a\n$b") }
+    bars.unpersist()
+  }
+
   test("the hot key's rows spread across all salt partitions") {
     import spark.implicits._
     val salts = 8
