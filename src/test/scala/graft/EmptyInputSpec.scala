@@ -30,6 +30,26 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(operators.TextAnalysis.repetitionScoreFrom(oneDoc).count() == 1)
   }
 
+  test("curation/cci/multimodal From-operators tolerate empty and singleton inputs") {
+    assert(operators.Curation.sequencePackFrom(emptyDocs).count() == 0)
+    val p = operators.Curation.sequencePackFrom(oneDoc).collect()
+    assert(p.length == 1 && p.head.getAs[Long]("pack_id") == 0L &&
+      p.head.getAs[Long]("pack_offset") == 0L)
+    val emptyBars = Seq.empty[(Long, java.sql.Date, Double, Double, Double, Double, Long)]
+      .toDF("user_id", "d", "open_pr", "high_pr", "low_pr", "close_pr", "volume")
+    val oneBar = Seq((1L, java.sql.Date.valueOf("2024-01-02"), 1.0, 2.0, 0.5, 1.5, 3L))
+      .toDF("user_id", "d", "open_pr", "high_pr", "low_pr", "close_pr", "volume")
+    val cfg = operators.CciPipeline.GridConfig()
+    assert(operators.CciPipeline.cciChunkedFromBars(emptyBars, cfg, 25).count() == 0)
+    val c = operators.CciPipeline.cciChunkedFromBars(oneBar, cfg, 25).collect()
+    // one bar: idx 1, window unfilled -> null CCI, row present
+    assert(c.length == 1 && c.head.getAs[Int]("idx") == 1 &&
+      c.head.isNullAt(c.head.fieldIndex("close_cci")))
+    val emptyMedia = Seq.empty[(Long, String, Array[Byte])]
+      .toDF("doc_id", "media_type", "payload")
+    assert(multimodal.Multimodal.decodeFeaturesFrom(emptyMedia).count() == 0)
+  }
+
   test("streaming keepLast tolerates empty and resolves singleton trivially") {
     val schema = streaming.UpsertStream.barSchema
     val empty = spark.createDataFrame(
