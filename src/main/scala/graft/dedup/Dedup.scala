@@ -1,7 +1,6 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => F, TextSql => S}
@@ -210,8 +209,8 @@ object Dedup {
     * Candidate generation goes through the inverted shingle index with the
     * [[MaxShingleDf]] stop-shingle cap (hot shingles never meet in the
     * self-join — the cap is what keeps the pair space linear-ish at
-    * 100 TB); the df window and the candidate self-join share one shuffle
-    * on `sh`.
+    * 100 TB); the df aggregate and the candidate self-join share the
+    * `sh` shuffle key.
     *
     * `common` is exact regardless of the cap, WITHOUT a per-pair
     * full-array intersect (1M+ candidate pairs × intersect dominated the
@@ -222,12 +221,19 @@ object Dedup {
     * correction is free). */
   private[graft] def jaccardPairsFrom(docs: DataFrame, maxDf: Int): DataFrame = {
     val ds = graft.GraftSession.maybeCache(docShinglesFrom(docs))
-    val wsh = Window.partitionBy(col("sh"))
+    val exploded = ds.select(col("doc_id"), explode(col("shs")).as("sh"))
+    // Shingle df via partial-aggregable groupBy + join-back — the d11
+    // lesson applied here too: the previous count().over(partitionBy(sh))
+    // materialized a stop-shingle's ENTIRE posting list in one window
+    // task BEFORE the cap could drop it (the cap bounds the pair space,
+    // not the df computation). The groupBy collapses hot shingles
+    // map-side; the join back on sh streams through a hash probe and is
+    // AQE-skew-splittable — neither holds for WindowExec's partition
+    // buffer. (Shingle arrays are per-doc distinct, so count == df.)
+    val dfTab = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // The df-flagged inverted index feeds BOTH candidate-join branches and
-    // the hot-shingle branch — persist it or the explode + window runs 3x.
-    val flagged = graft.GraftSession.maybeCache(
-      ds.select(col("doc_id"), explode(col("shs")).as("sh"))
-        .withColumn("df", count(lit(1)).over(wsh)))
+    // the hot-shingle branch — persist it or the explode + join runs 3x.
+    val flagged = graft.GraftSession.maybeCache(exploded.join(dfTab, Seq("sh")))
     val capped = flagged.filter(col("df") <= maxDf).select(col("doc_id"), col("sh"))
     val hot = flagged.filter(col("df") > maxDf)
       .groupBy(col("doc_id")).agg(collect_list(col("sh")).as("hot_shs"))

@@ -72,6 +72,11 @@ class LlmOpsSpec extends AnyFunSuite {
     val a = dedup.Dedup.jaccardPairsFrom(real, dedup.Dedup.MaxShingleDf)
     val b = dedup.Dedup.jaccardPairsFrom(real, Int.MaxValue)
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // scale shape: the shingle df comes from a partial-aggregable groupBy,
+    // never a window that would buffer a stop-shingle's posting list in
+    // one task (the d11 class, fixed here in round 5 too)
+    assert(!a.queryExecution.optimizedPlan.toString.contains("Window"),
+      "d02 must not window over the shingle key")
   }
 
   test("s02: multi-table LSH reaches recall >= 0.8 vs brute force") {
