@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.catalyst.{AbsDevSumF64, ArraySumF64, DotF64, MinHashSigs, PolyHash, SimHash32}
+import graft.functions.catalyst.{AbsDevSumF64, ArraySumF64, DotF64, MinHashSigs, NormalizeText, PolyHash, SimHash32}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so `spark.sql("... graft_poly_hash(x)
@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSigs].getName, "graft_minhash_sigs"),
       exprs => MinHashSigs(exprs.head,
         exprs(1).eval().asInstanceOf[Int])))
+    e.injectFunction((
+      new FunctionIdentifier("graft_normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "graft_normalize_text"),
+      exprs => NormalizeText(exprs.head)))
     e.injectFunction((
       new FunctionIdentifier("graft_array_sum"),
       new ExpressionInfo(classOf[ArraySumF64].getName, "graft_array_sum"),

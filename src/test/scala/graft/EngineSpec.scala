@@ -16,6 +16,8 @@ class EngineSpec extends AnyFunSuite {
       "SELECT graft_array_sum(array(1.0d, 2.5d)) AS s, graft_abs_dev_sum(array(1.0d, 3.0d), 2.0d) AS a")
       .head()
     assert(folds.getDouble(0) == 3.5 && folds.getDouble(1) == 2.0)
+    assert(spark.sql("SELECT graft_normalize_text('  Héllo,\tWORLD!! ') AS n")
+      .head().getString(0) == "hllo world")
   }
 
   test("bucketed join plans without a shuffle exchange and matches plain join") {
