@@ -34,12 +34,20 @@ final class SessionMemo[K, V <: AnyRef] {
       maps.computeIfAbsent(spark,
         _ => scala.collection.concurrent.TrieMap.empty)
     }
-    m.get(key).flatMap(r => Option(r.get)) match {
-      case Some(v) => v
-      case None =>
-        val v = mk
-        m.put(key, new java.lang.ref.SoftReference(v))
-        v
+    def live = m.get(key).flatMap(r => Option(r.get))
+    live.getOrElse {
+      // Atomic like the TrieMap.getOrElseUpdate this replaced: without
+      // the lock two concurrent callers would both run the expensive mk
+      // (double fits, orphaned caches/checkpoints). Computes for
+      // different keys of one session serialize — they are rare and
+      // heavyweight, contention is not a concern.
+      m.synchronized {
+        live.getOrElse {
+          val v = mk
+          m.put(key, new java.lang.ref.SoftReference(v))
+          v
+        }
+      }
     }
   }
 

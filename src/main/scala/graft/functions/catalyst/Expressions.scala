@@ -147,21 +147,28 @@ case class MinHashSigs(child: Expression, k: Int) extends UnaryExpression {
 }
 
 object NormalizeTextExpr {
-  /** Java/RE2 `\s` is exactly these six ASCII chars (no UNICODE flag on
-    * either engine) — NBSP etc. are NOT whitespace and get stripped,
-    * gluing words, exactly as the regex composition does. */
+  /** graft's canonical whitespace class: the INTERSECTION of Java's `\s`
+    * ([ \t\n\x0B\f\r]) and RE2/DuckDB's `\s` ([ \t\n\f\r]) — the five
+    * chars both engines agree on. Vertical tab (U+000B) is Java-only
+    * whitespace, so it is treated like any other non-class char
+    * (stripped), keeping the normalizer's output equal to the RE2 oracle
+    * on ALL inputs rather than only VT-free ones. NBSP etc. are not
+    * whitespace on either engine and get stripped, gluing words. */
   private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
   /** One-pass equivalent of d10's canonicalizer
     * `trim(regexp_replace(regexp_replace(lower(s), "[^a-z0-9\s]", ""), "\s+", " "))`
     * — lowercase, drop non-[a-z0-9\s], collapse whitespace runs, trim —
     * without materializing the three intermediate strings or running two
     * interpreted regex passes over every byte (the round-4 bench's top
-    * non-ML cost). Equals the regex composition for all BMP text:
-    * per-char toLowerCase differs from String.toLowerCase only on
-    * expansions like İ→i+U+0307 whose extra combining char the class
-    * filter deletes on both paths. */
+    * non-ML cost). Equals the RE2/DuckDB-oracle composition for all BMP
+    * text (see [[isWs]] for the U+000B portability note), and is
+    * LOCALE-INDEPENDENT by design: per-char toLowerCase never consults
+    * the JVM default locale, matching DuckDB's lower() — whereas a
+    * String.toLowerCase-based path would map I→ı under tr_TR and change
+    * hashes per deployment locale. (İ's expansion i+U+0307 converges:
+    * the combining mark is class-stripped on both paths.) */
   def normalize(s: UTF8String): UTF8String = {
     val str = s.toString
     val n = str.length

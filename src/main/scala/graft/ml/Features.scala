@@ -29,14 +29,24 @@ object Features {
     * free — a second session/memo scope should LOAD, not refit). */
   private[graft] val fitCount = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Workspace path for a persisted fitted model, keyed by the source
-    * table's identity AND its (mtime, length) token — a regenerated
-    * corpus at the same path gets a fresh workspace instead of a stale
-    * model (the m05 staleness class from the round-4 review). */
-  private def modelPath(dir: String, table: String, name: String): String = {
-    val f = new java.io.File(s"$dir/$table.parquet")
-    val tok = java.lang.Long.toHexString(f.lastModified) + "_" +
-      java.lang.Long.toHexString(if (f.isFile) f.length else 0L)
+  /** Workspace path for a persisted fitted model, keyed by EVERY source
+    * table's identity and (mtime, length) token — a regenerated corpus at
+    * the same path gets a fresh workspace instead of a stale model (the
+    * m05 staleness class from the round-4 review), and regenerating ANY
+    * input of a multi-table fit (ALS reads orders ⋈ lineitem) invalidates
+    * it. Status comes through the Hadoop FileSystem API, NOT java.io.File
+    * — java.io.File answers 0/false for every non-local dir (hdfs://,
+    * s3://), which would collapse the token to a constant. */
+  private def modelPath(spark: SparkSession, dir: String, tables: Seq[String],
+      name: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tok = tables.map { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
+      scala.util.Try(p.getFileSystem(conf).getFileStatus(p)).toOption
+        .map(s => java.lang.Long.toHexString(s.getModificationTime) + "_" +
+          java.lang.Long.toHexString(s.getLen))
+        .getOrElse("absent")
+    }.mkString("-")
     s"${System.getProperty("java.io.tmpdir")}/graft_models/" +
       s"${dir.hashCode.toHexString}_$tok/$name"
   }
@@ -119,7 +129,7 @@ object Features {
   private def fittedWinModel(spark: SparkSession, dir: String) = {
     val feats = graft.GraftSession.maybeCache(tradeFeatures(spark, dir))
     val model = lrMemo.getOrElseUpdate(spark, dir) {
-      loadOrFit(modelPath(dir, "events", "win_lr"),
+      loadOrFit(modelPath(spark, dir, Seq("events"), "win_lr"),
         org.apache.spark.ml.classification.LogisticRegressionModel.load) {
         val lr = new LogisticRegression()
           .setFeaturesCol("features").setLabelCol("label")
@@ -163,7 +173,7 @@ object Features {
   def fittedKmeans(spark: SparkSession, dir: String, k: Int)
       : org.apache.spark.ml.clustering.KMeansModel =
     kmMemo.getOrElseUpdate(spark, (dir, k)) {
-      loadOrFit(modelPath(dir, "embeddings", s"kmeans_$k"),
+      loadOrFit(modelPath(spark, dir, Seq("embeddings"), s"kmeans_$k"),
         org.apache.spark.ml.clustering.KMeansModel.load) {
         import spark.implicits._
         val train = Tables.embeddings(spark, dir)
@@ -211,7 +221,7 @@ object Features {
   private def fittedAls(spark: SparkSession, dir: String)
       : org.apache.spark.ml.recommendation.ALSModel =
     alsMemo.getOrElseUpdate(spark, dir) {
-      loadOrFit(modelPath(dir, "lineitem", "als"),
+      loadOrFit(modelPath(spark, dir, Seq("orders", "lineitem"), "als"),
         org.apache.spark.ml.recommendation.ALSModel.load) {
         import spark.implicits._
         val purchases = Tables.orders(spark, dir)

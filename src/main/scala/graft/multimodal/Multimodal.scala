@@ -59,9 +59,14 @@ object Multimodal {
       .mapPartitions { batch =>
         batch.map { case (id, mt, payload) =>
           val len = payload.length.toLong
+          // Exception-guarded, not just null-guarded: a truncated/corrupt
+          // payload that passes the 4-byte magic makes ImageIO THROW
+          // (IIOException), and one bad record must not fail the job —
+          // the decode boundary stays total, falling back to the stub.
           val img =
             if (isPng(payload))
-              Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+              scala.util.Try(Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(payload)))).toOption.flatten
             else None
           img match {
             case Some(i) =>

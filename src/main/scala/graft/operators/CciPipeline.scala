@@ -189,15 +189,26 @@ object CciPipeline {
     import bars.sparkSession.implicits._
     val wOrd = Window.partitionBy($"user_id").orderBy($"d")
     val wf = wOrd.rowsBetween(-(cfg.cciN - 1), 0)
-    // Native codegen folds (same index-order left fold, 0.0 init, as the
-    // aggregate/transform HOF reference semantics and the oracle's
-    // list_reduce): the interpretive lambdas were the hot part of the
-    // chain's cache build at sf0.1.
+    rollingCci(bars.withColumn("idx", row_number().over(wOrd)), wf, cfg.cciN)
+  }
+
+  /** The ONE definition of the rolling TP/SMA/MAD/CCI fold, applied over
+    * a caller-chosen frame spec — shared by the whole-series window form
+    * ([[cciFromBars]]) and the bounded-task chunked form
+    * ([[cciChunkedFromBars]]), so their spec-asserted bit-equality holds
+    * by construction (an edit to the fold cannot fork the two).
+    *
+    * Native codegen folds (same index-order left fold, 0.0 init, as the
+    * aggregate/transform HOF reference semantics and the oracle's
+    * list_reduce): the interpretive lambdas were the hot part of the
+    * chain's cache build at sf0.1. */
+  private def rollingCci(df: DataFrame,
+      wf: org.apache.spark.sql.expressions.WindowSpec, cciN: Int): DataFrame = {
+    import df.sparkSession.implicits._
     import graft.functions.catalyst.GraftColumns.{array_sum_f64, abs_dev_sum_f64}
-    bars
+    df
       .withColumn("tp_c", ($"high_pr" + $"low_pr" + $"close_pr") / 3.0)
       .withColumn("tp_o", ($"high_pr" + $"low_pr" + $"open_pr") / 3.0)
-      .withColumn("idx", row_number().over(wOrd))
       .withColumn("tps_c", collect_list($"tp_c").over(wf))
       .withColumn("tps_o", collect_list($"tp_o").over(wf))
       .withColumn("cnt", size($"tps_c"))
@@ -206,9 +217,9 @@ object CciPipeline {
       .withColumn("mad_c", abs_dev_sum_f64($"tps_c", $"sma_c") / $"cnt")
       .withColumn("mad_o", abs_dev_sum_f64($"tps_o", $"sma_o") / $"cnt")
       .withColumn("close_cci",
-        when($"cnt" >= cfg.cciN && $"mad_c" =!= 0.0, ($"tp_c" - $"sma_c") / (lit(0.015) * $"mad_c")))
+        when($"cnt" >= cciN && $"mad_c" =!= 0.0, ($"tp_c" - $"sma_c") / (lit(0.015) * $"mad_c")))
       .withColumn("open_cci",
-        when($"cnt" >= cfg.cciN && $"mad_o" =!= 0.0, ($"tp_o" - $"sma_o") / (lit(0.015) * $"mad_o")))
+        when($"cnt" >= cciN && $"mad_o" =!= 0.0, ($"tp_o" - $"sma_o") / (lit(0.015) * $"mad_o")))
       .drop("tps_c", "tps_o")
   }
 
@@ -291,7 +302,6 @@ object CciPipeline {
     import barsIn.sparkSession.implicits._
     require(chunkRows >= cfg.cciN - 1,
       "context must fit in the single preceding chunk")
-    import graft.functions.catalyst.GraftColumns.{array_sum_f64, abs_dev_sum_f64}
     val bars = barsIn
       .withColumn("bucket", year($"d") * 12 + month($"d"))
     val wB = Window.partitionBy($"user_id", $"bucket").orderBy($"d")
@@ -314,25 +324,10 @@ object CciPipeline {
       .withColumn("is_ctx", lit(true))
     val wOrd = Window.partitionBy($"user_id", $"chunk").orderBy($"idx")
     val wf = wOrd.rowsBetween(-(cfg.cciN - 1), 0)
-    withChunk.withColumn("is_ctx", lit(false))
-      .unionByName(ctx)
-      .withColumn("tp_c", ($"high_pr" + $"low_pr" + $"close_pr") / 3.0)
-      .withColumn("tp_o", ($"high_pr" + $"low_pr" + $"open_pr") / 3.0)
-      .withColumn("tps_c", collect_list($"tp_c").over(wf))
-      .withColumn("tps_o", collect_list($"tp_o").over(wf))
-      .withColumn("cnt", size($"tps_c"))
-      .withColumn("sma_c", array_sum_f64($"tps_c") / $"cnt")
-      .withColumn("sma_o", array_sum_f64($"tps_o") / $"cnt")
-      .withColumn("mad_c", abs_dev_sum_f64($"tps_c", $"sma_c") / $"cnt")
-      .withColumn("mad_o", abs_dev_sum_f64($"tps_o", $"sma_o") / $"cnt")
-      .withColumn("close_cci",
-        when($"cnt" >= cfg.cciN && $"mad_c" =!= 0.0,
-          ($"tp_c" - $"sma_c") / (lit(0.015) * $"mad_c")))
-      .withColumn("open_cci",
-        when($"cnt" >= cfg.cciN && $"mad_o" =!= 0.0,
-          ($"tp_o" - $"sma_o") / (lit(0.015) * $"mad_o")))
+    rollingCci(withChunk.withColumn("is_ctx", lit(false)).unionByName(ctx),
+      wf, cfg.cciN)
       .filter(!$"is_ctx")
-      .drop("tps_c", "tps_o", "is_ctx", "chunk")
+      .drop("is_ctx", "chunk")
   }
 
   /** [[cciChunked]] through [[cciQuery]]'s projection (spec equality vs

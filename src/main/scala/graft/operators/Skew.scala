@@ -41,10 +41,12 @@ object Skew {
   val SkewSalts = 32
 
   /** Deterministic Zipf-keyed synthetic trade table: symbol rank via the
-    * inverse CDF `floor(S^u)` on a hashed-uniform u (P(rank = r) ∝ ~1/r),
-    * plus a ~90-byte payload so the hot shuffle partition carries real
-    * bytes, as a trade row would. Pure codegen off `spark.range` — no
-    * driver-side data. */
+    * inverse CDF `floor(S^u)` on a hashed-uniform u (P(rank = r) ∝ ~1/r;
+    * u < 1 means ranks land in 1..S−1 — the `least` cap is a guard, and
+    * [[symbolStats]] row S is a deliberately tradeless symbol), plus a
+    * ~90-byte payload so the hot shuffle partition carries real bytes, as
+    * a trade row would. Pure codegen off `spark.range` — no driver-side
+    * data. */
   def zipfTrades(spark: org.apache.spark.sql.SparkSession, n: Long,
       symbols: Int): DataFrame = {
     import spark.implicits._

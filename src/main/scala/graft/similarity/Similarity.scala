@@ -496,15 +496,23 @@ object Similarity {
   }
 
   def pqTopK(spark: SparkSession, dir: String): DataFrame =
-    pqTopKWith(spark, dir, pqQueryDefault(spark, dir))
+    pqTopKWith(spark, dir, pqQueryDefault(spark, dir), excludeSelf = true)
 
   /** s05 with an EXPLICIT query table (vec_id, v: array<double>) — the
     * serving contract made a parameter: `queries` is the request batch,
     * collected to the driver and broadcast as one M×K distance LUT per
     * query, so its size (not the corpus's) bounds driver/executor memory.
     * Pass a bounded request-sized table; the corpus side (encoding,
-    * scoring, re-rank) stays fully distributed regardless. */
-  def pqTopKWith(spark: SparkSession, dir: String, queries: DataFrame): DataFrame = {
+    * scoring, re-rank) stays fully distributed regardless.
+    *
+    * `excludeSelf` drops candidates whose corpus vec_id equals the
+    * query's id — ONLY meaningful when the query batch is drawn from the
+    * corpus (the [[pqTopK]] default). An external request batch has its
+    * own id space, where an id collision is NOT a self-pair and dropping
+    * it would silently lose a (possibly nearest) neighbor — hence
+    * default false. */
+  def pqTopKWith(spark: SparkSession, dir: String, queries: DataFrame,
+      excludeSelf: Boolean = false): DataFrame = {
     import spark.implicits._
     val e = graft.GraftSession.maybeCache(vecs(spark, dir))
     val qv = queries
@@ -554,7 +562,8 @@ object Similarity {
       }
     }.toDF("query_id", "neighbor_id", "d2")
     val wC = Window.partitionBy($"query_id").orderBy($"d2".asc, $"neighbor_id")
-    val cands = scored.filter($"query_id" =!= $"neighbor_id")
+    val cands = (if (excludeSelf) scored.filter($"query_id" =!= $"neighbor_id")
+                 else scored)
       .withColumn("crnk", row_number().over(wC))
       .filter($"crnk" <= PqRerank * TopK)
       .select($"query_id", $"neighbor_id")

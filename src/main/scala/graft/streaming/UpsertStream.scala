@@ -72,10 +72,14 @@ object UpsertStream {
     // the live snapshot, writes elsewhere — no self-referential overwrite,
     // so no task retry or recompute can ever read a file mid-delete), then
     // swap each touched bucket in with an atomic per-directory rename.
-    // A crash between swaps leaves every bucket either old-complete or
-    // new-complete (never mixed), and the staging copy survives for
-    // recovery; cross-bucket atomicity is what a transactional table
-    // format would add.
+    // Each bucket lands old-complete or new-complete, never mixed; if a
+    // swap fails or the process dies between the delete and the rename,
+    // that bucket's new copy SURVIVES in staging (staging is only cleaned
+    // after every swap succeeded) so recovery is a re-run of the swap.
+    // Cross-bucket atomicity is what a transactional table format would
+    // add. HDFS-style FileSystems report rename failure by RETURNING
+    // false, not throwing — checked explicitly, or a failed swap would
+    // pass silently and the staging cleanup would discard the only copy.
     val staging = new org.apache.hadoop.fs.Path(targetDir + ".staging")
     fs.delete(staging, true)
     merged.write.mode("overwrite").partitionBy("bucket")
@@ -85,8 +89,11 @@ object UpsertStream {
       val dst = new org.apache.hadoop.fs.Path(targetPath, s"bucket=$k")
       if (fs.exists(src)) {
         fs.mkdirs(targetPath)
-        fs.delete(dst, true)
-        fs.rename(src, dst)
+        if (!fs.delete(dst, true) && fs.exists(dst))
+          throw new java.io.IOException(s"upsert: cannot clear $dst for swap")
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(
+            s"upsert: rename $src -> $dst failed; merged bucket preserved in staging")
       }
     }
     fs.delete(staging, true)

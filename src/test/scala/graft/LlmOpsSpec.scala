@@ -536,8 +536,16 @@ class LlmOpsSpec extends AnyFunSuite {
     val queries = sources.Tables.embeddings(spark, sf)
       .filter($"vec_id".isin(ids: _*))
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-    val r = similarity.Similarity.pqTopKWith(spark, sf, queries).collect()
+    // corpus-drawn request batch -> excludeSelf like the default path
+    val r = similarity.Similarity.pqTopKWith(spark, sf, queries,
+      excludeSelf = true).collect()
     assert(r.map(_.getLong(0)).toSet == ids.toSet)
+    // an EXTERNAL-id batch must NOT self-exclude: corpus vec 0 is a valid
+    // neighbor for an unrelated request that happens to be named 0
+    val ext = similarity.Similarity.pqTopKWith(spark, sf, queries).collect()
+    assert(ext.count(x => x.getLong(x.fieldIndex("query_id")) ==
+      x.getLong(x.fieldIndex("neighbor_id"))) == ids.length,
+      "identical vectors must surface as rank-1 neighbors when ids are external")
     r.groupBy(_.getLong(0)).values.foreach(g =>
       assert(g.length == similarity.Similarity.TopK))
     // per-query results are independent of the rest of the batch: the

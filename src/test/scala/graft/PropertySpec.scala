@@ -34,10 +34,15 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("NormalizeText: one-pass normalizer equals the regex composition") {
-    // the exact composition d10's oracle keeps (Java regex == what Spark's
-    // regexp_replace compiles; \s is the same 6-char class in RE2)
+    // The composition d10's oracle runs, with \s spelled as the explicit
+    // RE2 whitespace class [ \t\n\f\r]: Java's \s additionally contains
+    // U+000B, which RE2/DuckDB treats as a plain strippable char — the
+    // normalizer follows the RE2 (oracle-portable) semantics, so the
+    // reference here must too. U+000B stays in the palette below to pin
+    // the strip behavior.
     def ref(s: String): String = s.toLowerCase
-      .replaceAll("[^a-z0-9\\s]", "").replaceAll("\\s+", " ").trim
+      .replaceAll("[^a-z0-9 \\t\\n\\f\\r]", "")
+      .replaceAll("[ \\t\\n\\f\\r]+", " ").trim
     val palette = Gen.oneOf(('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++
       Seq(' ', '\t', '\n', '\r', '\u000B', '\f', '.', ',', '!', '-', '_',
         '\u00A0', '\u00E9', '\u00DF', '\u4E2D', '\u0130', '\u212A'))
