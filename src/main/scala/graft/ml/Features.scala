@@ -56,10 +56,17 @@ object Features {
     * planner-scale state (coefficients, centroids, factor frames) through
     * MLlib's own writers, so a new session — a later bench round, a
     * restarted job — pays scoring cost only. Corrupt/partial saves fall
-    * back to a refit. */
+    * back to a refit. Existence goes through the Hadoop FileSystem API —
+    * MLlib's save/load resolve a schemeless path against the default FS,
+    * so a java.io.File check would answer false forever on HDFS/S3 and
+    * silently refit every session. */
   private def loadOrFit[M <: org.apache.spark.ml.util.MLWritable](
-      path: String, load: String => M)(fit: => M): M = {
-    if (new java.io.File(path).exists())
+      spark: SparkSession, path: String, load: String => M)(fit: => M): M = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val exists = scala.util.Try(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    ).getOrElse(false)
+    if (exists)
       try return load(path)
       catch { case scala.util.control.NonFatal(_) => () }
     fitCount.incrementAndGet()
@@ -129,7 +136,7 @@ object Features {
   private def fittedWinModel(spark: SparkSession, dir: String) = {
     val feats = graft.GraftSession.maybeCache(tradeFeatures(spark, dir))
     val model = lrMemo.getOrElseUpdate(spark, dir) {
-      loadOrFit(modelPath(spark, dir, Seq("events"), "win_lr"),
+      loadOrFit(spark, modelPath(spark, dir, Seq("events"), "win_lr"),
         org.apache.spark.ml.classification.LogisticRegressionModel.load) {
         val lr = new LogisticRegression()
           .setFeaturesCol("features").setLabelCol("label")
@@ -173,7 +180,7 @@ object Features {
   def fittedKmeans(spark: SparkSession, dir: String, k: Int)
       : org.apache.spark.ml.clustering.KMeansModel =
     kmMemo.getOrElseUpdate(spark, (dir, k)) {
-      loadOrFit(modelPath(spark, dir, Seq("embeddings"), s"kmeans_$k"),
+      loadOrFit(spark, modelPath(spark, dir, Seq("embeddings"), s"kmeans_$k"),
         org.apache.spark.ml.clustering.KMeansModel.load) {
         import spark.implicits._
         val train = Tables.embeddings(spark, dir)
@@ -221,7 +228,7 @@ object Features {
   private def fittedAls(spark: SparkSession, dir: String)
       : org.apache.spark.ml.recommendation.ALSModel =
     alsMemo.getOrElseUpdate(spark, dir) {
-      loadOrFit(modelPath(spark, dir, Seq("orders", "lineitem"), "als"),
+      loadOrFit(spark, modelPath(spark, dir, Seq("orders", "lineitem"), "als"),
         org.apache.spark.ml.recommendation.ALSModel.load) {
         import spark.implicits._
         val purchases = Tables.orders(spark, dir)

@@ -63,6 +63,7 @@ object GraphRank {
     import nodesIn.sparkSession.implicits._
     val nodes = nodesIn.select($"node")
     val n = nodes.count() // node-domain size: planner-scale driver state
+    require(n > 0, "pageRankCore needs a non-empty node domain")
     val initPr = 1000000L / n
     val base = 150000L / n
     val outW = weighted.groupBy($"src").agg(sum($"w").as("tw"))

@@ -545,6 +545,14 @@ object Similarity {
       .select($"vec_id", transform($"v", x => x / $"norm").as("vn"))
       .as[(Long, Seq[Double])].collect()
       .map { case (id, vn) => (id, vn.toArray) }
+    // Dimension guard on the collected batch: an external request table is
+    // untrusted — a short vector would throw AIOOBE inside executor tasks
+    // mid-job building the LUTs, and a long one would silently ignore its
+    // tail and return wrong neighbors.
+    queryBatch.find(_._2.length != dim).foreach { case (id, vn) =>
+      throw new IllegalArgumentException(
+        s"pqTopKWith: query vec_id=$id has dim ${vn.length}, corpus dim is $dim")
+    }
     val bQ = spark.sparkContext.broadcast(queryBatch)
     val scored = enc.mapPartitions { it =>
       val c = bCb.value; val qs = bQ.value

@@ -60,6 +60,12 @@ object UpsertStream {
     // replace touched buckets with the bare delta (data loss on HDFS/S3).
     val targetPath = new org.apache.hadoop.fs.Path(targetDir)
     val fs = targetPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(targetDir + ".staging")
+    // MUST run before reading `existing`: a crash in a prior run's swap
+    // window left the only copy of a bucket in staging — restore it into
+    // the target first, or the retried merge reads the snapshot without
+    // that bucket's old rows and silently loses them.
+    completePendingSwap(fs, staging, targetPath)
     val existing =
       if (fs.exists(targetPath))
         spark.read.parquet(targetDir).filter($"bucket".isin(touched: _*))
@@ -80,10 +86,18 @@ object UpsertStream {
     // add. HDFS-style FileSystems report rename failure by RETURNING
     // false, not throwing — checked explicitly, or a failed swap would
     // pass silently and the staging cleanup would discard the only copy.
-    val staging = new org.apache.hadoop.fs.Path(targetDir + ".staging")
-    fs.delete(staging, true)
     merged.write.mode("overwrite").partitionBy("bucket")
       .parquet(staging.toString)
+    swapBuckets(fs, staging, targetPath, touched)
+  }
+
+  /** The per-bucket swap: atomic directory renames from a fully-written
+    * staging into the target, staging dropped only after EVERY swap
+    * succeeded. Factored out so the crash-recovery spec can drive it with
+    * a rename-failing FilterFileSystem. */
+  private[graft] def swapBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      staging: org.apache.hadoop.fs.Path, targetPath: org.apache.hadoop.fs.Path,
+      touched: Seq[Long]): Unit = {
     touched.foreach { k =>
       val src = new org.apache.hadoop.fs.Path(staging, s"bucket=$k")
       val dst = new org.apache.hadoop.fs.Path(targetPath, s"bucket=$k")
@@ -95,6 +109,39 @@ object UpsertStream {
           throw new java.io.IOException(
             s"upsert: rename $src -> $dst failed; merged bucket preserved in staging")
       }
+    }
+    fs.delete(staging, true)
+  }
+
+  /** Finish a PRIOR merge's interrupted swap. A crash between delete(dst)
+    * and rename(src,dst) leaves the only copy of that bucket in staging;
+    * Structured Streaming then RETRIES the micro-batch, and a retry that
+    * opened by deleting staging would destroy that sole copy — the retried
+    * merge would read `existing` with the bucket's old rows already gone
+    * from the target, silently losing the old snapshot rows. Recovery is
+    * gated on staging's _SUCCESS marker: absent means the staging write
+    * itself never committed, so the swap never started, every target
+    * bucket is intact, and staging (possibly partial) is safe to drop.
+    * Present means staging buckets are complete — any with a MISSING
+    * target dir are exactly the ones caught mid-swap; rename them in,
+    * then drop staging. Idempotent: re-running after a crash inside
+    * recovery itself just resumes. */
+  private[graft] def completePendingSwap(fs: org.apache.hadoop.fs.FileSystem,
+      staging: org.apache.hadoop.fs.Path,
+      targetPath: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(staging)) return
+    if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
+      fs.listStatus(staging)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+        .foreach { s =>
+          val dst = new org.apache.hadoop.fs.Path(targetPath, s.getPath.getName)
+          if (!fs.exists(dst)) {
+            fs.mkdirs(targetPath)
+            if (!fs.rename(s.getPath, dst))
+              throw new java.io.IOException(
+                s"upsert recovery: rename ${s.getPath} -> $dst failed")
+          }
+        }
     }
     fs.delete(staging, true)
   }
