@@ -118,6 +118,33 @@ object Curation {
         $"rn".cast("long").as("rn"))
   }
 
+  /** p05b: the presplit form as a DRIVER-GATED query row (round-5 left it
+    * spec-only). Deterministic salted output — fully SQL-expressible, so
+    * the hot-stratum swap-in sits under the same DuckDB oracle gate as the
+    * plain form. */
+  def stratifiedSamplePresplitQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    stratifiedSamplePresplit(spark, dir).orderBy($"doc_id")
+  }
+
+  val stratifiedSamplePresplitSql: String = {
+    import graft.functions.{TextSql => S}
+    s"""WITH h AS (
+       |  SELECT doc_id, lang, source, doc_id % 8 AS salt,
+       |    ${S.polyHash("CAST(doc_id AS VARCHAR) || '-p05'")} AS hh
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, lang, source, salt,
+       |    row_number() OVER (PARTITION BY lang, source, salt ORDER BY hh, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY lang, source, salt) AS split_n
+       |  FROM h)
+       |SELECT doc_id, lang, source, CAST(salt AS BIGINT) AS salt,
+       |  CAST(split_n AS BIGINT) AS split_n, CAST(rn AS BIGINT) AS rn
+       |FROM r
+       |WHERE rn <= (split_n + ${SampleDiv - 1}) // $SampleDiv
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val stratifiedSampleSql: String = {
     import graft.functions.{TextSql => S}
     s"""WITH h AS (

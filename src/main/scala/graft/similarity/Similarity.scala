@@ -498,6 +498,24 @@ object Similarity {
   def pqTopK(spark: SparkSession, dir: String): DataFrame =
     pqTopKWith(spark, dir, pqQueryDefault(spark, dir), excludeSelf = true)
 
+  /** s05b: the EXPLICIT-request serving contract as a driver-gated query
+    * row — an external request batch in its OWN id space (every
+    * 2·QueryStride-th corpus vector re-keyed by +[[ServeIdOffset]]), run
+    * through [[pqTopKWith]] with the external-id default excludeSelf =
+    * false. Approximate by construction like s05 → rows-only; the spec
+    * asserts each external query surfaces its identical corpus vector as
+    * the rank-1 neighbor at cosine 1.0. */
+  val ServeIdOffset = 1000000L
+
+  def pqServe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val requests = Tables.embeddings(spark, dir)
+      .filter($"vec_id" % (QueryStride * 2) === 0)
+      .select(($"vec_id" + ServeIdOffset).as("vec_id"),
+        $"embedding".cast("array<double>").as("v"))
+    pqTopKWith(spark, dir, requests)
+  }
+
   /** s05 with an EXPLICIT query table (vec_id, v: array<double>) — the
     * serving contract made a parameter: `queries` is the request batch,
     * collected to the driver and broadcast as one M×K distance LUT per

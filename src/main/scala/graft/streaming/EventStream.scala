@@ -112,7 +112,7 @@ object EventStream {
     * session_window contract), not last-event time as in v01. */
   /** The ONE session_window aggregation both modes share — the spec's
     * streaming↔batch parity guarantee is structural, not copy-paste. */
-  private def sessionWindowAgg(events: DataFrame): DataFrame = {
+  private[graft] def sessionWindowAgg(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
     events
       .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
@@ -130,6 +130,64 @@ object EventStream {
     * construction (session_window runs in both modes). */
   def sessionWindowsBatch(spark: SparkSession, dir: String): DataFrame =
     sessionWindowAgg(Tables.events(spark, dir))
+
+  /** v02's batch twin as a DRIVER-GATED query row (v02b): the identical
+    * tumbling 1-hour aggregation over the batch events table, so the
+    * streaming semantics' batch anchor sits under the DuckDB oracle gate,
+    * not only in StreamingSpec. Epoch-aligned windows ⇔ date_trunc('hour');
+    * integer-cents sum keeps the distributed reduction order-independent
+    * (SURVEY.md §6). One partial-aggregable shuffle on (hour, type). */
+  def windowedCountsBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"value" * 100.0 + 0.5).cast("long")).as("value_cents"))
+      .select(unix_micros($"window.start").as("window_start_us"), $"event_type",
+        $"n", ($"value_cents".cast("double") / 100.0).as("total_value"))
+      .orderBy($"window_start_us", $"event_type")
+  }
+
+  val windowedCountsBatchSql: String =
+    Tables.eventsOracleCte + "\n" +
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+        |FROM events_us
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin
+
+  /** v11's batch twin as a DRIVER-GATED query row (v11b). Close is
+    * last-event + gap (the session_window contract). */
+  def sessionWindowsBatchQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sessionWindowsBatch(spark, dir).orderBy($"user_id", $"session_start_us")
+  }
+
+  /** Oracle for v11b: session_window re-stated as the lag-cumsum form.
+    * The split rule is `gap_us > SessionGapUs` — events EXACTLY `gap`
+    * apart have adjacent [ts, ts+gap) windows and Spark MERGES adjacency
+    * (pinned by SessionBoundaryProbe); close = max(ts) + gap. */
+  val sessionWindowsBatchSql: String =
+    Tables.eventsOracleCte + ",\n" +
+      s"""g AS (
+         |  SELECT user_id, ts, value,
+         |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap_us
+         |  FROM events_us),
+         |s AS (
+         |  SELECT user_id, ts, value,
+         |    CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > $SessionGapUs THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY ts
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+         |  FROM g)
+         |SELECT user_id,
+         |  epoch_us(min(ts)) AS session_start_us,
+         |  epoch_us(max(ts)) + $SessionGapUs AS session_close_us,
+         |  count(*) AS n_events,
+         |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+         |FROM s
+         |GROUP BY user_id, sid
+         |ORDER BY user_id, session_start_us""".stripMargin
 
   /** v05: streaming dedup — exactly-once-per-key semantics over the event
     * stream within the watermark horizon (the at-least-once → effectively-

@@ -558,6 +558,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(triples(r) == triples(dflt))
   }
 
+  test("s05b: external serving row surfaces each request's identical corpus vector at rank 1") {
+    val r = similarity.Similarity.pqServe(spark, sf).collect()
+    assert(r.nonEmpty)
+    val off = similarity.Similarity.ServeIdOffset
+    // every query id is external (re-keyed), and each query's rank-1
+    // neighbor is its own corpus vector at exact cosine 1.0 (the re-rank
+    // computes exact scores, and excludeSelf must stay off for external ids)
+    assert(r.forall(x => x.getLong(x.fieldIndex("query_id")) >= off))
+    val byQ = r.groupBy(_.getLong(0))
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.length == similarity.Similarity.TopK)
+      val r1 = rows.find(x => x.getInt(x.fieldIndex("rnk")) == 1).get
+      assert(r1.getLong(r1.fieldIndex("neighbor_id")) == qid - off)
+      assert(r1.getDouble(r1.fieldIndex("cosine")) == 1.0)
+    }
+  }
+
   test("p08: curriculum sequence is a 0..n-1 permutation with non-decreasing bands") {
     val rows = operators.Curation.curriculum(spark, sf).collect()
     assert(rows.nonEmpty)
