@@ -27,12 +27,13 @@ class PlanGuardSpec extends AnyFunSuite {
     (1 to 42).map(i => f"q$i%02d_"),          // whole relational core
     Seq("d01_", "d02_", "d04_", "d06_", "d10_", "d11_"),
     Seq("t01_", "t02_", "t03_", "t04_", "t05_", "t08_", "t10_"),
-    Seq("p01_", "p04_", "p05_", "p06_", "p07_", "p08_"),
+    Seq("p01_", "p04_", "p05_", "p05b_", "p06_", "p07_", "p08_"),
     Seq("m01_", "m02_", "m03_", "m04_"),
     Seq("r01_", "r02_", "r03_", "r04_", "r05_", "r06_", "r07_", "r08_",
-      "r09_", "r10_", "r11_", "r13_", "r15_", "r18_", "r20_", "r25_", "r26_"),
+      "r09_", "r10_", "r11_", "r13_", "r15_", "r18_", "r20_", "r25_", "r26_",
+      "r29_"),
     Seq("s01_", "s02_", "s03_"),
-    Seq("a01_", "v01_")
+    Seq("a01_", "v01_", "v02b_", "v11b_")
   ).flatten.flatMap(p => SparkEntry.queries.keys.find(_.startsWith(p)))
 
   test("plan guard: no query plans an unpartitioned window (single-task funnel)") {
