@@ -8,10 +8,11 @@ import graft.sources.Tables
 /** Multimodal column handling (SURVEY.md §2 m-rows): media payloads are
   * opaque `binary` columns with typed metadata travelling alongside.
   *
-  * The decode boundary carries ONE real codec — PNG dimensions via
-  * `javax.imageio` (JDK-builtin, see [[decodeFeaturesFrom]]) — proving
-  * the mapPartitions plumbing takes an actual library; audio/video
-  * decode stays STUBBED (this container ships no such codecs) behind the
+  * The decode boundary carries REAL codecs — PNG/JPEG/GIF raster
+  * dimensions via `javax.imageio` and WAV channel/duration via a RIFF
+  * chunk walk (all JDK-builtin, see [[decodeFeaturesFrom]]) — proving
+  * the mapPartitions plumbing takes actual libraries; only VIDEO decode
+  * stays STUBBED (no container parser ships with the JDK) behind the
   * same boundary with a deterministic fake, so pipelines downstream of
   * decode are testable. At scale the binary column stays columnar in
   * parquet and the decode is a mapPartitions over arrow-sized batches;
@@ -38,6 +39,54 @@ object Multimodal {
   private[graft] def isPng(b: Array[Byte]): Boolean =
     b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
 
+  /** JPEG magic: FF D8 FF. */
+  private[graft] def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff
+
+  /** GIF magic: "GIF8" (87a/89a). */
+  private[graft] def isGif(b: Array[Byte]): Boolean =
+    b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+
+  /** Any magic ImageIO's JDK-builtin readers decode (PNG/JPEG/GIF). */
+  private[graft] def isImage(b: Array[Byte]): Boolean =
+    isPng(b) || isJpeg(b) || isGif(b)
+
+  /** Minimal REAL WAV header parse — RIFF/WAVE magic, then the chunk walk
+    * ([id:4][size:4 LE][data]) for `fmt ` (channels, byte rate) and `data`
+    * (payload length). Returns (channels, duration_ms); None for anything
+    * that is not a well-formed PCM WAV, so corrupt/truncated payloads fall
+    * to the stub instead of failing the task. Walking chunks (not assuming
+    * the canonical 44-byte layout) handles real-world files with LIST/fact
+    * chunks between fmt and data. */
+  private[graft] def wavInfo(b: Array[Byte]): Option[(Int, Long)] = {
+    def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) | ((b(o + 2) & 0xffL) << 16) |
+        ((b(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var channels = -1
+    var byteRate = -1L
+    var dataLen = -1L
+    while (off + 8 <= b.length && (channels < 0 || dataLen < 0)) {
+      val id = tag(off)
+      val size = u32(off + 4)
+      if (id == "fmt " && off + 16 + 8 <= b.length) {
+        channels = u16(off + 8 + 2)
+        byteRate = u32(off + 8 + 8)
+      } else if (id == "data") {
+        // size may exceed what's actually present in a truncated payload
+        dataLen = math.min(size, (b.length - off - 8).toLong)
+      }
+      off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      if (size < 0 || size > Int.MaxValue - 8) return None
+    }
+    if (channels > 0 && byteRate > 0 && dataLen >= 0)
+      Some((channels, dataLen * 1000L / byteRate))
+    else None
+  }
+
   /** Decoder at the mapPartitions boundary. The PNG branch is REAL — it
     * decodes width/height/channels with `javax.imageio` (ships with the
     * JDK, so this container can prove the boundary carries an actual
@@ -60,11 +109,11 @@ object Multimodal {
         batch.map { case (id, mt, payload) =>
           val len = payload.length.toLong
           // Exception-guarded, not just null-guarded: a truncated/corrupt
-          // payload that passes the 4-byte magic makes ImageIO THROW
+          // payload that passes the magic check makes ImageIO THROW
           // (IIOException), and one bad record must not fail the job —
           // the decode boundary stays total, falling back to the stub.
           val img =
-            if (isPng(payload))
+            if (isImage(payload))
               scala.util.Try(Option(javax.imageio.ImageIO.read(
                 new java.io.ByteArrayInputStream(payload)))).toOption.flatten
             else None
@@ -72,14 +121,20 @@ object Multimodal {
             case Some(i) =>
               MediaFeatures(id, mt, len, i.getWidth, i.getHeight,
                 i.getColorModel.getNumComponents, duration_ms = 0L)
-            case None =>
-              // ??? <- real audio/video codec call goes here;
-              // deterministic fake instead:
-              MediaFeatures(id, mt, len,
-                width = (len % 640).toInt + 1,
-                height = ((len * 7) % 480).toInt + 1,
-                channels = 3,
-                duration_ms = len * 40)
+            case None => wavInfo(payload) match {
+              case Some((channels, durMs)) =>
+                // real audio: no raster, duration from the RIFF header
+                MediaFeatures(id, mt, len, width = 0, height = 0,
+                  channels = channels, duration_ms = durMs)
+              case None =>
+                // ??? <- real VIDEO codec call goes here (no container
+                // parser ships with the JDK); deterministic fake instead:
+                MediaFeatures(id, mt, len,
+                  width = (len % 640).toInt + 1,
+                  height = ((len * 7) % 480).toInt + 1,
+                  channels = 3,
+                  duration_ms = len * 40)
+            }
           }
         }
       }

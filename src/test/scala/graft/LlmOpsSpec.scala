@@ -343,6 +343,55 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r(2L).duration_ms == textBytes.length.toLong * 40)
   }
 
+  test("m01: JPEG and GIF decode real dimensions through the same boundary") {
+    import TestSpark.spark.implicits._
+    def raster(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (x * 7919 + y * 104729) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val jpg = raster(29, 13, "jpg"); val gif = raster(17, 11, "gif")
+    assert(multimodal.Multimodal.isJpeg(jpg) && multimodal.Multimodal.isGif(gif))
+    val docs = Seq((1L, "image", jpg), (2L, "image", gif))
+      .toDF("doc_id", "media_type", "payload")
+    val r = multimodal.Multimodal.decodeFeaturesFrom(docs)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(r(1L).width == 29 && r(1L).height == 13 && r(1L).channels == 3)
+    assert(r(2L).width == 17 && r(2L).height == 11)
+  }
+
+  test("m01: WAV headers parse real channel count and duration; corrupt WAVs fall to the stub") {
+    import TestSpark.spark.implicits._
+    // canonical 44-byte header: 8 kHz, 2 ch, 16-bit -> byteRate 32000;
+    // 16000 data bytes = exactly 500 ms
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val data = Array.tabulate[Byte](16000)(i => (i * 31).toByte)
+    def chunks(extra: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes ++ le32(36 + extra.length + data.length) ++ "WAVE".getBytes ++
+        ("fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(8000) ++
+          le32(32000) ++ le16(4) ++ le16(16)) ++
+        extra ++ ("data".getBytes ++ le32(data.length) ++ data)
+    val wav = chunks(Array.empty)
+    // a LIST chunk between fmt and data: the walker must skip it
+    val wavList = chunks("LIST".getBytes ++ le32(6) ++ Array[Byte](1, 2, 3, 4, 5, 6))
+    assert(multimodal.Multimodal.wavInfo(wav).contains((2, 500L)))
+    assert(multimodal.Multimodal.wavInfo(wavList).contains((2, 500L)))
+    val corrupt = wav.take(20) // truncated mid-fmt
+    val docs = Seq((1L, "audio", wav), (2L, "audio", wavList), (3L, "audio", corrupt))
+      .toDF("doc_id", "media_type", "payload")
+    val r = multimodal.Multimodal.decodeFeaturesFrom(docs)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(r(1L).channels == 2 && r(1L).duration_ms == 500L && r(1L).width == 0)
+    assert(r(2L).channels == 2 && r(2L).duration_ms == 500L)
+    // truncated header: total boundary, stub features
+    assert(r(3L).duration_ms == corrupt.length.toLong * 40)
+  }
+
   test("m03: frame sampling is bounded, contiguous and covers every video doc") {
     import TestSpark.spark.implicits._
     val fr = multimodal.Multimodal.frameSamples(spark, sf).cache()
