@@ -629,11 +629,10 @@ object Dedup {
     * aggregation, both shuffling on doc_id; the label table is
     * eager-checkpointed per round so lineage stays flat. Rounds needed =
     * component diameter — near-dup clusters are shallow (a handful of
-    * rounds); a 100 TB deployment with adversarially long chains would
-    * swap the body for the large-star/small-star rule (Kiveris et al.,
-    * "Connected Components in MapReduce"), which converges in O(log²)
-    * rounds with the same per-round join shape. `MaxCcRounds` bounds the
-    * loop either way.
+    * rounds), and the loop's pointer jumping brings chains to O(log d);
+    * for adversarially long chains the large-star/small-star rule is
+    * IMPLEMENTED as [[clustersFromPairsStars]] and driver-gated as d07b
+    * against the same oracle. `MaxCcRounds` bounds both loops.
     *
     * Output: every document with its cluster id (= min doc_id reachable),
     * the cluster size, and whether it is the kept canonical doc. */
@@ -649,22 +648,42 @@ object Dedup {
     * which made the previous WeakHashMap-of-strong-values unreclaimable. */
   private val clusterMemo = new graft.SessionMemo[String, DataFrame]
 
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    clusterMemo.getOrElseUpdate(spark, dir)(computeClusters(spark, dir))
+  /** The thresholded near-dup pair set, memoized per (session, dir): both
+    * cluster cores (d07 propagation, d07b stars) consume the SAME
+    * materialized pairs, so running both costs one d02 chain. The raw
+    * (unsorted, unrounded) pairs are materialized ONCE before the
+    * symmetric union: union branches get no cross-branch CSE, and
+    * ngramJaccard's final orderBy would add a range-sampling pass — both
+    * would re-execute the whole d02 chain per branch. */
+  private val pairsMemo = new graft.SessionMemo[String, DataFrame]
 
-  private def computeClusters(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docs = Tables.documents(spark, dir).select($"doc_id")
-    // The raw (unsorted, unrounded) pair set, materialized ONCE before the
-    // symmetric union: union branches get no cross-branch CSE, and
-    // ngramJaccard's final orderBy would add a range-sampling pass — both
-    // would re-execute the whole d02 chain per branch.
-    val pairs = graft.GraftSession.maybeEagerCheckpoint(
-      jaccardPairs(spark, dir)
-        .filter($"jaccard" >= JaccardThreshold)
-        .select($"doc_a", $"doc_b"))
-    clustersFromPairs(docs, pairs)
-  }
+  private def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    pairsMemo.getOrElseUpdate(spark, dir) {
+      import spark.implicits._
+      graft.GraftSession.maybeEagerCheckpoint(
+        jaccardPairs(spark, dir)
+          .filter($"jaccard" >= JaccardThreshold)
+          .select($"doc_a", $"doc_b"))
+    }
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterMemo.getOrElseUpdate(spark, dir) {
+      import spark.implicits._
+      clustersFromPairs(Tables.documents(spark, dir).select($"doc_id"),
+        nearDupPairs(spark, dir))
+    }
+
+  /** d07b: the SAME clusters through the large-star/small-star core —
+    * driver-gated against the identical recursive-CTE oracle, so the
+    * long-chain swap-in is pinned as correct, not just documented. */
+  private val starMemo = new graft.SessionMemo[String, DataFrame]
+
+  def dedupClustersStars(spark: SparkSession, dir: String): DataFrame =
+    starMemo.getOrElseUpdate(spark, dir) {
+      import spark.implicits._
+      clustersFromPairsStars(Tables.documents(spark, dir).select($"doc_id"),
+        nearDupPairs(spark, dir))
+    }
 
   /** The cluster fixpoint over an explicit (doc_a, doc_b) pair table —
     * exposed so tests can drive it with adversarial graph shapes (long
@@ -706,6 +725,74 @@ object Dedup {
     require(changed == 0, s"component labels did not converge in $MaxCcRounds rounds")
     val withSingletons = labels.unionByName(
       docs.join(nodes, Seq("doc_id"), "left_anti").select($"doc_id", $"doc_id".as("lbl")))
+    val sizes = withSingletons.groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
+    withSingletons
+      .join(sizes, Seq("lbl"))
+      .select($"doc_id", $"lbl".as("cluster_id"), $"cluster_size",
+        ($"doc_id" === $"lbl").as("is_canonical"))
+      .orderBy($"doc_id")
+  }
+
+  /** Rounds the last [[clustersFromPairsStars]] run took (test hook: the
+    * adversarial-chain spec asserts the O(log²) bound actually holds). */
+  private[graft] val lastStarRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The large-star/small-star connected-components core (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond" — the public
+    * alternating algorithm), d07's long-chain swap-in. Where min-label
+    * propagation needs rounds ∝ component diameter (path halving brings
+    * that to O(log d), but each round still drags the full label table
+    * through the join), the star rules RESTRUCTURE the edge set itself:
+    *
+    *  - large-star: every neighbor LARGER than the center links to the
+    *    center's minimum — long tails fold onto local minima;
+    *  - small-star: orient each edge at its larger endpoint; the center
+    *    and its smaller neighbors all link to the smallest — stars
+    *    flatten.
+    *
+    * Alternating the two converges in O(log² n) rounds to one star per
+    * component, centered at the component minimum; every round is two
+    * groupBy-min + join shuffles over the CURRENT edge set (which only
+    * shrinks toward star form — no label table ride-along). Checkpointed
+    * per round like the propagation core; same output contract. */
+  private[graft] def clustersFromPairsStars(docsIn: DataFrame,
+      pairsIn: DataFrame): DataFrame = {
+    import docsIn.sparkSession.implicits._
+    val docs = docsIn.select($"doc_id")
+    def sym(e: DataFrame): DataFrame =
+      e.unionByName(e.select($"v".as("u"), $"u".as("v")))
+    var edges = graft.GraftSession.maybeEagerCheckpoint(
+      sym(pairsIn.select($"doc_a".as("u"), $"doc_b".as("v"))
+        .filter($"u" =!= $"v")).distinct())
+    var round = 0
+    var changed = if (edges.isEmpty) 0L else 1L
+    while (changed > 0 && round < MaxCcRounds) {
+      // large-star: neighbors larger than the center adopt the center's min
+      val minsL = edges.groupBy($"u").agg(min($"v").as("mv"))
+        .select($"u", least($"u", $"mv").as("m"))
+      val large = sym(edges.filter($"v" > $"u").join(minsL, Seq("u"))
+        .select($"v".as("u"), $"m".as("v")).filter($"u" =!= $"v")).distinct()
+      // small-star: orient at the larger endpoint; center and smaller
+      // neighbors all link to the minimum neighbor
+      val or = large.filter($"v" < $"u")
+      val minsS = or.groupBy($"u").agg(min($"v").as("mv"))
+      val small = or.join(minsS, Seq("u"))
+        .filter($"v" =!= $"mv").select($"v".as("u"), $"mv".as("v"))
+        .unionByName(minsS.select($"u", $"mv".as("v")))
+      val next = graft.GraftSession.maybeEagerCheckpoint(sym(small).distinct())
+      changed = next.exceptAll(edges).count() + edges.exceptAll(next).count()
+      edges = next
+      round += 1
+    }
+    lastStarRounds.set(round)
+    require(changed == 0, s"star rounds did not converge in $MaxCcRounds rounds")
+    // converged: each component is one star centered at its minimum, so a
+    // node's label is its smallest neighbor (or itself, at the center)
+    val labels = edges.groupBy($"u").agg(min($"v").as("mv"))
+      .select($"u".as("doc_id"), least($"u", $"mv").as("lbl"))
+    val withSingletons = labels.unionByName(
+      docs.join(labels.select($"doc_id"), Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"doc_id".as("lbl")))
     val sizes = withSingletons.groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
     withSingletons
       .join(sizes, Seq("lbl"))
