@@ -3,19 +3,34 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scaling probe for the round-5 reshaped linear operators: replicate the
-  * sf corpus N× (id-shifted), land it in parquet so scans are realistic,
-  * and time d10 / d11 / p04 at each multiple. Linear wall-clock growth is
-  * the evidence that no hidden super-linear term (pair space, single-task
+/** Scaling probe for the reshaped/bounded operators: replicate the sf
+  * corpus N× (id-shifted), land it in parquet so scans are realistic, and
+  * time each operator at each multiple. Linear wall-clock growth is the
+  * evidence that no hidden super-linear term (pair space, single-task
   * materialization) survives — the 100-TB question asked at a scale this
-  * box can answer. Run:
-  * `SPARK_GRAFT_MULT=8 sbt "runMain graft.ScalingProbe"`; results are
-  * recorded in PERF.md, not parsed by the driver. */
+  * box can answer.
+  *
+  * Two adversarial corpora:
+  *  - **hot**: text replicated VERBATIM — every shingle and every LSH band
+  *    key is corpus-hot (df ≥ mult). This is the shape the CAPS defend
+  *    against: d02's stop-shingle cap and d03's mega-bucket guard must
+  *    bound the pair space here (the uncapped pair space grows ∝ mult²;
+  *    the cross-replica dup SETS themselves belong to the linear-per-doc
+  *    hash/cluster forms d01/d10/d07, not pairwise enumeration).
+  *  - **uniq**: every token suffixed per replica — shingles stay
+  *    replica-local, so the TRUE near-dup pair volume grows ∝ corpus and
+  *    the probe measures pair-path volume linearity.
+  *
+  * Run: `SPARK_GRAFT_MULT=8 SPARK_GRAFT_PROBE=linear,pairs
+  * sbt "runMain graft.ScalingProbe"`; results are recorded in PERF.md,
+  * not parsed by the driver. */
 object ScalingProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "8").toInt
+    val probes = sys.env.getOrElse("SPARK_GRAFT_PROBE", "linear,pairs")
+      .split(",").map(_.trim).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,23 +43,44 @@ object ScalingProbe {
 
     val base = graft.sources.Tables.documents(spark, sfDir)
       .select($"doc_id", $"text")
-    val big = (0 until mult)
-      .map(i => base.select(($"doc_id" + lit(i.toLong * 10000000L)).as("doc_id"), $"text"))
-      .reduce(_ unionByName _)
-    val dir = s"/tmp/graft_scale_probe_$mult"
-    big.write.mode("overwrite").parquet(dir)
-    val docs = spark.read.parquet(dir)
-    val n = docs.count()
+    def replicate(perReplica: Int => DataFrame): DataFrame =
+      (0 until mult).map(perReplica).reduce(_ unionByName _)
+    def land(df: DataFrame, dir: String): DataFrame = {
+      df.write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+    val hotDir = s"/tmp/graft_scale_probe_$mult"
+    val hot = land(replicate(i => base.select(
+      ($"doc_id" + lit(i.toLong * 10000000L)).as("doc_id"), $"text")), hotDir)
+    val n = hot.count()
 
     def timed(fn: => DataFrame): Double = {
       val t0 = System.nanoTime()
       fn.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val d10 = timed(graft.dedup.Dedup.normalizedDedupFrom(docs))
-    val d11 = timed(graft.dedup.Dedup.spanDedupFrom(docs))
-    val p04 = timed(graft.operators.Curation.sequencePackFrom(docs))
-    println(f"""{"probe":"scale","mult":$mult,"docs":$n,"d10":$d10%.2f,"d11":$d11%.2f,"p04":$p04%.2f}""")
+    val out = scala.collection.mutable.LinkedHashMap[String, Double]()
+    if (probes("linear")) {
+      out("d10") = timed(graft.dedup.Dedup.normalizedDedupFrom(hot))
+      out("d11") = timed(graft.dedup.Dedup.spanDedupFrom(hot))
+      out("p04") = timed(graft.operators.Curation.sequencePackFrom(hot))
+    }
+    if (probes("pairs")) {
+      import graft.dedup.Dedup
+      // uniq corpus only built when the pair probes run (it needs its own
+      // parquet landing to keep scan costs comparable)
+      val uniq = land(replicate(i => base.select(
+        ($"doc_id" + lit(i.toLong * 10000000L)).as("doc_id"),
+        regexp_replace($"text", "(\\S+)", "$1_" + i).as("text"))),
+        s"/tmp/graft_scale_probe_uniq_$mult")
+      out("d02_hot") = timed(Dedup.jaccardPairsFrom(hot, Dedup.MaxShingleDf))
+      out("d02_uniq") = timed(Dedup.jaccardPairsFrom(uniq, Dedup.MaxShingleDf))
+      out("d03_hotcap") = timed(Dedup.minhashLshFrom(hot, bucketCap = 64))
+      out("d03_uniq") = timed(Dedup.minhashLshFrom(uniq))
+      out("d08_uniq") = timed(Dedup.incrementalDedupFrom(uniq))
+    }
+    val qs = out.map { case (k, v) => "\"" + k + f"""":$v%.2f""" }.mkString(",")
+    println(s"""{"probe":"scale","mult":$mult,"docs":$n,$qs}""")
     spark.stop()
   }
 }

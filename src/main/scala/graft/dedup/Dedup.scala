@@ -322,11 +322,19 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- d03
-  /** MinHash + LSH banding: per-doc K-wide signature over shingle hashes,
-    * band keys shuffle candidates together, then exact Jaccard verifies.
-    * The brute pair space is never materialized. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** Per-doc exploded LSH band keys, with the optional MEGA-BUCKET guard
+    * (`bucketCap`) — the banding analogue of d02's stop-shingle cap. A
+    * band bucket of B docs yields B²/2 candidate pairs, and a bucket is
+    * only ever mega-sized when its members are (near-)identical en masse
+    * — a dup SET, whose pairwise enumeration is quadratic in the OUTPUT,
+    * not an algorithmic inefficiency. A 100-TB deployment routes buckets
+    * over the cap to the linear-per-doc cluster form (d01/d10 exact hash
+    * groups, or d07's components) instead of emitting their pairs; the
+    * driver-gated d03/d08 rows keep the cap OFF (full pair contract,
+    * oracle-exact). ScalingProbe measures both shapes. */
+  private[graft] def minhashBandsFrom(docs: DataFrame,
+      bucketCap: Int = Int.MaxValue): DataFrame = {
+    import docs.sparkSession.implicits._
     // All K signatures in one map-side pass (native MinHashSigs over the
     // doc's shingle-hash array): no explode, no K-wide aggregate, no
     // shuffle before banding. The eager checkpoint materializes them once
@@ -337,18 +345,40 @@ object Dedup {
     // like the oracle's exploded-shingle CTE does (their all-MaxValue
     // signatures would otherwise band every short doc together and divide
     // 0/0 in verify)
-    val sig = graft.GraftSession.maybeEagerCheckpoint(
-      minhashSignatures(Tables.documents(spark, dir)))
+    val sig = graft.GraftSession.maybeEagerCheckpoint(minhashSignatures(docs))
     val bands = sig
       .select($"doc_id", explode(bandArray($"sigs")).as("bb"))
       .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
+    if (bucketCap == Int.MaxValue) bands
+    else {
+      val sizes = bands.groupBy($"band", $"bkey").agg(count(lit(1)).as("bn"))
+      bands.join(sizes.filter($"bn" <= bucketCap), Seq("band", "bkey"))
+        // USING-join output leads with the join keys; downstream callers
+        // rename POSITIONALLY via toDF — restore the (doc_id, band, bkey)
+        // contract or the rename scrambles ids with band keys
+        .select($"doc_id", $"band", $"bkey")
+    }
+  }
+
+  /** MinHash + LSH banding: per-doc K-wide signature over shingle hashes,
+    * band keys shuffle candidates together, then exact Jaccard verifies.
+    * The brute pair space is never materialized. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshFrom(Tables.documents(spark, dir))
+
+  /** [[minhashLsh]] over any documents frame (ScalingProbe / tests);
+    * `bucketCap` engages the mega-bucket guard (see [[minhashBandsFrom]]). */
+  private[graft] def minhashLshFrom(docs: DataFrame,
+      bucketCap: Int = Int.MaxValue): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bands = minhashBandsFrom(docs, bucketCap)
     val cand = bands.toDF("doc_a", "band", "bkey")
       .join(bands.toDF("doc_b", "band", "bkey"), Seq("band", "bkey"))
       .filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b").distinct()
     // Verify ONLY the LSH candidates (never the full pair space): join the
     // per-doc shingle arrays and intersect — codegen'd, bounded per pair.
-    val ds = graft.GraftSession.maybeCache(docShingles(spark, dir))
+    val ds = graft.GraftSession.maybeCache(docShinglesFrom(docs))
     cand
       .join(ds.toDF("doc_a", "sha"), Seq("doc_a"))
       .join(ds.toDF("doc_b", "shb"), Seq("doc_b"))
@@ -409,14 +439,17 @@ object Dedup {
     * exact-Jaccard verify; unmatched delta docs pass through admitted.
     * The cutoff derives from a 1-row aggregate broadcast — no driver
     * action. */
-  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docs = Tables.documents(spark, dir)
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame =
+    incrementalDedupFrom(Tables.documents(spark, dir))
+
+  /** [[incrementalDedup]] over any documents frame (ScalingProbe / tests);
+    * `bucketCap` engages the mega-bucket guard (see [[minhashBandsFrom]]). */
+  private[graft] def incrementalDedupFrom(docs: DataFrame,
+      bucketCap: Int = Int.MaxValue): DataFrame = {
+    import docs.sparkSession.implicits._
     val cutoff = docs.agg(
       floor(max($"doc_id") * DeltaFraction).cast("long").as("cutoff"))
-    val bands = minhashSignatures(docs)
-      .withColumn("bb", explode(bandArray($"sigs")))
-      .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
+    val bands = minhashBandsFrom(docs, bucketCap)
       .crossJoin(broadcast(cutoff))
     val deltaBands = bands.filter($"doc_id" >= $"cutoff")
       .select($"doc_id".as("doc_b"), $"band", $"bkey")
@@ -424,7 +457,7 @@ object Dedup {
       .join(deltaBands, Seq("band", "bkey"))
       .filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b").distinct()
-    val ds = graft.GraftSession.maybeCache(docShingles(spark, dir))
+    val ds = graft.GraftSession.maybeCache(docShinglesFrom(docs))
     val dups = cand
       .join(ds.toDF("doc_a", "sha"), Seq("doc_a"))
       .join(ds.toDF("doc_b", "shb"), Seq("doc_b"))

@@ -624,6 +624,18 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d03: the mega-bucket guard is a no-op when no bucket exceeds the cap") {
+    val docs = sources.Tables.documents(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = rows(dedup.Dedup.minhashLsh(spark, sf))
+    assert(uncapped.nonEmpty)
+    // cap far above any sf bucket: identical pair set
+    assert(rows(dedup.Dedup.minhashLshFrom(docs, bucketCap = 1 << 20)) == uncapped)
+    // cap of 1 drops every bucket that could ever pair: empty pair set
+    assert(dedup.Dedup.minhashLshFrom(docs, bucketCap = 1).isEmpty)
+  }
+
   test("p08: curriculum sequence is a 0..n-1 permutation with non-decreasing bands") {
     val rows = operators.Curation.curriculum(spark, sf).collect()
     assert(rows.nonEmpty)
