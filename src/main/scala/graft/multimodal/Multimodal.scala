@@ -8,13 +8,15 @@ import graft.sources.Tables
 /** Multimodal column handling (SURVEY.md §2 m-rows): media payloads are
   * opaque `binary` columns with typed metadata travelling alongside.
   *
-  * The decode boundary carries REAL codecs — PNG/JPEG/GIF raster
-  * dimensions via `javax.imageio` and WAV channel/duration via a RIFF
-  * chunk walk (all JDK-builtin, see [[decodeFeaturesFrom]]) — proving
-  * the mapPartitions plumbing takes actual libraries; only VIDEO decode
-  * stays STUBBED (no container parser ships with the JDK) behind the
-  * same boundary with a deterministic fake, so pipelines downstream of
-  * decode are testable. At scale the binary column stays columnar in
+  * The decode boundary carries REAL parsers — PNG/JPEG/GIF raster
+  * dimensions via `javax.imageio`, WAV channel/duration via a RIFF
+  * chunk walk, and MP4/ISO-BMFF video dimensions+duration via a box
+  * walk (`mvhd`/`tkhd`, see [[mp4Info]]) — all JDK-builtin, proving
+  * the mapPartitions plumbing takes actual format libraries. Only
+  * video FRAME decode stays STUBBED (m03: pixel decoding needs codec
+  * libraries this container doesn't ship) behind the same boundary
+  * with a deterministic fake, so pipelines downstream of decode are
+  * testable. At scale the binary column stays columnar in
   * parquet and the decode is a mapPartitions over arrow-sized batches;
   * nothing here ever collects to the driver.
   */
@@ -87,14 +89,93 @@ object Multimodal {
     else None
   }
 
-  /** Decoder at the mapPartitions boundary. The PNG branch is REAL — it
-    * decodes width/height/channels with `javax.imageio` (ships with the
-    * JDK, so this container can prove the boundary carries an actual
-    * codec library); audio/video and non-PNG images keep the
-    * deterministic stub (`???` in a real deployment: those codecs are
-    * not installed here). Either way the per-record work is bounded and
-    * nothing collects to the driver — swapping a stub branch for a codec
-    * call changes no plumbing. */
+  /** Minimal REAL MP4 (ISO base media file format) metadata parse — a
+    * recursive box walk (`[size:4 BE][type:4][payload]`; size 1 → 64-bit
+    * largesize, size 0 → to-end-of-enclosing) through `moov` for:
+    *
+    *  - `mvhd` — movie timescale + duration → duration_ms (v0 and v1
+    *    layouts both handled; v1 widens the three time fields to 64 bits);
+    *  - `trak`/`tkhd` — presentation width/height as 16.16 fixed-point
+    *    (the video track carries non-zero dims, audio tracks zero; the
+    *    max across tracks is the raster).
+    *
+    * Returns (width, height, duration_ms); None for anything that is not
+    * a well-formed BMFF file (bad magic, lying box sizes, missing mvhd),
+    * so corrupt/truncated payloads fall to the stub instead of failing
+    * the task — the same totality contract as [[wavInfo]]. This is a
+    * CONTAINER parse, not a codec: sample data in `mdat` is never touched
+    * (decoding it is m03's declared stub — it needs real codec libs). */
+  private[graft] def mp4Info(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+    if (b.length < 12 || tag(4) != "ftyp") return None
+    var durationMs = -1L
+    var w = 0
+    var h = 0
+    // Walk the sibling boxes in [start, end); recurse into moov/trak only
+    // (depth guards against crafted self-nesting). False = malformed.
+    def walk(start: Long, end: Long, depth: Int): Boolean = {
+      var off = start
+      while (off + 8 <= end) {
+        val o = off.toInt
+        val size0 = u32(o)
+        var hdr = 8L
+        val size =
+          if (size0 == 1L && off + 16 <= end) { hdr = 16L; u64(o + 8) }
+          else if (size0 == 0L) end - off
+          else size0
+        if (size < hdr || off + size > end) return false
+        val id = tag(o + 4)
+        val body = (off + hdr).toInt
+        val boxEnd = off + size
+        id match {
+          case "moov" if depth == 0 =>
+            if (!walk(body, boxEnd, 1)) return false
+          case "trak" if depth == 1 =>
+            if (!walk(body, boxEnd, 2)) return false
+          case "mvhd" if depth == 1 && body + 1 <= boxEnd =>
+            val v = b(body) & 0xff
+            if (v == 1 && body + 32 <= boxEnd) {
+              // v1: vflags 4 + creation 8 + modification 8 -> ts@+20, dur 8
+              val ts = u32(body + 20)
+              if (ts > 0) durationMs = u64(body + 24) * 1000L / ts
+            } else if (v == 0 && body + 20 <= boxEnd) {
+              // v0: vflags 4 + creation 4 + modification 4 -> ts@+12, dur 4
+              val ts = u32(body + 12)
+              if (ts > 0) durationMs = u32(body + 16) * 1000L / ts
+            }
+          case "tkhd" if depth == 2 && body + 1 <= boxEnd =>
+            val v = b(body) & 0xff
+            // after vflags: times/track_ID/reserved/duration = 32 (v1) or
+            // 20 (v0) bytes, then reserved 8 + layer block 8 + matrix 36,
+            // then width/height as 16.16 fixed-point
+            val whOff = body + 4 + (if (v == 1) 32 else 20) + 52
+            if (whOff + 8 <= boxEnd) {
+              w = math.max(w, (u32(whOff) >> 16).toInt)
+              h = math.max(h, (u32(whOff + 4) >> 16).toInt)
+            }
+          case _ => () // ftyp/mdat/free/udta/...: skip without reading
+        }
+        off = boxEnd
+      }
+      true
+    }
+    if (walk(0, b.length.toLong, 0) && durationMs >= 0) Some((w, h, durationMs))
+    else None
+  }
+
+  /** Decoder at the mapPartitions boundary. The image branch is REAL —
+    * it decodes PNG/JPEG/GIF width/height/channels with `javax.imageio`
+    * (ships with the JDK, so this container can prove the boundary
+    * carries an actual codec library); WAV and MP4 payloads parse real
+    * header metadata ([[wavInfo]], [[mp4Info]]); everything else keeps
+    * the deterministic stub (`???` in a real deployment: those codecs
+    * are not installed here). Either way the per-record work is bounded
+    * and nothing collects to the driver — swapping a stub branch for a
+    * codec call changes no plumbing. */
   def decodeFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] =
     decodeFeaturesFrom(withPayload(spark, dir))
 
@@ -126,14 +207,21 @@ object Multimodal {
                 // real audio: no raster, duration from the RIFF header
                 MediaFeatures(id, mt, len, width = 0, height = 0,
                   channels = channels, duration_ms = durMs)
-              case None =>
-                // ??? <- real VIDEO codec call goes here (no container
-                // parser ships with the JDK); deterministic fake instead:
-                MediaFeatures(id, mt, len,
-                  width = (len % 640).toInt + 1,
-                  height = ((len * 7) % 480).toInt + 1,
-                  channels = 3,
-                  duration_ms = len * 40)
+              case None => mp4Info(payload) match {
+                case Some((w, h, durMs)) =>
+                  // real video CONTAINER metadata (tkhd dims, mvhd
+                  // duration); channels=0: sample decode is m03's stub
+                  MediaFeatures(id, mt, len, width = w, height = h,
+                    channels = 0, duration_ms = durMs)
+                case None =>
+                  // ??? <- real FRAME decode goes here (needs codec libs
+                  // not in this container); deterministic fake instead:
+                  MediaFeatures(id, mt, len,
+                    width = (len % 640).toInt + 1,
+                    height = ((len * 7) % 480).toInt + 1,
+                    channels = 3,
+                    duration_ms = len * 40)
+              }
             }
           }
         }

@@ -392,6 +392,52 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r(3L).duration_ms == corrupt.length.toLong * 40)
   }
 
+  test("m01: MP4 box walk parses real track dims and movie duration; corrupt files fall to the stub") {
+    import TestSpark.spark.implicits._
+    def be32(v: Long) = Array[Byte](
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def box(tp: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ tp.getBytes("US-ASCII") ++ payload
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(512) ++ "isom".getBytes ++ "mp41".getBytes)
+    // mvhd v0: vflags, creation, modification, timescale 600, duration
+    // 1500 ticks (= 2500 ms), then rate/volume/reserved/matrix/next (80)
+    val mvhd0 = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(600) ++
+      be32(1500) ++ Array.fill[Byte](80)(0))
+    // tkhd v0: vflags(7=enabled), creation, modification, track 1,
+    // reserved, duration, reserved 16 + matrix 36, then 16.16 dims
+    val tkhd0 = box("tkhd", be32(7) ++ be32(0) ++ be32(0) ++ be32(1) ++
+      be32(0) ++ be32(1500) ++ Array.fill[Byte](52)(0) ++
+      be32(320L << 16) ++ be32(240L << 16))
+    val mdat = box("mdat", Array.tabulate[Byte](96)(i => (i * 17).toByte))
+    val mp4 = ftyp ++ box("moov", mvhd0 ++ box("trak", tkhd0)) ++ mdat
+    assert(multimodal.Multimodal.mp4Info(mp4).contains((320, 240, 2500L)))
+    // v1 layout: 64-bit times; audio trak (zero dims) must not shadow
+    // the video trak's raster
+    val mvhd1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+      be32(600) ++ be64(3000) ++ Array.fill[Byte](80)(0))
+    val tkhd1 = box("tkhd", Array[Byte](1, 0, 0, 7) ++ be64(0) ++ be64(0) ++
+      be32(1) ++ be32(0) ++ be64(3000) ++ Array.fill[Byte](52)(0) ++
+      be32(640L << 16) ++ be32(480L << 16))
+    val audioTrak = box("trak", box("tkhd", be32(7) ++ be32(0) ++ be32(0) ++
+      be32(2) ++ be32(0) ++ be32(1500) ++ Array.fill[Byte](52)(0) ++
+      be32(0) ++ be32(0)))
+    val mp4v1 = ftyp ++ box("moov", mvhd1 ++ box("trak", tkhd1) ++ audioTrak)
+    assert(multimodal.Multimodal.mp4Info(mp4v1).contains((640, 480, 5000L)))
+    // malformed inputs return None (bad magic, lying size, no mvhd)
+    assert(multimodal.Multimodal.mp4Info(mdat ++ mp4).isEmpty)
+    assert(multimodal.Multimodal.mp4Info(mp4.dropRight(40)).isEmpty)
+    assert(multimodal.Multimodal.mp4Info(ftyp ++ box("moov", Array.empty)).isEmpty)
+    val docs = Seq((1L, "video", mp4), (2L, "video", mp4.take(30)))
+      .toDF("doc_id", "media_type", "payload")
+    val r = multimodal.Multimodal.decodeFeaturesFrom(docs)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(r(1L).width == 320 && r(1L).height == 240 &&
+      r(1L).duration_ms == 2500L && r(1L).channels == 0)
+    // truncated container: total boundary, stub features
+    assert(r(2L).width == (30 % 640) + 1 && r(2L).duration_ms == 30L * 40)
+  }
+
   test("m03: frame sampling is bounded, contiguous and covers every video doc") {
     import TestSpark.spark.implicits._
     val fr = multimodal.Multimodal.frameSamples(spark, sf).cache()
