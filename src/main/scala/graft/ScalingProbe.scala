@@ -23,7 +23,15 @@ import org.apache.spark.sql.functions._
   *
   * Run: `SPARK_GRAFT_MULT=8 SPARK_GRAFT_PROBE=linear,pairs
   * sbt "runMain graft.ScalingProbe"`; results are recorded in PERF.md,
-  * not parsed by the driver. */
+  * not parsed by the driver.
+  *
+  * `SPARK_GRAFT_PROBE` also accepts individual entry names (`d02_hot`,
+  * `d08_uniq`, ...) so one entry can be timed in a FRESH JVM — inside a
+  * single run, every entry after the first inherits the session caches
+  * (and their eviction pressure) of the ones before it, which skews
+  * growth factors between multiples. `SPARK_GRAFT_REUSE=1` skips
+  * re-landing a corpus whose parquet dir already exists (per-entry runs
+  * then pay only their own operator). */
 object ScalingProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -45,8 +53,11 @@ object ScalingProbe {
       .select($"doc_id", $"text")
     def replicate(perReplica: Int => DataFrame): DataFrame =
       (0 until mult).map(perReplica).reduce(_ unionByName _)
-    def land(df: DataFrame, dir: String): DataFrame = {
-      df.write.mode("overwrite").parquet(dir)
+    val reuse = sys.env.get("SPARK_GRAFT_REUSE").contains("1")
+    def land(df: => DataFrame, dir: String): DataFrame = {
+      if (!(reuse && java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dir, "_SUCCESS"))))
+        df.write.mode("overwrite").parquet(dir)
       spark.read.parquet(dir)
     }
     val hotDir = s"/tmp/graft_scale_probe_$mult"
@@ -60,24 +71,35 @@ object ScalingProbe {
       (System.nanoTime() - t0) / 1e9
     }
     val out = scala.collection.mutable.LinkedHashMap[String, Double]()
-    if (probes("linear")) {
+    // group key or the entry's own name selects it; entry-name selection
+    // is the per-entry fresh-JVM mode
+    def on(group: String, name: String) = probes(group) || probes(name)
+    if (on("linear", "d10"))
       out("d10") = timed(graft.dedup.Dedup.normalizedDedupFrom(hot))
+    if (on("linear", "d11"))
       out("d11") = timed(graft.dedup.Dedup.spanDedupFrom(hot))
+    if (on("linear", "p04"))
       out("p04") = timed(graft.operators.Curation.sequencePackFrom(hot))
-    }
-    if (probes("pairs")) {
+    val pairEntries = Seq("d02_hot", "d02_uniq", "d03_hotcap", "d03_uniq", "d08_uniq")
+    if (probes("pairs") || pairEntries.exists(probes)) {
       import graft.dedup.Dedup
       // uniq corpus only built when the pair probes run (it needs its own
-      // parquet landing to keep scan costs comparable)
-      val uniq = land(replicate(i => base.select(
+      // parquet landing to keep scan costs comparable); lazy so hot-only
+      // entry runs skip the landing entirely
+      lazy val uniq = land(replicate(i => base.select(
         ($"doc_id" + lit(i.toLong * 10000000L)).as("doc_id"),
         regexp_replace($"text", "(\\S+)", "$1_" + i).as("text"))),
         s"/tmp/graft_scale_probe_uniq_$mult")
-      out("d02_hot") = timed(Dedup.jaccardPairsFrom(hot, Dedup.MaxShingleDf))
-      out("d02_uniq") = timed(Dedup.jaccardPairsFrom(uniq, Dedup.MaxShingleDf))
-      out("d03_hotcap") = timed(Dedup.minhashLshFrom(hot, bucketCap = 64))
-      out("d03_uniq") = timed(Dedup.minhashLshFrom(uniq))
-      out("d08_uniq") = timed(Dedup.incrementalDedupFrom(uniq))
+      if (on("pairs", "d02_hot"))
+        out("d02_hot") = timed(Dedup.jaccardPairsFrom(hot, Dedup.MaxShingleDf))
+      if (on("pairs", "d02_uniq"))
+        out("d02_uniq") = timed(Dedup.jaccardPairsFrom(uniq, Dedup.MaxShingleDf))
+      if (on("pairs", "d03_hotcap"))
+        out("d03_hotcap") = timed(Dedup.minhashLshFrom(hot, bucketCap = 64))
+      if (on("pairs", "d03_uniq"))
+        out("d03_uniq") = timed(Dedup.minhashLshFrom(uniq))
+      if (on("pairs", "d08_uniq"))
+        out("d08_uniq") = timed(Dedup.incrementalDedupFrom(uniq))
     }
     val qs = out.map { case (k, v) => "\"" + k + f"""":$v%.2f""" }.mkString(",")
     println(s"""{"probe":"scale","mult":$mult,"docs":$n,$qs}""")
