@@ -241,6 +241,74 @@ object EventStream {
         $"purchase_id", $"purchase_ts", $"purchase_cents")
   }
 
+  /** v04's batch twin as a DRIVER-GATED query row (v04b): identical cohort
+    * enrichment + per-cohort aggregation over the batch events table. No
+    * broadcast hint here, unlike the streaming form: the cohort dim has
+    * user cardinality, which is NOT metadata-scale at 100 TB — the join
+    * shuffles on user_id and AQE demotes it to broadcast when the dim
+    * actually fits. StreamingSpec asserts the streaming counts equal THIS
+    * function's output, so the driver's oracle anchors v04 transitively. */
+  def streamStaticJoinBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cohorts = Tables.events(spark, dir)
+      .select($"user_id").distinct()
+      .withColumn("cohort", ($"user_id" % 3).cast("int"))
+    Tables.events(spark, dir)
+      .join(cohorts, Seq("user_id"))
+      .groupBy($"cohort", $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"cohort", $"event_type")
+  }
+
+  /** Oracle for v04b. Every event's user joins to exactly one cohort row,
+    * so the enrichment join telescopes to a direct expression. */
+  val streamStaticJoinBatchSql: String =
+    """SELECT CAST(user_id % 3 AS INTEGER) AS cohort, event_type, count(*) AS n
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** v08's batch twin as a DRIVER-GATED query row (v08b): the same
+    * attribution join (purchase within the hour after a view, same user)
+    * over the batch table. Equi-join on user_id with a residual range
+    * predicate — SMJ/shuffle-hash on user_id at scale, per-user fanout
+    * bounded by the interval; never a cross product. Timestamps emitted as
+    * epoch micros (timestamp-typed outputs hash differently across
+    * engines — SURVEY.md §6). StreamingSpec asserts v08's emitted pair set
+    * is a subset of (and ≥80% of) THIS join's pairs. */
+  def viewToPurchaseBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), unix_micros($"ts").as("view_us"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_uid"), $"event_id".as("purchase_id"),
+        unix_micros($"ts").as("purchase_us"),
+        floor($"value" * 100.0 + 0.5).cast("long").as("purchase_cents"))
+    views.join(purchases,
+      $"user_id" === $"p_uid" &&
+        $"purchase_us" > $"view_us" &&
+        $"purchase_us" <= $"view_us" + lit(3600L * 1000000L))
+      .select($"user_id", $"view_id", $"view_us",
+        $"purchase_id", $"purchase_us", $"purchase_cents")
+      .orderBy($"user_id", $"view_id", $"purchase_id")
+  }
+
+  val viewToPurchaseBatchSql: String =
+    Tables.eventsOracleCte + ",\n" +
+      """v AS (
+        |  SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_us
+        |  FROM events_us WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS purchase_cents
+        |  FROM events_us WHERE event_type = 'purchase')
+        |SELECT v.user_id, view_id, view_us, purchase_id, purchase_us, purchase_cents
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND purchase_us > view_us
+        |  AND purchase_us <= view_us + 3600000000
+        |ORDER BY v.user_id, view_id, purchase_id""".stripMargin
+
   final case class SessionUpdate(user_id: Long, session_start_us: Long,
       n_events: Long, total_cents: Long, closed: Boolean)
   /** Public: Spark's state encoder codegen needs constructor access. */

@@ -94,9 +94,10 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.outputMode("complete").format("memory").queryName("v04_out").start()
     try { q.processAllAvailable() } finally { q.stop() }
     val got = spark.table("v04_out")
-    val batch = sources.Tables.events(spark, sf)
-      .withColumn("cohort", (col("user_id") % 3).cast("int"))
-      .groupBy("cohort", "event_type").agg(count(lit(1)).as("bn"))
+    // the driver-gated batch twin (v04b) is the comparison side, so the
+    // DuckDB oracle anchors the streaming counts transitively
+    val batch = streaming.EventStream.streamStaticJoinBatch(spark, sf)
+      .withColumnRenamed("n", "bn")
     val joined = got.join(batch, Seq("cohort", "event_type"))
     assert(joined.count() == got.count() && got.count() > 0)
     assert(joined.filter(col("n") =!= col("bn")).count() == 0)
@@ -194,14 +195,9 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.outputMode("append").format("memory").queryName("v08_out").start()
     try { q.processAllAvailable() } finally { q.stop() }
     val got = spark.table("v08_out")
-    val ev = sources.Tables.events(spark, sf)
-    val batch = ev.filter(col("event_type") === "view")
-      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
-      .join(ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts")),
-        Seq("user_id"))
-      .filter(col("purchase_ts") > col("view_ts") &&
-        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+    // the driver-gated batch twin (v08b) is the comparison side, so the
+    // DuckDB oracle anchors the streaming pair set transitively
+    val batch = streaming.EventStream.viewToPurchaseBatch(spark, sf)
     assert(got.count() > 0)
     // append emits once both watermarks close a match; on a replayed static
     // file everything except the trailing horizon closes — every emitted
