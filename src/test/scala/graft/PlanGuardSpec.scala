@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+import org.apache.spark.sql.catalyst.plans.Cross
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LocalRelation, LogicalPlan, OneRowRelation, UnaryNode, Window => LWindow}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Engine-wide plan-regression guard for the anti-pattern class rounds
@@ -46,5 +47,44 @@ class PlanGuardSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty,
       s"unpartitioned windows found in:\n  ${offenders.mkString("\n  ")}")
+  }
+
+  /** A join side whose cardinality is bounded by CONSTRUCTION, not by
+    * data: literal rows (condition grids), the 1-row relation, or a
+    * global aggregate (no grouping keys ⇒ exactly one row). Unary
+    * wrappers (project/filter/alias/explode-over-literals) preserve the
+    * bound — every child row count is already literal-bounded. */
+  private def boundedSide(p: LogicalPlan): Boolean = p match {
+    case _: LocalRelation => true
+    case _: OneRowRelation => true
+    case a: Aggregate if a.groupingExpressions.isEmpty => true
+    case u: UnaryNode => boundedSide(u.child)
+    case j: Join => boundedSide(j.left) && boundedSide(j.right)
+    case _ => false
+  }
+
+  /** Declared all-pairs baselines: s01 exists to be the verified
+    * brute-force comparison for the bucketed ANN paths — its cross join
+    * IS the operator. Nothing else may plan an unbounded cross join. */
+  private val crossJoinBaselines = Set("s01_ann_bruteforce")
+
+  test("plan guard: every cross join has a metadata-bounded side (no accidental all-pairs)") {
+    var seen = 0
+    val offenders = lazyQueries.filterNot(crossJoinBaselines).flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      val crosses = plan.collect {
+        case j: Join if j.condition.isEmpty || j.joinType == Cross => j
+      }
+      seen += crosses.size
+      val bad = crosses.filterNot(j => boundedSide(j.left) || boundedSide(j.right))
+      if (bad.nonEmpty) Some(s"$name (${bad.size} unbounded cross join(s))")
+      else None
+    }
+    // non-vacuity: the guarded set DOES contain deliberate bounded cross
+    // joins (literal grids, 1-row scalar aggregates) — if this ever hits
+    // zero the collect pattern rotted, not the engine
+    assert(seen > 0, "guard went vacuous: no cross joins matched at all")
+    assert(offenders.isEmpty,
+      s"unbounded cross joins found in:\n  ${offenders.mkString("\n  ")}")
   }
 }
