@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical shuffle-count regression guard.
+  *
+  * SURVEY.md §5's partition-strategy claims ("one shuffle on the series
+  * key, windows reuse the partitioning") are load-bearing at 100 TB — an
+  * accidental second exchange on a 100 TB input is the single most
+  * expensive plan regression an edit can introduce, and nothing else in
+  * the suite would notice: results stay correct, only the shuffle volume
+  * explodes. This spec pins the exchange count of the queries whose §5
+  * claims name a specific shuffle structure.
+  *
+  * Counts come from the STATIC plan (AQE's initialPlan) at the test SF,
+  * where they are deterministic. Join-bearing queries whose exchange
+  * count depends on broadcast size estimates (q05, v04b, ...) are pinned
+  * with the count the current testdata plans — if a testdata regen flips
+  * a borderline broadcast, the assertion message says exactly what moved
+  * and the new count can be re-audited rather than silently accepted. */
+class ShuffleGuardSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def shuffles(p: SparkPlan): Int = {
+    val inner = p match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    inner.collect { case _: ShuffleExchangeLike => 1 }.sum +
+      inner.subqueries.map(shuffles).sum
+  }
+
+  /** query → audited exchange count (see the claim next to each). */
+  private val budgets: Map[String, Int] = Map(
+    "q01_pricing_summary" -> 2,  // one agg shuffle + output sort
+    "q02_filter_project" -> 1,   // pushdown leaves only the output sort
+    "q06_forecast_revenue" -> 1, // scalar agg: single final-merge exchange
+    "q09_rollup" -> 2,           // rollup agg + output sort
+    "q10_window_rank" -> 2,      // window hash + output sort
+    "t01_token_count" -> 1,      // map-side tokenize, one ordering exchange
+    "r02_ohlc_bars" -> 2,        // series-key shuffle REUSED by window+agg, + sort
+    "r04_cci" -> 1,              // flagship: ONE series-key shuffle, window reuses it
+    "v01_sessionize" -> 2,       // ONE user_id shuffle (lag + cumsum + groupBy), + sort
+    "v02b_windowed_counts" -> 2, // tumbling agg + sort
+    "v11b_session_windows" -> 2, // session_window agg + sort
+    "d01_dedup_exact" -> 2,      // hash groupBy + sort
+    "v08b_attribution_join" -> 1 // purchases side broadcast at this SF, + sort
+  )
+
+  test("shuffle guard: audited queries keep their exchange counts") {
+    val moved = budgets.toSeq.sortBy(_._1).flatMap { case (name, want) =>
+      val got = shuffles(SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
+      if (got != want) Some(s"$name planned $got exchanges, audited $want")
+      else None
+    }
+    assert(moved.isEmpty,
+      "shuffle structure changed — re-audit before accepting:\n  " +
+        moved.mkString("\n  "))
+  }
+}
