@@ -393,7 +393,7 @@ object Dedup {
   /** jaccardCtes + the minhash signature / band-key CTEs (`sig`, `bands`)
     * — the oracle-side twin of [[minhashSignatures]] + [[bandArray]],
     * shared by d03 and d08. */
-  private lazy val lshBandCtes: String = {
+  private[graft] lazy val lshBandCtes: String = {
     val sigExprs = (0 until MinHashK)
       .map(i => s"min((x * ${hashA(i)} + ${hashB(i)}) % ${F.HashP}) AS h$i")
       .mkString(",\n    ")

@@ -469,6 +469,68 @@ object TextAnalysis {
          |FROM sz LEFT JOIN ov ON ov.doc_id = sz.doc_id
          |ORDER BY sz.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t11
+  /** t11: FUZZY benchmark decontamination. t06 flags train docs whose
+    * shingle vocabulary overlaps the eval set IN AGGREGATE; this flags
+    * train docs that are near-duplicates of a SPECIFIC eval doc —
+    * MinHash-LSH candidates between the train and eval partitions of the
+    * corpus, verified with exact Jaccard — the paraphrased/reformatted
+    * contamination an aggregate-overlap ratio underestimates. Same
+    * held-out set as t06 (every [[EvalStride]]-th doc), same near-dup
+    * threshold as d03 ([[graft.dedup.Dedup.JaccardThreshold]]).
+    *
+    * Scale shape: d03's machinery end-to-end — band keys shuffle train
+    * and eval docs together, so train × eval all-pairs is never built;
+    * per-bucket fan-out is |bucket∩train| × |bucket∩eval|, and the eval
+    * side is benchmark-sized by construction. Verification (exact
+    * intersect) touches only candidate pairs. */
+  def decontaminateFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val docs = Tables.documents(spark, dir)
+    val bands = Dedup.minhashBandsFrom(docs)
+    val evalB = bands.filter($"doc_id" % EvalStride === 0)
+      .toDF("eval_id", "band", "bkey")
+    val trainB = bands.filter($"doc_id" % EvalStride =!= 0)
+    val cand = trainB.join(evalB, Seq("band", "bkey"))
+      .select($"doc_id", $"eval_id").distinct()
+    val ds = graft.GraftSession.maybeCache(Dedup.docShinglesFrom(docs))
+    cand
+      .join(ds.toDF("doc_id", "sha"), Seq("doc_id"))
+      .join(ds.toDF("eval_id", "shb"), Seq("eval_id"))
+      .withColumn("common", size(array_intersect($"sha", $"shb")))
+      .withColumn("jaccard",
+        $"common".cast("double") / (size($"sha") + size($"shb") - $"common"))
+      .filter($"jaccard" >= Dedup.JaccardThreshold)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_eval_matches"),
+        max(F.fr($"jaccard", 4)).as("max_jaccard"))
+      .orderBy($"doc_id")
+  }
+
+  val decontaminateFuzzySql: String =
+    graft.dedup.Dedup.lshBandCtes + ",\n" +
+      s"""tb AS (SELECT doc_id, band, bkey FROM bands WHERE doc_id % $EvalStride <> 0),
+         |eb AS (SELECT doc_id AS eval_id, band, bkey FROM bands WHERE doc_id % $EvalStride = 0),
+         |fcand AS (SELECT DISTINCT tb.doc_id, eb.eval_id
+         |  FROM tb JOIN eb ON tb.band = eb.band AND tb.bkey = eb.bkey),
+         |fcm AS (
+         |  SELECT c.doc_id, c.eval_id, count(*) AS common
+         |  FROM fcand c
+         |  JOIN shingles s1 ON s1.doc_id = c.doc_id
+         |  JOIN shingles s2 ON s2.doc_id = c.eval_id AND s2.sh = s1.sh
+         |  GROUP BY 1, 2),
+         |fj AS (
+         |  SELECT fcm.doc_id,
+         |    CAST(fcm.common AS DOUBLE) / (x.nsh + y.nsh - fcm.common) AS jaccard
+         |  FROM fcm JOIN cnt x ON x.doc_id = fcm.doc_id
+         |           JOIN cnt y ON y.doc_id = fcm.eval_id)
+         |SELECT doc_id, count(*) AS n_eval_matches,
+         |  max(${S.fr("jaccard", 4)}) AS max_jaccard
+         |FROM fj WHERE jaccard >= ${graft.dedup.Dedup.JaccardThreshold}
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- t10
   val TfidfTopK = 3
 

@@ -721,4 +721,25 @@ class LlmOpsSpec extends AnyFunSuite {
       .groupBy($"t").count().agg(max("count")).head.getLong(0)
     assert(top1.getLong(top1.fieldIndex("tf")) == maxTf)
   }
+
+  test("t11: fuzzy decontamination equals the train-eval slice of the d03 near-dup graph") {
+    val es = operators.TextAnalysis.EvalStride
+    val t11 = operators.TextAnalysis.decontaminateFuzzy(spark, sf).collect()
+    assert(t11.nonEmpty, "no contaminated train docs found — eval stride lost its near-dups")
+    assert(t11.forall(_.getLong(0) % es != 0), "an eval doc leaked into the train output")
+    // both ops share bands + exact-Jaccard verify + threshold, so t11 must
+    // be EXACTLY the per-train-doc aggregation of d03's pairs that straddle
+    // the eval stride — n_eval_matches the pair count, max_jaccard the max
+    val straddle = dedup.Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, j) =>
+        if (a % es == 0 && b % es != 0) Some((b, j))
+        else if (a % es != 0 && b % es == 0) Some((a, j))
+        else None
+      }
+    val expect = straddle.groupBy(_._1)
+      .map { case (d, js) => (d, js.length.toLong, js.map(_._2).max) }.toSet
+    val got = t11.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect, s"t11/d03 disagree:\n  t11-only: ${got -- expect}\n  d03-only: ${expect -- got}")
+  }
 }
