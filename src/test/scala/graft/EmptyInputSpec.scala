@@ -25,6 +25,15 @@ class EmptyInputSpec extends AnyFunSuite {
       one.head.getDouble(one.head.fieldIndex("dup_frac")) == 0.0)
   }
 
+  test("pair-generating dedup From-operators tolerate empty and singleton corpora") {
+    // a singleton corpus has no pair partner: empty PAIR output, no throw
+    assert(dedup.Dedup.jaccardPairsFrom(emptyDocs, dedup.Dedup.MaxShingleDf).count() == 0)
+    assert(dedup.Dedup.jaccardPairsFrom(oneDoc, dedup.Dedup.MaxShingleDf).count() == 0)
+    assert(dedup.Dedup.minhashLshFrom(emptyDocs).count() == 0)
+    assert(dedup.Dedup.minhashLshFrom(oneDoc).count() == 0)
+    assert(dedup.Dedup.incrementalDedupFrom(emptyDocs).count() == 0)
+  }
+
   test("text From-operators tolerate empty and singleton corpora") {
     assert(operators.TextAnalysis.repetitionScoreFrom(emptyDocs).count() == 0)
     assert(operators.TextAnalysis.repetitionScoreFrom(oneDoc).count() == 1)
