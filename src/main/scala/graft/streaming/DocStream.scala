@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
-import graft.functions.{TextFunctions => F}
+import graft.functions.{TextFunctions => F, TextSql => S}
+import graft.sources.Tables
 
 /** Streaming corpus ingest (SURVEY.md §2 v06): the front door of the
   * LLM-data pipeline as a stream — documents arrive continuously, exact
@@ -48,6 +49,38 @@ object DocStream {
       .agg(count(lit(1)).as("n_unique_docs"),
         sum($"n_chars").as("total_chars"))
   }
+
+  /** v06's batch twin as a DRIVER-GATED query row (v06b): identical
+    * content-hash dedup (keep-first = min doc_id — arrival order IS
+    * doc_id order under the synthetic ingest clock), length gate, and
+    * per-(lang, source) accounting. One hash groupBy + join-back on the
+    * (hash, kept-id) pair (the d01 class) then one partial-aggregable
+    * shuffle — trivially 100-TB-safe. StreamingSpec compares the
+    * streaming counts against THIS function, so the DuckDB oracle
+    * anchors v06 transitively. */
+  def dedupIngestBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .withColumn("ch", graft.functions.catalyst.GraftColumns.poly_hash($"text"))
+    val keep = docs.groupBy($"ch").agg(min($"doc_id").as("doc_id"))
+    docs.join(keep, Seq("ch", "doc_id"))
+      .filter(size(F.tokens($"text")) >= MinStreamTokens)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_unique_docs"),
+        sum($"n_chars").as("total_chars"))
+      .orderBy($"lang", $"source")
+  }
+
+  val dedupIngestBatchSql: String =
+    s"""WITH h AS (SELECT doc_id, text, lang, source, n_chars,
+       |    ${S.polyHash("text")} AS ch FROM documents),
+       |k AS (SELECT ch, min(doc_id) AS doc_id FROM h GROUP BY ch)
+       |SELECT lang, source, count(*) AS n_unique_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM h JOIN k USING (ch, doc_id)
+       |WHERE len(string_split(text, ' ')) >= $MinStreamTokens
+       |GROUP BY lang, source
+       |ORDER BY lang, source""".stripMargin
 
   // ---------------------------------------------------------------- v07
   /** Per-band member cap: a pathological hot band (boilerplate corpus)
@@ -115,4 +148,30 @@ object DocStream {
           out.iterator
       }
   }
+
+  /** v07's batch twin as a DRIVER-GATED query row (v07b): the
+    * band-collision candidate pair set with its colliding-band count —
+    * exactly the pairs the streaming detector emits within one horizon.
+    * `bands` yields ≤1 row per (doc, band), so the joined count(*) IS the
+    * distinct colliding-band count. Uncapped, like d03's oracle (the
+    * streaming [[MaxBandMembers]] cap is the bounded-state concession; at
+    * the test SF no bucket reaches it, which the v07 parity spec proves
+    * by exact pair-set equality against THIS function). */
+  def lshCandidatesBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = graft.dedup.Dedup.minhashBandsFrom(Tables.documents(spark, dir))
+    bands.toDF("doc_a", "band", "bkey")
+      .join(bands.toDF("doc_b", "band", "bkey"), Seq("band", "bkey"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_bands"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val lshCandidatesBatchSql: String =
+    graft.dedup.Dedup.lshBandCtes + "\n" +
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin
 }

@@ -201,6 +201,27 @@ object EventStream {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** v05's batch twin as a DRIVER-GATED query row (v05b): exactly-once
+    * counts per type = per-type DISTINCT-id counts. Event ids are unique
+    * in the schema contract; the streaming form exists precisely so
+    * at-least-once delivery CONVERGES to this batch answer, which the v05
+    * parity spec asserts against THIS function. Spark plans the single
+    * count-distinct as a two-phase partial aggregation — no Expand, one
+    * shuffle on event_type after the map-side distinct. */
+  def streamDedupBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(count_distinct($"event_id").as("n"))
+      .orderBy($"event_type")
+  }
+
+  val streamDedupBatchSql: String =
+    """SELECT event_type, count(DISTINCT event_id) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** v04: stream-static join — the event stream enriched against a static
     * dimension (user cohort), then aggregated per cohort. The static side
     * is broadcast; on a cluster it would be a slowly-changing dim table. */

@@ -115,14 +115,15 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.outputMode("complete").format("memory").queryName("v06_out").start()
     try { q.processAllAvailable() } finally { q.stop() }
     val got = spark.table("v06_out")
-    val batch = sources.Tables.documents(spark, sf)
-      .groupBy("text").agg(min(col("doc_id")).as("doc_id"),
-        first(col("lang")).as("lang"), first(col("source")).as("source"))
-      .filter(size(split(col("text"), " ")) >= streaming.DocStream.MinStreamTokens)
-      .groupBy("lang", "source").agg(count(lit(1)).as("bn"))
+    // the driver-gated batch twin (v06b) is the comparison side, so the
+    // DuckDB oracle anchors the streaming ingest counts transitively
+    val batch = streaming.DocStream.dedupIngestBatch(spark, sf)
+      .withColumnRenamed("n_unique_docs", "bn")
+      .withColumnRenamed("total_chars", "bc")
     val joined = got.join(batch, Seq("lang", "source"))
     assert(joined.count() == got.count() && got.count() > 0)
     assert(joined.filter(col("n_unique_docs") =!= col("bn")).count() == 0)
+    assert(joined.filter(col("total_chars") =!= col("bc")).count() == 0)
   }
 
   test("v07: streaming LSH candidates equal the batch band-collision pair set") {
@@ -137,14 +138,10 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.outputMode("append").format("memory").queryName("v07_out").start()
     try { q.processAllAvailable() } finally { q.stop() }
     val got = spark.table("v07_out").select("doc_a", "doc_b").distinct()
-    // batch twin: same signatures, same band keys, self-join per band
-    val bands = dedup.Dedup.minhashSignatures(sources.Tables.documents(spark, sf))
-      .withColumn("bb", explode(dedup.Dedup.bandArray(col("sigs"))))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val batch = bands.toDF("doc_a", "band", "bkey")
-      .join(bands.toDF("doc_b", "band", "bkey"), Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    // the driver-gated batch twin (v07b) is the comparison side, so the
+    // DuckDB oracle anchors the streaming candidate set transitively
+    val batch = streaming.DocStream.lshCandidatesBatch(spark, sf)
+      .select("doc_a", "doc_b")
     assert(got.count() > 0)
     assert(got.exceptAll(batch).count() == 0, "streaming emitted a pair batch banding would not")
     assert(batch.exceptAll(got).count() == 0, "streaming missed a batch band collision")
@@ -174,13 +171,8 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
     } finally q.stop()
     val got = spark.table("v07b_out").select("doc_a", "doc_b").distinct()
-    val bands = dedup.Dedup.minhashSignatures(docs)
-      .withColumn("bb", explode(dedup.Dedup.bandArray(col("sigs"))))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val batch = bands.toDF("doc_a", "band", "bkey")
-      .join(bands.toDF("doc_b", "band", "bkey"), Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val batch = streaming.DocStream.lshCandidatesBatch(spark, sf)
+      .select("doc_a", "doc_b")
     // the batch-1 state must still be live when batch 2 arrives: every
     // cross-cut band collision has to be emitted
     val crossBatch = batch.filter(col("doc_a") < cut && col("doc_b") >= cut)
@@ -211,9 +203,14 @@ class StreamingSpec extends AnyFunSuite {
     val q = streaming.EventStream.streamDedup(spark, streamDir)
       .writeStream.outputMode("complete").format("memory").queryName("v05_out").start()
     try { q.processAllAvailable() } finally { q.stop() }
-    val got = spark.table("v05_out").agg(sum("n")).head.getLong(0)
-    val expect = sources.Tables.events(spark, sf).select("event_id").distinct().count()
-    assert(got == expect)
+    // per-type equality against the driver-gated batch twin (v05b), so
+    // the DuckDB oracle anchors the streaming counts transitively
+    val got = spark.table("v05_out")
+    val batch = streaming.EventStream.streamDedupBatch(spark, sf)
+      .withColumnRenamed("n", "bn")
+    val joined = got.join(batch, Seq("event_type"))
+    assert(joined.count() == got.count() && got.count() > 0)
+    assert(joined.filter(col("n") =!= col("bn")).count() == 0)
   }
 
   test("v09: streaming ledger replays to exactly the batch r26 running values") {
