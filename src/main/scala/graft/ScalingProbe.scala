@@ -101,6 +101,10 @@ object ScalingProbe {
       if (on("pairs", "d08_uniq"))
         out("d08_uniq") = timed(Dedup.incrementalDedupFrom(uniq))
     }
+    // Fail fast on an empty selection (typo'd SPARK_GRAFT_PROBE): the run
+    // would otherwise print malformed JSON ("...,}") and measure nothing.
+    require(out.nonEmpty,
+      s"SPARK_GRAFT_PROBE='$probes' selected no known probe entries")
     val qs = out.map { case (k, v) => "\"" + k + f"""":$v%.2f""" }.mkString(",")
     println(s"""{"probe":"scale","mult":$mult,"docs":$n,$qs}""")
     spark.stop()

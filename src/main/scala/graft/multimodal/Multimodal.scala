@@ -67,22 +67,28 @@ object Multimodal {
         ((b(o + 3) & 0xffL) << 24)
     def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
     if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var off = 12
+    // off is Long: a lying 32-bit chunk size near Int.MaxValue must push
+    // the cursor past b.length and END the walk, not overflow an Int back
+    // into range (which would read garbage or throw out of the loop).
+    var off = 12L
     var channels = -1
     var byteRate = -1L
     var dataLen = -1L
     while (off + 8 <= b.length && (channels < 0 || dataLen < 0)) {
-      val id = tag(off)
-      val size = u32(off + 4)
-      if (id == "fmt " && off + 16 + 8 <= b.length) {
-        channels = u16(off + 8 + 2)
-        byteRate = u32(off + 8 + 8)
+      val o = off.toInt
+      val id = tag(o)
+      val size = u32(o + 4) // unsigned, 0..2^32-1 — validate BEFORE advancing
+      if (size < 0 || size > Int.MaxValue - 8) return None
+      // fmt must DECLARE >=16 bytes (PCM minimum); an undersized fmt chunk
+      // would otherwise read channels/byteRate from the next chunk's bytes.
+      if (id == "fmt " && size >= 16 && off + 16 + 8 <= b.length) {
+        channels = u16(o + 8 + 2)
+        byteRate = u32(o + 8 + 8)
       } else if (id == "data") {
         // size may exceed what's actually present in a truncated payload
-        dataLen = math.min(size, (b.length - off - 8).toLong)
+        dataLen = math.min(size, b.length - off - 8)
       }
-      off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
-      if (size < 0 || size > Int.MaxValue - 8) return None
+      off += 8L + size + (size & 1L) // chunks are word-aligned
     }
     if (channels > 0 && byteRate > 0 && dataLen >= 0)
       Some((channels, dataLen * 1000L / byteRate))
@@ -202,12 +208,16 @@ object Multimodal {
             case Some(i) =>
               MediaFeatures(id, mt, len, i.getWidth, i.getHeight,
                 i.getColorModel.getNumComponents, duration_ms = 0L)
-            case None => wavInfo(payload) match {
+            // Same Try guard as the ImageIO branch: the parsers are
+            // defensive, but the totality contract ("one corrupt record
+            // never fails the job") must hold even against a byte layout
+            // the bounds checks missed — belt and braces at the boundary.
+            case None => scala.util.Try(wavInfo(payload)).toOption.flatten match {
               case Some((channels, durMs)) =>
                 // real audio: no raster, duration from the RIFF header
                 MediaFeatures(id, mt, len, width = 0, height = 0,
                   channels = channels, duration_ms = durMs)
-              case None => mp4Info(payload) match {
+              case None => scala.util.Try(mp4Info(payload)).toOption.flatten match {
                 case Some((w, h, durMs)) =>
                   // real video CONTAINER metadata (tkhd dims, mvhd
                   // duration); channels=0: sample decode is m03's stub

@@ -390,6 +390,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r(2L).channels == 2 && r(2L).duration_ms == 500L)
     // truncated header: total boundary, stub features
     assert(r(3L).duration_ms == corrupt.length.toLong * 40)
+    // crafted chunk size near Int.MaxValue (passes the <= MaxInt-8 check):
+    // the Long cursor must walk past the buffer and return None, never
+    // overflow back into range and throw out of the decode boundary
+    val overflow = "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++
+      ("junk".getBytes ++ le32(0x7ffffff0) ++ Array.fill[Byte](64)(9))
+    assert(multimodal.Multimodal.wavInfo(overflow).isEmpty)
+    // an UNDERSIZED fmt chunk (declared size 4 < 16) must not read
+    // channels/byteRate from the following chunk's bytes — stub fallback
+    val shortFmt = "RIFF".getBytes ++ le32(60) ++ "WAVE".getBytes ++
+      ("fmt ".getBytes ++ le32(4) ++ le16(1) ++ le16(2)) ++
+      ("data".getBytes ++ le32(8) ++ Array.fill[Byte](8)(1))
+    assert(multimodal.Multimodal.wavInfo(shortFmt).isEmpty)
   }
 
   test("m01: MP4 box walk parses real track dims and movie duration; corrupt files fall to the stub") {
