@@ -1,0 +1,626 @@
+#!/usr/bin/env python3
+"""Independent pandas-replica oracle for the reference-pipeline rows.
+
+The driver's DuckDB gate (tools/check.py) proves the Spark engine and the
+builder's DuckDB SQL agree — but both sides are the same person's
+transcription of /root/reference/daily_function.py, so a systematic
+misreading (a flipped stop-loss tiebreak, an off-by-one futures window)
+would pass both. This tool closes that gap: it re-executes the REFERENCE'S
+OWN ALGORITHM SHAPES — pandas rolling windows (daily_function.py:561-597),
+the literal per-signal nested trade loop (:686-836), the groupby/agg
+metrics chain (:1047-1076), idxmax best-of on sorted condition order
+(:1078-1080) — directly over the same parquet, and compares the result to
+the parquet `graft.Verify` wrote.
+
+Usage:
+    sbt -batch "runMain graft.Verify <sfDir> <outDir>"
+    python3 tools/ref_oracle.py <sfDir> <outDir> [--time]
+
+Checks r01-r11 and r20. `--time` also prints per-stage wall times of the
+replica itself — the single-node pandas baseline BASELINE.md lacked.
+
+Comparison policy (declared, not hidden):
+  * keys, counts, dates, result strings, and raw data-derived prices
+    compare EXACTLY (string-normalized) — these carry the semantics
+    (window bounds, precedence, tiebreaks) the gate exists to test;
+  * rolling-window floats (CCI/SMA/MAD) compare within 2e-4: one ulp of
+    the 4-decimal output grid, covering fold-order noise between pandas'
+    pairwise summation and the engine's index-order left fold;
+  * derived ROUNDED metrics (r07/r08/r11) follow the reference's exact
+    derivation chain (which sums, which ratios, total_revenue rounded to
+    integer BEFORE revenue_rate) but apply the engine's DECLARED rounding
+    convention — half-up via floor(x*k+0.5)/k (SURVEY §6; portable across
+    engines) — instead of numpy round()'s half-to-even, so the compare
+    can be tight (1e-6) instead of sloppily toleranced. The deviation the
+    convention introduces vs the reference's np.round is REPORTED per
+    metric (max |half-up − np.round| and affected-row count): it is
+    bounded by one ulp of each rounding grid and occurs only on exact .5
+    boundaries, proving the convention is the ONLY divergence from the
+    literal reference chain. Argmax row identity (r08-r10) is computed
+    under the same declared convention so metric ties break identically;
+    the tie-break rule itself (first in sorted condition order = pandas
+    idxmax) is the reference's.
+"""
+import sys
+import math
+import time
+
+import numpy as np
+import pandas as pd
+
+# The engine's simulation grid (CciPipeline.GridConfig defaults) — the
+# reference takes these as function arguments (holding_days,
+# target_return_values, buy_cci_thresholds, stop_loss_cci_thresholds).
+CCI_N = 5
+BUY_THRESHOLDS = [-100.0, 0.0, 100.0]
+STOP_THRESHOLDS = [-150.0, -100.0]
+HOLDING_DAYS = [5, 10]
+TARGET_RETURNS = [2.0, 5.0]
+HISTORY_GRID_DAYS = [7, 15, 100000]  # r20 (reference years -> days here)
+TAX_RATE = 0.0018   # daily_function.py:99
+FEE_RATE = 0.00007  # daily_function.py:100
+BUDGET = 1000000.0
+BUDGET_FRACTION = 0.1
+HISTORY_DAYS = 15   # r15 (unused here, r15 not in scope)
+
+
+def round_half_up(x, k):
+    """The engine's declared portable rounding: floor(x*k + 0.5)/k."""
+    return np.floor(np.asarray(x, dtype=float) * k + 0.5) / k
+
+
+# --------------------------------------------------------------- loading
+
+def load_events(sf_dir):
+    df = pd.read_parquet(f"{sf_dir}/events.parquet")
+    # engine truncates nanos -> micros (Tables.events: ts div 1000)
+    ts_ns = df["ts"].astype("int64")
+    df = df.assign(ts_us=ts_ns // 1000)
+    df["d"] = pd.to_datetime(df["ts_us"], unit="us").dt.normalize()
+    return df
+
+
+def load_spark(out_dir, name):
+    import glob
+    files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+    if not files:
+        raise FileNotFoundError(f"{out_dir}/{name}: no parquet written")
+    return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+
+
+# --------------------------------------------------------- replica stages
+
+def replica_symbol_dim(sf_dir):
+    """r01 (reference create_kr_symbol_list, daily_function.py:185-291)."""
+    part = pd.read_parquet(f"{sf_dir}/part.parquet")
+    excluded = set(part.loc[part["p_retailprice"] > 1900.0, "p_brand"])
+    out = part[(part["p_size"] > 0) & ~part["p_brand"].isin(excluded)]
+    return (out.rename(columns={
+        "p_partkey": "symbol", "p_name": "name", "p_type": "type",
+        "p_size": "total_stock", "p_retailprice": "marcap"})
+        [["symbol", "name", "type", "total_stock", "marcap"]]
+        .sort_values("symbol").reset_index(drop=True))
+
+
+def replica_bars(events):
+    """r02: events -> per-(user, day) OHLC (the reference's daily price
+    frame, daily_function.py:358-366, built from the event stream).
+    Open/close pick the first/last event by the total (ts_us, event_id)
+    order — the engine's documented determinism rule."""
+    ev = events.sort_values(["user_id", "d", "ts_us", "event_id"],
+                            kind="mergesort")
+    g = ev.groupby(["user_id", "d"], sort=True)
+    out = g.agg(open_pr=("value", "first"),
+                high_pr=("value", "max"),
+                low_pr=("value", "min"),
+                close_pr=("value", "last"),
+                volume=("value", "size")).reset_index()
+    return out
+
+
+def replica_keep_last(events):
+    """r03 (reference drop_duplicates(subset=[date], keep='last'),
+    daily_function.py:492,516) keyed (user, day, event_type)."""
+    ev = events.sort_values(["user_id", "d", "event_type", "ts_us", "event_id"],
+                            kind="mergesort")
+    out = (ev.groupby(["user_id", "d", "event_type"], sort=True)
+             .agg(event_id=("event_id", "last"), value=("value", "last"))
+             .reset_index())
+    return out
+
+
+def replica_cci(bars):
+    """r04 (reference create_new_cci_data, daily_function.py:561-597):
+    TP, rolling SMA, rolling mean-absolute-deviation, CCI — the literal
+    pandas formulas, per series. Full-window columns are NaN until the
+    window fills, exactly like rolling(cci_ndays) with default
+    min_periods; the engine additionally defines partial-window sma/mad
+    (sum/cnt over the available frame), replicated here with
+    min_periods=1 — its CCI stays null until the window fills either way."""
+    def per_user(g):
+        g = g.sort_values("d").reset_index(drop=True)
+        g["idx"] = np.arange(1, len(g) + 1)
+        g["tp_c"] = (g["high_pr"] + g["low_pr"] + g["close_pr"]) / 3.0
+        g["tp_o"] = (g["high_pr"] + g["low_pr"] + g["open_pr"]) / 3.0
+        mad = lambda x: np.mean(np.abs(x - np.mean(x)))  # noqa: E731
+        for side in ("c", "o"):
+            tp = g[f"tp_{side}"]
+            full_sma = tp.rolling(CCI_N).mean()                   # :588
+            full_mad = tp.rolling(CCI_N).apply(mad, raw=True)     # :590
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cci = (tp - full_sma) / (0.015 * full_mad)        # :594
+            cci = cci.where(full_mad != 0.0)  # 0/0 -> NaN either way
+            g[f"{side}_cci"] = cci
+            g[f"sma_{side}"] = tp.rolling(CCI_N, min_periods=1).mean()
+            g[f"mad_{side}"] = tp.rolling(CCI_N, min_periods=1).apply(mad, raw=True)
+        return g
+    return (bars.groupby("user_id", group_keys=False, sort=True)
+                .apply(per_user).reset_index(drop=True)
+                .rename(columns={"c_cci": "close_cci", "o_cci": "open_cci"}))
+
+
+def replica_signals(cci):
+    """r05 (daily_function.py:724-725): prev open CCI below threshold,
+    current above. shift(1) per series; NaN comparisons are False."""
+    rows = []
+    for uid, g in cci.groupby("user_id", sort=True):
+        g = g.sort_values("d").reset_index(drop=True)
+        prev = g["open_cci"].shift(1)
+        for thr in BUY_THRESHOLDS:
+            mask = (prev < thr) & (g["open_cci"] > thr)
+            hit = g[mask.fillna(False)]
+            for _, r in hit.iterrows():
+                rows.append((uid, r["d"], int(r["idx"]), thr, r["open_pr"],
+                             prev[r.name], r["open_cci"]))
+    return pd.DataFrame(rows, columns=[
+        "user_id", "d", "idx", "buy_thr", "open_pr",
+        "prev_open_cci", "open_cci"])
+
+
+def _trades_for_positions(g, buy_positions, buy_thr, extra=()):
+    """The reference's per-signal trade loop (daily_function.py:733-815),
+    over one series' positional arrays. future_data = df.iloc[i+1 : i+1+x];
+    target: first future close >= buy*(1+target/100); stop: first future
+    close-CCI <= stop threshold (NaN False); precedence target-if-earlier
+    (strict <, :754), then stop, else maturity on the LAST future row with
+    days_held = x (:807 — the condition, not the date diff)."""
+    dates = g["d"].to_numpy()
+    open_pr = g["open_pr"].to_numpy(dtype=float)
+    close_pr = g["close_pr"].to_numpy(dtype=float)
+    close_cci = g["close_cci"].to_numpy(dtype=float)
+    n = len(g)
+    out = []
+    for i in buy_positions:
+        buy_price = open_pr[i]
+        buy_date = dates[i]
+        for x in HOLDING_DAYS:
+            lo, hi = i + 1, min(i + 1 + x, n)
+            if lo >= hi:
+                continue                      # future_data.empty (:741)
+            fclose = close_pr[lo:hi]
+            fcci = close_cci[lo:hi]
+            for tgt in TARGET_RETURNS:
+                target_price = buy_price * (1 + tgt / 100.0)
+                t_hits = np.nonzero(fclose >= target_price)[0]
+                t_idx = t_hits[0] if t_hits.size else None
+                for stop in STOP_THRESHOLDS:
+                    with np.errstate(invalid="ignore"):
+                        s_mask = fcci <= stop  # NaN -> False
+                    s_hits = np.nonzero(s_mask)[0]
+                    s_idx = s_hits[0] if s_hits.size else None
+                    if t_idx is not None and (s_idx is None or t_idx < s_idx):
+                        sell, result = lo + t_idx, "reach_target"
+                        days = (dates[sell] - buy_date).astype("timedelta64[D]").astype(int)
+                    elif s_idx is not None:
+                        sell, result = lo + s_idx, "stop_loss"
+                        days = (dates[sell] - buy_date).astype("timedelta64[D]").astype(int)
+                    else:
+                        sell, result = hi - 1, "maturity"
+                        days = x               # :807 — x, not the diff
+                    out.append(extra + (
+                        buy_date, buy_price, x, tgt, buy_thr, stop, result,
+                        dates[sell], close_pr[sell], int(days)))
+    return out
+
+
+_TRADE_COLS = ["buy_date", "buy_price", "condition_holding_days",
+               "condition_target_return", "condition_buy_cci_threshold",
+               "condition_stop_loss_cci_threshold", "trade_result",
+               "sell_date", "sell_price", "days_held"]
+
+
+def replica_trades(cci):
+    """r06 (create_trade_history_by_symbol, daily_function.py:686-836)."""
+    rows = []
+    for uid, g in cci.groupby("user_id", sort=True):
+        g = g.sort_values("d").reset_index(drop=True)
+        prev = g["open_cci"].shift(1).to_numpy(dtype=float)
+        cur = g["open_cci"].to_numpy(dtype=float)
+        for thr in BUY_THRESHOLDS:
+            with np.errstate(invalid="ignore"):
+                buys = np.nonzero((prev < thr) & (cur > thr))[0]  # :724
+            for row in _trades_for_positions(g, buys, thr):
+                rows.append((uid,) + row)
+    return pd.DataFrame(rows, columns=["user_id"] + _TRADE_COLS)
+
+
+def replica_trades_history_grid(cci):
+    """r20: the reference's search_history_years loop (:700-711 via
+    get_filtered_cci_data :670-682) — slice each series to the trailing
+    window from its max date, THEN compute signals on the slice (the first
+    slice row's shift(1) is NaN), futures stay inside the slice (a suffix,
+    so identical to full-series futures)."""
+    rows = []
+    for uid, g in cci.groupby("user_id", sort=True):
+        g = g.sort_values("d").reset_index(drop=True)
+        max_d = g["d"].max()
+        for h in HISTORY_GRID_DAYS:
+            sl = g[g["d"] >= max_d - pd.Timedelta(days=h)].reset_index(drop=True)
+            if sl.empty:
+                continue
+            prev = sl["open_cci"].shift(1).to_numpy(dtype=float)
+            cur = sl["open_cci"].to_numpy(dtype=float)
+            for thr in BUY_THRESHOLDS:
+                with np.errstate(invalid="ignore"):
+                    buys = np.nonzero((prev < thr) & (cur > thr))[0]
+                for row in _trades_for_positions(sl, buys, thr, extra=(h,)):
+                    rows.append((uid,) + row)
+    return pd.DataFrame(rows, columns=["user_id", "search_history_days"] + _TRADE_COLS)
+
+
+GROUP_COLS = ["condition_holding_days", "condition_target_return",
+              "condition_buy_cci_threshold", "condition_stop_loss_cci_threshold"]
+
+
+CONVENTION_DEVIATIONS = {}
+
+
+def note_deviation(metric, hu, ref):
+    """Record how far the declared half-up convention moved a metric off
+    the reference's np.round — printed in the summary as the bounded,
+    declared divergence."""
+    d = (pd.to_numeric(hu) - pd.to_numeric(ref)).abs()
+    d = d[d > 1e-12]
+    if len(d):
+        prev = CONVENTION_DEVIATIONS.get(metric, (0, 0.0))
+        CONVENTION_DEVIATIONS[metric] = (prev[0] + int(len(d)),
+                                         max(prev[1], float(d.max())))
+
+
+def replica_strategy(trades):
+    """r07 (daily_function.py:1047-1076): the literal groupby/agg chain,
+    per series. Prices are 2-decimal values; per-group totals are carried
+    as exact integer cents (np.rint strips float representation error from
+    the 2-decimal inputs) so the half-up roundings downstream see the same
+    exact doubles the engine's integer-cents aggregation produces."""
+    t = trades.copy()
+    t["reach_target_date"] = t["sell_date"].where(t["trade_result"] == "reach_target")
+    t["stop_loss_date"] = t["sell_date"].where(t["trade_result"] == "stop_loss")
+    t["maturity_date"] = t["sell_date"].where(t["trade_result"] == "maturity")
+    t["win_dummy"] = (t["sell_price"] > t["buy_price"]).astype(int)    # :1035
+    t["lose_dummy"] = (t["sell_price"] < t["buy_price"]).astype(int)   # :1038
+    amt = t["sell_price"] - t["buy_price"]                             # :1031
+    # :1032 round(amount/days, 2) — declared half-up convention, exact
+    # cents; the np.round variant is recorded as the convention deviation
+    rpdh_cents = np.floor(amt / t["days_held"] * 100.0 + 0.5)
+    note_deviation("rpdh_per_trade", rpdh_cents / 100.0,
+                   np.round(amt / t["days_held"], 2))
+    t["rpdh_cents"] = rpdh_cents
+    t["buy_cents"] = np.rint(t["buy_price"] * 100.0)
+    t["sell_cents"] = np.rint(t["sell_price"] * 100.0)
+    g = t.groupby(["user_id"] + GROUP_COLS, sort=True)
+    r = g.agg(count_buy_date=("buy_date", "nunique"),
+              count_reach_target_date=("reach_target_date", "nunique"),
+              count_stop_loss_date=("stop_loss_date", "nunique"),
+              count_maturity_date=("maturity_date", "nunique"),
+              count_win=("win_dummy", "sum"),
+              count_lose=("lose_dummy", "sum"),
+              n_trades=("buy_date", "size"),
+              rpdh_cents=("rpdh_cents", "sum"),
+              days_held_sum=("days_held", "sum"),
+              buy_cents=("buy_cents", "sum"),
+              sell_cents=("sell_cents", "sum")).reset_index()
+    # :1066-1074 — the reference's exact derivation chain, including
+    # total_revenue rounded to 0 decimals BEFORE revenue_rate
+    buy_raw = r["buy_cents"] / 100.0
+    sell_raw = r["sell_cents"] / 100.0
+    r["win_rate"] = round_half_up(r["count_win"] / r["count_buy_date"] * 100.0, 100)
+    r["lose_rate"] = round_half_up(r["count_lose"] / r["count_buy_date"] * 100.0, 100)
+    r["total_revenue"] = round_half_up(sell_raw - buy_raw, 1)
+    r["revenue_rate"] = round_half_up(r["total_revenue"] / buy_raw * 100.0, 100)
+    r["reach_target_rate"] = round_half_up(r["count_reach_target_date"] / r["count_buy_date"] * 100.0, 100)
+    r["stop_loss_rate"] = round_half_up(r["count_stop_loss_date"] / r["count_buy_date"] * 100.0, 100)
+    r["maturity_rate"] = round_half_up(r["count_maturity_date"] / r["count_buy_date"] * 100.0, 100)
+    r["avg_revenue_per_days_held"] = round_half_up(
+        r["rpdh_cents"] / r["n_trades"] / 100.0, 10000)
+    r["avg_days_held"] = round_half_up(r["days_held_sum"] / r["n_trades"], 10000)
+    r["total_buy_price"] = round_half_up(buy_raw, 100)
+    r["total_sell_price"] = round_half_up(sell_raw, 100)
+    note_deviation("win_rate", r["win_rate"],
+                   np.round(r["count_win"] / r["count_buy_date"] * 100, 2))
+    note_deviation("total_revenue", r["total_revenue"],
+                   np.round(sell_raw - buy_raw, 0))
+    note_deviation("revenue_rate", r["revenue_rate"],
+                   np.round(np.round(sell_raw - buy_raw, 0) / buy_raw * 100, 2))
+    return r.drop(columns=["n_trades", "rpdh_cents", "days_held_sum",
+                           "buy_cents", "sell_cents"])
+
+
+BEST_METRICS = [("win_rate", "win_rate"),
+                ("revenue_rate", "revenue_rate"),
+                ("revenue_per_days_held", "avg_revenue_per_days_held")]
+
+
+def replica_best(strategy):
+    """r08 (daily_function.py:1078-1080): idxmax per series per investment
+    target — first occurrence in sorted condition order (groupby sorted the
+    conditions ascending). Metrics are re-rounded under the engine's
+    declared half-up convention ONLY for the argmax comparison, so exact
+    .5-boundary ties break the same way on both sides; the tie-break rule
+    itself (first in condition order) is the reference's."""
+    s = strategy.sort_values(["user_id"] + GROUP_COLS).reset_index(drop=True)
+    parts = []
+    for target, metric in BEST_METRICS:
+        best = (s.loc[s.groupby("user_id", sort=True)[metric].idxmax()]
+                  .assign(investment_target=target))
+        parts.append(best)
+    return pd.concat(parts, ignore_index=True)
+
+
+def replica_recommendations(cci, best):
+    """r09 (get_daily_signal_recommendations_sub, daily_function.py:
+    1180-1243): best-win condition per series joined to the latest state;
+    the reco test uses >= on the current day (:1218) where the sim uses >."""
+    bw = best[best["investment_target"] == "win_rate"].set_index("user_id")
+    rows = []
+    for uid, g in cci.groupby("user_id", sort=True):
+        if uid not in bw.index:
+            continue
+        g = g.sort_values("d").reset_index(drop=True)
+        cur = g["open_cci"].iloc[-1]
+        prev = g["open_cci"].iloc[-2] if len(g) >= 2 else np.nan
+        b = bw.loc[uid]
+        thr = b["condition_buy_cci_threshold"]
+        has = int((prev < thr) and (cur >= thr)) if not (
+            math.isnan(prev) or math.isnan(cur)) else 0
+        rows.append((uid, g["open_pr"].iloc[-1], cur, prev,
+                     b["condition_holding_days"], b["condition_target_return"],
+                     thr, b["condition_stop_loss_cci_threshold"],
+                     b["count_win"], has))
+    return pd.DataFrame(rows, columns=[
+        "user_id", "buy_price", "current_open_cci", "yesterday_open_cci",
+        "condition_holding_days", "condition_target_return",
+        "condition_buy_cci_threshold", "condition_stop_loss_cci_threshold",
+        "count_win", "has_buy_signal"])
+
+
+def replica_candidates(best):
+    """r10 (get_candidate_list, daily_function.py:1302-1329): quantile
+    thresholds over the best-win table (the reference's parameterized
+    quantile form: 0.7 on the primary metric, 0.3 on count, 1.0 on days)."""
+    bw = best[best["investment_target"] == "win_rate"].copy()
+    # Linear-interpolation quantiles, same definition as Spark percentile
+    # and DuckDB quantile_cont; the 1e-9 epsilon compensates the last-ulp
+    # difference between the two interpolation formulas
+    # (lo + g*(hi-lo) vs (1-g)*lo + g*hi) when a threshold lands exactly
+    # on a sample value — it cannot flip a non-boundary comparison.
+    q_win = bw["win_rate"].quantile(0.7) - 1e-9
+    q_cnt = bw["count_win"].quantile(0.3) - 1e-9
+    q_days = bw["avg_days_held"].quantile(1.0) + 1e-9
+    out = bw[(bw["win_rate"] >= q_win) & (bw["count_win"] >= q_cnt) &
+             (bw["avg_days_held"] <= q_days)]
+    return out[["user_id", "count_win"] + GROUP_COLS].sort_values("user_id")
+
+
+def replica_net_revenue(trades):
+    """r11 (daily_function.py:99-100,1743-1744): tax on the sell side, fee
+    both ways, fee-adjusted target price."""
+    t = trades.copy()
+    # identical expression ORDER to the engine (and the reference's
+    # arithmetic): sell - buy - sell*tax - (buy+sell)*fee — IEEE doubles
+    # evaluated in the same order are bit-identical
+    net = (t["sell_price"] - t["buy_price"] - t["sell_price"] * TAX_RATE
+           - (t["buy_price"] + t["sell_price"]) * FEE_RATE)
+    t["gross_revenue"] = round_half_up(t["sell_price"] - t["buy_price"], 10000)
+    t["net_revenue"] = round_half_up(net, 10000)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rate = round_half_up(net / t["buy_price"] * 100.0, 100)
+    t["net_revenue_rate"] = pd.Series(rate).where(t["buy_price"] != 0.0)
+    ntp = round_half_up(
+        t["buy_price"] * (1.0 + (t["condition_target_return"] + TAX_RATE + FEE_RATE) / 100.0), 1)
+    note_deviation("net_target_price", ntp, np.round(
+        t["buy_price"] * (1.0 + (t["condition_target_return"] + TAX_RATE + FEE_RATE) / 100.0), 0))
+    t["net_target_price"] = ntp
+    return t
+
+
+# ------------------------------------------------------------ comparison
+
+def norm_key(v):
+    if isinstance(v, (np.floating, float)):
+        return repr(round(float(v), 6))
+    if isinstance(v, pd.Timestamp):
+        return v.strftime("%Y-%m-%d")
+    if hasattr(v, "isoformat"):
+        return v.isoformat()[:10]
+    if isinstance(v, np.datetime64):
+        return str(v)[:10]
+    return str(v)
+
+
+FAILS = []
+CHECKED = []
+
+
+def compare(name, spark_df, rep_df, keys, exact_cols, tol_cols):
+    """Merge on string-normalized keys; exact_cols compare as normalized
+    strings (dates, counts, results, raw prices), tol_cols as |a-b| <= tol
+    with NaN<->null equivalence."""
+    CHECKED.append(name)
+    problems = []
+    if len(spark_df) != len(rep_df):
+        problems.append(f"row count spark={len(spark_df)} replica={len(rep_df)}")
+    sk = spark_df.copy()
+    rk = rep_df.copy()
+    for df in (sk, rk):
+        df["_k"] = df[keys].apply(lambda r: "|".join(norm_key(v) for v in r), axis=1)
+    s_dup, r_dup = sk["_k"].duplicated().any(), rk["_k"].duplicated().any()
+    if s_dup or r_dup:
+        problems.append(f"non-unique keys spark={s_dup} replica={r_dup}")
+    m = sk.merge(rk, on="_k", how="outer", suffixes=("_s", "_r"), indicator=True)
+    only_s = m[m["_merge"] == "left_only"]
+    only_r = m[m["_merge"] == "right_only"]
+    if len(only_s) or len(only_r):
+        problems.append(f"key mismatch: {len(only_s)} only-spark, {len(only_r)} only-replica")
+        for _, r in pd.concat([only_s.head(3), only_r.head(3)]).iterrows():
+            problems.append(f"  {r['_merge']}: {r['_k']}")
+    both = m[m["_merge"] == "both"]
+    for c in exact_cols:
+        a, b = both[f"{c}_s"] if f"{c}_s" in both else both[c], None
+        b = both[f"{c}_r"] if f"{c}_r" in both else both[c]
+        av = a.map(norm_key)
+        bv = b.map(norm_key)
+        bad = both[av.ne(bv)]
+        if len(bad):
+            r0 = bad.iloc[0]
+            problems.append(
+                f"col {c}: {len(bad)} mismatches; first at {r0['_k']}: "
+                f"spark={r0.get(f'{c}_s', r0.get(c))} replica={r0.get(f'{c}_r')}")
+    for c, tol in tol_cols.items():
+        a = pd.to_numeric(both.get(f"{c}_s", both.get(c)), errors="coerce")
+        b = pd.to_numeric(both.get(f"{c}_r"), errors="coerce")
+        null_mismatch = a.isna() ^ b.isna()
+        diff = (a - b).abs()
+        bad = both[null_mismatch | (diff > tol)]
+        if len(bad):
+            r0 = bad.iloc[0]
+            problems.append(
+                f"col {c} (tol {tol}): {len(bad)} beyond tolerance; first at "
+                f"{r0['_k']}: spark={r0.get(f'{c}_s')} replica={r0.get(f'{c}_r')}")
+    if problems:
+        FAILS.append(name)
+        print(f"FAIL {name}")
+        for p in problems[:8]:
+            print(f"  {p}")
+    else:
+        print(f"PASS {name} ({len(spark_df)} rows)")
+
+
+# ------------------------------------------------------------------ main
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    do_time = "--time" in sys.argv
+    timings = {}
+
+    def timed(key, fn, *a):
+        t0 = time.time()
+        r = fn(*a)
+        timings[key] = round(time.time() - t0, 2)
+        return r
+
+    events = timed("load", load_events, sf_dir)
+
+    sym = timed("r01_symbol_dim", replica_symbol_dim, sf_dir)
+    compare("r01_symbol_dim", load_spark(out_dir, "r01_symbol_dim"), sym,
+            ["symbol"], ["name", "type", "total_stock"], {"marcap": 1e-9})
+
+    bars = timed("r02_ohlc_bars", replica_bars, events)
+    compare("r02_ohlc_bars", load_spark(out_dir, "r02_ohlc_bars"), bars,
+            ["user_id", "d"], ["volume"],
+            {c: 1e-9 for c in ["open_pr", "high_pr", "low_pr", "close_pr"]})
+
+    keep = timed("r03_upsert_keep_last", replica_keep_last, events)
+    compare("r03_upsert_keep_last", load_spark(out_dir, "r03_upsert_keep_last"),
+            keep, ["user_id", "d", "event_type"], ["event_id"], {"value": 1e-9})
+
+    cci = timed("r04_cci", replica_cci, bars)
+    cci_cmp = cci.assign(
+        sma_close=round_half_up(cci["sma_c"], 10000),
+        mad_close=round_half_up(cci["mad_c"], 10000),
+        close_cci_r=round_half_up(cci["close_cci"], 10000),
+        open_cci_r=round_half_up(cci["open_cci"], 10000),
+    ).rename(columns={"close_cci_r": "close_cci_cmp", "open_cci_r": "open_cci_cmp"})
+    spark_cci = load_spark(out_dir, "r04_cci").rename(
+        columns={"close_cci": "close_cci_cmp", "open_cci": "open_cci_cmp"})
+    compare("r04_cci", spark_cci, cci_cmp, ["user_id", "d"], ["idx"],
+            {"open_pr": 1e-9, "close_pr": 1e-9, "sma_close": 2e-4,
+             "mad_close": 2e-4, "close_cci_cmp": 2e-4, "open_cci_cmp": 2e-4})
+
+    sig = timed("r05_signals", replica_signals, cci)
+    sig_cmp = sig.assign(prev_open_cci=round_half_up(sig["prev_open_cci"], 10000),
+                         open_cci=round_half_up(sig["open_cci"], 10000))
+    compare("r05_signals", load_spark(out_dir, "r05_signals"), sig_cmp,
+            ["user_id", "d", "buy_thr"], ["idx"],
+            {"open_pr": 1e-9, "prev_open_cci": 2e-4, "open_cci": 2e-4})
+
+    trades = timed("r06_trade_sim", replica_trades, cci)
+    trade_keys = ["user_id", "buy_date"] + GROUP_COLS
+    compare("r06_trade_sim", load_spark(out_dir, "r06_trade_sim"), trades,
+            trade_keys, ["trade_result", "sell_date", "days_held"],
+            {"buy_price": 1e-9, "sell_price": 1e-9})
+
+    strat = timed("r07_strategy_agg", replica_strategy, trades)
+    metric_tols = {"win_rate": 1e-6, "lose_rate": 1e-6, "total_revenue": 1e-6,
+                   "revenue_rate": 1e-6, "reach_target_rate": 1e-6,
+                   "stop_loss_rate": 1e-6, "maturity_rate": 1e-6,
+                   "avg_revenue_per_days_held": 1.5e-4, "avg_days_held": 1e-6,
+                   "total_buy_price": 1e-6, "total_sell_price": 1e-6}
+    compare("r07_strategy_agg", load_spark(out_dir, "r07_strategy_agg"), strat,
+            ["user_id"] + GROUP_COLS,
+            ["count_buy_date", "count_reach_target_date", "count_stop_loss_date",
+             "count_maturity_date", "count_win", "count_lose"], metric_tols)
+
+    best = timed("r08_best_of", replica_best, strat)
+    compare("r08_best_of", load_spark(out_dir, "r08_best_of"), best,
+            ["investment_target", "user_id"],
+            GROUP_COLS + ["count_buy_date", "count_win", "count_lose"],
+            {k: metric_tols[k] for k in ["win_rate", "revenue_rate",
+             "avg_revenue_per_days_held", "avg_days_held"]})
+
+    reco = timed("r09_recommendations", replica_recommendations, cci, best)
+    reco_cmp = reco.assign(
+        current_open_cci=round_half_up(reco["current_open_cci"], 10000),
+        yesterday_open_cci=round_half_up(reco["yesterday_open_cci"], 10000))
+    compare("r09_recommendations", load_spark(out_dir, "r09_recommendations"),
+            reco_cmp, ["user_id"],
+            GROUP_COLS + ["count_win", "has_buy_signal"],
+            {"buy_price": 1e-9, "current_open_cci": 2e-4,
+             "yesterday_open_cci": 2e-4})
+
+    cand = timed("r10_candidate_filter", replica_candidates, best)
+    compare("r10_candidate_filter", load_spark(out_dir, "r10_candidate_filter"),
+            cand, ["user_id"], GROUP_COLS + ["count_win"], {})
+
+    netr = timed("r11_net_revenue", replica_net_revenue, trades)
+    compare("r11_net_revenue", load_spark(out_dir, "r11_net_revenue"), netr,
+            trade_keys, ["trade_result", "sell_date", "days_held"],
+            {"buy_price": 1e-9, "sell_price": 1e-9, "gross_revenue": 1e-6,
+             "net_revenue": 1e-6, "net_revenue_rate": 1e-6,
+             "net_target_price": 1e-6})
+
+    hist = timed("r20_history_grid_sim", replica_trades_history_grid, cci)
+    compare("r20_history_grid_sim", load_spark(out_dir, "r20_history_grid_sim"),
+            hist, ["user_id", "buy_date", "search_history_days"] + GROUP_COLS,
+            ["trade_result", "sell_date", "days_held"],
+            {"buy_price": 1e-9, "sell_price": 1e-9})
+
+    n = len(CHECKED)
+    print(f"\n{n - len(FAILS)} pass, {len(FAILS)} fail"
+          + (f": {FAILS}" if FAILS else ""))
+    if CONVENTION_DEVIATIONS:
+        print("declared rounding-convention deviations vs np.round "
+              "(half-up differs only on exact .5 grid boundaries):")
+        for k, (cnt, mx) in sorted(CONVENTION_DEVIATIONS.items()):
+            print(f"  {k}: {cnt} values, max |delta| = {mx:g}")
+    else:
+        print("declared rounding-convention deviations vs np.round: none")
+    if do_time:
+        import json
+        timings["total"] = round(sum(timings.values()), 2)
+        print("REPLICA_TIMINGS " + json.dumps(timings))
+    sys.exit(1 if FAILS else 0)
+
+
+if __name__ == "__main__":
+    main()
