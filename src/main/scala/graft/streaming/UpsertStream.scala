@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -13,16 +14,40 @@ import org.apache.spark.sql.types._
   * bars arrive as a STREAM and each micro-batch merges into a partitioned
   * parquet snapshot via foreachBatch — Structured Streaming's MERGE idiom.
   *
-  * Scale shape: the snapshot is hash-partitioned on `bucket` =
-  * pmod(series_id, NumBuckets); a micro-batch touches only the buckets its
-  * keys hash into, the merge reads ONLY those partitions back (partition
-  * pruning on the bucket filter), and only touched buckets are rewritten —
-  * per-batch cost is proportional to the delta's bucket footprint, not
-  * snapshot size. The commit is staging-write + per-bucket atomic rename
-  * (never an overwrite of its own input), so a crash leaves each bucket
-  * either fully-old or fully-new; a transactional table format would add
-  * cross-bucket atomicity, but the PLAN — prune → keep-last per key →
-  * swap touched buckets — is the same.
+  * Scale shape: the snapshot is hash-bucketed on pmod(series_id,
+  * NumBuckets), one immutable directory per bucket generation; a
+  * micro-batch reads back ONLY the bucket dirs its keys hash into and
+  * rewrites only those — per-batch cost is proportional to the delta's
+  * bucket footprint, not snapshot size.
+  *
+  * Commit protocol — MANIFEST-ATOMIC across buckets (the shape a
+  * transactional table format like Delta/Iceberg gives you, built from
+  * the two primitives every Hadoop FileSystem has: immutable files and
+  * atomic single-file rename):
+  *
+  *  1. merged buckets are written to a scratch dir, then MOVED to fresh
+  *     generation dirs (`b<bucket>_v<N+1>`) that no reader references yet
+  *     — old generation dirs are never touched;
+  *  2. the new manifest `_manifest_v<N+1>.txt` (bucket → generation dir)
+  *     is written to a tmp name and atomically RENAMED into place. That
+  *     one rename IS the commit: readers resolve the highest-numbered
+  *     manifest, so they see the WHOLE batch (every bucket remapped at
+  *     once) or none of it — never bucket A new / bucket B old, which the
+  *     per-bucket-swap design of round 5/6 could expose mid-commit;
+  *  3. garbage (older manifests, unreferenced generation dirs, scratch
+  *     leftovers) is collected only AFTER the commit; a crash anywhere
+  *     leaves either "old manifest + some unreferenced new dirs" (invisible
+  *     to readers, swept by the next batch) or "new manifest + uncollected
+  *     old dirs" (correct data, swept later). Structured Streaming then
+  *     retries the micro-batch from its checkpoint; re-merging the same
+  *     delta onto either state is IDEMPOTENT because keep-last's max_by on
+  *     `version` is — the retried commit produces identical rows.
+  *
+  * Single-writer is assumed (one streaming query owns the sink —
+  * Structured Streaming's own execution guarantee); readers are
+  * snapshot-isolated against the LATEST committed manifest, whose dirs the
+  * GC of the NEXT commit may remove — the same freshness contract as
+  * vacuum in table formats.
   */
 object UpsertStream {
   val NumBuckets = 8
@@ -45,105 +70,142 @@ object UpsertStream {
         $"b.close".as("close"))
   }
 
+  private val ManifestName = "_manifest_v(\\d+)\\.txt".r
+  private val GenDirName = "b(\\d+)_v(\\d+)".r
+
+  /** Highest committed manifest: (version, bucket → generation dir name).
+    * Tmp files and scratch dirs never match the pattern, so a crashed
+    * commit is invisible here. */
+  private[graft] def latestManifest(fs: FileSystem,
+      target: Path): Option[(Long, Map[Long, String])] = {
+    if (!fs.exists(target)) return None
+    val versions = fs.listStatus(target).flatMap(_.getPath.getName match {
+      case ManifestName(v) => Some(v.toLong)
+      case _ => None
+    })
+    if (versions.isEmpty) return None
+    val v = versions.max
+    val in = fs.open(new Path(target, s"_manifest_v$v.txt"))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val map = text.linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(k, dir) = line.split(' ')
+      k.toLong -> dir
+    }.toMap
+    Some((v, map))
+  }
+
+  /** The atomic commit: write the full bucket→dir map to a tmp file, then
+    * one rename publishes it. HDFS-style FileSystems report rename failure
+    * by RETURNING false — checked, or a failed commit would pass silently
+    * and the GC below would collect the data it was supposed to publish. */
+  private[graft] def commitManifest(fs: FileSystem, target: Path,
+      version: Long, map: Map[Long, String]): Unit = {
+    val tmp = new Path(target, s"_manifest_v$version.txt.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(map.toSeq.sortBy(_._1)
+      .map { case (k, d) => s"$k $d" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val committed = new Path(target, s"_manifest_v$version.txt")
+    if (!fs.rename(tmp, committed))
+      throw new java.io.IOException(
+        s"upsert: manifest commit rename $tmp -> $committed failed; " +
+          "snapshot unchanged, new generation dirs left for GC")
+  }
+
+  /** Read the committed snapshot: the union of the latest manifest's
+    * generation dirs. Empty (schema'd) frame before the first commit.
+    * The bucket column is derived — generation dirs store only the data
+    * columns. */
+  def readSnapshot(spark: SparkSession, targetDir: String): DataFrame = {
+    import spark.implicits._
+    val target = new Path(targetDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = latestManifest(fs, target).map(_._2.values.toSeq).getOrElse(Nil)
+    val base =
+      if (dirs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], barSchema)
+      else spark.read.schema(barSchema)
+        .parquet(dirs.map(d => s"$targetDir/$d"): _*)
+    base.withColumn("bucket", pmod($"series_id", lit(NumBuckets.toLong)))
+  }
+
   /** Merge one micro-batch into the snapshot at `targetDir`. Public so the
     * spec can drive it deterministically; the streaming query below wires
     * it into foreachBatch. */
   def mergeBatch(batch: DataFrame, targetDir: String): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val withBucket = batch.withColumn("bucket", pmod($"series_id", lit(NumBuckets)))
+    val target = new Path(targetDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val withBucket = batch.withColumn("bucket", pmod($"series_id", lit(NumBuckets.toLong)))
     val touched = withBucket.select($"bucket").distinct()
-      .collect().map(_.getLong(0))          // ≤ NumBuckets values — driver-safe
+      .collect().map(_.getLong(0)).sorted  // ≤ NumBuckets values — driver-safe
     if (touched.isEmpty) return
-    // Snapshot existence via the Hadoop FileSystem API — java.io.File
-    // answers false for every non-local filesystem, which would silently
-    // replace touched buckets with the bare delta (data loss on HDFS/S3).
-    val targetPath = new org.apache.hadoop.fs.Path(targetDir)
-    val fs = targetPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new org.apache.hadoop.fs.Path(targetDir + ".staging")
-    // MUST run before reading `existing`: a crash in a prior run's swap
-    // window left the only copy of a bucket in staging — restore it into
-    // the target first, or the retried merge reads the snapshot without
-    // that bucket's old rows and silently loses them.
-    completePendingSwap(fs, staging, targetPath)
+    val manifest = latestManifest(fs, target)
+    val (version, bucketMap) = manifest.getOrElse((0L, Map.empty[Long, String]))
+    val next = version + 1
+    // Existing rows of ONLY the touched buckets, straight from their
+    // generation dirs — directory-level pruning, no filter needed.
+    val touchedDirs = touched.flatMap(bucketMap.get).map(d => s"$targetDir/$d")
     val existing =
-      if (fs.exists(targetPath))
-        spark.read.parquet(targetDir).filter($"bucket".isin(touched: _*))
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        barSchema.add("bucket", LongType))
-    val merged = keepLast(existing.unionByName(withBucket)
-        .select($"series_id", $"bar_date", $"version", $"close"))
-      .withColumn("bucket", pmod($"series_id", lit(NumBuckets)))
-    // Crash-safe merge: write the merged buckets to a STAGING path (reads
-    // the live snapshot, writes elsewhere — no self-referential overwrite,
-    // so no task retry or recompute can ever read a file mid-delete), then
-    // swap each touched bucket in with an atomic per-directory rename.
-    // Each bucket lands old-complete or new-complete, never mixed; if a
-    // swap fails or the process dies between the delete and the rename,
-    // that bucket's new copy SURVIVES in staging (staging is only cleaned
-    // after every swap succeeded) so recovery is a re-run of the swap.
-    // Cross-bucket atomicity is what a transactional table format would
-    // add. HDFS-style FileSystems report rename failure by RETURNING
-    // false, not throwing — checked explicitly, or a failed swap would
-    // pass silently and the staging cleanup would discard the only copy.
-    merged.write.mode("overwrite").partitionBy("bucket")
-      .parquet(staging.toString)
-    swapBuckets(fs, staging, targetPath, touched)
+      if (touchedDirs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], barSchema)
+      else spark.read.schema(barSchema).parquet(touchedDirs.toSeq: _*)
+    val merged = keepLast(existing.unionByName(
+        withBucket.select($"series_id", $"bar_date", $"version", $"close")))
+      .withColumn("bucket", pmod($"series_id", lit(NumBuckets.toLong)))
+    // Scratch write (one Spark job, partitionBy splits per bucket); any
+    // leftover from a crashed attempt at THIS version is unreferenced
+    // garbage — cleared first, never merged into.
+    val scratch = new Path(target, s".delta_v$next")
+    fs.delete(scratch, true)
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(scratch.toString)
+    val newMap = bucketMap ++ publishGenerations(fs, scratch, target, touched, next)
+    commitManifest(fs, target, next, newMap)
+    collectGarbage(fs, target, next, newMap)
   }
 
-  /** The per-bucket swap: atomic directory renames from a fully-written
-    * staging into the target, staging dropped only after EVERY swap
-    * succeeded. Factored out so the crash-recovery spec can drive it with
-    * a rename-failing FilterFileSystem. */
-  private[graft] def swapBuckets(fs: org.apache.hadoop.fs.FileSystem,
-      staging: org.apache.hadoop.fs.Path, targetPath: org.apache.hadoop.fs.Path,
-      touched: Seq[Long]): Unit = {
-    touched.foreach { k =>
-      val src = new org.apache.hadoop.fs.Path(staging, s"bucket=$k")
-      val dst = new org.apache.hadoop.fs.Path(targetPath, s"bucket=$k")
-      if (fs.exists(src)) {
-        fs.mkdirs(targetPath)
-        if (!fs.delete(dst, true) && fs.exists(dst))
-          throw new java.io.IOException(s"upsert: cannot clear $dst for swap")
+  /** Move each touched bucket's scratch output to its fresh generation dir
+    * (`b<bucket>_v<version>`). Nothing a reader can resolve references these
+    * dirs until the manifest commits, so a crash here is invisible.
+    * Factored out so the atomicity spec can stop between two buckets. */
+  private[graft] def publishGenerations(fs: FileSystem, scratch: Path,
+      target: Path, touched: Seq[Long], version: Long): Map[Long, String] =
+    touched.flatMap { k =>
+      val src = new Path(scratch, s"bucket=$k")
+      if (!fs.exists(src)) None
+      else {
+        val name = s"b${k}_v$version"
+        val dst = new Path(target, name)
+        fs.delete(dst, true) // crashed-attempt leftover, unreferenced
         if (!fs.rename(src, dst))
           throw new java.io.IOException(
-            s"upsert: rename $src -> $dst failed; merged bucket preserved in staging")
+            s"upsert: rename $src -> $dst failed; commit not attempted")
+        Some(k -> name)
+      }
+    }.toMap
+
+  /** Post-commit sweep: older manifests, generation dirs the latest
+    * manifest no longer references, and scratch dirs. Runs only after the
+    * commit rename; a crash mid-sweep leaves garbage the NEXT batch's
+    * sweep removes — readers only ever resolve the latest manifest, which
+    * is complete. */
+  private[graft] def collectGarbage(fs: FileSystem, target: Path,
+      latest: Long, live: Map[Long, String]): Unit = {
+    val liveDirs = live.values.toSet
+    fs.listStatus(target).foreach { s =>
+      val n = s.getPath.getName
+      n match {
+        case ManifestName(v) if v.toLong < latest => fs.delete(s.getPath, false)
+        case GenDirName(_, _) if !liveDirs.contains(n) => fs.delete(s.getPath, true)
+        case _ if n.startsWith(".delta_v") || n.endsWith(".tmp") =>
+          fs.delete(s.getPath, true)
+        case _ => ()
       }
     }
-    fs.delete(staging, true)
-  }
-
-  /** Finish a PRIOR merge's interrupted swap. A crash between delete(dst)
-    * and rename(src,dst) leaves the only copy of that bucket in staging;
-    * Structured Streaming then RETRIES the micro-batch, and a retry that
-    * opened by deleting staging would destroy that sole copy — the retried
-    * merge would read `existing` with the bucket's old rows already gone
-    * from the target, silently losing the old snapshot rows. Recovery is
-    * gated on staging's _SUCCESS marker: absent means the staging write
-    * itself never committed, so the swap never started, every target
-    * bucket is intact, and staging (possibly partial) is safe to drop.
-    * Present means staging buckets are complete — any with a MISSING
-    * target dir are exactly the ones caught mid-swap; rename them in,
-    * then drop staging. Idempotent: re-running after a crash inside
-    * recovery itself just resumes. */
-  private[graft] def completePendingSwap(fs: org.apache.hadoop.fs.FileSystem,
-      staging: org.apache.hadoop.fs.Path,
-      targetPath: org.apache.hadoop.fs.Path): Unit = {
-    if (!fs.exists(staging)) return
-    if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
-      fs.listStatus(staging)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-        .foreach { s =>
-          val dst = new org.apache.hadoop.fs.Path(targetPath, s.getPath.getName)
-          if (!fs.exists(dst)) {
-            fs.mkdirs(targetPath)
-            if (!fs.rename(s.getPath, dst))
-              throw new java.io.IOException(
-                s"upsert recovery: rename ${s.getPath} -> $dst failed")
-          }
-        }
-    }
-    fs.delete(staging, true)
   }
 
   def upsertQuery(spark: SparkSession, streamDir: String, targetDir: String,

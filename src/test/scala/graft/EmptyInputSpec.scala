@@ -75,7 +75,7 @@ class EmptyInputSpec extends AnyFunSuite {
     val batch = Seq((3L, java.sql.Date.valueOf("2024-01-02"), 1L, 30.0))
       .toDF("series_id", "bar_date", "version", "close")
     streaming.UpsertStream.mergeBatch(batch, target)
-    val got = spark.read.parquet(target)
+    val got = streaming.UpsertStream.readSnapshot(spark, target)
     assert(got.count() == 1)
     assert(got.select("series_id").head.getLong(0) == 3L)
   }

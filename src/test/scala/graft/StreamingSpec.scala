@@ -253,17 +253,17 @@ class StreamingSpec extends AnyFunSuite {
       wave(w2); q.processAllAvailable()
       wave(w3); q.processAllAvailable()
     } finally q.stop()
-    val got = spark.read.parquet(targetDir)
+    val got = streaming.UpsertStream.readSnapshot(spark, targetDir)
       .select($"series_id", $"bar_date", $"version", $"close")
     val expected = streaming.UpsertStream.keepLast(
       all.toDF("series_id", "d", "version", "close")
         .select($"series_id", to_date($"d").as("bar_date"), $"version", $"close"))
     assert(got.count() == expected.count())
     assert(got.exceptAll(expected).count() == 0 && expected.exceptAll(got).count() == 0)
-    // dynamic overwrite really bucketed the layout: only touched buckets exist
-    // partition-column type inference reads `bucket` back as int — cast
-    val buckets = spark.read.parquet(targetDir)
-      .select(col("bucket").cast("long")).distinct()
+    // the manifest really bucketed the layout: only touched buckets have
+    // generation dirs, and the snapshot's derived bucket column agrees
+    val buckets = streaming.UpsertStream.readSnapshot(spark, targetDir)
+      .select(col("bucket")).distinct()
       .collect().map(_.getLong(0)).toSet
     val expectedBuckets = all.map(_._1 % streaming.UpsertStream.NumBuckets).toSet
     assert(buckets == expectedBuckets)
