@@ -101,6 +101,49 @@ object ScalingProbe {
       if (on("pairs", "d08_uniq"))
         out("d08_uniq") = timed(Dedup.incrementalDedupFrom(uniq))
     }
+    if (probes("trade") || probes("r06_trade")) {
+      // The r06 grid-sim chain on mult× replicated series (user_id
+      // shifted, condition grid fixed): signals grow ∝ series, the futures
+      // join fans out ≤ MaxHolding rows per signal, so the whole chain
+      // must track the corpus linearly — the claim argued in SURVEY par.5
+      // and benched on Zipf bars, here measured at probe scale.
+      val tradeDir = s"/tmp/graft_scale_trade_$mult"
+      // replicate via one broadcast range fan-out, NOT a mult-way union:
+      // each union branch would carry its own copy of the bars aggregation
+      // (512 shuffle subplans OOM'd the probe JVM); the cross join keeps
+      // ONE scan + ONE aggregation and fans rows out mult× map-side
+      val bars0 = graft.operators.CciPipeline.ohlcBars(spark, sfDir)
+      val barsRep = land(bars0
+        .crossJoin(broadcast(spark.range(mult).toDF("rep")))
+        .select(($"user_id" + $"rep" * 10000000L).as("user_id"), $"d",
+          $"open_pr", $"high_pr", $"low_pr", $"close_pr", $"volume"), tradeDir)
+      out("r06_trade") = timed(graft.operators.CciPipeline.tradesFromBars(
+        barsRep, graft.operators.CciPipeline.GridConfig()))
+    }
+    if (probes("rank") || probes("q43_rank")) {
+      // Large-domain PageRank: 125k nodes × mult (mult=8 -> 1M), synthetic
+      // power-ish graph with out-degree 4 (dst by multiplicative hashing),
+      // ~1/13 of nodes dangling (no out-edges) so the dangling
+      // redistribution path runs at scale too. The rank vector stays
+      // hash-partitioned (rankPartitions = cpus) — the q43b layout; output
+      // equivalence to the coalesce(1) layout is driver-gated (q43b vs
+      // q43's shared oracle), this entry measures the layout's wall-clock.
+      val n = 125000L * mult
+      val nodes = spark.range(n).toDF("node")
+      val edges = spark.range(n).toDF("src")
+        .filter($"src" % 13 =!= 0)
+        .crossJoin(Seq(1, 2, 3, 4).toDF("j"))
+        .select($"src",
+          (($"src" * 48271L + $"j" * 2654435761L) % n).as("dst"),
+          (($"src" + $"j") % 97L + 1L).as("w"))
+        .filter($"src" =!= $"dst")
+      out("q43_rank") = {
+        val t0 = System.nanoTime()
+        graft.operators.GraphRank.pageRankCore(nodes, edges, cpus.toInt)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+    }
     // Fail fast on an empty selection (typo'd SPARK_GRAFT_PROBE): the run
     // would otherwise print malformed JSON ("...,}") and measure nothing.
     require(out.nonEmpty,

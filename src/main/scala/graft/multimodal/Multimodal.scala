@@ -340,15 +340,19 @@ object Multimodal {
       frame_len: Int, frame_fp: Long)
 
   /** m03: frame sampling at the decode boundary — the one-to-many shape
-    * (video in, bounded frame batch out) a real media pipeline needs. A
-    * real implementation would seek the container's keyframe index inside
-    * this same mapPartitions and emit decoded frames; the stub samples
-    * [[MaxFrames]] evenly spaced [[FrameBytes]]-wide payload slices and
-    * fingerprints them with the same polynomial fold the text operators
-    * use, so the output is deterministic and oracle-checkable. Memory per
-    * task stays bounded by frames-per-record × frame size, never the whole
-    * partition; the payload column itself is never shuffled — only the
-    * small frame rows are. */
+    * (video in, bounded frame batch out) a real media pipeline needs.
+    *
+    * The GIF branch is REAL: ImageIO's JDK-builtin GIF reader decodes the
+    * animation's frames ([[gifFrameSamples]]), [[MaxFrames]] evenly spaced
+    * frames are kept, and each emitted fingerprint folds the frame's
+    * ACTUAL pixel bytes (R, G, B per pixel, raster order) — proving the
+    * one-to-many decode boundary carries a real multi-frame codec with
+    * zero new dependencies. MP4/WAV remain the declared stub (their codecs
+    * are not in this container): evenly spaced [[FrameBytes]]-wide payload
+    * slices folded with the same polynomial hash, deterministic and
+    * oracle-checkable. Memory per task stays bounded by frames-per-record
+    * × frame size, never the whole partition; the payload column itself is
+    * never shuffled — only the small frame rows are. */
   def frameSamples(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val P = graft.functions.TextFunctions.HashP
@@ -358,25 +362,70 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.flatMap { case (id, payload) =>
-          // ??? <- real codec seek/decode goes here; deterministic fake:
-          val len = payload.length.toLong
-          val nf = math.min(MaxFrames.toLong, math.max(1L, len / FrameBytes)).toInt
-          (0 until nf).iterator.map { i =>
-            val off = i.toLong * len / nf // floor division (positive)
-            val flen = math.min(FrameBytes.toLong, len - off).toInt
-            var acc = 0L
-            var j = 0
-            while (j < flen) {
-              acc = (acc * 31 + (payload(off.toInt + j) & 0xff)) % P
-              j += 1
+          val real = if (isGif(payload)) gifFrameSamples(id, payload) else None
+          real.getOrElse {
+            // ??? <- real MP4/WAV frame decode goes here (codec libs not in
+            // this container); deterministic fake:
+            val len = payload.length.toLong
+            val nf = math.min(MaxFrames.toLong, math.max(1L, len / FrameBytes)).toInt
+            (0 until nf).map { i =>
+              val off = i.toLong * len / nf // floor division (positive)
+              val flen = math.min(FrameBytes.toLong, len - off).toInt
+              var acc = 0L
+              var j = 0
+              while (j < flen) {
+                acc = (acc * 31 + (payload(off.toInt + j) & 0xff)) % P
+                j += 1
+              }
+              FrameSample(id, i, off * 40, flen, acc)
             }
-            FrameSample(id, i, off * 40, flen, acc)
-          }
+          }.iterator
         }
       }
       .toDF()
       .orderBy($"doc_id", $"frame_idx")
   }
+
+  /** REAL multi-frame GIF decode (JDK ImageIO): read the animation's frame
+    * count, keep [[MaxFrames]] evenly spaced frames, and fingerprint each
+    * decoded raster by folding its R,G,B bytes in raster order with the
+    * shared polynomial hash. frame_ts_ms uses the sampled frame's ordinal
+    * at the GIF-default 40 ms cadence (per-frame delays live in metadata
+    * the fingerprint contract doesn't need); frame_len is the decoded
+    * raster's RGB byte count. None on anything the reader rejects —
+    * corrupt payloads (or text that happens to start with "GIF8") fall to
+    * the stub, the boundary's totality contract. */
+  private[graft] def gifFrameSamples(id: Long,
+      payload: Array[Byte]): Option[Seq[FrameSample]] = scala.util.Try {
+    val P = graft.functions.TextFunctions.HashP
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    try {
+      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload)))
+      val n = reader.getNumImages(true)
+      require(n > 0)
+      val nf = math.min(MaxFrames, n)
+      (0 until nf).map { i =>
+        val srcFrame = i * n / nf // evenly spaced over the animation
+        val img = reader.read(srcFrame)
+        var acc = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            acc = (acc * 31 + ((rgb >> 16) & 0xff)) % P
+            acc = (acc * 31 + ((rgb >> 8) & 0xff)) % P
+            acc = (acc * 31 + (rgb & 0xff)) % P
+            x += 1
+          }
+          y += 1
+        }
+        FrameSample(id, i, srcFrame.toLong * 40,
+          img.getWidth * img.getHeight * 3, acc)
+      }
+    } finally reader.dispose()
+  }.toOption
 
   /** The corpus is ASCII, so text chars == payload bytes: the oracle
     * samples the same slices with substr and folds the same hash. */

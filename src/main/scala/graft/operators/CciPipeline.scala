@@ -413,6 +413,31 @@ object CciPipeline {
       .transform(graft.GraftSession.maybeCache(_))
   }
 
+  /** The r06 chain (CCI → signals → grid outcomes) over ANY OHLC bars
+    * frame — the ScalingProbe `trade` entry drives it with replicated
+    * series to measure that the bounded futures join (fan-out ≤ maxHolding
+    * rows per signal) grows linearly in series count with the condition
+    * grid held fixed. Same operators as [[trades]], minus the
+    * parquet-source coupling. */
+  def tradesFromBars(bars: DataFrame, cfg: GridConfig): DataFrame = {
+    import bars.sparkSession.implicits._
+    val c = graft.GraftSession.maybeCache(cciFromBars(bars, cfg))
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+    val sig = c
+      .withColumn("prev_open_cci", lag($"open_cci", 1).over(w))
+      .crossJoin(broadcast(cfg.buyThresholds.toDF("buy_thr")))
+      .filter($"prev_open_cci" < $"buy_thr" && $"open_cci" > $"buy_thr")
+      .select($"user_id", $"d".as("buy_date"), $"idx",
+        $"open_pr".as("buy_price"), $"buy_thr")
+    val grid = {
+      val hs = cfg.holdingDays.toDF("condition_holding_days")
+      val rs = cfg.targetReturns.toDF("condition_target_return")
+      val ss = cfg.stopThresholds.toDF("condition_stop_loss_cci_threshold")
+      hs.crossJoin(rs).crossJoin(ss)
+    }
+    tradeOutcomes(c, sig, grid, cfg.maxHolding, Nil)
+  }
+
   /** The signal→outcome trade core shared by r06 (`trades`) and the
     * r20 history-grid variant: bounded futures self-join × broadcast
     * condition grid → first-hit aggregation (t_idx/s_idx/m_idx) → outcome

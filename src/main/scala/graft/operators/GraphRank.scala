@@ -26,7 +26,21 @@ import graft.sources.Tables
 object GraphRank {
   val Iters = 5
 
-  def tradeRank(spark: SparkSession, dir: String): DataFrame = {
+  def tradeRank(spark: SparkSession, dir: String): DataFrame =
+    tradeRankWith(spark, dir, rankPartitions = 1)
+
+  /** q43b: the SAME fixed point under the large-domain rank-vector layout
+    * (`rankPartitions = 8`): the vector stays hash-distributed on `node`
+    * across iterations instead of coalescing to one task. The output is
+    * layout-independent — integer arithmetic commutes over any partition
+    * assignment — so q43b gates against the IDENTICAL tradeRankSql oracle,
+    * proving the layout a 1M-node domain needs (probed in ScalingProbe
+    * `rank`) computes the same ranks the small-domain idiom does. */
+  def tradeRankPartitioned(spark: SparkSession, dir: String): DataFrame =
+    tradeRankWith(spark, dir, rankPartitions = 8)
+
+  private def tradeRankWith(spark: SparkSession, dir: String,
+      rankPartitions: Int): DataFrame = {
     import spark.implicits._
     import graft.functions.Money.tenK
     val nations = Tables.nation(spark, dir).select($"n_nationkey", $"n_name")
@@ -42,9 +56,9 @@ object GraphRank {
       .groupBy($"src", $"dst")
       .agg(expr("sum(v) div 10000").as("w"))
       .filter($"src" =!= $"dst" && $"w" > 0)
-    // nations² node domain → the single-partition vector layout
+    // nations² node domain → rankPartitions picks the vector layout
     val pr = pageRankCore(nations.select($"n_nationkey".as("node")), weighted,
-      rankPartitions = 1)
+      rankPartitions)
     pr.join(broadcast(nations), $"node" === $"n_nationkey")
       .select($"n_name", $"pr".as("rank_micros"))
       .orderBy($"rank_micros".desc, $"n_name")

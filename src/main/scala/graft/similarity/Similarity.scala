@@ -29,7 +29,7 @@ object Similarity {
   val NumPlanes = 8
   val LshTables = 2
 
-  private def vecs(spark: SparkSession, dir: String): DataFrame = {
+  private[similarity] def vecs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.embeddings(spark, dir)
       .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
@@ -440,33 +440,43 @@ object Similarity {
         .select($"vn").as[Seq[Double]].collect().map(_.toArray)
       Array.tabulate(PqSubspaces) { m =>
         val pts = sample.map(v => java.util.Arrays.copyOfRange(v, m * sub, (m + 1) * sub))
-        var cent = Array.tabulate(PqCentroids)(k => pts(k % pts.length).clone())
-        var iter = 0
-        while (iter < PqTrainIters) {
-          val sums = Array.fill(PqCentroids)(new Array[Double](sub))
-          val counts = new Array[Int](PqCentroids)
-          pts.foreach { p =>
-            var best = 0; var bestD = Double.MaxValue; var k = 0
-            while (k < PqCentroids) {
-              val d = sqL2(p, 0, cent(k))
-              if (d < bestD) { bestD = d; best = k }
-              k += 1
-            }
-            counts(best) += 1
-            var i = 0
-            while (i < sub) { sums(best)(i) += p(i); i += 1 }
-          }
-          cent = Array.tabulate(PqCentroids) { k =>
-            if (counts(k) == 0) cent(k)          // empty cluster keeps its centroid
-            else sums(k).map(_ / counts(k))
-          }
-          iter += 1
-        }
-        cent
+        lloyd(pts, PqCentroids, PqTrainIters)
       }
     }
 
-  private def sqL2(a: Array[Double], off: Int, b: Array[Double]): Double = {
+  /** Deterministic seeded Lloyd on a driver-held sample (ordered input,
+    * first-K init, first-min assignment, empty cluster keeps its
+    * centroid) — shared by the PQ codebooks and the s06 persisted index's
+    * coarse quantizer. */
+  private[similarity] def lloyd(pts: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    val dim = pts(0).length
+    var cent = Array.tabulate(k)(i => pts(i % pts.length).clone())
+    var iter = 0
+    while (iter < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      pts.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          val d = sqL2(p, 0, cent(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      }
+      cent = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cent(c)          // empty cluster keeps its centroid
+        else sums(c).map(_ / counts(c))
+      }
+      iter += 1
+    }
+    cent
+  }
+
+  private[similarity] def sqL2(a: Array[Double], off: Int, b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < b.length) { val d = a(off + i) - b(i); s += d * d; i += 1 }
     s

@@ -100,6 +100,14 @@ class CciPipelineSpec extends AnyFunSuite {
     assert(all.exceptAll(r06).count() == 0 && r06.exceptAll(all).count() == 0)
   }
 
+  test("r06 from bars: the probe's bars-driven chain equals the gated r06 row-for-row") {
+    val fromBars = CciPipeline.tradesFromBars(
+      CciPipeline.ohlcBars(spark, sf), CciPipeline.GridConfig())
+    val r06 = CciPipeline.trades(spark, sf).select(fromBars.columns.map(col): _*)
+    assert(fromBars.count() > 0)
+    assert(fromBars.exceptAll(r06).count() == 0 && r06.exceptAll(fromBars).count() == 0)
+  }
+
   test("r21: watermark fetch plan covers exactly the unsaved suffix; new keys get the full-history default") {
     import spark.implicits._
     val wm = CciPipeline.fetchWatermark(spark, sf).cache()
