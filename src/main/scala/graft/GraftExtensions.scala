@@ -2,9 +2,44 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.catalyst.{AbsDevSumF64, ArraySumF64, DotF64, MinHashSigs, NormalizeText, PolyHash, SimHash32}
+
+/** The one registry of graft's native SQL functions: (identifier, info,
+  * builder) triples consumed by BOTH registration paths —
+  * session-construction injection ([[GraftExtensions]]) and post-hoc
+  * runtime registration into an already-built session
+  * ([[SqlSurface.ensureFunctions]], for harnesses like the driver's
+  * Verify that build a plain `SparkSession` without extensions).
+  */
+object GraftFunctions {
+  type Builder = Seq[Expression] => Expression
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    (new FunctionIdentifier("graft_poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "graft_poly_hash"),
+      (exprs: Seq[Expression]) => PolyHash(exprs.head)),
+    (new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotF64].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotF64(exprs.head, exprs(1))),
+    (new FunctionIdentifier("graft_simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
+      (exprs: Seq[Expression]) => SimHash32(exprs.head)),
+    (new FunctionIdentifier("graft_minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "graft_minhash_sigs"),
+      (exprs: Seq[Expression]) => MinHashSigs(exprs.head,
+        exprs(1).eval().asInstanceOf[Int])),
+    (new FunctionIdentifier("graft_normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "graft_normalize_text"),
+      (exprs: Seq[Expression]) => NormalizeText(exprs.head)),
+    (new FunctionIdentifier("graft_array_sum"),
+      new ExpressionInfo(classOf[ArraySumF64].getName, "graft_array_sum"),
+      (exprs: Seq[Expression]) => ArraySumF64(exprs.head)),
+    (new FunctionIdentifier("graft_abs_dev_sum"),
+      new ExpressionInfo(classOf[AbsDevSumF64].getName, "graft_abs_dev_sum"),
+      (exprs: Seq[Expression]) => AbsDevSumF64(exprs.head, exprs(1))))
+}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so `spark.sql("... graft_poly_hash(x)
@@ -14,35 +49,6 @@ import graft.functions.catalyst.{AbsDevSumF64, ArraySumF64, DotF64, MinHashSigs,
   * `.withExtensions(new GraftExtensions)` — GraftSession does the latter.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      new FunctionIdentifier("graft_poly_hash"),
-      new ExpressionInfo(classOf[PolyHash].getName, "graft_poly_hash"),
-      exprs => PolyHash(exprs.head)))
-    e.injectFunction((
-      new FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotF64].getName, "graft_dot"),
-      exprs => DotF64(exprs.head, exprs(1))))
-    e.injectFunction((
-      new FunctionIdentifier("graft_simhash32"),
-      new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
-      exprs => SimHash32(exprs.head)))
-    e.injectFunction((
-      new FunctionIdentifier("graft_minhash_sigs"),
-      new ExpressionInfo(classOf[MinHashSigs].getName, "graft_minhash_sigs"),
-      exprs => MinHashSigs(exprs.head,
-        exprs(1).eval().asInstanceOf[Int])))
-    e.injectFunction((
-      new FunctionIdentifier("graft_normalize_text"),
-      new ExpressionInfo(classOf[NormalizeText].getName, "graft_normalize_text"),
-      exprs => NormalizeText(exprs.head)))
-    e.injectFunction((
-      new FunctionIdentifier("graft_array_sum"),
-      new ExpressionInfo(classOf[ArraySumF64].getName, "graft_array_sum"),
-      exprs => ArraySumF64(exprs.head)))
-    e.injectFunction((
-      new FunctionIdentifier("graft_abs_dev_sum"),
-      new ExpressionInfo(classOf[AbsDevSumF64].getName, "graft_abs_dev_sum"),
-      exprs => AbsDevSumF64(exprs.head, exprs(1))))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(e.injectFunction)
 }

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, GraftShim, SparkSession}
+
+import graft.operators.{CciPipeline, Relational, TextAnalysis}
+import graft.sources.Tables
+
+/** The engine's PURE-SQL surface: everything a SQL-only client needs to
+  * run graft queries without touching the Scala API.
+  *
+  * Three registration layers, each idempotent (temp views and function
+  * registry entries are replace-on-register, so per-query callers in a
+  * shared session are safe):
+  *
+  *  1. [[ensureFunctions]] — graft's native Catalyst expressions
+  *     (`graft_poly_hash`, `graft_dot`, ...) into the session's function
+  *     registry. [[GraftExtensions]] does this at session construction;
+  *     this is the post-hoc twin for sessions built WITHOUT the extension
+  *     (the driver's Verify, a JDBC/Thrift session pool) — both paths
+  *     consume the same [[GraftFunctions.all]] registry.
+  *  2. [[registerTables]] — the corpus parquet tables as temp views,
+  *     through [[Tables]] so the events nanos→micros discipline is the
+  *     SAME one the Scala surface reads (a raw `CREATE TEMP VIEW ... USING
+  *     parquet` would silently diverge on `ts`).
+  *  3. [[registerOperators]] — flagship operators published as views:
+  *     `graft_bars` (r02 OHLC), `graft_cci` (r04 rolling CCI),
+  *     `graft_signals` (r05 crossovers), `graft_quality` (t02 scores).
+  *     A view body is the operator's own Catalyst plan, so SQL callers get
+  *     the identical physical strategy (pushdown, partial aggs, bounded
+  *     windows) — views add zero execution surface, only reachability.
+  *
+  * The `sql01`/`sql02`/`sql03` queries below are driver-gated proof: their
+  * Spark side is a SQL string (no DataFrame combinators), checked against
+  * the SAME DuckDB oracles as their Scala twins (q01 / t04 / r04).
+  *
+  * Scale note: nothing here changes plans — `spark.sql` and the DataFrame
+  * API meet in the same Catalyst pipeline, so every 100-TB argument made
+  * for the Scala operators carries over verbatim to the SQL surface.
+  */
+object SqlSurface {
+
+  /** Post-hoc function registration for sessions built without
+    * [[GraftExtensions]]. Safe to call repeatedly. */
+  def ensureFunctions(spark: SparkSession): Unit =
+    GraftFunctions.all.foreach { case (id, info, builder) =>
+      GraftShim.registerFunction(spark, id, info, builder)
+    }
+
+  /** Corpus tables as temp views named exactly as the oracle's tables, so
+    * oracle SQL and Spark SQL read the same names. */
+  def registerTables(spark: SparkSession, dir: String): Unit = {
+    Tables.region(spark, dir).createOrReplaceTempView("region")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier")
+    Tables.part(spark, dir).createOrReplaceTempView("part")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
+  }
+
+  /** Flagship operators as SQL-queryable views (plan-identical to their
+    * Scala call sites — the view wraps the operator's own plan). */
+  def registerOperators(spark: SparkSession, dir: String): Unit = {
+    CciPipeline.ohlcBars(spark, dir).createOrReplaceTempView("graft_bars")
+    CciPipeline.cciQuery(spark, dir).createOrReplaceTempView("graft_cci")
+    CciPipeline.signalsQuery(spark, dir).createOrReplaceTempView("graft_signals")
+    TextAnalysis.qualityScore(spark, dir).createOrReplaceTempView("graft_quality")
+  }
+
+  /** Everything at once — the one call a SQL-only client makes. */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    ensureFunctions(spark)
+    registerTables(spark, dir)
+    registerOperators(spark, dir)
+  }
+
+  // ---------------------------------------------------------------- sql01
+  /** q01 re-expressed as pure Spark SQL over the registered `lineitem`
+    * view — gated on q01's own oracle ([[Relational.q01Sql]]). The text is
+    * dialect-shared ANSI: the only Spark/DuckDB divergence in the whole
+    * statement is none at all. */
+  def pricingSummaryViaSql(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-31'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- sql02
+  /** t04's document fingerprint as pure Spark SQL, exercising the runtime
+    * function registry: `graft_poly_hash` here resolves through
+    * [[ensureFunctions]], not the Scala `Column` helpers. Shingling uses
+    * the same 1-based `element_at` walk as [[TextAnalysis.fingerprint]];
+    * gated on t04's oracle. */
+  def fingerprintViaSql(spark: SparkSession, dir: String): DataFrame = {
+    ensureFunctions(spark)
+    registerTables(spark, dir)
+    spark.sql(
+      """WITH tok AS (
+        |  SELECT doc_id, text, split(text, ' ') AS tk FROM documents),
+        |ok AS (SELECT doc_id, text, tk FROM tok WHERE size(tk) >= 3),
+        |sh AS (
+        |  SELECT doc_id, text,
+        |    array_distinct(transform(sequence(1, size(tk) - 2),
+        |      i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+        |                     element_at(tk, i + 2)))) AS shs
+        |  FROM ok)
+        |SELECT doc_id, graft_poly_hash(text) AS fingerprint,
+        |  array_min(transform(shs, s -> graft_poly_hash(s))) AS min_shingle_hash
+        |FROM sh
+        |ORDER BY doc_id""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- sql03
+  /** The flagship rolling CCI reached purely through its registered view —
+    * `SELECT ... FROM graft_cci` — gated on r04's oracle. Proves the
+    * operator-view layer serves real operator output, not a copy. */
+  def cciViaView(spark: SparkSession, dir: String): DataFrame = {
+    registerOperators(spark, dir)
+    spark.sql("SELECT * FROM graft_cci ORDER BY user_id, d")
+  }
+}

@@ -343,6 +343,88 @@ object CciPipeline {
       .orderBy($"user_id", $"d")
   }
 
+  // ---------------------------------------------------------------- r30
+  /** Incremental CCI: yesterday's CCI TABLE + today's delta bars → today's
+    * CCI table — the production shape of the reference's daily loop, which
+    * re-fetches and recomputes every series per run
+    * (daily_function.py:561-597 rerun in full each day).
+    *
+    * Contract: `deltaBars` is an APPEND — for every touched series, all
+    * delta days are strictly after that series' last base day (exactly the
+    * reference's daily-fetch arrival; r03/r17 cover the replay/merge case).
+    * Under it, the rolling window of any delta row needs at most the last
+    * cciN−1 base bars of its series, so:
+    *
+    *  - base rows pass through UNTOUCHED (a trailing window never changes
+    *    when rows are appended after it) — no window runs over the base;
+    *  - recompute work ∝ delta rows + (cciN−1)·touched series: per-series
+    *    context is recovered from the base TABLE itself (bar columns ride
+    *    along in the cci output precisely so the table is self-sufficient),
+    *    restricted to touched series by a semi join before the window;
+    *  - `idx` (whole-series ordinal) is restored from the base table's own
+    *    max(idx) — position state lives IN the table, not in a side store.
+    *
+    * At 100 TB this is the difference between a daily job that windows the
+    * full history (cost ∝ corpus, the naive rerun) and one whose shuffle
+    * and window cost tracks the day's arrivals (cost ∝ delta). The fold is
+    * the shared [[rollingCci]] via [[cciFromBars]], so equality with the
+    * full recompute is by construction — and driver-gated: r30 runs
+    * against r04's unchanged oracle. */
+  def cciIncrementalFrom(baseCci: DataFrame, deltaBars: DataFrame,
+      cfg: GridConfig = GridConfig()): DataFrame = {
+    import baseCci.sparkSession.implicits._
+    val barCols = Seq("user_id", "d", "open_pr", "high_pr", "low_pr",
+      "close_pr", "volume").map(col)
+    // Only series the delta touches participate in the recompute; the
+    // rest of the base is a pure pass-through union branch.
+    val touched = deltaBars.select($"user_id").distinct()
+    val baseTouched = graft.GraftSession.maybeCache(
+      baseCci.join(touched, Seq("user_id"), "left_semi"))
+    // Per-series resume state, from the table itself: n0 = rows so far,
+    // nctx = how many of them the window context replays.
+    val offsets = baseTouched.groupBy($"user_id").agg(max($"idx").as("n0"))
+      .withColumn("nctx", least($"n0", lit(cfg.cciN - 1)))
+    val ctxBars = baseTouched
+      .withColumn("rnd", row_number().over(
+        Window.partitionBy($"user_id").orderBy($"d".desc)))
+      .filter($"rnd" < cfg.cciN)
+      .select(barCols: _*)
+      .withColumn("is_delta", lit(false))
+    val recomputed = cciFromBars(
+        ctxBars.unionByName(
+          deltaBars.select(barCols: _*).withColumn("is_delta", lit(true))), cfg)
+      .filter($"is_delta")
+      // left join: a series new in the delta has no base state -> offset 0
+      .join(offsets, Seq("user_id"), "left")
+      .withColumn("idx",
+        ($"idx" + coalesce($"n0", lit(0)) - coalesce($"nctx", lit(0))).cast("int"))
+      .drop("is_delta", "n0", "nctx")
+    baseCci.unionByName(recomputed.select(baseCci.columns.map(col): _*))
+  }
+
+  /** r30 driver entry: split the corpus bars at max(d) − 6 days (the last
+    * week is "today's arrivals"), feed the base through the ordinary r04
+    * path and the tail through the incremental path, and gate the result
+    * on r04's UNCHANGED oracle — the incremental recompute must be
+    * indistinguishable from the full one. */
+  def cciIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bars = graft.GraftSession.maybeCache(ohlcBars(spark, dir))
+    // Deterministic one-row cutoff, broadcast like the literal grids.
+    val cutoff = broadcast(bars.agg(date_sub(max($"d"), 6).as("cutoff")))
+    val split = bars.crossJoin(cutoff)
+    val baseCci = cciFromBars(split.filter($"d" < $"cutoff").drop("cutoff"),
+      GridConfig())
+    val deltaBars = split.filter($"d" >= $"cutoff").drop("cutoff")
+    cciIncrementalFrom(baseCci, deltaBars)
+      .select($"user_id", $"d", $"idx", $"open_pr", $"close_pr",
+        (floor(($"sma_c") * 10000.0 + 0.5) / 10000.0).as("sma_close"),
+        (floor(($"mad_c") * 10000.0 + 0.5) / 10000.0).as("mad_close"),
+        (floor(($"close_cci") * 10000.0 + 0.5) / 10000.0).as("close_cci"),
+        (floor(($"open_cci") * 10000.0 + 0.5) / 10000.0).as("open_cci"))
+      .orderBy($"user_id", $"d")
+  }
+
   // ---------------------------------------------------------------- r05
   /** Buy-signal crossover: prev CCI below threshold, current above
     * (daily_function.py:724-725). Thresholds are a broadcast literal grid. */

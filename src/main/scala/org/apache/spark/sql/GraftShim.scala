@@ -1,6 +1,7 @@
 package org.apache.spark.sql
 
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Bridge to the sql-private Column <-> Expression converters (Spark 4
   * moved them behind `classic.ExpressionUtils`). Lives in the sql package
@@ -9,4 +10,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a native function into an ALREADY-BUILT session's registry.
+    * `SparkSessionExtensions.injectFunction` only works at session
+    * construction; harnesses that hand us a plain session (the driver's
+    * Verify, a shared notebook session) need the post-hoc path. The
+    * registry is session-scoped state, so this does not leak across
+    * `newSession()` boundaries. */
+  def registerFunction(spark: SparkSession, id: FunctionIdentifier,
+      info: ExpressionInfo, builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(id, info, builder)
 }

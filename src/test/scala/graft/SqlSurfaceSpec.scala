@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{AnalysisException, SparkSession}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The pure-SQL surface (SqlSurface): parity of the sql01-sql03 SQL-string
+  * queries with their Scala twins, and the post-hoc function-registration
+  * path used by extension-less sessions (the driver's Verify). */
+class SqlSurfaceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("sql01: pure-SQL pricing summary equals the q01 DataFrame program") {
+    assert(rows(SqlSurface.pricingSummaryViaSql(spark, sf)) ==
+      rows(operators.Relational.q01PricingSummary(spark, sf)))
+  }
+
+  test("sql02: pure-SQL fingerprint equals the t04 DataFrame program") {
+    assert(rows(SqlSurface.fingerprintViaSql(spark, sf)) ==
+      rows(operators.TextAnalysis.fingerprint(spark, sf)))
+  }
+
+  test("sql03: the graft_cci operator view serves exactly the r04 output") {
+    assert(rows(SqlSurface.cciViaView(spark, sf)) ==
+      rows(operators.CciPipeline.cciQuery(spark, sf)))
+  }
+
+  test("ensureFunctions registers graft functions into a PLAIN session (Verify's path)") {
+    // Build a genuinely extension-less session over the same SparkContext:
+    // clear the session singletons so getOrCreate cannot hand back the
+    // extension-carrying TestSpark session, then restore them for the
+    // suites that follow in this JVM.
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val plain = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+      assert(plain ne shared)
+      // Without registration the function must not resolve...
+      intercept[AnalysisException] {
+        plain.sql("SELECT graft_poly_hash('abc')").collect()
+      }
+      // ...and after ensureFunctions it computes the native expression.
+      SqlSurface.ensureFunctions(plain)
+      assert(plain.sql("SELECT graft_poly_hash('abc') AS h").head().getLong(0) ==
+        functions.catalyst.PolyHashExpr.hash(UTF8String.fromString("abc")))
+      // The full SQL-surface query runs end to end on the plain session.
+      assert(SqlSurface.fingerprintViaSql(plain, sf).count() > 0)
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+}
