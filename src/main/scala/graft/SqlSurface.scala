@@ -9,8 +9,11 @@ import graft.sources.Tables
   * run graft queries without touching the Scala API.
   *
   * Three registration layers, each idempotent (temp views and function
-  * registry entries are replace-on-register, so per-query callers in a
-  * shared session are safe):
+  * registry entries are replace-on-register, so SEQUENTIAL per-query
+  * callers in a shared session are safe; view names are session-global
+  * and parameterized by `dir`, so concurrent callers mixing different
+  * scale-factor dirs in one session can re-bind each other's views —
+  * concurrent mixed-dir use needs separate sessions via `newSession()`):
   *
   *  1. [[ensureFunctions]] — graft's native Catalyst expressions
   *     (`graft_poly_hash`, `graft_dot`, ...) into the session's function
@@ -46,20 +49,35 @@ object SqlSurface {
       GraftShim.registerFunction(spark, id, info, builder)
     }
 
+  private val tableLoaders: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "region" -> (Tables.region _), "nation" -> (Tables.nation _),
+    "customer" -> (Tables.customer _), "supplier" -> (Tables.supplier _),
+    "part" -> (Tables.part _), "orders" -> (Tables.orders _),
+    "lineitem" -> (Tables.lineitem _), "events" -> (Tables.events _),
+    "documents" -> (Tables.documents _), "embeddings" -> (Tables.embeddings _))
+
+  /** Register only the named corpus tables as temp views. Each sql* query
+    * registers exactly the tables it reads, so one unreadable table's blast
+    * radius is its own queries, not the whole SQL surface (round 7: the
+    * events `ts` type break took lineitem-only sql01 down with it). */
+  def registerTables(spark: SparkSession, dir: String, names: Seq[String]): Unit =
+    tableLoaders.filter { case (n, _) => names.contains(n) }
+      .foreach { case (n, f) => f(spark, dir).createOrReplaceTempView(n) }
+
   /** Corpus tables as temp views named exactly as the oracle's tables, so
-    * oracle SQL and Spark SQL read the same names. */
-  def registerTables(spark: SparkSession, dir: String): Unit = {
-    Tables.region(spark, dir).createOrReplaceTempView("region")
-    Tables.nation(spark, dir).createOrReplaceTempView("nation")
-    Tables.customer(spark, dir).createOrReplaceTempView("customer")
-    Tables.supplier(spark, dir).createOrReplaceTempView("supplier")
-    Tables.part(spark, dir).createOrReplaceTempView("part")
-    Tables.orders(spark, dir).createOrReplaceTempView("orders")
-    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
-    Tables.events(spark, dir).createOrReplaceTempView("events")
-    Tables.documents(spark, dir).createOrReplaceTempView("documents")
-    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
-  }
+    * oracle SQL and Spark SQL read the same names. A table that fails to
+    * load (missing file, schema drift) is skipped with a warning rather
+    * than failing the whole registration — its own queries will still fail,
+    * loudly, at resolution time. */
+  def registerTables(spark: SparkSession, dir: String): Unit =
+    tableLoaders.foreach { case (n, f) =>
+      try f(spark, dir).createOrReplaceTempView(n)
+      catch {
+        case e: Exception =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"SqlSurface: skipping unreadable table '$n' ($dir): ${e.getMessage}")
+      }
+    }
 
   /** Flagship operators as SQL-queryable views (plan-identical to their
     * Scala call sites — the view wraps the operator's own plan). */
@@ -83,7 +101,7 @@ object SqlSurface {
     * dialect-shared ANSI: the only Spark/DuckDB divergence in the whole
     * statement is none at all. */
   def pricingSummaryViaSql(spark: SparkSession, dir: String): DataFrame = {
-    registerTables(spark, dir)
+    registerTables(spark, dir, Seq("lineitem"))
     spark.sql(
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -108,7 +126,7 @@ object SqlSurface {
     * gated on t04's oracle. */
   def fingerprintViaSql(spark: SparkSession, dir: String): DataFrame = {
     ensureFunctions(spark)
-    registerTables(spark, dir)
+    registerTables(spark, dir, Seq("documents"))
     spark.sql(
       """WITH tok AS (
         |  SELECT doc_id, text, split(text, ' ') AS tk FROM documents),

@@ -47,17 +47,37 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** `ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
-    * rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong=true` and we
-    * truncate to microsecond precision here (ns div 1000), matching the
-    * DuckDB oracle's `epoch_ns(ts) // 1000`. */
+  /** Normalize an events frame's `ts` to a plain micros TIMESTAMP regardless
+    * of how the parquet encoded it. The driver has shipped this column as
+    * TIMESTAMP(NANOS) (readable only as int64 under `nanosAsLong`), as
+    * timestamp[us], and could plausibly ship timestamp_ntz or ms — the
+    * engine contract is "ts is a session-TZ micros timestamp", so the branch
+    * lives here, once, keyed off the actual scanned type:
+    *   - LongType        → nanos-as-long: truncate ns→us (`div 1000`)
+    *   - TimestampNTZType→ reinterpret as UTC wall clock (sessions run UTC,
+    *                       so NTZ and instant semantics coincide)
+    *   - TimestampType   → already micros, pass through
+    * The DuckDB oracle side (`epoch_ns(ts) // 1000` in [[eventsOracleCte]])
+    * is unit-agnostic and matches all three. */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported parquet type $other (expected int64 nanos, timestamp, or timestamp_ntz)")
+    }
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
-    // Runtime-settable SQL conf; set defensively so sessions the caller
-    // built without GraftSession (e.g. an external smoke harness) can
-    // still read the nanos parquet.
+    // Runtime-settable SQL conf; set defensively so a TIMESTAMP(NANOS)
+    // encoding stays readable (as int64) even on sessions the caller built
+    // without GraftSession (e.g. an external smoke harness). Harmless for
+    // the us/ntz encodings.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeEventTs(load(spark, dir, "events"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

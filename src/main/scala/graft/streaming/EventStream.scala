@@ -70,21 +70,20 @@ object EventStream {
          |ORDER BY user_id, session_id""".stripMargin
 
   // ------------------------------------------------------------ v02/v03
-  /** The events schema as the streaming source sees it (ts arrives as
-    * nanos-int64 under nanosAsLong, normalized to micros timestamp like
-    * the batch loader). */
+  /** The events schema as the streaming source sees it (`ts` normalized to a
+    * micros timestamp by the same type-keyed branch as the batch loader —
+    * nanos-int64, timestamp[us], and timestamp_ntz parquet all accepted). */
   /** `streamDir` must be a DIRECTORY of event parquet files (the file
     * stream source tails directories; new files become new micro-batches). */
   def readEventStream(spark: SparkSession, streamDir: String): DataFrame = {
-    // same defensive conf + nanos→micros normalization as Tables.events
-    // (Tables.scala): the schema-inference batch read below rejects
-    // TIMESTAMP(NANOS) parquet without it on a caller-built session
+    // same defensive conf as Tables.events: a TIMESTAMP(NANOS) encoding is
+    // only readable (as int64) under nanosAsLong on a caller-built session
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(streamDir).schema
-    spark.readStream
-      .schema(schema)
-      .parquet(streamDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Tables.normalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        .parquet(streamDir))
   }
 
   /** v02: tumbling-window per-type aggregation with a watermark — the

@@ -73,9 +73,14 @@ def round_half_up(x, k):
 
 def load_events(sf_dir):
     df = pd.read_parquet(f"{sf_dir}/events.parquet")
-    # engine truncates nanos -> micros (Tables.events: ts div 1000)
-    ts_ns = df["ts"].astype("int64")
-    df = df.assign(ts_us=ts_ns // 1000)
+    # Mirror Tables.normalizeEventTs: accept int64-nanos, timestamp[us/ns/ms],
+    # or naive timestamps — everything lands on epoch micros.
+    ts = df["ts"]
+    if pd.api.types.is_datetime64_any_dtype(ts):
+        ts_us = ts.astype("datetime64[us]").astype("int64")
+    else:  # TIMESTAMP(NANOS) parquet read as raw int64
+        ts_us = ts.astype("int64") // 1000
+    df = df.assign(ts_us=ts_us)
     df["d"] = pd.to_datetime(df["ts_us"], unit="us").dt.normalize()
     return df
 
