@@ -244,6 +244,20 @@ object Features {
       }
     }
 
+  /** Pre-fit (or reload from the model workspace) every model the ml*
+    * queries serve from. Bench warm-up hook: fitting is memoized per
+    * (session, dir) and keyed on source-file (mtime, length), so a testdata
+    * regen invalidates the cache and the FIRST serving call pays the refit —
+    * round 7's bench recorded ml04 at 29 s (fit+serve) vs round 6's 2.3 s
+    * (serve-only), non-comparable. Bench calls this inside its `fit_build`
+    * entry so ml01–ml04 time serving only, every round. */
+  def warmFit(spark: SparkSession, dir: String): Unit = {
+    fittedWinModel(spark, dir)
+    fittedKmeans(spark, dir, 10)
+    fittedAls(spark, dir)
+    ()
+  }
+
   /** ml04: top-K part recommendations per customer from the implicit-ALS
     * factorization of the customer × part purchase matrix.
     * `recommendForAllUsers` is MLlib's blocked factor cross-product with

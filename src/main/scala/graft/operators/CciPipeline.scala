@@ -376,10 +376,13 @@ object CciPipeline {
     val barCols = Seq("user_id", "d", "open_pr", "high_pr", "low_pr",
       "close_pr", "volume").map(col)
     // Only series the delta touches participate in the recompute; the
-    // rest of the base is a pure pass-through union branch.
+    // rest of the base is a pure pass-through union branch. baseTouched is
+    // read twice (offsets + context) but NOT persisted here: caching
+    // lifetime belongs to the caller (a daily loop persisting inside the
+    // operator would grow executor storage by one entry per run — each
+    // day's base table is a new plan CacheManager can't dedup).
     val touched = deltaBars.select($"user_id").distinct()
-    val baseTouched = graft.GraftSession.maybeCache(
-      baseCci.join(touched, Seq("user_id"), "left_semi"))
+    val baseTouched = baseCci.join(touched, Seq("user_id"), "left_semi")
     // Per-series resume state, from the table itself: n0 = rows so far,
     // nctx = how many of them the window context replays.
     val offsets = baseTouched.groupBy($"user_id").agg(max($"idx").as("n0"))

@@ -39,6 +39,16 @@ class CciPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("r30: incremental base+delta recompute is row-equal to the full run") {
+    // the driver gate re-checks this against r04's oracle; this spec makes
+    // the equality claim self-contained (and covers the delta split logic,
+    // which the oracle can't see)
+    val full = CciPipeline.cciQuery(spark, sf).collect()
+    val inc = CciPipeline.cciIncrementalQuery(spark, sf).collect()
+    assert(full.length == inc.length && full.nonEmpty)
+    full.zip(inc).foreach { case (a, b) => assert(a == b, s"\n$a\n$b") }
+  }
+
   test("r02: bars respect OHLC invariants") {
     val bad = CciPipeline.ohlcBars(spark, sf)
       .filter(col("high_pr") < col("low_pr") ||
