@@ -115,8 +115,14 @@ object Bench {
         case n @ "x04_cci_window_skew" =>
           n -> timed(n)(materialize(CciPipeline.cciFromBars(bars, cfg)))
         case n =>
+          // chunkRows sized so the hot series (~3.8M bars) splits into ~40
+          // bounded tasks, not 380: at 10k rows/chunk the per-task overhead
+          // (shuffle write, window setup) ate the straggler win and the
+          // demo flickered around the crossover (r6 6.9 s win, r7 12.8 s
+          // loss, both sweep-tail noise). 100k rows/task is still far under
+          // executor memory at any series length — the BOUND is the point.
           n -> timed(n)(materialize(
-            CciPipeline.cciChunkedFromBars(bars, cfg, chunkRows = 10000)))
+            CciPipeline.cciChunkedFromBars(bars, cfg, chunkRows = 100000)))
       }
       bars.unpersist()
       out
