@@ -158,6 +158,9 @@ object SparkEntry {
     // delta) — must be indistinguishable from the full r04 run, so it is
     // gated on r04's UNCHANGED oracle
     "r30_cci_incremental" -> (CciPipeline.cciIncrementalQuery _),
+    // r31: the connector seam round-trip — r21's watermark drives the
+    // local-file transport; the oracle re-derives the fetched suffix in SQL
+    "r31_connector_fetch" -> (graft.sources.ConnectorFetch.connectorFetchQuery _),
     "p05b_stratified_presplit" -> (Curation.stratifiedSamplePresplitQuery _),
     // d07b: the large-star/small-star CC core — same clusters, same
     // oracle as d07; the long-chain swap-in pinned under the driver gate
@@ -302,6 +305,7 @@ object SparkEntry {
     "p08_curriculum" -> Curation.curriculumSql,
     "r29_cci_chunked" -> CciPipeline.cciSql,
     "r30_cci_incremental" -> CciPipeline.cciSql,
+    "r31_connector_fetch" -> graft.sources.ConnectorFetch.connectorFetchSql,
     "d07b_dedup_clusters_stars" -> graft.dedup.Dedup.dedupClustersSql,
     "p05b_stratified_presplit" -> Curation.stratifiedSamplePresplitSql,
     "v02b_windowed_counts" -> graft.streaming.EventStream.windowedCountsBatchSql,

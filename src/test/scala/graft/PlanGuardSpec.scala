@@ -38,6 +38,9 @@ class PlanGuardSpec extends AnyFunSuite {
   ).flatten.flatMap(p => SparkEntry.queries.keys.find(_.startsWith(p)))
 
   test("plan guard: no query plans an unpartitioned window (single-task funnel)") {
+    // uncached plans: an earlier suite's maybeCache would substitute
+    // InMemoryRelations and hide the windows this guard inspects
+    spark.catalog.clearCache()
     assert(lazyQueries.size >= 80, s"guard list shrank: ${lazyQueries.size}")
     val offenders = lazyQueries.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan

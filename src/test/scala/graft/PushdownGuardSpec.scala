@@ -18,8 +18,12 @@ import org.scalatest.funsuite.AnyFunSuite
 class PushdownGuardSpec extends AnyFunSuite {
   import TestSpark._
 
-  private def formatted(df: DataFrame): String =
+  private def formatted(df: DataFrame): String = {
+    // uncached plan: cache substitution from an earlier suite would remove
+    // the very scan blocks these tests match on
+    df.sparkSession.catalog.clearCache()
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
 
   /** The formatted-plan block of the scan whose Location matches `loc`
     * (Location line through its ReadSchema line). */

@@ -51,6 +51,12 @@ class ShuffleGuardSpec extends AnyFunSuite {
   )
 
   test("shuffle guard: audited queries keep their exchange counts") {
+    // audit the UNCACHED static plan: suites that ran earlier may have
+    // maybeCache'd shared subtrees (r30 caches the bars frame), and
+    // CacheManager's plan replacement would swap a scan+agg for an
+    // InMemoryRelation and change the exchange count non-deterministically
+    // with suite order
+    spark.catalog.clearCache()
     val moved = budgets.toSeq.sortBy(_._1).flatMap { case (name, want) =>
       val got = shuffles(SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
       if (got != want) Some(s"$name planned $got exchanges, audited $want")
