@@ -92,6 +92,9 @@ object SparkEntry {
     "t05_vocab" -> (TextAnalysis.vocab _),
     "t06_decontaminate" -> (TextAnalysis.decontaminate _),
     "t11_decontaminate_fuzzy" -> (TextAnalysis.decontaminateFuzzy _),
+    // t12: PII scrub — deterministic in-query contamination, then regex
+    // detect + redact; pure projection pass (no shuffle before the sort)
+    "t12_pii_redact" -> (TextAnalysis.piiRedact _),
     "t07_bigram_lm" -> (TextAnalysis.bigramLm _),
     "p03_curated_corpus" -> (Curation.curatedCorpus _),
     "r22_trading_calendar" -> (CciPipeline.tradingCalendar _),
@@ -260,6 +263,7 @@ object SparkEntry {
     "t05_vocab" -> TextAnalysis.vocabSql,
     "t06_decontaminate" -> TextAnalysis.decontaminateSql,
     "t11_decontaminate_fuzzy" -> TextAnalysis.decontaminateFuzzySql,
+    "t12_pii_redact" -> TextAnalysis.piiRedactSql,
     "t07_bigram_lm" -> TextAnalysis.bigramLmSql,
     "p03_curated_corpus" -> Curation.curatedCorpusSql,
     "r22_trading_calendar" -> CciPipeline.tradingCalendarSql,

@@ -580,4 +580,71 @@ object TextAnalysis {
        |  FROM tf JOIN dfq USING (term))
        |SELECT doc_id, term, tf, df, rk FROM ranked
        |WHERE rk <= $TfidfTopK ORDER BY doc_id, rk""".stripMargin
+
+  // ---------------------------------------------------------------- t12
+  /** PII detection + redaction — the scrub stage every training-data
+    * pipeline runs before a corpus ships. Patterns are deliberately simple
+    * (email, dashed phone, IPv4) and shared verbatim between the engine and
+    * the oracle; production swaps in a larger pattern library, the plan
+    * shape (one row-local projection pass, no shuffle before the output
+    * sort) is what matters at 100 TB.
+    *
+    * The synthetic corpus contains no digits at all, so the query first
+    * CONTAMINATES deterministically (doc_id-keyed emails/phones/IPs
+    * appended inside the query) and then detects + redacts. Both stages
+    * are pure column expressions → full DuckDB oracle; a vacuous all-zero
+    * gate would prove nothing. */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePat = "\\d{3}-\\d{3,4}-\\d{4}"
+  val Ipv4Pat = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val contaminated =
+      concat($"text",
+        when($"doc_id" % 7 === 0,
+          concat(lit(" contact user"), $"doc_id", lit("@example.com asap"))).otherwise(lit("")),
+        when($"doc_id" % 11 === 0,
+          concat(lit(" call 010-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+            lit("-5678"))).otherwise(lit("")),
+        when($"doc_id" % 13 === 0,
+          concat(lit(" from 10.0."), ($"doc_id" % 256).cast("string"), lit(".7"))).otherwise(lit("")))
+    Tables.documents(spark, dir)
+      .select($"doc_id", contaminated.as("txt"))
+      .select($"doc_id",
+        regexp_count($"txt", lit(EmailPat)).as("n_emails"),
+        regexp_count($"txt", lit(PhonePat)).as("n_phones"),
+        regexp_count($"txt", lit(Ipv4Pat)).as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace($"txt", lit(EmailPat), lit("[EMAIL]")),
+            lit(PhonePat), lit("[PHONE]")),
+          lit(Ipv4Pat), lit("[IP]")).as("redacted"))
+      .withColumn("redacted_len", length($"redacted"))
+      .orderBy($"doc_id")
+  }
+
+  val piiRedactSql: String =
+    s"""WITH contaminated AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 7 = 0
+       |            THEN ' contact user' || doc_id || '@example.com asap' ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0
+       |            THEN ' call 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |                 || '-5678' ELSE '' END
+       |    || CASE WHEN doc_id % 13 = 0
+       |            THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END AS txt
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(txt, '$EmailPat')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(txt, '$PhonePat')) AS INT) AS n_phones,
+       |  CAST(len(regexp_extract_all(txt, '$Ipv4Pat')) AS INT) AS n_ips,
+       |  regexp_replace(regexp_replace(regexp_replace(txt,
+       |    '$EmailPat', '[EMAIL]', 'g'), '$PhonePat', '[PHONE]', 'g'),
+       |    '$Ipv4Pat', '[IP]', 'g') AS redacted,
+       |  length(regexp_replace(regexp_replace(regexp_replace(txt,
+       |    '$EmailPat', '[EMAIL]', 'g'), '$PhonePat', '[PHONE]', 'g'),
+       |    '$Ipv4Pat', '[IP]', 'g')) AS redacted_len
+       |FROM contaminated
+       |ORDER BY doc_id""".stripMargin
 }

@@ -854,4 +854,23 @@ class LlmOpsSpec extends AnyFunSuite {
     val got = t11.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == expect, s"t11/d03 disagree:\n  t11-only: ${got -- expect}\n  d03-only: ${expect -- got}")
   }
+
+  test("t12: redaction removes every detected PII span and only those docs change") {
+    import org.apache.spark.sql.functions._
+    val out = operators.TextAnalysis.piiRedact(spark, sf)
+    // detection fires on the contaminated strata and nowhere else
+    assert(out.filter(col("doc_id") % 7 === 0 && col("n_emails") =!= 1).count() == 0)
+    assert(out.filter(col("doc_id") % 7 =!= 0 && col("n_emails") =!= 0).count() == 0)
+    assert(out.filter(col("doc_id") % 11 === 0 && col("n_phones") =!= 1).count() == 0)
+    assert(out.filter(col("doc_id") % 13 === 0 && col("n_ips") =!= 1).count() == 0)
+    // no residual PII survives redaction
+    assert(out.filter(
+      col("redacted").rlike(operators.TextAnalysis.EmailPat) ||
+      col("redacted").rlike(operators.TextAnalysis.PhonePat) ||
+      col("redacted").rlike(operators.TextAnalysis.Ipv4Pat)).count() == 0)
+    // and every redaction left its marker
+    assert(out.filter(col("n_emails") === 1 && !col("redacted").contains("[EMAIL]")).count() == 0)
+    assert(out.filter(col("n_phones") === 1 && !col("redacted").contains("[PHONE]")).count() == 0)
+    assert(out.filter(col("n_ips") === 1 && !col("redacted").contains("[IP]")).count() == 0)
+  }
 }
