@@ -32,16 +32,17 @@ trait EventConnector {
   * table itself, so a fetch is a range join of the corpus against the
   * request batch. This is the implementation the driver gate runs — it
   * makes the seam's semantics (resume from watermark, closed date range,
-  * per-key pruning) oracle-checkable without a network. The join leaves
-  * strategy to Catalyst: the requests side is #keys rows, so AQE
-  * broadcasts it at any realistic scale; the events side prunes on the
-  * join's date bounds before the shuffle when the source supports it. */
+  * per-key pruning) oracle-checkable without a network. The requests side
+  * is HINTED broadcast: it is #keys rows by contract, while the corpus
+  * side is unbounded — without the hint, small-SF size estimates broadcast
+  * the CORPUS (backwards at 100 TB, where that degrades to shuffling the
+  * full events table against a dimension). */
 final class LocalFileEventConnector(dir: String) extends EventConnector {
   override def name: String = s"local-file:$dir"
   override def fetch(spark: SparkSession, requests: DataFrame): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir).withColumn("d", to_date($"ts"))
-    ev.join(requests.select($"user_id", $"fetch_start", $"fetch_end"),
+    ev.join(broadcast(requests.select($"user_id", $"fetch_start", $"fetch_end")),
         ev("user_id") === requests("user_id")
           && $"d" >= $"fetch_start" && $"d" <= $"fetch_end")
       .select(ev("event_id"), ev("ts"), ev("user_id"), ev("event_type"),
