@@ -120,6 +120,38 @@ object ScalingProbe {
       out("r06_trade") = timed(graft.operators.CciPipeline.tradesFromBars(
         barsRep, graft.operators.CciPipeline.GridConfig()))
     }
+    if (probes("inc") || probes("r30_inc")) {
+      // r30's scale claim measured: the base CCI TABLE landed in parquet at
+      // mult× history, a fixed last-week delta. The incremental path's
+      // RECOMPUTE (semi-join context recovery + delta-sized window) must
+      // stay ~flat in mult while the full recompute's window grows ∝
+      // corpus. Honesty note: r30's OUTPUT is the whole new table, so its
+      // timed wall still contains a ∝-corpus pass-through scan+union —
+      // the probe separates slope (full ≈ linear, inc ≈ scan-bound) rather
+      // than claiming a flat line; a production daily loop writes
+      // date-partitioned (r16) and pays only the delta partitions.
+      import graft.operators.{CciPipeline, Skew}
+      val cfg = CciPipeline.GridConfig()
+      // Zipf-length series (the x04 corpus shape: one mega-series carries
+      // ~half the bars), scaled by mult × 100k rows: this is the regime
+      // where the full recompute's per-series window is a single giant
+      // sort task — the cost r30 exists to avoid. Uniformly replicated
+      // corpora (by series OR by history) keep every sort small and both
+      // paths scan-bound; measured and discarded — at 1.28M such bars full
+      // and incremental tie within noise.
+      val barsRep = land(
+        Skew.zipfBars(spark, mult.toLong * 100000L, Skew.SkewBarSeries),
+        s"/tmp/graft_scale_incbars_$mult")
+      val cutoff = broadcast(barsRep.agg(date_sub(max($"d"), 6).as("cutoff")))
+      val split = barsRep.crossJoin(cutoff)
+      val baseCci = land(
+        CciPipeline.cciFromBars(split.filter($"d" < $"cutoff").drop("cutoff"), cfg),
+        s"/tmp/graft_scale_incbase_$mult")
+      val deltaBars = land(split.filter($"d" >= $"cutoff").drop("cutoff"),
+        s"/tmp/graft_scale_incdelta_$mult")
+      out("r30_full") = timed(CciPipeline.cciFromBars(barsRep, cfg))
+      out("r30_inc") = timed(CciPipeline.cciIncrementalFrom(baseCci, deltaBars, cfg))
+    }
     if (probes("rank") || probes("q43_rank")) {
       // Large-domain PageRank: 125k nodes × mult (mult=8 -> 1M), synthetic
       // power-ish graph with out-degree 4 (dst by multiplicative hashing),

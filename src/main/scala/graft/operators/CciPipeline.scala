@@ -387,10 +387,14 @@ object CciPipeline {
     // nctx = how many of them the window context replays.
     val offsets = baseTouched.groupBy($"user_id").agg(max($"idx").as("n0"))
       .withColumn("nctx", least($"n0", lit(cfg.cciN - 1)))
+    // Context = the last cciN−1 rows per touched series, recovered from the
+    // POSITION STATE the table already stores: idx > n0 − (N−1) via a
+    // broadcast join against the per-series max — NOT a row_number window,
+    // which would sort the whole base per series and cost as much as the
+    // full recompute it exists to avoid (caught by ScalingProbe `inc`).
     val ctxBars = baseTouched
-      .withColumn("rnd", row_number().over(
-        Window.partitionBy($"user_id").orderBy($"d".desc)))
-      .filter($"rnd" < cfg.cciN)
+      .join(broadcast(offsets.select($"user_id", $"n0")), Seq("user_id"))
+      .filter($"idx" > $"n0" - (cfg.cciN - 1))
       .select(barCols: _*)
       .withColumn("is_delta", lit(false))
     val recomputed = cciFromBars(
