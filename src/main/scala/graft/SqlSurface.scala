@@ -80,12 +80,25 @@ object SqlSurface {
     }
 
   /** Flagship operators as SQL-queryable views (plan-identical to their
-    * Scala call sites — the view wraps the operator's own plan). */
+    * Scala call sites — the view wraps the operator's own plan). Same
+    * per-view failure isolation as [[registerTables]]: operator plans read
+    * source tables at construction time (the CCI views read events), so
+    * without it one unreadable table would abort [[registerAll]] before
+    * the unrelated views exist. */
   def registerOperators(spark: SparkSession, dir: String): Unit = {
-    CciPipeline.ohlcBars(spark, dir).createOrReplaceTempView("graft_bars")
-    CciPipeline.cciQuery(spark, dir).createOrReplaceTempView("graft_cci")
-    CciPipeline.signalsQuery(spark, dir).createOrReplaceTempView("graft_signals")
-    TextAnalysis.qualityScore(spark, dir).createOrReplaceTempView("graft_quality")
+    val views: Seq[(String, () => DataFrame)] = Seq(
+      "graft_bars" -> (() => CciPipeline.ohlcBars(spark, dir)),
+      "graft_cci" -> (() => CciPipeline.cciQuery(spark, dir)),
+      "graft_signals" -> (() => CciPipeline.signalsQuery(spark, dir)),
+      "graft_quality" -> (() => TextAnalysis.qualityScore(spark, dir)))
+    views.foreach { case (n, f) =>
+      try f().createOrReplaceTempView(n)
+      catch {
+        case e: Exception =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"SqlSurface: skipping unbuildable view '$n' ($dir): ${e.getMessage}")
+      }
+    }
   }
 
   /** Everything at once — the one call a SQL-only client makes. */

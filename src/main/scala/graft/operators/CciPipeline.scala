@@ -420,8 +420,14 @@ object CciPipeline {
     // Deterministic one-row cutoff, broadcast like the literal grids.
     val cutoff = broadcast(bars.agg(date_sub(max($"d"), 6).as("cutoff")))
     val split = bars.crossJoin(cutoff)
-    val baseCci = cciFromBars(split.filter($"d" < $"cutoff").drop("cutoff"),
-      GridConfig())
+    // The caller-side cache the operator's contract prescribes: the base
+    // CCI subtree is read 4× inside cciIncrementalFrom (pass-through union
+    // + offsets + context + offsets join); uncached, the full-corpus
+    // window would recompute each time. In the production daily loop the
+    // base is a persisted TABLE (ScalingProbe lands it in parquet), so
+    // this demo entry is the only place the cache is needed.
+    val baseCci = graft.GraftSession.maybeCache(
+      cciFromBars(split.filter($"d" < $"cutoff").drop("cutoff"), GridConfig()))
     val deltaBars = split.filter($"d" >= $"cutoff").drop("cutoff")
     cciIncrementalFrom(baseCci, deltaBars)
       .select($"user_id", $"d", $"idx", $"open_pr", $"close_pr",

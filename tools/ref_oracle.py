@@ -76,6 +76,10 @@ def load_events(sf_dir):
     # Mirror Tables.normalizeEventTs: accept int64-nanos, timestamp[us/ns/ms],
     # or naive timestamps — everything lands on epoch micros.
     ts = df["ts"]
+    if isinstance(ts.dtype, pd.DatetimeTZDtype):
+        # tz-aware (isAdjustedToUTC=true parquet): drop to naive UTC first —
+        # .astype to a naive dtype raises TypeError on tz-aware input
+        ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
     if pd.api.types.is_datetime64_any_dtype(ts):
         ts_us = ts.astype("datetime64[us]").astype("int64")
     else:  # TIMESTAMP(NANOS) parquet read as raw int64
