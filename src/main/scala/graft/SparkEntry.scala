@@ -164,6 +164,11 @@ object SparkEntry {
     // r31: the connector seam round-trip — r21's watermark drives the
     // local-file transport; the oracle re-derives the fetched suffix in SQL
     "r31_connector_fetch" -> (graft.sources.ConnectorFetch.connectorFetchQuery _),
+    // r32: the composed daily orchestrated run (app.py execute_pipeline) —
+    // bootstrap + one week of incremental trading-day runs over a persisted
+    // workspace; the oracle recomputes every day's digest from the raw
+    // events, proving the persisted incremental chain == full recompute
+    "r32_daily_run" -> (graft.Daily.dailyRunQuery _),
     "p05b_stratified_presplit" -> (Curation.stratifiedSamplePresplitQuery _),
     // d07b: the large-star/small-star CC core — same clusters, same
     // oracle as d07; the long-chain swap-in pinned under the driver gate
@@ -310,6 +315,7 @@ object SparkEntry {
     "r29_cci_chunked" -> CciPipeline.cciSql,
     "r30_cci_incremental" -> CciPipeline.cciSql,
     "r31_connector_fetch" -> graft.sources.ConnectorFetch.connectorFetchSql,
+    "r32_daily_run" -> graft.Daily.dailyRunSql,
     "d07b_dedup_clusters_stars" -> graft.dedup.Dedup.dedupClustersSql,
     "p05b_stratified_presplit" -> Curation.stratifiedSamplePresplitSql,
     "v02b_windowed_counts" -> graft.streaming.EventStream.windowedCountsBatchSql,

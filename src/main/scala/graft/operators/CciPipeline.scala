@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -86,14 +86,20 @@ object CciPipeline {
     * on (user_id, day); open/close order by the full (ts, event_id) struct —
     * ts alone would be nondeterministic across engines if two events ever
     * share a truncated timestamp. */
-  def ohlcBars(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame =
+    barsFromEvents(Tables.events(spark, dir))
+
+  /** The ONE bars aggregation, over any event-schema frame (`ts, event_id,
+    * user_id, value`) — shared by the corpus path ([[ohlcBars]]) and the
+    * daily connector-fetch path ([[graft.Daily]]), so the two cannot fork. */
+  def barsFromEvents(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
     // Single-pass bars: open/close via min_by/max_by on the (ts, event_id)
     // struct (unique per event, so deterministic) — one shuffle + hash agg.
     // The prior formulation ranked with TWO window sorts (asc + desc
     // row_number) before aggregating; the oracle keeps that row_number
     // formulation, so the hash gate proves the two agree bit-for-bit.
-    Tables.events(spark, dir)
+    events
       .groupBy($"user_id", to_date($"ts").as("d"))
       .agg(
         min_by($"value", struct($"ts", $"event_id")).as("open_pr"),
@@ -224,7 +230,7 @@ object CciPipeline {
   }
 
   /** Shared oracle CTE chain: events_us → bars → cci. */
-  private val cciCtes: String =
+  private[graft] val cciCtes: String =
     Tables.eventsOracleCte + ",\n" + barsCte + ",\n" +
       s"""win AS (
          |  SELECT *, row_number() OVER wo AS idx,
@@ -371,6 +377,17 @@ object CciPipeline {
     * full recompute is by construction — and driver-gated: r30 runs
     * against r04's unchanged oracle. */
   def cciIncrementalFrom(baseCci: DataFrame, deltaBars: DataFrame,
+      cfg: GridConfig = GridConfig()): DataFrame =
+    baseCci.unionByName(
+      cciIncrementalDelta(baseCci, deltaBars, cfg).select(baseCci.columns.map(col): _*))
+
+  /** The delta-only half of [[cciIncrementalFrom]]: just the recomputed CCI
+    * rows for the appended bars (same schema as `baseCci`), with whole-series
+    * `idx` restored from the base table's position state. This is what an
+    * append-only daily state table persists — the base partition files are
+    * never rewritten ([[graft.Daily]] writes exactly this frame to the day's
+    * `run_d=` partition). */
+  def cciIncrementalDelta(baseCci: DataFrame, deltaBars: DataFrame,
       cfg: GridConfig = GridConfig()): DataFrame = {
     import baseCci.sparkSession.implicits._
     val barCols = Seq("user_id", "d", "open_pr", "high_pr", "low_pr",
@@ -397,7 +414,7 @@ object CciPipeline {
       .filter($"idx" > $"n0" - (cfg.cciN - 1))
       .select(barCols: _*)
       .withColumn("is_delta", lit(false))
-    val recomputed = cciFromBars(
+    cciFromBars(
         ctxBars.unionByName(
           deltaBars.select(barCols: _*).withColumn("is_delta", lit(true))), cfg)
       .filter($"is_delta")
@@ -406,7 +423,6 @@ object CciPipeline {
       .withColumn("idx",
         ($"idx" + coalesce($"n0", lit(0)) - coalesce($"nctx", lit(0))).cast("int"))
       .drop("is_delta", "n0", "nctx")
-    baseCci.unionByName(recomputed.select(baseCci.columns.map(col): _*))
   }
 
   /** r30 driver entry: split the corpus bars at max(d) − 6 days (the last
@@ -1301,17 +1317,32 @@ object CciPipeline {
     *
     * Scale shape: the calendar is O(days) — trivially broadcastable; bars
     * aggregate per day in one shuffle; the gate is a broadcast join. */
+  /** Day-of-week from epoch days, Monday = 0 (see timeDims): Sat = 5, Sun = 6. */
+  def dayOfWeek(d: Column): Column =
+    (datediff(d, lit("1970-01-01").cast("date")) + 3) % 7
+
+  /** The trading-day rule — weekends off, plus a deterministic holiday rule
+    * standing in for the external calendar feed. ONE definition shared by the
+    * calendar dimension (r22) and the daily-run gate ([[graft.Daily]]); the
+    * scalar twin [[isTradingDayLocal]] is what gates a driver-side loop
+    * without launching a job, spec-pinned to agree with this column form. */
+  def isTradingDay(d: Column): Column =
+    !(dayOfWeek(d) >= 5) && !(dayofmonth(d) % 7 === 3)
+
+  /** Driver-side scalar twin of [[isTradingDay]] (same epoch-day arithmetic;
+    * java.time's epochDay 0 = 1970-01-01 = Thursday, so +3 makes Monday 0). */
+  def isTradingDayLocal(d: java.time.LocalDate): Boolean = {
+    val dow = java.lang.Math.floorMod(d.toEpochDay + 3, 7L)
+    dow < 5 && d.getDayOfMonth % 7 != 3
+  }
+
   def tradingCalendar(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bars = ohlcBars(spark, dir)
     val cal = bars.agg(min($"d").as("mn"), max($"d").as("mx"))
       .select(explode(sequence($"mn", $"mx")).as("d"))
-      // dow from epoch days, Monday = 0 (see timeDims): Sat = 5, Sun = 6
-      .withColumn("dow", (datediff($"d", lit("1970-01-01").cast("date")) + 3) % 7)
-      .withColumn("is_weekend", $"dow" >= 5)
-      // stand-in for the external holiday feed: deterministic on the date
-      .withColumn("is_holiday", dayofmonth($"d") % 7 === 3)
-      .withColumn("is_trading_day", !$"is_weekend" && !$"is_holiday")
+      .withColumn("dow", dayOfWeek($"d"))
+      .withColumn("is_trading_day", isTradingDay($"d"))
     val perDay = bars.groupBy($"d")
       .agg(count(lit(1)).as("n_bars"), countDistinct($"user_id").as("n_series"))
     cal.join(perDay, Seq("d"), "left")

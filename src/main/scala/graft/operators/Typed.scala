@@ -5,7 +5,6 @@ import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.sources.Tables.Lineitem
 
 /** Typed Dataset API coverage (SURVEY.md §3): case-class rows, groupByKey
   * and a custom Aggregator — the compile-time-checked face of the engine.
@@ -13,11 +12,19 @@ import graft.sources.Tables.Lineitem
   * regardless of merge order. */
 object Typed {
 
+  /** Narrow projection of [[Lineitem]] for q18: the aggregate touches only
+    * these three columns, and a typed boundary over the FULL case class would
+    * force the scan to materialize every lineitem column. Projecting (and
+    * filtering) with column expressions BEFORE `.as[LineSlim]` keeps the
+    * quantity predicate in `PushedFilters` and the `ReadSchema` at three
+    * columns — the deserializer then only ever sees the slim rows. */
+  final case class LineSlim(l_returnflag: String, l_quantity: Double, l_extendedprice: Double)
+
   /** (count, qty_cents, price_cents) accumulator. */
-  object LineStats extends Aggregator[Lineitem, (Long, Long, Long), (Long, Double, Double)] {
+  object LineStats extends Aggregator[LineSlim, (Long, Long, Long), (Long, Double, Double)] {
     override def zero: (Long, Long, Long) = (0L, 0L, 0L)
     private def cents(x: Double): Long = math.floor(x * 100.0 + 0.5).toLong
-    override def reduce(b: (Long, Long, Long), l: Lineitem): (Long, Long, Long) =
+    override def reduce(b: (Long, Long, Long), l: LineSlim): (Long, Long, Long) =
       (b._1 + 1, b._2 + cents(l.l_quantity), b._3 + cents(l.l_extendedprice))
     override def merge(a: (Long, Long, Long), b: (Long, Long, Long)): (Long, Long, Long) =
       (a._1 + b._1, a._2 + b._2, a._3 + b._3)
@@ -29,12 +36,17 @@ object Typed {
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaDouble)
   }
 
-  /** q18: typed filter → groupByKey → custom Aggregator. */
+  /** q18: column filter/project → typed boundary → groupByKey → custom
+    * Aggregator. The filter and select are Column expressions (not typed
+    * lambdas) so Catalyst pushes the predicate to the parquet scan and prunes
+    * the read schema to the three live columns; only then do rows cross into
+    * the typed world. */
   def typedStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
-      .as[Lineitem]
-      .filter(_.l_quantity > 10.0)
+      .filter($"l_quantity" > 10.0)
+      .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
+      .as[LineSlim]
       .groupByKey(_.l_returnflag)
       .agg(LineStats.toColumn.name("stats"))
       .select($"key".as("l_returnflag"),

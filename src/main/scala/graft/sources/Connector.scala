@@ -25,6 +25,17 @@ import org.apache.spark.sql.functions._
   */
 trait EventConnector {
   def name: String
+
+  /** The key universe as of `asOf` — one `user_id` row per key the remote
+    * side knows about (the reference's symbol-list endpoint,
+    * hankook_api.py / daily_function.py:185 `create_kr_symbol_list`). The
+    * daily run unions this with its saved keys so series appearing for the
+    * first time are fetched from [[graft.operators.CciPipeline.DefaultFetchStart]].
+    * Contract: DIMENSION-scale output (#keys rows). The real endpoint IS a
+    * dimension; the local-parquet stand-in derives it from the corpus, which
+    * costs one distinct scan — acceptable only because it models the API. */
+  def listKeys(spark: SparkSession, asOf: java.sql.Date): DataFrame
+
   def fetch(spark: SparkSession, requests: DataFrame): DataFrame
 }
 
@@ -39,6 +50,12 @@ trait EventConnector {
   * full events table against a dimension). */
 final class LocalFileEventConnector(dir: String) extends EventConnector {
   override def name: String = s"local-file:$dir"
+  override def listKeys(spark: SparkSession, asOf: java.sql.Date): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter(to_date($"ts") <= lit(asOf))
+      .select($"user_id").distinct()
+  }
   override def fetch(spark: SparkSession, requests: DataFrame): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir).withColumn("d", to_date($"ts"))

@@ -1,0 +1,154 @@
+package graft
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.CciPipeline
+import graft.operators.CciPipeline.GridConfig
+import graft.sources.{LocalFileEventConnector, Tables}
+
+/** The composed daily orchestrated run (r32 / app.py execute_pipeline):
+  * whole-chain incremental-equals-full equality, idempotent crash reruns,
+  * restart resume, and order-step parity against an independent one-shot
+  * formulation. */
+class DailyRunSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def newWs(): Daily.Workspace = Daily.Workspace(
+    java.nio.file.Files.createTempDirectory("graft-daily-spec").toString)
+
+  private lazy val maxLd: LocalDate = Tables.events(spark, sf)
+    .agg(max(to_date(col("ts")))).head().getDate(0).toLocalDate
+
+  private def cciCols(df: DataFrame) =
+    df.select(df.columns.sorted.map(col): _*)
+      .orderBy(col("user_id"), col("d"))
+      .collect()
+
+  /** One-shot full recompute truncated at `lastDay` — the state the
+    * incremental chain must be indistinguishable from. */
+  private def oneShotCci(lastDay: java.sql.Date): DataFrame =
+    CciPipeline.cciFromBars(
+      CciPipeline.ohlcBars(spark, sf).filter(col("d") <= lit(lastDay)),
+      GridConfig())
+
+  test("daily loop: ten incremental days == one-shot full recompute, bit-equal") {
+    val ws = newWs()
+    val conn = new LocalFileEventConnector(sf)
+    val start = maxLd.minusDays(9)
+    Daily.bootstrap(spark, conn, ws, java.sql.Date.valueOf(start.minusDays(1)))
+    val digs = Daily.run(spark, conn, ws, start, maxLd)
+    assert(digs.nonEmpty, "no trading days in the window")
+    val lastDay = digs.last.d
+
+    val state = spark.read.parquet(ws.cciDir).drop("run_d")
+    val want = cciCols(oneShotCci(lastDay))
+    val got = cciCols(state)
+    assert(got.length == want.length && got.nonEmpty)
+    // bit-equality, not rounded: the incremental path folds the exact same
+    // window content through the same rollingCci, so every double matches
+    got.zip(want).foreach { case (a, b) => assert(a == b, s"\n$a\n$b") }
+
+    // the digest is consistent with the state it committed
+    assert(digs.last.n_cci_total == want.length)
+    assert(digs.map(_.n_fetched).sum ==
+      Tables.events(spark, sf)
+        .filter(to_date(col("ts")) > lit(java.sql.Date.valueOf(start.minusDays(1))) &&
+          to_date(col("ts")) <= lit(lastDay)).count(),
+      "every event in the window fetched exactly once")
+  }
+
+  test("daily loop: crash rerun of a committed day is a state no-op") {
+    val ws = newWs()
+    val conn = new LocalFileEventConnector(sf)
+    val start = maxLd.minusDays(6)
+    Daily.bootstrap(spark, conn, ws, java.sql.Date.valueOf(start.minusDays(1)))
+    val digs = Daily.run(spark, conn, ws, start, maxLd)
+    val lastDay = digs.last.d
+    val before = cciCols(spark.read.parquet(ws.cciDir).drop("run_d"))
+
+    // simulate a crash AFTER the state writes but BEFORE the digest commit,
+    // then rerun the day: state reads prune to run_d < s, so the rerun
+    // re-fetches the same window and overwrites identical partitions
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete(): Unit
+    }
+    deleteRec(new java.io.File(s"${ws.digestDir}/run_d=$lastDay"))
+    val redo = Daily.runDay(spark, conn, ws, lastDay)
+    assert(redo.n_fetched == digs.last.n_fetched)
+    assert(redo.n_cci_total == digs.last.n_cci_total)
+    val after = cciCols(spark.read.parquet(ws.cciDir).drop("run_d"))
+    assert(before.length == after.length)
+    before.zip(after).foreach { case (a, b) => assert(a == b) }
+
+    // restart resume: a second scheduler pass replays digests from disk
+    // without changing anything
+    val again = Daily.run(spark, conn, ws, start, maxLd)
+    assert(again.map(d => (d.d, d.n_fetched, d.n_cci_total)) ==
+      digs.map(d => (d.d, d.n_fetched, d.n_cci_total)))
+  }
+
+  test("daily orders: final-day order table matches an independent one-shot r13 formulation") {
+    val ws = newWs()
+    val conn = new LocalFileEventConnector(sf)
+    val start = maxLd.minusDays(6)
+    Daily.bootstrap(spark, conn, ws, java.sql.Date.valueOf(start.minusDays(1)))
+    Daily.writeConditions(spark, sf, ws)
+    val digs = Daily.run(spark, conn, ws, start, maxLd, withOrders = true)
+    val lastDay = digs.last.d
+
+    // independent latest-state mechanism: lag window + row_number desc
+    // (the daily path recovers it from idx position state instead)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val wDesc = Window.partitionBy(col("user_id")).orderBy(col("d").desc)
+    val latest = oneShotCci(lastDay)
+      .withColumn("yesterday_open_cci", lag(col("open_cci"), 1).over(w))
+      .withColumn("rrn", row_number().over(wDesc))
+      .filter(col("rrn") === 1)
+      .select(col("user_id"), col("d").as("order_date"), col("close_pr"),
+        col("close_cci"), col("open_cci").as("current_open_cci"),
+        col("yesterday_open_cci"))
+    val b = CciPipeline.Budget * CciPipeline.BudgetFraction
+    val expect = spark.read.parquet(ws.conditionsDir)
+      .join(latest, Seq("user_id"))
+      .filter(col("yesterday_open_cci") < col("condition_buy_cci_threshold") &&
+        col("current_open_cci") >= col("condition_buy_cci_threshold"))
+      .withColumn("buy_order_price", col("close_pr"))
+      .withColumn("buy_order_qty", when(col("buy_order_price") =!= 0.0,
+        floor(floor(lit(b)) / col("buy_order_price") + 0.5).cast("long")))
+      .filter(col("buy_order_qty") >= 1)
+      .select(col("user_id"), col("order_date"), col("buy_order_price"),
+        col("buy_order_qty"))
+      .orderBy(col("user_id"))
+      .collect()
+
+    val got = spark.read.parquet(s"${ws.ordersDir}/run_d=$lastDay")
+      .select(col("user_id"), col("order_date"), col("buy_order_price"),
+        col("buy_order_qty"))
+      .orderBy(col("user_id"))
+      .collect()
+    assert(digs.last.n_orders == got.length)
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case (a, e) => assert(a == e, s"\n$a\n$e") }
+  }
+
+  test("trading-day rule: driver-side scalar twin agrees with the column form") {
+    val span = Tables.events(spark, sf)
+      .agg(min(to_date(col("ts"))).as("mn"), max(to_date(col("ts"))).as("mx")).head()
+    val (mn, mx) = (span.getDate(0).toLocalDate, span.getDate(1).toLocalDate)
+    val days = Iterator.iterate(mn.minusDays(30))(_.plusDays(1))
+      .takeWhile(!_.isAfter(mx.plusDays(30))).toSeq
+    import spark.implicits._
+    val fromCol = days.map(d => java.sql.Date.valueOf(d)).toDF("d")
+      .select(col("d"), CciPipeline.isTradingDay(col("d")).as("t"))
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getBoolean(1)).toMap
+    days.foreach { d =>
+      assert(CciPipeline.isTradingDayLocal(d) == fromCol(d), s"fork at $d")
+    }
+  }
+}

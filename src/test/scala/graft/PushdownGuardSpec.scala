@@ -115,6 +115,18 @@ class PushdownGuardSpec extends AnyFunSuite {
     assert(b.contains("PartitionFilters:") && b.contains("snap_d"), b)
   }
 
+  test("q18: the quantity predicate pushes below the typed boundary; 3 columns read") {
+    // The round-8 plan had `.as[Lineitem].filter(lambda)` — an opaque typed
+    // filter that forced a full-width deserialize of every lineitem row.
+    // This pins the fixed shape: Column filter + projection BEFORE the
+    // typed boundary, so the scan carries the pushed predicate and reads
+    // only the three live columns.
+    val txt = formatted(SparkEntry.queries("q18_typed_agg")(spark, sf))
+    val b = scanBlock(txt, "lineitem.parquet")
+    assert(pushedFilters(b).contains("GreaterThan(l_quantity"), b)
+    assert(readCols(b) == 3, b)
+  }
+
   test("control: a filter on a computed column must NOT register as pushed") {
     import TestSpark.spark.implicits._
     val df = sources.Tables.lineitem(spark, sf)
