@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.CciPipeline
-import graft.sources.{LocalFileEventConnector, Tables}
+import graft.sources.{LocalFileEventConnector, PagedEventConnector, Tables}
 
 /** The connector seam's resume invariant: rows already "saved" (before the
   * watermark) plus rows the connector fetches must partition the corpus —
@@ -33,15 +33,120 @@ class ConnectorSpec extends AnyFunSuite {
   }
 
   test("r31: fetch honors the request batch — keys and date bounds") {
-    val requests = Seq((7L, "2024-01-10", "2024-01-15"))
-      .toDF("user_id", "fs", "fe")
-      .select($"user_id", $"fs".cast("date").as("fetch_start"),
-        $"fe".cast("date").as("fetch_end"))
+    // derive the probe key and window from the data (the driver regenerates
+    // testdata between rounds; hardcoded literals would break spuriously):
+    // the busiest user, with a window that excludes its first and last day,
+    // so 0 < fetched < all is guaranteed by construction
+    val ev = Tables.events(spark, sf).withColumn("d", to_date($"ts"))
+    val probe = ev.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), countDistinct($"d").as("nd"))
+      .filter($"nd" >= 3).orderBy($"n".desc, $"user_id").head()
+    val uid = probe.getLong(0)
+    val days = ev.filter($"user_id" === uid).select($"d").distinct()
+      .orderBy($"d").collect().map(_.getDate(0))
+    val (fs, fe) = (days(1), days(days.length - 2))
+    val requests = Seq((uid, fs, fe)).toDF("user_id", "fetch_start", "fetch_end")
     val got = new LocalFileEventConnector(sf).fetch(spark, requests)
-    assert(got.filter($"user_id" =!= 7L).count() == 0)
-    assert(got.filter($"d" < "2024-01-10" || $"d" > "2024-01-15").count() == 0)
+    assert(got.filter($"user_id" =!= uid).count() == 0)
+    assert(got.filter($"d" < fs || $"d" > fe).count() == 0)
     // and the range actually selects a strict subset, not everything
-    val all = Tables.events(spark, sf).filter($"user_id" === 7L).count()
+    val all = ev.filter($"user_id" === uid).count()
     assert(got.count() > 0 && got.count() < all)
+  }
+
+  // ---------------------------------------------------------------- paged transport
+
+  /** Corpus snapshot as the fake server's database: per-key rows sorted by
+    * (ts, event_id) — the deterministic page order. */
+  private lazy val apiData: Map[Long, Vector[graft.sources.ApiEventRow]] =
+    Tables.events(spark, sf)
+      .select($"event_id", unix_micros($"ts").as("ts_micros"), $"user_id",
+        $"event_type", $"value", $"props")
+      .collect()
+      .map(r => graft.sources.ApiEventRow(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getString(5)))
+      .groupBy(_.user_id)
+      .view.mapValues(_.sortBy(r => (r.ts_micros, r.event_id)).toVector).toMap
+
+  private def watermarkRequests = CciPipeline.fetchWatermark(spark, sf)
+    .filter($"fetch_needed")
+    .select($"user_id", $"fetch_start", $"fetch_end")
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame) = df
+    .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props", $"d")
+    .orderBy($"event_id").collect()
+
+  test("paged transport slots into the r31 seam: output equals the local-file transport") {
+    FakePagedApi.register("clean", apiData)
+    val paged = new PagedEventConnector(new FakePagedApi("clean", pageSize = 7))
+    val a = sortedRows(paged.fetch(spark, watermarkRequests))
+    val b = sortedRows(new LocalFileEventConnector(sf).fetch(spark, watermarkRequests))
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"\n$x\n$y") }
+    // pageSize 7 forced real tr_cont paging, not one-shot fetches
+    assert(FakePagedApi.stats("clean").pageCalls.get() > apiData.size)
+  }
+
+  test("paged transport fetches on executors with per-partition API sessions") {
+    FakePagedApi.register("exec", apiData)
+    val paged = new PagedEventConnector(new FakePagedApi("exec", pageSize = 50))
+    paged.fetch(spark, watermarkRequests).count()
+    val s = FakePagedApi.stats("exec")
+    assert(s.driverPageCalls.get() == 0, "fetchPage must never run on the driver")
+    assert(s.partitionsSeen.size() > 1, "fetch parallelism collapsed to one partition")
+    // one token per partition-connection, not per key and not one global
+    assert(s.tokensIssued.get() >= s.partitionsSeen.size())
+  }
+
+  test("paged transport: transient faults retry the page — identical output, no duplicates") {
+    FakePagedApi.register("clean2", apiData)
+    FakePagedApi.register("faulty", apiData)
+    val want = sortedRows(new PagedEventConnector(
+      new FakePagedApi("clean2", pageSize = 7)).fetch(spark, watermarkRequests))
+    val got = sortedRows(new PagedEventConnector(
+      new FakePagedApi("faulty", pageSize = 7, failEveryNthPage = 3))
+      .fetch(spark, watermarkRequests))
+    val s = FakePagedApi.stats("faulty")
+    assert(s.transientFailures.get() > 0, "fault injection never fired")
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (x, y) => assert(x == y) }
+  }
+
+  test("paged transport: token expiry mid-stream re-issues and resumes the page") {
+    FakePagedApi.register("ttl", apiData)
+    val api = new FakePagedApi("ttl", pageSize = 7, tokenTtlCalls = 5)
+    val got = sortedRows(new PagedEventConnector(api).fetch(spark, watermarkRequests))
+    val clean = sortedRows(new LocalFileEventConnector(sf).fetch(spark, watermarkRequests))
+    val s = FakePagedApi.stats("ttl")
+    assert(s.tokenExpiries.get() > 0, "ttl never tripped")
+    assert(s.tokensIssued.get() > s.partitionsSeen.size(), "no token was re-issued")
+    assert(got.length == clean.length)
+    got.zip(clean).foreach { case (x, y) => assert(x == y) }
+  }
+
+  test("paged transport: a key that always fails exhausts the retry budget loudly") {
+    val poison = apiData.keys.min
+    FakePagedApi.register("poison", apiData)
+    val api = new FakePagedApi("poison", pageSize = 7, poisonKey = Some(poison))
+    val conn = new PagedEventConnector(api, maxRetries = 3)
+    val e = intercept[Exception] {
+      conn.fetch(spark, watermarkRequests).count()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(_.isInstanceOf[graft.sources.TransientApiError]),
+      s"expected TransientApiError in ${chain(e).map(_.getClass.getName)}")
+    assert(FakePagedApi.stats("poison").pageAttempts.values().stream()
+      .mapToInt(_.get()).max().getAsInt == 3, "retry budget not honored")
+  }
+
+  test("paged transport: listKeys matches the corpus universe as of a date") {
+    FakePagedApi.register("keys", apiData)
+    val paged = new PagedEventConnector(new FakePagedApi("keys", pageSize = 50))
+    val asOf = Tables.events(spark, sf).agg(max(to_date($"ts"))).head().getDate(0)
+    val got = paged.listKeys(spark, asOf).orderBy($"user_id").collect().map(_.getLong(0))
+    val want = new LocalFileEventConnector(sf).listKeys(spark, asOf)
+      .orderBy($"user_id").collect().map(_.getLong(0))
+    assert(got.sameElements(want))
   }
 }
