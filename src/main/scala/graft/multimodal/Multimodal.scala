@@ -12,11 +12,12 @@ import graft.sources.Tables
   * dimensions via `javax.imageio`, WAV channel/duration via a RIFF
   * chunk walk, and MP4/ISO-BMFF video dimensions+duration via a box
   * walk (`mvhd`/`tkhd`, see [[mp4Info]]) — all JDK-builtin, proving
-  * the mapPartitions plumbing takes actual format libraries. Only
-  * video FRAME decode stays STUBBED (m03: pixel decoding needs codec
-  * libraries this container doesn't ship) behind the same boundary
-  * with a deterministic fake, so pipelines downstream of decode are
-  * testable. At scale the binary column stays columnar in
+  * the mapPartitions plumbing takes actual format libraries. GIF
+  * animation frames (ImageIO) and WAV PCM sample windows
+  * (`javax.sound.sampled`) decode for REAL in m03; only MP4 FRAME
+  * decode stays STUBBED (its codecs aren't in this container) behind
+  * the same boundary with a deterministic fake, so pipelines
+  * downstream of decode are testable. At scale the binary column stays columnar in
   * parquet and the decode is a mapPartitions over arrow-sized batches;
   * nothing here ever collects to the driver.
   */
@@ -340,31 +341,35 @@ object Multimodal {
       frame_len: Int, frame_fp: Long)
 
   /** m03: frame sampling at the decode boundary — the one-to-many shape
-    * (video in, bounded frame batch out) a real media pipeline needs.
+    * (media in, bounded frame batch out) a real media pipeline needs.
     *
-    * The GIF branch is REAL: ImageIO's JDK-builtin GIF reader decodes the
-    * animation's frames ([[gifFrameSamples]]), [[MaxFrames]] evenly spaced
-    * frames are kept, and each emitted fingerprint folds the frame's
-    * ACTUAL pixel bytes (R, G, B per pixel, raster order) — proving the
-    * one-to-many decode boundary carries a real multi-frame codec with
-    * zero new dependencies. MP4/WAV remain the declared stub (their codecs
-    * are not in this container): evenly spaced [[FrameBytes]]-wide payload
-    * slices folded with the same polynomial hash, deterministic and
-    * oracle-checkable. Memory per task stays bounded by frames-per-record
-    * × frame size, never the whole partition; the payload column itself is
-    * never shuffled — only the small frame rows are. */
+    * TWO branches are REAL: ImageIO's JDK-builtin GIF reader decodes
+    * animation frames ([[gifFrameSamples]]) and `javax.sound.sampled`
+    * decodes WAV PCM sample windows ([[wavFrameSamples]]) — [[MaxFrames]]
+    * evenly spaced frames each, every fingerprint folding the frame's
+    * ACTUAL decoded bytes (R,G,B pixels in raster order / PCM samples on
+    * frame boundaries) — proving the one-to-many decode boundary carries
+    * real codec libraries with zero new dependencies. Only MP4 remains the
+    * declared stub (its codecs are not in this container): evenly spaced
+    * [[FrameBytes]]-wide payload slices folded with the same polynomial
+    * hash, deterministic and oracle-checkable. Memory per task stays
+    * bounded by frames-per-record × frame size, never the whole partition;
+    * the payload column itself is never shuffled — only the small frame
+    * rows are. */
   def frameSamples(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val P = graft.functions.TextFunctions.HashP
     withPayload(spark, dir)
-      .filter($"media_type" === "video" && octet_length($"payload") > 0)
+      .filter($"media_type".isin("audio", "video") && octet_length($"payload") > 0)
       .select($"doc_id", $"payload")
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.flatMap { case (id, payload) =>
-          val real = if (isGif(payload)) gifFrameSamples(id, payload) else None
+          val real =
+            if (isGif(payload)) gifFrameSamples(id, payload)
+            else wavFrameSamples(id, payload)
           real.getOrElse {
-            // ??? <- real MP4/WAV frame decode goes here (codec libs not in
+            // ??? <- real MP4 frame decode goes here (codec libs not in
             // this container); deterministic fake:
             val len = payload.length.toLong
             val nf = math.min(MaxFrames.toLong, math.max(1L, len / FrameBytes)).toInt
@@ -427,14 +432,59 @@ object Multimodal {
     } finally reader.dispose()
   }.toOption
 
+  /** REAL WAV PCM frame decode (`javax.sound.sampled`, JDK-builtin — no
+    * external codec): parse the stream through AudioSystem, read the
+    * decoded PCM, and emit [[MaxFrames]] evenly spaced [[FrameBytes]]-wide
+    * sample windows, each ALIGNED DOWN to the format's frame size so a
+    * window never starts mid-sample (the audio-correct cut the raw-byte
+    * stub can't make). frame_ts_ms derives from the window's position in
+    * sample frames at the stream's frame rate; frame_fp folds the decoded
+    * PCM bytes with the shared polynomial hash. None for anything
+    * AudioSystem rejects or non-PCM encodings — corrupt payloads (or text
+    * bytes) fall to the stub, the boundary's totality contract. */
+  private[graft] def wavFrameSamples(id: Long,
+      payload: Array[Byte]): Option[Seq[FrameSample]] = scala.util.Try {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val P = graft.functions.TextFunctions.HashP
+    val in = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
+        fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED)
+      require(fmt.getFrameSize > 0 && fmt.getFrameRate > 0)
+      val pcm = in.readAllBytes()
+      require(pcm.nonEmpty)
+      val frameSize = fmt.getFrameSize
+      val len = pcm.length.toLong
+      val nf = math.min(MaxFrames.toLong, math.max(1L, len / FrameBytes)).toInt
+      (0 until nf).map { i =>
+        val raw = i.toLong * len / nf
+        val off = raw - raw % frameSize // align to a sample-frame boundary
+        val flen = math.min(FrameBytes.toLong, len - off).toInt
+        var acc = 0L
+        var j = 0
+        while (j < flen) {
+          acc = (acc * 31 + (pcm(off.toInt + j) & 0xff)) % P
+          j += 1
+        }
+        FrameSample(id, i, ((off / frameSize) * 1000.0 / fmt.getFrameRate).toLong,
+          flen, acc)
+      }
+    } finally in.close()
+  }.toOption
+
   /** The corpus is ASCII, so text chars == payload bytes: the oracle
-    * samples the same slices with substr and folds the same hash. */
+    * samples the same slices with substr and folds the same hash. (Corpus
+    * payloads are synthesized text — never real GIF/WAV — so every row
+    * takes the stub branch; the real decode branches are spec-exercised
+    * with fixture payloads.) */
   val frameSamplesSql: String = {
     import graft.functions.{TextSql => S}
     s"""WITH vids AS (
        |  SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS len
        |  FROM documents
-       |  WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0),
+       |  WHERE doc_id % 3 IN (1, 2) AND octet_length(encode(text)) > 0),
        |nfr AS (
        |  SELECT doc_id, text, len,
        |    least($MaxFrames, greatest(1, len // $FrameBytes)) AS n

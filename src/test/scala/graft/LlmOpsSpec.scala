@@ -496,7 +496,7 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r(2L).width == (30 % 640) + 1 && r(2L).duration_ms == 30L * 40)
   }
 
-  test("m03: frame sampling is bounded, contiguous and covers every video doc") {
+  test("m03: frame sampling is bounded, contiguous and covers every audio/video doc") {
     import TestSpark.spark.implicits._
     val fr = multimodal.Multimodal.frameSamples(spark, sf).cache()
     val perDoc = fr.groupBy($"doc_id").agg(
@@ -504,13 +504,48 @@ class LlmOpsSpec extends AnyFunSuite {
     // bounded per record, frame indexes contiguous from 0
     assert(perDoc.filter($"n" > multimodal.Multimodal.MaxFrames).count() == 0)
     assert(perDoc.filter($"mn" =!= 0 || $"mx" =!= $"n" - 1).count() == 0)
-    // every non-empty video doc emits frames
+    // every non-empty audio/video doc emits frames
     val vids = multimodal.Multimodal.withPayload(spark, sf)
-      .filter($"media_type" === "video" && octet_length($"payload") > 0)
+      .filter($"media_type".isin("audio", "video") && octet_length($"payload") > 0)
     assert(perDoc.count() == vids.count())
     assert(fr.filter($"frame_len" < 1 || $"frame_len" > multimodal.Multimodal.FrameBytes)
       .count() == 0)
     fr.unpersist()
+  }
+
+  test("m03: WAV payloads decode REAL PCM sample windows via javax.sound.sampled") {
+    // canonical PCM WAV: 8 kHz, 2 ch, 16-bit -> frameSize 4, 16000 data
+    // bytes; deterministic non-trivial samples
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val data = Array.tabulate[Byte](16000)(i => ((i * 131) ^ (i >> 3)).toByte)
+    val wav = "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      ("fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(8000) ++
+        le32(32000) ++ le16(4) ++ le16(16)) ++
+      ("data".getBytes ++ le32(data.length) ++ data)
+
+    val frames = multimodal.Multimodal.wavFrameSamples(9L, wav).get
+    val M = multimodal.Multimodal
+    assert(frames.length == M.MaxFrames)
+    // recompute independently: evenly spaced over the 16000 PCM bytes,
+    // aligned to the 4-byte sample frame, FrameBytes-wide, polynomial fold
+    val P = functions.TextFunctions.HashP
+    frames.zipWithIndex.foreach { case (f, i) =>
+      val raw = i.toLong * data.length / M.MaxFrames
+      val off = (raw - raw % 4).toInt
+      assert(f.frame_len == M.FrameBytes)
+      assert(f.frame_ts_ms == ((off / 4) * 1000.0 / 8000.0).toLong)
+      var acc = 0L
+      (0 until M.FrameBytes).foreach(j => acc = (acc * 31 + (data(off + j) & 0xff)) % P)
+      assert(f.frame_fp == acc, s"frame $i: decoded PCM differs from the data chunk")
+    }
+    // the decoded windows are distinct (the samples vary)
+    assert(frames.map(_.frame_fp).distinct.length == frames.length)
+    // and the boundary routes real WAVs to the PCM branch inside the
+    // mapPartitions decode: a WAV payload's frames differ from the raw-byte
+    // stub slices (header bytes shift every stub offset)
+    val stubLike = multimodal.Multimodal.wavFrameSamples(9L, "not a wav".getBytes)
+    assert(stubLike.isEmpty, "non-WAV bytes must fall to the stub")
   }
 
   test("d10: normalization collapses case/punct/whitespace variants, keeps min id") {
