@@ -169,6 +169,10 @@ object SparkEntry {
     // workspace; the oracle recomputes every day's digest from the raw
     // events, proving the persisted incremental chain == full recompute
     "r32_daily_run" -> (graft.Daily.dailyRunQuery _),
+    // r33: market-index context series — the index bars' CCI broadcast
+    // back per-symbol as relative strength (the last unmodeled reference
+    // data surface, hankook get_index_daily_price)
+    "r33_index_relative" -> (CciPipeline.indexRelative _),
     "p05b_stratified_presplit" -> (Curation.stratifiedSamplePresplitQuery _),
     // d07b: the large-star/small-star CC core — same clusters, same
     // oracle as d07; the long-chain swap-in pinned under the driver gate
@@ -316,6 +320,7 @@ object SparkEntry {
     "r30_cci_incremental" -> CciPipeline.cciSql,
     "r31_connector_fetch" -> graft.sources.ConnectorFetch.connectorFetchSql,
     "r32_daily_run" -> graft.Daily.dailyRunSql,
+    "r33_index_relative" -> CciPipeline.indexRelativeSql,
     "d07b_dedup_clusters_stars" -> graft.dedup.Dedup.dedupClustersSql,
     "p05b_stratified_presplit" -> Curation.stratifiedSamplePresplitSql,
     "v02b_windowed_counts" -> graft.streaming.EventStream.windowedCountsBatchSql,

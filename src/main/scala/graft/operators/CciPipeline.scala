@@ -1575,6 +1575,82 @@ object CciPipeline {
         |  UNION ALL SELECT 'n_strategies', count(*) FROM strat2) u
         |ORDER BY metric""".stripMargin
 
+  // ---------------------------------------------------------------- r33
+  /** Market-index context series (reference get_index_daily_price /
+    * get_index_category_price, hankook_api.py:153,174, consumed vestigially
+    * at daily_function.py:404): the market-wide index bars — every event
+    * across all series aggregated per day — run through the SAME rolling
+    * CCI, then joined back per-symbol as relative strength (symbol CCI
+    * minus index CCI on the same day).
+    *
+    * Scale shape: the index series is a DAYS-dimension frame (one groupBy
+    * shuffle on the day key, partial-aggregable), its CCI a single
+    * dimension-scale window, and the join back to the corpus-scale
+    * per-symbol CCI is an explicit BROADCAST on the date key — no new
+    * shuffle touches the corpus. The pseudo series key `user_id = -1`
+    * lets [[cciFromBars]] be reused verbatim, so the index fold cannot
+    * fork from the per-symbol fold. */
+  def indexRelative(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ibars = Tables.events(spark, dir)
+      .groupBy(to_date($"ts").as("d"))
+      .agg(
+        min_by($"value", struct($"ts", $"event_id")).as("open_pr"),
+        max($"value").as("high_pr"),
+        min($"value").as("low_pr"),
+        max_by($"value", struct($"ts", $"event_id")).as("close_pr"),
+        count(lit(1)).as("volume"))
+      .withColumn("user_id", lit(-1L))
+    val icci = cciFromBars(ibars, GridConfig())
+      .select($"d", $"close_cci".as("index_cci_raw"))
+    cci(spark, dir)
+      .join(broadcast(icci), Seq("d"))
+      .filter($"close_cci".isNotNull && $"index_cci_raw".isNotNull)
+      .select($"user_id", $"d",
+        (floor($"close_cci" * 10000.0 + 0.5) / 10000.0).as("close_cci"),
+        (floor($"index_cci_raw" * 10000.0 + 0.5) / 10000.0).as("index_cci"),
+        (floor(($"close_cci" - $"index_cci_raw") * 10000.0 + 0.5) / 10000.0)
+          .as("rel_strength"))
+      .orderBy($"user_id", $"d")
+  }
+
+  val indexRelativeSql: String =
+    cciCtes + ",\n" +
+      s"""ibars AS (
+         |  SELECT d,
+         |    max(CASE WHEN rn_first = 1 THEN value END) AS open_pr,
+         |    max(value) AS high_pr, min(value) AS low_pr,
+         |    max(CASE WHEN rn_last = 1 THEN value END) AS close_pr,
+         |    count(*) AS volume
+         |  FROM (SELECT *, CAST(ts AS DATE) AS d,
+         |          row_number() OVER (PARTITION BY CAST(ts AS DATE)
+         |                             ORDER BY ts, event_id) AS rn_first,
+         |          row_number() OVER (PARTITION BY CAST(ts AS DATE)
+         |                             ORDER BY ts DESC, event_id DESC) AS rn_last
+         |        FROM events_us) e
+         |  GROUP BY d),
+         |iwin AS (
+         |  SELECT *, list(tp_c) OVER wfi AS tps_c
+         |  FROM (SELECT *, (high_pr+low_pr+close_pr)/3.0 AS tp_c FROM ibars) b
+         |  WINDOW wfi AS (ORDER BY d ROWS BETWEEN ${CciN - 1} PRECEDING AND CURRENT ROW)),
+         |imad AS (
+         |  SELECT *,
+         |    list_reduce(list_prepend(0.0, list_transform(tps_c, x -> abs(x - sma_c))), (a,b) -> a+b) / cnt AS mad_c
+         |  FROM (SELECT *, len(tps_c) AS cnt,
+         |          list_reduce(list_prepend(0.0, tps_c), (a,b) -> a+b) / len(tps_c) AS sma_c
+         |        FROM iwin) z),
+         |icci AS (
+         |  SELECT d, CASE WHEN cnt >= $CciN AND mad_c <> 0.0
+         |                 THEN (tp_c - sma_c) / (0.015 * mad_c) END AS index_cci_raw
+         |  FROM imad)
+         |SELECT c.user_id, c.d,
+         |  floor(c.close_cci * 10000.0 + 0.5) / 10000.0 AS close_cci,
+         |  floor(i.index_cci_raw * 10000.0 + 0.5) / 10000.0 AS index_cci,
+         |  floor((c.close_cci - i.index_cci_raw) * 10000.0 + 0.5) / 10000.0 AS rel_strength
+         |FROM cci c JOIN icci i USING (d)
+         |WHERE c.close_cci IS NOT NULL AND i.index_cci_raw IS NOT NULL
+         |ORDER BY c.user_id, c.d""".stripMargin
+
   val netRevenueSql: String =
     tradesCtes + "\n" +
       s"""SELECT *,

@@ -8,6 +8,22 @@ import graft.operators.CciPipeline
 class CciPipelineSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("r33: index join broadcasts the date-keyed dim; rel strength is the raw difference") {
+    val df = CciPipeline.indexRelative(spark, sf)
+    // the days-dimension index CCI must reach the corpus via broadcast,
+    // never a shuffled sort-merge join on the corpus side
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (c, i, rel) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      // rel is rounded from the RAW difference: within one rounding ulp of
+      // the difference of the rounded faces
+      assert(math.abs(rel - (c - i)) <= 2e-4, s"$r")
+    }
+  }
+
   test("r04: CCI is null until the rolling window fills (pandas compat)") {
     val c = CciPipeline.cciQuery(spark, sf)
     val early = c.filter(col("idx") < CciPipeline.CciN)
