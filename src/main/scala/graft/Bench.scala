@@ -141,6 +141,12 @@ object Bench {
     val total = headline.map(_._2).filter(_ >= 0).sum
     val nFailed = headline.count(_._2 < 0)
     val demosTotal = demos.map(_._2).filter(_ >= 0).sum
+    // headline "value" is NULL when anything failed: a round that fails
+    // queries sums fewer entries, and a consumer comparing totals without
+    // checking `failed` would read the regression as a speed-up. The
+    // successful-entries sum stays available as "succeeded_total".
+    def totalJson(f: Double => String): String =
+      if (nFailed > 0) "null" else f(total)
     // The driver keeps only the LAST 2000 chars of stdout and tries to
     // parse one JSON line out of them; sbt's "[success] Total time..."
     // trailer eats ~80 of those. A full-precision 70-query map is ~3 KB and
@@ -153,7 +159,7 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     def line(dec: Int): String = {
       def f(v: Double) = s"%.${dec}f".format(v)
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","failed":$nFailed,"queries":${fmt(headline, dec)},"demos":${fmt(demos, dec)},"demos_total":${f(demosTotal)},"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${totalJson(f)},"unit":"sec","failed":$nFailed,"succeeded_total":${f(total)},"queries":${fmt(headline, dec)},"demos":${fmt(demos, dec)},"demos_total":${f(demosTotal)},"sf":"$sfName"}"""
     }
     // fit budget: 2000-char tail − ~81 sbt "[success]" trailer − 7 "[info] "
     // prefix, with a little slack
@@ -164,12 +170,12 @@ object Bench {
       // "other" buckets only SUCCESSFUL non-top entries (failed -1s would
       // drive it negative); top-40 keeps its -1 markers visible
       val other = total - top.map(_._2).filter(_ >= 0).sum
-      s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","failed":$nFailed,"queries":${fmt(top :+ ("other" -> other), 2)},"demos":${fmt(demos, 2)},"demos_total":${"%.2f".format(demosTotal)},"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${totalJson("%.2f".format(_))},"unit":"sec","failed":$nFailed,"succeeded_total":${"%.2f".format(total)},"queries":${fmt(top :+ ("other" -> other), 2)},"demos":${fmt(demos, 2)},"demos_total":${"%.2f".format(demosTotal)},"sf":"$sfName"}"""
     }
     def full(qs: Seq[(String, Double)]): String =
       qs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":${full(headline)},"demos":${full(demos)},"demos_total":$demosTotal,"sf":"$sfDir"}""" + "\n")
+      s"""{"metric":"total","value":${totalJson(_.toString)},"unit":"sec","failed":$nFailed,"succeeded_total":$total,"queries":${full(headline)},"demos":${full(demos)},"demos_total":$demosTotal,"sf":"$sfDir"}""" + "\n")
     catch { case _: Throwable => () }
     println(out)
     spark.stop()

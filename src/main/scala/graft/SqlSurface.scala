@@ -68,16 +68,25 @@ object SqlSurface {
     * oracle SQL and Spark SQL read the same names. A table that fails to
     * load (missing file, schema drift) is skipped with a warning rather
     * than failing the whole registration — its own queries will still fail,
-    * loudly, at resolution time. */
-  def registerTables(spark: SparkSession, dir: String): Unit =
-    tableLoaders.foreach { case (n, f) =>
-      try f(spark, dir).createOrReplaceTempView(n)
+    * loudly, at resolution time. PARTIAL breakage only: if EVERY loader
+    * fails, the "dir" is wrong (typo, missing corpus), and registering a
+    * complete-but-empty SQL surface would defer one obvious error into 14
+    * confusing resolution failures — that case throws immediately. */
+  def registerTables(spark: SparkSession, dir: String): Unit = {
+    val failures = tableLoaders.flatMap { case (n, f) =>
+      try { f(spark, dir).createOrReplaceTempView(n); None }
       catch {
         case e: Exception =>
           org.slf4j.LoggerFactory.getLogger(getClass)
             .warn(s"SqlSurface: skipping unreadable table '$n' ($dir): ${e.getMessage}")
+          Some(n -> e)
       }
     }
+    if (failures.length == tableLoaders.length)
+      throw new IllegalArgumentException(
+        s"SqlSurface: every corpus table failed to load from '$dir' — bad dir?",
+        failures.head._2)
+  }
 
   /** Flagship operators as SQL-queryable views (plan-identical to their
     * Scala call sites — the view wraps the operator's own plan). Same

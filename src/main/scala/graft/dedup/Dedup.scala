@@ -797,9 +797,21 @@ object Dedup {
     var edges = graft.GraftSession.maybeEagerCheckpoint(
       sym(pairsIn.select($"doc_a".as("u"), $"doc_b".as("v"))
         .filter($"u" =!= $"v")).distinct())
+    // Convergence probe: one partial-aggregable pass (count + xor of a
+    // 64-bit edge hash — xor is order-free and the edge set is distinct),
+    // instead of the TWO exceptAll().count() actions (four shuffles) per
+    // round the first cut ran. Equal fingerprints on consecutive rounds
+    // signal the fixpoint; ONE exact exceptAll pass then confirms it, so
+    // a hash collision can only fail loudly, never return early wrong.
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     var round = 0
-    var changed = if (edges.isEmpty) 0L else 1L
-    while (changed > 0 && round < MaxCcRounds) {
+    var prevFp = fingerprint(edges)
+    var stable = prevFp._1 == 0L
+    while (!stable && round < MaxCcRounds) {
       // large-star: neighbors larger than the center adopt the center's min
       val minsL = edges.groupBy($"u").agg(min($"v").as("mv"))
         .select($"u", least($"u", $"mv").as("m"))
@@ -813,12 +825,20 @@ object Dedup {
         .filter($"v" =!= $"mv").select($"v".as("u"), $"mv".as("v"))
         .unionByName(minsS.select($"u", $"mv".as("v")))
       val next = graft.GraftSession.maybeEagerCheckpoint(sym(small).distinct())
-      changed = next.exceptAll(edges).count() + edges.exceptAll(next).count()
+      val fp = fingerprint(next)
+      if (fp == prevFp) {
+        val residual =
+          next.exceptAll(edges).count() + edges.exceptAll(next).count()
+        require(residual == 0,
+          "edge-set fingerprint collision: probe matched but sets differ")
+        stable = true
+      }
       edges = next
+      prevFp = fp
       round += 1
     }
     lastStarRounds.set(round)
-    require(changed == 0, s"star rounds did not converge in $MaxCcRounds rounds")
+    require(stable, s"star rounds did not converge in $MaxCcRounds rounds")
     // converged: each component is one star centered at its minimum, so a
     // node's label is its smallest neighbor (or itself, at the center)
     val labels = edges.groupBy($"u").agg(min($"v").as("mv"))

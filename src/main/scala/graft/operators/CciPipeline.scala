@@ -429,7 +429,16 @@ object CciPipeline {
     * week is "today's arrivals"), feed the base through the ordinary r04
     * path and the tail through the incremental path, and gate the result
     * on r04's UNCHANGED oracle — the incremental recompute must be
-    * indistinguishable from the full one. */
+    * indistinguishable from the full one.
+    *
+    * Cache retention: the two `maybeCache` entries below (bars + base-CCI
+    * subtree) live until the CALLER releases them (`clearCache()` /
+    * `unpersist`) — session-lifetime by default, one entry PER DIR if a
+    * shared session invokes this across multiple dirs. That is acceptable
+    * for a demo entry run once per dir (the plan-guard specs clearCache
+    * around their plan assertions for exactly this reason); the production
+    * daily loop does not use this entry at all — graft.Daily persists its
+    * base as a parquet TABLE and needs no plan cache. */
   def cciIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bars = graft.GraftSession.maybeCache(ohlcBars(spark, dir))

@@ -64,7 +64,16 @@ object Tables {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // The NTZ cast reinterprets wall-clock fields in the SESSION zone;
+        // the engine contract is UTC instants. A caller-built session on a
+        // non-UTC zone would silently shift every event — fail loudly
+        // instead (the unknown-type branch below already does).
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+        require(tz == "UTC" || tz == "Etc/UTC" || tz == "Z",
+          s"events.ts is timestamp_ntz: reading it requires a UTC session " +
+            s"(spark.sql.session.timeZone=$tz would shift every instant)")
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType    => df
       case other => throw new IllegalArgumentException(
         s"events.ts has unsupported parquet type $other (expected int64 nanos, timestamp, or timestamp_ntz)")
