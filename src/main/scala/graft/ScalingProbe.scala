@@ -152,6 +152,62 @@ object ScalingProbe {
       out("r30_full") = timed(CciPipeline.cciFromBars(barsRep, cfg))
       out("r30_inc") = timed(CciPipeline.cciIncrementalFrom(baseCci, deltaBars, cfg))
     }
+    if (probes("daily") || probes("r32_daily")) {
+      // The COMPOSED daily loop's scale claim (r32): replicate the events
+      // corpus mult× by DATE-SHIFTING (same series, mult× deeper history —
+      // the axis a daily job actually ages along), then run the last week
+      //  - daily_naive: the reference's actual shape — every day recomputes
+      //    the full CCI table from scratch (cost ∝ history per day);
+      //  - daily_inc:   graft.Daily over a persisted workspace (bootstrap
+      //    once, then per-day cost ∝ delta + fixed job overhead).
+      // daily_boot (the one-time backfill, ∝ history by design) is timed
+      // separately so the recurring cost is the comparison.
+      import graft.operators.CciPipeline
+      val dailyDir = s"/tmp/graft_scale_daily_$mult"
+      val ev0 = graft.sources.Tables.events(spark, sfDir)
+      val span = ev0.agg(
+        (datediff(max(to_date($"ts")), min(to_date($"ts"))) + 1).as("span"))
+        .head().getInt(0)
+      land(ev0.crossJoin(broadcast(spark.range(mult).toDF("rep")))
+        .select(($"event_id" + $"rep" * 1000000000L).as("event_id"),
+          expr(s"timestampadd(DAY, CAST(rep * $span AS INT), ts)").as("ts"),
+          $"user_id", $"event_type", $"value", $"props"),
+        s"$dailyDir/events.parquet")
+      val conn = new graft.sources.LocalFileEventConnector(dailyDir)
+      val maxLd = graft.sources.Tables.events(spark, dailyDir)
+        .agg(max(to_date($"ts"))).head().getDate(0).toLocalDate
+      val start = maxLd.minusDays(6)
+      val tradingDays = Iterator.iterate(start)(_.plusDays(1))
+        .takeWhile(!_.isAfter(maxLd))
+        .filter(CciPipeline.isTradingDayLocal).toSeq
+      def wall(fn: => Unit): Double = {
+        val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+      }
+      out("daily_naive") = wall {
+        tradingDays.foreach { ld =>
+          val s = java.sql.Date.valueOf(ld)
+          CciPipeline.cciFromBars(
+              CciPipeline.barsFromEvents(
+                graft.sources.Tables.events(spark, dailyDir)
+                  .filter(to_date($"ts") <= lit(s))),
+              CciPipeline.GridConfig())
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      val wsRoot = s"/tmp/graft_scale_daily_ws_$mult"
+      def deleteRec(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(deleteRec)
+        f.delete(): Unit
+      }
+      deleteRec(new java.io.File(wsRoot))
+      val ws = Daily.Workspace(wsRoot)
+      out("daily_boot") = wall {
+        Daily.bootstrap(spark, conn, ws, java.sql.Date.valueOf(start.minusDays(1)))
+      }
+      out("daily_inc") = wall {
+        Daily.run(spark, conn, ws, start, maxLd): Unit
+      }
+    }
     if (probes("rank") || probes("q43_rank")) {
       // Large-domain PageRank: 125k nodes × mult (mult=8 -> 1M), synthetic
       // power-ish graph with out-degree 4 (dst by multiplicative hashing),
