@@ -343,16 +343,19 @@ object Multimodal {
   /** m03: frame sampling at the decode boundary — the one-to-many shape
     * (media in, bounded frame batch out) a real media pipeline needs.
     *
-    * TWO branches are REAL: ImageIO's JDK-builtin GIF reader decodes
-    * animation frames ([[gifFrameSamples]]) and `javax.sound.sampled`
-    * decodes WAV PCM sample windows ([[wavFrameSamples]]) — [[MaxFrames]]
-    * evenly spaced frames each, every fingerprint folding the frame's
-    * ACTUAL decoded bytes (R,G,B pixels in raster order / PCM samples on
-    * frame boundaries) — proving the one-to-many decode boundary carries
-    * real codec libraries with zero new dependencies. Only MP4 remains the
-    * declared stub (its codecs are not in this container): evenly spaced
-    * [[FrameBytes]]-wide payload slices folded with the same polynomial
-    * hash, deterministic and oracle-checkable. Memory per task stays
+    * THREE branches are REAL: ImageIO's JDK-builtin GIF reader decodes
+    * animation frames ([[gifFrameSamples]]), `javax.sound.sampled`
+    * decodes WAV PCM sample windows ([[wavFrameSamples]]), and the MP4
+    * sample-table walk extracts the container's actual encoded frame
+    * bytes ([[mp4FrameSamples]]) — [[MaxFrames]] evenly spaced frames
+    * each, every fingerprint folding the frame's ACTUAL bytes (decoded
+    * pixels / decoded PCM / encoded video samples) — proving the
+    * one-to-many decode boundary carries real format machinery with zero
+    * new dependencies. Only MP4 pixel DECODE remains the declared stub
+    * (its codecs are not in this container); payloads none of the three
+    * branches accept take evenly spaced [[FrameBytes]]-wide payload
+    * slices folded with the same polynomial hash, deterministic and
+    * oracle-checkable. Memory per task stays
     * bounded by frames-per-record × frame size, never the whole partition;
     * the payload column itself is never shuffled — only the small frame
     * rows are. */
@@ -368,9 +371,12 @@ object Multimodal {
           val real =
             if (isGif(payload)) gifFrameSamples(id, payload)
             else wavFrameSamples(id, payload)
+              .orElse(mp4FrameSamples(id, payload))
           real.getOrElse {
-            // ??? <- real MP4 frame decode goes here (codec libs not in
-            // this container); deterministic fake:
+            // ??? <- pixel DECODE of extracted MP4 samples goes here
+            // (codec libs not in this container); anything that is not a
+            // GIF / PCM WAV / table-complete MP4 takes the deterministic
+            // fake:
             val len = payload.length.toLong
             val nf = math.min(MaxFrames.toLong, math.max(1L, len / FrameBytes)).toInt
             (0 until nf).map { i =>
@@ -430,6 +436,146 @@ object Multimodal {
           img.getWidth * img.getHeight * 3, acc)
       }
     } finally reader.dispose()
+  }.toOption
+
+  /** REAL MP4 sample extraction at the CONTAINER level: walk the sample
+    * tables (`stbl`: stts durations, stsz sizes, stsc sample→chunk runs,
+    * stco/co64 chunk offsets, mdhd timescale) of the first track carrying
+    * a complete table set, and reconstruct every sample's (file offset,
+    * size, decode timestamp). This is exactly what a real media pipeline
+    * extracts before handing encoded frames to a codec — the bytes ARE the
+    * frames, still compressed. Returns None unless every table is present,
+    * consistent, and every sample lies inside the payload (truncated or
+    * lying containers fall to the stub — the boundary's totality
+    * contract). */
+  private[graft] def mp4SampleTable(b: Array[Byte]): Option[(Long, Vector[(Long, Int, Long)])] = scala.util.Try {
+    def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+    require(b.length >= 12 && tag(4) == "ftyp")
+    /** Children of [start, end) as (type, bodyStart, bodyEnd). */
+    def children(start: Long, end: Long): Vector[(String, Long, Long)] = {
+      val out = Vector.newBuilder[(String, Long, Long)]
+      var off = start
+      while (off + 8 <= end) {
+        val o = off.toInt
+        val size0 = u32(o)
+        var hdr = 8L
+        val size =
+          if (size0 == 1L && off + 16 <= end) { hdr = 16L; u64(o + 8) }
+          else if (size0 == 0L) end - off
+          else size0
+        require(size >= hdr && off + size <= end)
+        out += ((tag(o + 4), off + hdr, off + size))
+        off += size
+      }
+      out.result()
+    }
+    def child(cs: Vector[(String, Long, Long)], t: String): Option[(Long, Long)] =
+      cs.collectFirst { case (`t`, s, e) => (s, e) }
+    val top = children(0L, b.length.toLong)
+    val (moovS, moovE) = child(top, "moov").get
+    // first trak whose mdia/minf/stbl carries the full table set
+    val tracks = children(moovS, moovE).collect { case ("trak", s, e) => (s, e) }
+    tracks.iterator.flatMap { case (ts, te) =>
+      scala.util.Try {
+        val mdia = child(children(ts, te), "mdia").get
+        val mdiaCs = children(mdia._1, mdia._2)
+        val (mdhdS, mdhdE) = child(mdiaCs, "mdhd").get
+        val mo = mdhdS.toInt
+        val v = b(mo) & 0xff
+        require((if (v == 1) mdhdS + 24 else mdhdS + 16) <= mdhdE)
+        val timescale = if (v == 1) u32(mo + 20) else u32(mo + 12)
+        require(timescale > 0)
+        val minf = child(mdiaCs, "minf").get
+        val stbl = child(children(minf._1, minf._2), "stbl").get
+        val cs = children(stbl._1, stbl._2)
+        def full(t: String): (Int, Long) = { // (bodyStart AFTER vflags, bodyEnd)
+          val (s, e) = child(cs, t).get
+          (s.toInt + 4, e)
+        }
+        // stsz: uniform size or per-sample table
+        val (szO, szE) = full("stsz")
+        val uniform = u32(szO)
+        val nSamples = u32(szO + 4).toInt
+        require(nSamples > 0 && nSamples <= 1000000)
+        val sizes: Int => Long =
+          if (uniform != 0) _ => uniform
+          else { require(szO + 8 + 4L * nSamples <= szE); i => u32(szO + 8 + 4 * i) }
+        // stts: cumulative decode timestamps
+        val (stO, stE) = full("stts")
+        val nStts = u32(stO).toInt
+        require(stO + 4 + 8L * nStts <= stE)
+        val dts = new Array[Long](nSamples)
+        var si = 0; var t0 = 0L
+        (0 until nStts).foreach { e =>
+          val cnt = u32(stO + 4 + 8 * e).toInt
+          val delta = u32(stO + 8 + 8 * e)
+          (0 until cnt).foreach { _ =>
+            if (si < nSamples) { dts(si) = t0; t0 += delta; si += 1 }
+          }
+        }
+        require(si == nSamples)
+        // stco/co64: chunk offsets
+        val (useCo64, (coO, coE)) = child(cs, "stco") match {
+          case Some((s, e)) => (false, (s.toInt + 4, e))
+          case None => val (s, e) = full("co64"); (true, (s, e))
+        }
+        val nChunks = u32(coO).toInt
+        require(nChunks > 0 &&
+          coO + 4 + (if (useCo64) 8L else 4L) * nChunks <= coE)
+        def chunkOff(i: Int): Long =
+          if (useCo64) u64(coO + 4 + 8 * i) else u32(coO + 4 + 4 * i)
+        // stsc: samples-per-chunk runs (first_chunk is 1-based)
+        val (scO, scE) = full("stsc")
+        val nStsc = u32(scO).toInt
+        require(nStsc > 0 && scO + 4 + 12L * nStsc <= scE)
+        def stscRun(e: Int): (Long, Long) = (u32(scO + 4 + 12 * e), u32(scO + 8 + 12 * e))
+        val out = Vector.newBuilder[(Long, Int, Long)]
+        var s = 0; var run = 0
+        (0 until nChunks).foreach { c =>
+          while (run + 1 < nStsc && stscRun(run + 1)._1 <= c + 1) run += 1
+          var off = chunkOff(c)
+          val spc = stscRun(run)._2.toInt
+          (0 until spc).foreach { _ =>
+            if (s < nSamples) {
+              val sz = sizes(s)
+              require(sz > 0 && sz <= Int.MaxValue && off + sz <= b.length)
+              out += ((off, sz.toInt, dts(s)))
+              off += sz; s += 1
+            }
+          }
+        }
+        require(s == nSamples)
+        (timescale, out.result())
+      }.toOption
+    }.nextOption().get
+  }.toOption
+
+  /** m03's MP4 branch: REAL encoded-frame extraction via [[mp4SampleTable]]
+    * — [[MaxFrames]] evenly spaced samples, each fingerprint folding the
+    * sample's ACTUAL bytes out of `mdat`, timestamps from the media
+    * timescale. Pixel DECODING of those samples is the one remaining stub
+    * (it needs codec libraries this container doesn't ship); the sample
+    * boundary — what a pipeline hands the codec — is real. */
+  private[graft] def mp4FrameSamples(id: Long,
+      payload: Array[Byte]): Option[Seq[FrameSample]] = scala.util.Try {
+    val P = graft.functions.TextFunctions.HashP
+    val (timescale, samples) = mp4SampleTable(payload).get
+    val n = samples.length
+    val nf = math.min(MaxFrames, n)
+    (0 until nf).map { i =>
+      val (off, sz, dts) = samples(i * n / nf)
+      var acc = 0L
+      var j = 0
+      while (j < sz) {
+        acc = (acc * 31 + (payload(off.toInt + j) & 0xff)) % P
+        j += 1
+      }
+      FrameSample(id, i, dts * 1000L / timescale, sz, acc)
+    }
   }.toOption
 
   /** REAL WAV PCM frame decode (`javax.sound.sampled`, JDK-builtin — no

@@ -548,6 +548,63 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(stubLike.isEmpty, "non-WAV bytes must fall to the stub")
   }
 
+  test("m03: MP4 sample tables extract the REAL encoded frame bytes") {
+    def be32(v: Long) = Array[Byte](
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(tp: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ tp.getBytes("US-ASCII") ++ payload
+    // 5 samples with distinct sizes/bytes, split 3+2 over two chunks;
+    // timescale 1000 so stts deltas are milliseconds directly
+    val sampleBytes = (1 to 5).map(i =>
+      Array.tabulate[Byte](10 + i * 3)(j => ((i * 37 + j * 11) & 0xff).toByte))
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(512) ++ "isom".getBytes)
+    val mdhd = box("mdhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(1000) ++
+      be32(9999) ++ be32(0))
+    val stts = box("stts", be32(0) ++ be32(2) ++
+      be32(3) ++ be32(40) ++ // 3 samples at 40 ms
+      be32(2) ++ be32(100)) // then 2 at 100 ms
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(5) ++
+      sampleBytes.flatMap(s => be32(s.length)).toArray)
+    val stsc = box("stsc", be32(0) ++ be32(2) ++
+      be32(1) ++ be32(3) ++ be32(1) ++ // chunk 1: 3 samples
+      be32(2) ++ be32(2) ++ be32(1)) // chunk 2+: 2 samples
+    // layout: [ftyp][moov][mdat]; compute the two chunk offsets inside mdat
+    val chunk1 = sampleBytes.take(3).flatten.toArray
+    val chunk2 = sampleBytes.drop(3).flatten.toArray
+    def assemble(stcoPayload: Array[Byte]): (Array[Byte], Long) = {
+      val stco = box("stco", be32(0) ++ be32(2) ++ stcoPayload)
+      val stbl = box("stbl", stts ++ stsz ++ stsc ++ stco)
+      val moov = box("moov",
+        box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(600) ++ be32(1500) ++
+          Array.fill[Byte](80)(0)) ++
+        box("trak", box("mdia", mdhd ++ box("minf", stbl))))
+      val mdatBodyAt = (ftyp.length + moov.length + 8).toLong
+      (ftyp ++ moov ++ box("mdat", chunk1 ++ chunk2), mdatBodyAt)
+    }
+    // two-pass: sizes are fixed, so offsets are known after one dry run
+    val (_, at) = assemble(be32(0) ++ be32(0))
+    val (mp4, _) = assemble(be32(at) ++ be32(at + chunk1.length))
+
+    val frames = multimodal.Multimodal.mp4FrameSamples(77L, mp4).get
+    assert(frames.length == 5)
+    // timestamps follow the stts runs at the mdhd timescale
+    assert(frames.map(_.frame_ts_ms) == Seq(0L, 40L, 80L, 120L, 220L))
+    // each fingerprint folds the sample's EXACT encoded bytes
+    val P = functions.TextFunctions.HashP
+    frames.zip(sampleBytes).foreach { case (f, bytes) =>
+      assert(f.frame_len == bytes.length)
+      var acc = 0L
+      bytes.foreach(b => acc = (acc * 31 + (b & 0xff)) % P)
+      assert(f.frame_fp == acc, s"frame ${f.frame_idx} bytes differ")
+    }
+    // a truncated container (mdat cut) must fall to the stub, not mis-read
+    assert(multimodal.Multimodal.mp4FrameSamples(77L, mp4.dropRight(12)).isEmpty)
+    // and a table-less MP4 (no stbl) falls through too
+    val bare = ftyp ++ box("moov", box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(600) ++ be32(1500) ++ Array.fill[Byte](80)(0)))
+    assert(multimodal.Multimodal.mp4FrameSamples(77L, bare).isEmpty)
+  }
+
   test("d10: normalization collapses case/punct/whitespace variants, keeps min id") {
     import TestSpark.spark.implicits._
     val docs = Seq(
