@@ -137,6 +137,28 @@ class DailyRunSpec extends AnyFunSuite {
     got.zip(expect).foreach { case (a, e) => assert(a == e, s"\n$a\n$e") }
   }
 
+  test("daily state reads prune on the run_d partition column") {
+    // the workspace layout must keep producing hive-style partitions: if a
+    // write regression flattened run_d into file contents, every state
+    // read would silently scan all days' files — invisible to the oracle,
+    // fatal at scale (this is the daily loop's r16/r19 analogue)
+    val ws = newWs()
+    val conn = new LocalFileEventConnector(sf)
+    val start = maxLd.minusDays(3)
+    Daily.bootstrap(spark, conn, ws, java.sql.Date.valueOf(start.minusDays(1)))
+    Daily.run(spark, conn, ws, start, maxLd)
+    val probe = spark.read.parquet(ws.cciDir)
+      .filter(col("run_d") < lit(java.sql.Date.valueOf(maxLd)))
+    val txt = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf = txt.linesIterator.find(_.trim.startsWith("PartitionFilters:"))
+      .getOrElse(fail(s"no PartitionFilters line in:\n$txt"))
+    assert(pf.contains("run_d"), pf)
+    // and the data filters line must NOT carry it (it never reaches rows)
+    assert(!txt.linesIterator.filter(_.trim.startsWith("PushedFilters:"))
+      .exists(_.contains("run_d")), txt)
+  }
+
   test("trading-day rule: driver-side scalar twin agrees with the column form") {
     val span = Tables.events(spark, sf)
       .agg(min(to_date(col("ts"))).as("mn"), max(to_date(col("ts"))).as("mx")).head()
