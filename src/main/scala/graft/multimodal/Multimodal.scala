@@ -511,11 +511,12 @@ object Multimodal {
         val dts = new Array[Long](nSamples)
         var si = 0; var t0 = 0L
         (0 until nStts).foreach { e =>
-          val cnt = u32(stO + 4 + 8 * e).toInt
+          // clamp to the samples actually remaining: a lying sample_count
+          // (~2^31) must not spin billions of guard-only iterations before
+          // the totality contract hands the record to the stub
+          val cnt = math.min(u32(stO + 4 + 8 * e), (nSamples - si).toLong).toInt
           val delta = u32(stO + 8 + 8 * e)
-          (0 until cnt).foreach { _ =>
-            if (si < nSamples) { dts(si) = t0; t0 += delta; si += 1 }
-          }
+          (0 until cnt).foreach { _ => dts(si) = t0; t0 += delta; si += 1 }
         }
         require(si == nSamples)
         // stco/co64: chunk offsets
@@ -538,14 +539,13 @@ object Multimodal {
         (0 until nChunks).foreach { c =>
           while (run + 1 < nStsc && stscRun(run + 1)._1 <= c + 1) run += 1
           var off = chunkOff(c)
-          val spc = stscRun(run)._2.toInt
+          // same clamp as stts: a lying samples_per_chunk must not spin
+          val spc = math.min(stscRun(run)._2, (nSamples - s).toLong).toInt
           (0 until spc).foreach { _ =>
-            if (s < nSamples) {
-              val sz = sizes(s)
-              require(sz > 0 && sz <= Int.MaxValue && off + sz <= b.length)
-              out += ((off, sz.toInt, dts(s)))
-              off += sz; s += 1
-            }
+            val sz = sizes(s)
+            require(sz > 0 && sz <= Int.MaxValue && off + sz <= b.length)
+            out += ((off, sz.toInt, dts(s)))
+            off += sz; s += 1
           }
         }
         require(s == nSamples)

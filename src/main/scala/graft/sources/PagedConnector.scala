@@ -96,14 +96,22 @@ final class PagedEventConnector(api: PagedEventApi, maxRetries: Int = 5,
         // re-issued on expiry — never serialized back to the driver
         var token: String = null
         def withRetry[A](call: String => A): A = {
-          var attempt = 0
+          var attempt = 0 // transient-failure budget (page OR token endpoint)
+          var expiries = 0 // token re-issue budget: a permanently-401ing
+          // API must FAIL the task, not hot-spin re-issuing forever
           var out: Option[A] = None
           while (out.isEmpty) {
-            if (token == null) token = theApi.issueToken()
-            try out = Some(call(token))
-            catch {
-              case _: TokenExpiredError =>
-                token = null // re-issue and retry; not a failure of the page
+            try {
+              // token issue INSIDE the try: the token endpoint throws the
+              // same transient 5xx the page endpoint does, and it must
+              // consume the same bounded backoff budget, not kill the task
+              if (token == null) token = theApi.issueToken()
+              out = Some(call(token))
+            } catch {
+              case e: TokenExpiredError =>
+                token = null
+                expiries += 1
+                if (expiries >= retries) throw e
               case e: TransientApiError =>
                 attempt += 1
                 if (attempt >= retries) throw e

@@ -67,10 +67,18 @@ object Tables {
       case TimestampNTZType =>
         // The NTZ cast reinterprets wall-clock fields in the SESSION zone;
         // the engine contract is UTC instants. A caller-built session on a
-        // non-UTC zone would silently shift every event — fail loudly
-        // instead (the unknown-type branch below already does).
+        // zone with a nonzero offset would silently shift every event —
+        // fail loudly instead (the unknown-type branch below already
+        // does). Zone equivalence, not string equality: GMT / Etc/UTC /
+        // +00:00 are all semantically UTC and always produced correct
+        // results here.
         val tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
-        require(tz == "UTC" || tz == "Etc/UTC" || tz == "Z",
+        val utcEquivalent = scala.util.Try {
+          java.time.ZoneId.of(tz).getRules.isFixedOffset &&
+            java.time.ZoneId.of(tz).getRules
+              .getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+        }.getOrElse(false)
+        require(utcEquivalent,
           s"events.ts is timestamp_ntz: reading it requires a UTC session " +
             s"(spark.sql.session.timeZone=$tz would shift every instant)")
         df.withColumn("ts", col("ts").cast(TimestampType))

@@ -69,6 +69,11 @@ object DailyStream {
       CciPipeline.barsFromEvents(batch))
     try {
       if (!deltaBars.isEmpty) {
+        // bars are the durable RAW layer (same as the batch loop's bars
+        // state): the CCI table derives from it, so a reprocessing run —
+        // new indicator config, bug fix — replays bars without re-ingesting
+        // the stream. Read back via readBarsState; spec-gated against the
+        // batch bars.
         deltaBars.write.mode(SaveMode.Overwrite)
           .parquet(s"${ws.barsDir}/run_b=$batchId")
         // base = every batch committed BEFORE this one; a replayed batch
@@ -98,4 +103,9 @@ object DailyStream {
   /** The materialized CCI state across all committed batches. */
   def readCciState(spark: SparkSession, ws: StreamWorkspace): DataFrame =
     spark.read.parquet(ws.cciDir).drop("run_b")
+
+  /** The durable raw-bars layer across all committed batches — the input a
+    * reprocessing run (new GridConfig) replays instead of the stream. */
+  def readBarsState(spark: SparkSession, ws: StreamWorkspace): DataFrame =
+    spark.read.parquet(ws.barsDir).drop("run_b")
 }

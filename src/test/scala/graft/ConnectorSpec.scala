@@ -140,6 +140,31 @@ class ConnectorSpec extends AnyFunSuite {
       .mapToInt(_.get()).max().getAsInt == 3, "retry budget not honored")
   }
 
+  test("paged transport: token-endpoint 5xx consumes the retry budget, then succeeds") {
+    FakePagedApi.register("tok5xx", apiData)
+    // the token ENDPOINT fails twice before working — the reference's
+    // _request retry case on issue_access_token; must not kill the task
+    val api = new FakePagedApi("tok5xx", pageSize = 50, failFirstTokenIssues = 2)
+    val got = sortedRows(new PagedEventConnector(api).fetch(spark, watermarkRequests))
+    val clean = sortedRows(new LocalFileEventConnector(sf).fetch(spark, watermarkRequests))
+    assert(FakePagedApi.stats("tok5xx").transientFailures.get() >= 2)
+    assert(got.length == clean.length)
+    got.zip(clean).foreach { case (x, y) => assert(x == y) }
+  }
+
+  test("paged transport: permanently revoked credentials fail loudly, not a hot spin") {
+    FakePagedApi.register("revoked", apiData)
+    val api = new FakePagedApi("revoked", pageSize = 50, alwaysExpire = true)
+    val conn = new PagedEventConnector(api, maxRetries = 3)
+    val e = intercept[Exception] {
+      conn.fetch(spark, watermarkRequests).count()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(_.isInstanceOf[graft.sources.TokenExpiredError]),
+      s"expected TokenExpiredError in ${chain(e).map(_.getClass.getName)}")
+  }
+
   test("paged transport: listKeys matches the corpus universe as of a date") {
     FakePagedApi.register("keys", apiData)
     val paged = new PagedEventConnector(new FakePagedApi("keys", pageSize = 50))

@@ -43,15 +43,19 @@ class DailyStreamSpec extends AnyFunSuite {
     val ws = StreamWorkspace(tmp("v12-ws"))
     val q = DailyStream.ingestQuery(spark, streamDir, ws.root, tmp("v12-ckpt"))
     try {
-      // feed one file per chunk (house pattern: land the part file under a
-      // unique name); drain between writes so arrival order is day order
+      // feed one file per chunk; drain between writes so arrival order is
+      // day order. The file must appear in the WATCHED dir atomically —
+      // a plain copy races the source's directory listing (half-written
+      // parquet footer → intermittent StreamingQueryException) — so stage
+      // outside and ATOMIC_MOVE into place.
       dayChunks.zipWithIndex.foreach { case (chunk, i) =>
         val stage = tmp(s"v12-stage$i")
         chunk.coalesce(1).write.mode("overwrite").parquet(stage)
         val part = new java.io.File(stage).listFiles()
           .filter(_.getName.endsWith(".parquet")).head
-        java.nio.file.Files.copy(part.toPath,
-          java.nio.file.Paths.get(s"$streamDir/chunk_$i.parquet"))
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$streamDir/chunk_$i.parquet"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         q.processAllAvailable()
       }
     } finally q.stop()
@@ -61,6 +65,13 @@ class DailyStreamSpec extends AnyFunSuite {
       CciPipeline.cciFromBars(CciPipeline.ohlcBars(spark, sf), GridConfig()))
     assert(got.length == want.length && got.nonEmpty)
     got.zip(want).foreach { case (a, b) => assert(a == b, s"\n$a\n$b") }
+
+    // the durable raw-bars layer equals the batch bars build: this is the
+    // input a reprocessing run would replay instead of the stream
+    val gotBars = sortedState(DailyStream.readBarsState(spark, ws))
+    val wantBars = sortedState(CciPipeline.ohlcBars(spark, sf))
+    assert(gotBars.length == wantBars.length)
+    gotBars.zip(wantBars).foreach { case (a, b) => assert(a == b) }
   }
 
   test("v12: a replayed micro-batch overwrites its own partitions — state unchanged") {

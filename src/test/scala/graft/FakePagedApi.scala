@@ -41,13 +41,21 @@ object FakePagedApi {
 
 final class FakePagedApi(id: String, pageSize: Int,
     failEveryNthPage: Int = 0, tokenTtlCalls: Int = 0,
-    poisonKey: Option[Long] = None) extends PagedEventApi {
+    poisonKey: Option[Long] = None,
+    failFirstTokenIssues: Int = 0, // token ENDPOINT 5xx on the first N calls
+    alwaysExpire: Boolean = false) // permanent 401: every page rejects its token
+    extends PagedEventApi {
 
   private def entry = FakePagedApi.registry.get(id)
 
   override def issueToken(): String = {
     val s = entry._2
-    s"$id-tok-${s.tokensIssued.incrementAndGet()}"
+    val n = s.tokensIssued.incrementAndGet()
+    if (n <= failFirstTokenIssues) {
+      s.transientFailures.incrementAndGet()
+      throw new TransientApiError(s"token endpoint 5xx (call $n)")
+    }
+    s"$id-tok-$n"
   }
 
   private def epochDay(micros: Long): Long = Math.floorDiv(micros, 86400000000L)
@@ -66,6 +74,10 @@ final class FakePagedApi(id: String, pageSize: Int,
     if (TaskContext.get() == null) s.driverPageCalls.incrementAndGet()
     else s.partitionsSeen.put(TaskContext.get().partitionId(), true)
 
+    if (alwaysExpire) {
+      s.tokenExpiries.incrementAndGet()
+      throw new TokenExpiredError(s"credentials revoked: $token")
+    }
     val uses = s.tokenUses.computeIfAbsent(token, _ => new AtomicInteger).incrementAndGet()
     if (tokenTtlCalls > 0 && uses > tokenTtlCalls) {
       s.tokenExpiries.incrementAndGet()
