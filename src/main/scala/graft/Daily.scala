@@ -155,13 +155,18 @@ object Daily {
         lit(s).as("fetch_end"))
       .filter($"fetch_start" <= $"fetch_end")
 
-    val fetched = GraftSession.maybeCache(conn.fetch(spark, requests))
-    try {
-      val nFetched = fetched.count()
-
+    // The fetch is consumed exactly once (by the bars aggregation), so it
+    // is neither cached nor counted: n_fetched == sum of bar volumes (each
+    // event lands in exactly one bar), and the r32 oracle re-derives
+    // n_fetched from the RAW events independently — the digest can't hide
+    // a bars-aggregation bug behind this identity.
+    val fetched = conn.fetch(spark, requests)
+    locally {
       val deltaBars = GraftSession.maybeCache(CciPipeline.barsFromEvents(fetched))
       try {
-        val nBarsNew = deltaBars.count()
+        val Seq(nBarsNew, nFetched) = deltaBars
+          .agg(count(lit(1)), coalesce(sum($"volume"), lit(0L))).head()
+          .toSeq.map(_.asInstanceOf[Long])
         overwrite(deltaBars, s"${ws.barsDir}/run_d=$s")
 
         val baseCci = stateBefore(spark, ws.cciDir, s)
@@ -223,7 +228,7 @@ object Daily {
           } finally latest.unpersist()
         } finally deltaCci.unpersist()
       } finally deltaBars.unpersist()
-    } finally fetched.unpersist()
+    }
   }
 
   private def digestCommitted(spark: SparkSession, ws: Workspace, s: java.sql.Date): Boolean = {
