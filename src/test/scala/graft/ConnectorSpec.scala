@@ -165,6 +165,36 @@ class ConnectorSpec extends AnyFunSuite {
       s"expected TokenExpiredError in ${chain(e).map(_.getClass.getName)}")
   }
 
+  test("the daily loop composes end-to-end over a FLAKY paged transport — state identical to the local-file run") {
+    // the whole product: scheduler loop + watermark + paged fetch with
+    // injected faults (transient 500s + token expiries) + incremental CCI
+    // over a persisted workspace — must land byte-identical state to the
+    // clean local-file transport
+    FakePagedApi.register("dailyflaky", apiData)
+    val flaky = new PagedEventConnector(new FakePagedApi("dailyflaky",
+      pageSize = 13, failEveryNthPage = 4, tokenTtlCalls = 9))
+    val maxLd = Tables.events(spark, sf)
+      .agg(max(to_date($"ts"))).head().getDate(0).toLocalDate
+    val start = maxLd.minusDays(4)
+    def runWith(conn: graft.sources.EventConnector) = {
+      val ws = Daily.Workspace(
+        java.nio.file.Files.createTempDirectory("graft-daily-conn").toString)
+      Daily.bootstrap(spark, conn, ws, java.sql.Date.valueOf(start.minusDays(1)))
+      val digs = Daily.run(spark, conn, ws, start, maxLd)
+      val state = spark.read.parquet(s"${ws.cciDir}").drop("run_d")
+      (digs, state.select(state.columns.sorted.map(col): _*)
+        .orderBy($"user_id", $"d").collect())
+    }
+    val (digsA, a) = runWith(flaky)
+    val (digsB, b) = runWith(new LocalFileEventConnector(sf))
+    assert(FakePagedApi.stats("dailyflaky").transientFailures.get() > 0,
+      "fault injection never fired during the daily loop")
+    assert(digsA.map(d => (d.d, d.n_fetched, d.n_cci_total, d.n_buy_signals)) ==
+      digsB.map(d => (d.d, d.n_fetched, d.n_cci_total, d.n_buy_signals)))
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"\n$x\n$y") }
+  }
+
   test("paged transport: listKeys matches the corpus universe as of a date") {
     FakePagedApi.register("keys", apiData)
     val paged = new PagedEventConnector(new FakePagedApi("keys", pageSize = 50))
