@@ -268,8 +268,10 @@ object Daily {
     * — on the first trading day ≥ its date. */
   def dailyRunQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ws = Workspace(
-      java.nio.file.Files.createTempDirectory("graft-daily-r32").toString)
+    // shutdown-hook-cleaned workspace (Extras.tempDir): a bare
+    // createTempDirectory would leak a full bars+cci+digest workspace
+    // per verify/bench invocation in a long-lived session
+    val ws = Workspace(graft.operators.Extras.tempDir("graft-daily-r32"))
     val conn = new LocalFileEventConnector(dir)
     val maxLd = Tables.events(spark, dir)
       .agg(max(to_date($"ts"))).head().getDate(0).toLocalDate

@@ -534,6 +534,14 @@ object Multimodal {
         val nStsc = u32(scO).toInt
         require(nStsc > 0 && scO + 4 + 12L * nStsc <= scE)
         def stscRun(e: Int): (Long, Long) = (u32(scO + 4 + 12 * e), u32(scO + 8 + 12 * e))
+        // run-structure validation (ISO 14496-12 §8.7.4): the first run
+        // covers chunk 1 and first_chunk is strictly increasing — a
+        // malformed table must fall to the stub, not be silently walked
+        // with run 0's samples_per_chunk into plausible-but-wrong offsets
+        require(stscRun(0)._1 == 1L)
+        (1 until nStsc).foreach { e =>
+          require(stscRun(e)._1 > stscRun(e - 1)._1)
+        }
         val out = Vector.newBuilder[(Long, Int, Long)]
         var s = 0; var run = 0
         (0 until nChunks).foreach { c =>

@@ -16,7 +16,7 @@ object Extras {
     * round-trip/sink operators would otherwise leak directories in a
     * long-lived session; deletion can't happen earlier because the
     * returned DataFrames read the files lazily). */
-  private[operators] def tempDir(prefix: String): String = {
+  private[graft] def tempDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def del(f: java.io.File): Unit = {

@@ -42,6 +42,44 @@ trait PagedEventApi extends Serializable {
       to: java.sql.Date, cursor: Option[String]): ApiPage
 }
 
+/** One API "connection": a cached token plus the bounded
+  * retry-with-exponential-backoff loop. Shared by the executor-side page
+  * fetch (one session per partition, a connection pool's shape) and the
+  * driver-side control calls (`issueToken`/`listKeys`) — both endpoints
+  * throw the same transient 5xx / token-expiry fault classes, so both get
+  * the same absorption (hankook_api.py:87-120 `_request`'s retry loop).
+  * Constructed where it is used, never serialized with live state. */
+private[sources] final class ApiRetrySession(api: PagedEventApi,
+    maxRetries: Int, backoffMs: Long) {
+  private var token: String = null
+
+  def call[A](f: String => A): A = {
+    var attempt = 0 // transient-failure budget (target OR token endpoint)
+    var expiries = 0 // token re-issue budget: a permanently-401ing
+    // API must FAIL the call, not hot-spin re-issuing forever
+    var out: Option[A] = None
+    while (out.isEmpty) {
+      try {
+        // token issue INSIDE the try: the token endpoint throws the
+        // same transient 5xx the target endpoint does, and it must
+        // consume the same bounded backoff budget, not kill the call
+        if (token == null) token = api.issueToken()
+        out = Some(f(token))
+      } catch {
+        case e: TokenExpiredError =>
+          token = null
+          expiries += 1
+          if (expiries >= maxRetries) throw e
+        case e: TransientApiError =>
+          attempt += 1
+          if (attempt >= maxRetries) throw e
+          Thread.sleep(backoffMs << (attempt - 1))
+      }
+    }
+    out.get
+  }
+}
+
 /** The executor-side paged transport behind the [[EventConnector]] seam —
   * the production shape of the reference's fetch loop, distributed:
   *
@@ -66,7 +104,7 @@ trait PagedEventApi extends Serializable {
   * per-executor state is O(1) (token + one page buffer): nothing about
   * this transport holds corpus-scale data. */
 final class PagedEventConnector(api: PagedEventApi, maxRetries: Int = 5,
-    backoffMs: Long = 1L) extends EventConnector {
+    backoffMs: Long = 500L) extends EventConnector {
 
   override def name: String = "paged-api"
 
@@ -74,7 +112,12 @@ final class PagedEventConnector(api: PagedEventApi, maxRetries: Int = 5,
     import spark.implicits._
     // The symbol-list endpoint is a dimension fetched once from the
     // scheduler side (reference create_kr_symbol_list) — not worth a job.
-    api.listKeys(api.issueToken(), asOf).toDF("user_id")
+    // It speaks to the SAME flaky API as the page fetch, so it gets the
+    // same bounded retry/backoff session: a transient 5xx on the token or
+    // symbol-list endpoint must not kill the whole daily run at its first
+    // call.
+    val session = new ApiRetrySession(api, maxRetries, backoffMs)
+    session.call(t => api.listKeys(t, asOf)).toDF("user_id")
   }
 
   override def fetch(spark: SparkSession, requests: DataFrame): DataFrame = {
@@ -94,39 +137,14 @@ final class PagedEventConnector(api: PagedEventApi, maxRetries: Int = 5,
       .mapPartitions { it =>
         // per-partition connection state: one token per "connection",
         // re-issued on expiry — never serialized back to the driver
-        var token: String = null
-        def withRetry[A](call: String => A): A = {
-          var attempt = 0 // transient-failure budget (page OR token endpoint)
-          var expiries = 0 // token re-issue budget: a permanently-401ing
-          // API must FAIL the task, not hot-spin re-issuing forever
-          var out: Option[A] = None
-          while (out.isEmpty) {
-            try {
-              // token issue INSIDE the try: the token endpoint throws the
-              // same transient 5xx the page endpoint does, and it must
-              // consume the same bounded backoff budget, not kill the task
-              if (token == null) token = theApi.issueToken()
-              out = Some(call(token))
-            } catch {
-              case e: TokenExpiredError =>
-                token = null
-                expiries += 1
-                if (expiries >= retries) throw e
-              case e: TransientApiError =>
-                attempt += 1
-                if (attempt >= retries) throw e
-                Thread.sleep(backoff << (attempt - 1))
-            }
-          }
-          out.get
-        }
+        val session = new ApiRetrySession(theApi, retries, backoff)
         it.flatMap { case (uid, from, to) =>
           // tr_cont paging: consume the window page by page; a transient
           // error retries the current page (cursor unchanged) only
           Iterator.unfold(Option.empty[String] -> true) {
             case (_, false) => None
             case (cursor, true) =>
-              val page = withRetry(t => theApi.fetchPage(t, uid, from, to, cursor))
+              val page = session.call(t => theApi.fetchPage(t, uid, from, to, cursor))
               Some(page.rows -> (page.next, page.next.isDefined))
           }.flatten
         }

@@ -76,10 +76,16 @@ class ConnectorSpec extends AnyFunSuite {
     .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props", $"d")
     .orderBy($"event_id").collect()
 
+  /** Production default backoff is 500 ms (a real rate-limiting API wants
+    * real sleeps); these specs inject faults aggressively, so they pass
+    * the 1 ms test backoff explicitly to stay fast. */
+  private def paged(api: FakePagedApi, maxRetries: Int = 5) =
+    new PagedEventConnector(api, maxRetries, backoffMs = 1L)
+
   test("paged transport slots into the r31 seam: output equals the local-file transport") {
     FakePagedApi.register("clean", apiData)
-    val paged = new PagedEventConnector(new FakePagedApi("clean", pageSize = 7))
-    val a = sortedRows(paged.fetch(spark, watermarkRequests))
+    val pagedConn = paged(new FakePagedApi("clean", pageSize = 7))
+    val a = sortedRows(pagedConn.fetch(spark, watermarkRequests))
     val b = sortedRows(new LocalFileEventConnector(sf).fetch(spark, watermarkRequests))
     assert(a.length == b.length && a.nonEmpty)
     a.zip(b).foreach { case (x, y) => assert(x == y, s"\n$x\n$y") }
@@ -89,8 +95,8 @@ class ConnectorSpec extends AnyFunSuite {
 
   test("paged transport fetches on executors with per-partition API sessions") {
     FakePagedApi.register("exec", apiData)
-    val paged = new PagedEventConnector(new FakePagedApi("exec", pageSize = 50))
-    paged.fetch(spark, watermarkRequests).count()
+    val pagedConn = paged(new FakePagedApi("exec", pageSize = 50))
+    pagedConn.fetch(spark, watermarkRequests).count()
     val s = FakePagedApi.stats("exec")
     assert(s.driverPageCalls.get() == 0, "fetchPage must never run on the driver")
     assert(s.partitionsSeen.size() > 1, "fetch parallelism collapsed to one partition")
@@ -101,9 +107,9 @@ class ConnectorSpec extends AnyFunSuite {
   test("paged transport: transient faults retry the page — identical output, no duplicates") {
     FakePagedApi.register("clean2", apiData)
     FakePagedApi.register("faulty", apiData)
-    val want = sortedRows(new PagedEventConnector(
+    val want = sortedRows(paged(
       new FakePagedApi("clean2", pageSize = 7)).fetch(spark, watermarkRequests))
-    val got = sortedRows(new PagedEventConnector(
+    val got = sortedRows(paged(
       new FakePagedApi("faulty", pageSize = 7, failEveryNthPage = 3))
       .fetch(spark, watermarkRequests))
     val s = FakePagedApi.stats("faulty")
@@ -115,7 +121,7 @@ class ConnectorSpec extends AnyFunSuite {
   test("paged transport: token expiry mid-stream re-issues and resumes the page") {
     FakePagedApi.register("ttl", apiData)
     val api = new FakePagedApi("ttl", pageSize = 7, tokenTtlCalls = 5)
-    val got = sortedRows(new PagedEventConnector(api).fetch(spark, watermarkRequests))
+    val got = sortedRows(paged(api).fetch(spark, watermarkRequests))
     val clean = sortedRows(new LocalFileEventConnector(sf).fetch(spark, watermarkRequests))
     val s = FakePagedApi.stats("ttl")
     assert(s.tokenExpiries.get() > 0, "ttl never tripped")
@@ -128,7 +134,7 @@ class ConnectorSpec extends AnyFunSuite {
     val poison = apiData.keys.min
     FakePagedApi.register("poison", apiData)
     val api = new FakePagedApi("poison", pageSize = 7, poisonKey = Some(poison))
-    val conn = new PagedEventConnector(api, maxRetries = 3)
+    val conn = paged(api, maxRetries = 3)
     val e = intercept[Exception] {
       conn.fetch(spark, watermarkRequests).count()
     }
@@ -145,7 +151,7 @@ class ConnectorSpec extends AnyFunSuite {
     // the token ENDPOINT fails twice before working — the reference's
     // _request retry case on issue_access_token; must not kill the task
     val api = new FakePagedApi("tok5xx", pageSize = 50, failFirstTokenIssues = 2)
-    val got = sortedRows(new PagedEventConnector(api).fetch(spark, watermarkRequests))
+    val got = sortedRows(paged(api).fetch(spark, watermarkRequests))
     val clean = sortedRows(new LocalFileEventConnector(sf).fetch(spark, watermarkRequests))
     assert(FakePagedApi.stats("tok5xx").transientFailures.get() >= 2)
     assert(got.length == clean.length)
@@ -155,7 +161,7 @@ class ConnectorSpec extends AnyFunSuite {
   test("paged transport: permanently revoked credentials fail loudly, not a hot spin") {
     FakePagedApi.register("revoked", apiData)
     val api = new FakePagedApi("revoked", pageSize = 50, alwaysExpire = true)
-    val conn = new PagedEventConnector(api, maxRetries = 3)
+    val conn = paged(api, maxRetries = 3)
     val e = intercept[Exception] {
       conn.fetch(spark, watermarkRequests).count()
     }
@@ -171,7 +177,7 @@ class ConnectorSpec extends AnyFunSuite {
     // over a persisted workspace — must land byte-identical state to the
     // clean local-file transport
     FakePagedApi.register("dailyflaky", apiData)
-    val flaky = new PagedEventConnector(new FakePagedApi("dailyflaky",
+    val flaky = paged(new FakePagedApi("dailyflaky",
       pageSize = 13, failEveryNthPage = 4, tokenTtlCalls = 9))
     val maxLd = Tables.events(spark, sf)
       .agg(max(to_date($"ts"))).head().getDate(0).toLocalDate
@@ -195,11 +201,26 @@ class ConnectorSpec extends AnyFunSuite {
     a.zip(b).foreach { case (x, y) => assert(x == y, s"\n$x\n$y") }
   }
 
+  test("paged transport: driver-side token + symbol-list 5xx are absorbed, not fatal") {
+    // the daily run's FIRST call is listKeys on the scheduler side — the
+    // same transient fault class the page fetch absorbs must not kill it
+    FakePagedApi.register("keys5xx", apiData)
+    val api = new FakePagedApi("keys5xx", pageSize = 50,
+      failFirstTokenIssues = 2, failFirstListKeys = 2)
+    val asOf = Tables.events(spark, sf).agg(max(to_date($"ts"))).head().getDate(0)
+    val got = paged(api).listKeys(spark, asOf).orderBy($"user_id").collect().map(_.getLong(0))
+    val want = new LocalFileEventConnector(sf).listKeys(spark, asOf)
+      .orderBy($"user_id").collect().map(_.getLong(0))
+    assert(FakePagedApi.stats("keys5xx").transientFailures.get() >= 4,
+      "fault injection never fired on the control endpoints")
+    assert(got.sameElements(want))
+  }
+
   test("paged transport: listKeys matches the corpus universe as of a date") {
     FakePagedApi.register("keys", apiData)
-    val paged = new PagedEventConnector(new FakePagedApi("keys", pageSize = 50))
+    val pagedConn = paged(new FakePagedApi("keys", pageSize = 50))
     val asOf = Tables.events(spark, sf).agg(max(to_date($"ts"))).head().getDate(0)
-    val got = paged.listKeys(spark, asOf).orderBy($"user_id").collect().map(_.getLong(0))
+    val got = pagedConn.listKeys(spark, asOf).orderBy($"user_id").collect().map(_.getLong(0))
     val want = new LocalFileEventConnector(sf).listKeys(spark, asOf)
       .orderBy($"user_id").collect().map(_.getLong(0))
     assert(got.sameElements(want))

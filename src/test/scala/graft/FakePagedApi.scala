@@ -43,8 +43,11 @@ final class FakePagedApi(id: String, pageSize: Int,
     failEveryNthPage: Int = 0, tokenTtlCalls: Int = 0,
     poisonKey: Option[Long] = None,
     failFirstTokenIssues: Int = 0, // token ENDPOINT 5xx on the first N calls
+    failFirstListKeys: Int = 0, // symbol-list ENDPOINT 5xx on the first N calls
     alwaysExpire: Boolean = false) // permanent 401: every page rejects its token
     extends PagedEventApi {
+
+  private val listKeysCalls = new AtomicInteger
 
   private def entry = FakePagedApi.registry.get(id)
 
@@ -61,6 +64,11 @@ final class FakePagedApi(id: String, pageSize: Int,
   private def epochDay(micros: Long): Long = Math.floorDiv(micros, 86400000000L)
 
   override def listKeys(token: String, asOf: java.sql.Date): Seq[Long] = {
+    val n = listKeysCalls.incrementAndGet()
+    if (n <= failFirstListKeys) {
+      entry._2.transientFailures.incrementAndGet()
+      throw new TransientApiError(s"symbol-list endpoint 5xx (call $n)")
+    }
     val cut = asOf.toLocalDate.toEpochDay
     entry._1.collect {
       case (uid, rows) if rows.exists(r => epochDay(r.ts_micros) <= cut) => uid
