@@ -24,6 +24,9 @@ import graft.sources.{EventConnector, LocalFileEventConnector, Tables}
   * {{{
   *   <root>/bars/run_d=<day>/    one partition per run: that day's new bars
   *   <root>/cci/run_d=<day>/     that day's recomputed CCI rows (delta only)
+  *   <root>/state/run_d=<day>/   per-series resume state as of that day —
+  *                               ONE row per series (watermark, idx position,
+  *                               last N−1 context bars, latest CCI pair)
   *   <root>/orders/run_d=<day>/  that day's sized buy orders
   *   <root>/digest/run_d=<day>/  one-row run digest — written LAST, so its
   *                               _SUCCESS marker is the day's commit record
@@ -32,24 +35,36 @@ import graft.sources.{EventConnector, LocalFileEventConnector, Tables}
   *
   * == Why this shape scales ==
   *  - **Writes ∝ delta.** CCI base rows never change when bars are appended
-  *    after them (trailing windows), so the state tables are APPEND-ONLY:
+  *    after them (trailing windows), so the bars/cci tables are APPEND-ONLY:
   *    a day writes only its delta partition, never rewrites the corpus —
   *    at 100 TB the daily job's I/O tracks the day's arrivals.
-  *  - **Reads prune.** State reads filter on the `run_d` partition column,
-  *    so a rerun of day N never scans a crashed day-N partial partition.
+  *  - **Reads ∝ series count, NOT history.** The round-9 version re-derived
+  *    the watermark, the window context and the digest totals from the FULL
+  *    bars+cci history every day (~3 corpus scans per day — the O(corpus)
+  *    daily bill at 100 TB). Now a day reads exactly (a) the previous day's
+  *    `state/` partition — one dimension-scale row per series carrying the
+  *    watermark date, the `idx` position, the last N−1 context bars and the
+  *    latest (current, yesterday) open-CCI pair — and (b) the day's fetched
+  *    delta. The history tables are write-only in steady state (audit /
+  *    rebuild / downstream analytics read them; the loop itself never
+  *    does — spec-gated by running a day with the history DELETED). This is
+  *    the reference's own design: it keeps a saved per-symbol watermark
+  *    table (daily_function.py:293-341) rather than re-deriving from
+  *    history.
+  *  - **Reads prune.** State reads select exactly one committed `run_d=`
+  *    partition, so a rerun of day N never sees a crashed day-N partial.
   *  - **Idempotent reruns.** Each day overwrites exactly its own `run_d=`
-  *    partitions; the watermark (recomputed from the durable bars state)
+  *    partitions; the watermark (from the last COMMITTED state partition)
   *    makes a rerun of an already-committed day fetch an empty window and
   *    write empty deltas — a no-op. The digest partition doubles as the
   *    commit marker: [[run]] skips days whose digest committed, so a
   *    restarted schedule resumes where it crashed. (A transactional table
   *    format would make the multi-table day commit atomic; the ordering —
-  *    bars, cci, orders, digest last — bounds the damage to "rerun the day".)
+  *    bars, cci, state, orders, digest last — bounds the damage to "rerun
+  *    the day".)
   *  - **No driver data.** The loop is driver-side *control* flow only (one
   *    iteration per day, like the reference's scheduler); every data step is
-  *    a distributed plan. Per-series resume state (watermark, window
-  *    context, `idx` position) is recovered from the state tables
-  *    themselves, broadcast as dimension-scale frames.
+  *    a distributed plan over dimension- or delta-scale frames.
   *
   * The whole-chain equality gate: after running N days incrementally, the
   * CCI state must equal the one-shot full recompute over the same events —
@@ -62,6 +77,7 @@ object Daily {
   final case class Workspace(root: String) {
     def barsDir: String = s"$root/bars"
     def cciDir: String = s"$root/cci"
+    def stateDir: String = s"$root/state"
     def ordersDir: String = s"$root/orders"
     def digestDir: String = s"$root/digest"
     def conditionsDir: String = s"$root/conditions"
@@ -81,14 +97,133 @@ object Daily {
   private def overwrite(df: DataFrame, dir: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(dir)
 
-  /** State-table read, pruned to partitions committed strictly before `s`
-    * (a crashed rerun of day `s` must not see its own partial partition). */
-  private def stateBefore(spark: SparkSession, dir: String, s: java.sql.Date): DataFrame =
-    spark.read.parquet(dir).filter(col("run_d") < lit(s)).drop("run_d")
+  /** The bar fields a series' rolling-window context carries in the state
+    * table (everything [[CciPipeline.cciFromBars]] consumes). */
+  private val CtxFields = Seq("d", "open_pr", "high_pr", "low_pr", "close_pr", "volume")
+
+  /** Column order of the persisted cci delta partitions — pinned so every
+    * day's partition matches the bootstrap's full-recompute schema. */
+  private val CciCols = Seq("user_id", "d", "open_pr", "high_pr", "low_pr",
+    "close_pr", "volume", "idx", "tp_c", "tp_o", "cnt", "sma_c", "sma_o",
+    "mad_c", "mad_o", "close_cci", "open_cci")
+
+  /** Build the per-series state dimension from a full CCI table — the
+    * bootstrap's one-time O(history) pass. Context recovery uses the
+    * table's own `idx` position state (broadcast per-series max + filter),
+    * NOT a whole-series sort window. */
+  private def stateFromCci(cciState: DataFrame, cfg: GridConfig): DataFrame = {
+    import cciState.sparkSession.implicits._
+    val offs = cciState.groupBy($"user_id").agg(max($"idx").as("mi"))
+    cciState
+      .join(broadcast(offs), Seq("user_id"))
+      .filter($"idx" > $"mi" - (cfg.cciN - 1))
+      .groupBy($"user_id")
+      .agg(
+        max($"d").as("watermark_d"),
+        max($"idx").cast("long").as("n_rows"),
+        sort_array(collect_list(struct(CtxFields.map(col): _*))).as("ctx"),
+        max(when($"idx" === $"mi", $"close_pr")).as("close_pr"),
+        max(when($"idx" === $"mi", $"close_cci")).as("close_cci"),
+        max(when($"idx" === $"mi", $"open_cci")).as("current_open_cci"),
+        max(when($"idx" === $"mi" - 1, $"open_cci")).as("yesterday_open_cci"))
+  }
+
+  /** The newest COMMITTED state partition strictly before `s` — one
+    * filesystem metadata listing plus a read of exactly that partition
+    * (dimension-scale). A crashed day-`s` attempt may have left its own
+    * partial `run_d=s` partition; the strict bound skips it, and the
+    * `_SUCCESS` marker skips any earlier torn write. */
+  private def stateAsOf(spark: SparkSession, ws: Workspace, s: java.sql.Date): DataFrame = {
+    val dir = new Path(ws.stateDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("run_d=") &&
+          fs.exists(new Path(p, "_SUCCESS")))
+        .map(p => java.sql.Date.valueOf(p.getName.stripPrefix("run_d=")))
+        .filter(_.before(s))
+    require(committed.nonEmpty,
+      s"daily state: no committed state partition before $s — bootstrap first")
+    spark.read.parquet(s"${ws.stateDir}/run_d=${committed.maxBy(_.getTime)}")
+  }
+
+  /** The r30 incremental recompute driven from the STATE DIMENSION instead
+    * of the cci history: context bars come out of each touched series'
+    * stored `ctx` array, `idx` resumes from the stored position — same
+    * window content as [[CciPipeline.cciIncrementalDelta]], so bit-equal
+    * output, with zero history reads. */
+  private def cciDeltaFromState(state: DataFrame, deltaBars: DataFrame,
+      cfg: GridConfig): DataFrame = {
+    import state.sparkSession.implicits._
+    val barCols = ("user_id" +: CtxFields).map(col)
+    val touched = deltaBars.select($"user_id").distinct()
+    val ctxBars = state
+      .join(touched, Seq("user_id"), "left_semi")
+      .select($"user_id", explode($"ctx").as("c"))
+      .select($"user_id" +: CtxFields.map(f => $"c.$f".as(f)): _*)
+      .withColumn("is_delta", lit(false))
+    CciPipeline.cciFromBars(
+        ctxBars.unionByName(
+          deltaBars.select(barCols: _*).withColumn("is_delta", lit(true))), cfg)
+      .filter($"is_delta")
+      // left join: a series new in the delta has no state row -> offset 0
+      .join(state.select($"user_id", $"n_rows", size($"ctx").as("nctx")),
+        Seq("user_id"), "left")
+      .withColumn("idx",
+        ($"idx" + coalesce($"n_rows", lit(0L)) - coalesce($"nctx", lit(0))).cast("int"))
+      .select(CciCols.map(col): _*)
+  }
+
+  /** Fold one day's cci delta into the state dimension: watermark and
+    * `idx` advance, the context window slides, the (current, yesterday)
+    * open-CCI pair shifts — all from a full-outer join of two dimension-/
+    * delta-scale frames. Series the delta never touched pass through
+    * unchanged; series new in the delta enter with no prior state. */
+  private def updateState(state: DataFrame, deltaCci: DataFrame,
+      cfg: GridConfig): DataFrame = {
+    import state.sparkSession.implicits._
+    val ctxLen = cfg.cciN - 1
+    val deltaAgg = deltaCci
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("delta_n"),
+        max($"d").as("delta_max_d"),
+        sort_array(collect_list(struct(CtxFields.map(col): _*))).as("delta_ctx"),
+        // newest-two rows, idx-ordered: the new (current, yesterday) pair
+        sort_array(collect_list(struct($"idx", $"close_pr", $"close_cci",
+          $"open_cci"))).as("tail"))
+    val last1 = try_element_at($"da.tail", lit(-1))
+    val last2 = try_element_at($"da.tail", lit(-2))
+    val joined = state.as("st").join(deltaAgg.as("da"), Seq("user_id"), "full_outer")
+    val combined = when($"st.ctx".isNull, $"da.delta_ctx")
+      .when($"da.delta_ctx".isNull, $"st.ctx")
+      .otherwise(concat($"st.ctx", $"da.delta_ctx"))
+    joined.select(
+      $"user_id",
+      coalesce($"da.delta_max_d", $"st.watermark_d").as("watermark_d"),
+      (coalesce($"st.n_rows", lit(0L)) + coalesce($"da.delta_n", lit(0L))).as("n_rows"),
+      when(size(combined) <= ctxLen, combined)
+        .otherwise(slice(combined, size(combined) - ctxLen + 1, lit(ctxLen)))
+        .as("ctx"),
+      // no coalesce on the CCI fields: a delta row's null CCI (window not
+      // yet full) must REPLACE the stored value, not fall back to it
+      when($"da.delta_n".isNotNull, last1.getField("close_pr"))
+        .otherwise($"st.close_pr").as("close_pr"),
+      when($"da.delta_n".isNotNull, last1.getField("close_cci"))
+        .otherwise($"st.close_cci").as("close_cci"),
+      when($"da.delta_n".isNotNull, last1.getField("open_cci"))
+        .otherwise($"st.current_open_cci").as("current_open_cci"),
+      when($"da.delta_n" >= 2, last2.getField("open_cci"))
+        .when($"da.delta_n" === 1, $"st.current_open_cci")
+        .otherwise($"st.yesterday_open_cci").as("yesterday_open_cci"))
+  }
 
   /** Bootstrap the workspace from the connector: one bulk fetch of
     * everything up to and including `cutoff` (the reference's initial
-    * backfill), bars + full CCI written as the `run_d=cutoff` partitions. */
+    * backfill), bars + full CCI + the initial per-series state dimension
+    * written as the `run_d=cutoff` partitions. The one deliberate
+    * O(history) pass — every subsequent day resumes from `state/`. */
   def bootstrap(spark: SparkSession, conn: EventConnector, ws: Workspace,
       cutoff: java.sql.Date, cfg: GridConfig = GridConfig()): Unit = {
     import spark.implicits._
@@ -101,7 +236,11 @@ object Daily {
       require(bars.limit(1).count() > 0,
         s"daily bootstrap: no events on or before $cutoff — nothing to resume from")
       overwrite(bars, s"${ws.barsDir}/run_d=$cutoff")
-      overwrite(CciPipeline.cciFromBars(bars, cfg), s"${ws.cciDir}/run_d=$cutoff")
+      val cciFull = GraftSession.maybeCache(CciPipeline.cciFromBars(bars, cfg))
+      try {
+        overwrite(cciFull, s"${ws.cciDir}/run_d=$cutoff")
+        overwrite(stateFromCci(cciFull, cfg), s"${ws.stateDir}/run_d=$cutoff")
+      } finally cciFull.unpersist()
     } finally bars.unpersist()
   }
 
@@ -115,53 +254,36 @@ object Daily {
         .drop("investment_target"),
       ws.conditionsDir)
 
-  /** Latest per-series state from the CCI table — current and previous
-    * open-CCI plus the latest close — recovered via the table's own `idx`
-    * position state (one partial-aggregable max per series + a broadcast
-    * join back), NOT a full per-series sort window. */
-  private def latestState(cciState: DataFrame): DataFrame = {
-    import cciState.sparkSession.implicits._
-    val offs = cciState.groupBy($"user_id").agg(max($"idx").as("mi"))
-    cciState
-      .join(broadcast(offs), Seq("user_id"))
-      .filter($"idx" >= $"mi" - 1)
-      .groupBy($"user_id")
-      .agg(
-        max(when($"idx" === $"mi", $"d")).as("state_d"),
-        max(when($"idx" === $"mi", $"close_pr")).as("close_pr"),
-        max(when($"idx" === $"mi", $"close_cci")).as("close_cci"),
-        max(when($"idx" === $"mi", $"open_cci")).as("current_open_cci"),
-        max(when($"idx" === $"mi" - 1, $"open_cci")).as("yesterday_open_cci"))
-  }
-
   /** Execute one run day: watermark → fetch → bars append → incremental CCI
-    * → signal scan → orders → digest. Caller is responsible for the trading
-    * -day gate and the already-committed check ([[run]] applies both). */
+    * → state fold → signal scan → orders → digest. Every read is the
+    * previous state partition (∝ series) or the day's delta; the bars/cci
+    * history is never scanned. Caller is responsible for the trading-day
+    * gate and the already-committed check ([[run]] applies both). */
   def runDay(spark: SparkSession, conn: EventConnector, ws: Workspace,
       s: java.sql.Date, cfg: GridConfig = GridConfig(),
       withOrders: Boolean = false): DayDigest = {
     import spark.implicits._
 
-    // r21's watermark arithmetic against the DURABLE bars state: saved keys
-    // resume after their last saved day; keys new to the universe backfill
-    // from DefaultFetchStart. Requests stay dimension-scale by contract.
-    val saved = stateBefore(spark, ws.barsDir, s)
-      .groupBy($"user_id").agg(max($"d").as("saved_max"))
-    val requests = conn.listKeys(spark, s)
-      .join(saved, Seq("user_id"), "left")
-      .select($"user_id",
-        coalesce(date_add($"saved_max", 1),
-          lit(CciPipeline.DefaultFetchStart).cast("date")).as("fetch_start"),
-        lit(s).as("fetch_end"))
-      .filter($"fetch_start" <= $"fetch_end")
+    val state = GraftSession.maybeCache(stateAsOf(spark, ws, s))
+    try {
+      // r21's watermark arithmetic against the state dimension: saved keys
+      // resume after their stored watermark; keys new to the universe
+      // backfill from DefaultFetchStart. Requests stay dimension-scale.
+      val requests = conn.listKeys(spark, s)
+        .join(state.select($"user_id", $"watermark_d".as("saved_max")),
+          Seq("user_id"), "left")
+        .select($"user_id",
+          coalesce(date_add($"saved_max", 1),
+            lit(CciPipeline.DefaultFetchStart).cast("date")).as("fetch_start"),
+          lit(s).as("fetch_end"))
+        .filter($"fetch_start" <= $"fetch_end")
 
-    // The fetch is consumed exactly once (by the bars aggregation), so it
-    // is neither cached nor counted: n_fetched == sum of bar volumes (each
-    // event lands in exactly one bar), and the r32 oracle re-derives
-    // n_fetched from the RAW events independently — the digest can't hide
-    // a bars-aggregation bug behind this identity.
-    val fetched = conn.fetch(spark, requests)
-    locally {
+      // The fetch is consumed exactly once (by the bars aggregation), so it
+      // is neither cached nor counted: n_fetched == sum of bar volumes (each
+      // event lands in exactly one bar), and the r32 oracle re-derives
+      // n_fetched from the RAW events independently — the digest can't hide
+      // a bars-aggregation bug behind this identity.
+      val fetched = conn.fetch(spark, requests)
       val deltaBars = GraftSession.maybeCache(CciPipeline.barsFromEvents(fetched))
       try {
         val Seq(nBarsNew, nFetched) = deltaBars
@@ -169,21 +291,25 @@ object Daily {
           .toSeq.map(_.asInstanceOf[Long])
         overwrite(deltaBars, s"${ws.barsDir}/run_d=$s")
 
-        val baseCci = stateBefore(spark, ws.cciDir, s)
-        val deltaCci = GraftSession.maybeCache(
-          CciPipeline.cciIncrementalDelta(baseCci, deltaBars, cfg)
-            .select(baseCci.columns.map(col): _*))
+        val deltaCci = GraftSession.maybeCache(cciDeltaFromState(state, deltaBars, cfg))
         try {
           val nCciNew = deltaCci.count()
           overwrite(deltaCci, s"${ws.cciDir}/run_d=$s")
 
-          val cciState = baseCci.unionByName(deltaCci)
-          val Array(nCciTotal, nSeries) = cciState
-            .agg(count(lit(1)), countDistinct($"user_id")).head()
-            .toSeq.map(_.asInstanceOf[Long]).toArray
-
-          val latest = GraftSession.maybeCache(latestState(cciState))
+          val newState = GraftSession.maybeCache(updateState(state, deltaCci, cfg))
           try {
+            overwrite(newState, s"${ws.stateDir}/run_d=$s")
+
+            // digest totals are running sums over the state DIMENSION —
+            // the round-9 full-corpus count+countDistinct is gone
+            val Seq(nCciTotal, nSeries) = newState
+              .agg(coalesce(sum($"n_rows"), lit(0L)), count(lit(1))).head()
+              .toSeq.map(_.asInstanceOf[Long])
+
+            val latest = newState.select($"user_id",
+              $"watermark_d".as("state_d"), $"close_pr", $"close_cci",
+              $"current_open_cci", $"yesterday_open_cci")
+
             // r05/r09's crossover rule over the literal threshold grid
             // (recommendation semantics: >= on the current side).
             val nSignals = latest
@@ -225,10 +351,10 @@ object Daily {
             // digest LAST: its _SUCCESS marker commits the day
             overwrite(Seq(dig).toDF(), s"${ws.digestDir}/run_d=$s")
             dig
-          } finally latest.unpersist()
+          } finally newState.unpersist()
         } finally deltaCci.unpersist()
       } finally deltaBars.unpersist()
-    }
+    } finally state.unpersist()
   }
 
   private def digestCommitted(spark: SparkSession, ws: Workspace, s: java.sql.Date): Boolean = {

@@ -137,6 +137,42 @@ class DailyRunSpec extends AnyFunSuite {
     got.zip(expect).foreach { case (a, e) => assert(a == e, s"\n$a\n$e") }
   }
 
+  test("daily reads are ∝ delta: a day runs bit-identically with the ENTIRE bars+cci history deleted") {
+    // the 100 TB claim, falsified directly: day N+1 must consume only the
+    // previous day's state partition (dimension-scale) and its own fetched
+    // delta — so physically removing every bars/ and cci/ history partition
+    // must not change a single digest field or state byte. If any code path
+    // regresses to scanning history (the round-9 shape), this test crashes
+    // or diverges instead of silently paying O(corpus) per day.
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete(): Unit
+    }
+    val conn = new LocalFileEventConnector(sf)
+    val start = maxLd.minusDays(6)
+    def runSplit(gut: Boolean): (Seq[Daily.DayDigest], Array[org.apache.spark.sql.Row]) = {
+      val ws = newWs()
+      Daily.bootstrap(spark, conn, ws, java.sql.Date.valueOf(start.minusDays(1)))
+      val firstHalf = Daily.run(spark, conn, ws, start, maxLd.minusDays(3))
+      if (gut) {
+        deleteRec(new java.io.File(ws.barsDir))
+        deleteRec(new java.io.File(ws.cciDir))
+      }
+      val rest = Daily.run(spark, conn, ws, maxLd.minusDays(2), maxLd)
+      val state = spark.read.parquet(
+        s"${ws.stateDir}/run_d=${rest.last.d}")
+      (firstHalf ++ rest,
+        state.select(Seq("user_id", "watermark_d", "n_rows", "close_pr",
+            "close_cci", "current_open_cci", "yesterday_open_cci").map(col): _*)
+          .orderBy(col("user_id")).collect())
+    }
+    val (digsGut, stateGut) = runSplit(gut = true)
+    val (digsFull, stateFull) = runSplit(gut = false)
+    assert(digsGut == digsFull)
+    assert(stateGut.length == stateFull.length && stateGut.nonEmpty)
+    stateGut.zip(stateFull).foreach { case (a, b) => assert(a == b, s"\n$a\n$b") }
+  }
+
   test("daily state reads prune on the run_d partition column") {
     // the workspace layout must keep producing hive-style partitions: if a
     // write regression flattened run_d into file contents, every state
