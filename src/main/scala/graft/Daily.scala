@@ -79,6 +79,8 @@ object Daily {
     def cciDir: String = s"$root/cci"
     def stateDir: String = s"$root/state"
     def ordersDir: String = s"$root/orders"
+    def positionsDir: String = s"$root/positions"
+    def sellsDir: String = s"$root/sells"
     def digestDir: String = s"$root/digest"
     def conditionsDir: String = s"$root/conditions"
   }
@@ -92,7 +94,9 @@ object Daily {
       n_cci_total: Long,
       n_series: Long,
       n_buy_signals: Long,
-      n_orders: Long)
+      n_orders: Long,
+      n_sells: Long,
+      n_positions: Long)
 
   private def overwrite(df: DataFrame, dir: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(dir)
@@ -128,25 +132,29 @@ object Daily {
         max(when($"idx" === $"mi" - 1, $"open_cci")).as("yesterday_open_cci"))
   }
 
-  /** The newest COMMITTED state partition strictly before `s` — one
-    * filesystem metadata listing plus a read of exactly that partition
-    * (dimension-scale). A crashed day-`s` attempt may have left its own
-    * partial `run_d=s` partition; the strict bound skips it, and the
-    * `_SUCCESS` marker skips any earlier torn write. */
-  private def stateAsOf(spark: SparkSession, ws: Workspace, s: java.sql.Date): DataFrame = {
-    val dir = new Path(ws.stateDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  /** The newest COMMITTED `run_d=` partition of `dir` strictly before `s`
+    * — one filesystem metadata listing plus a read of exactly that
+    * partition (dimension-scale). A crashed day-`s` attempt may have left
+    * its own partial `run_d=s` partition; the strict bound skips it, and
+    * the `_SUCCESS` marker skips any earlier torn write. */
+  private def latestCommitted(spark: SparkSession, dir: String,
+      s: java.sql.Date): Option[DataFrame] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed =
-      if (!fs.exists(dir)) Seq.empty
-      else fs.listStatus(dir).toSeq.map(_.getPath)
-        .filter(p => p.getName.startsWith("run_d=") &&
-          fs.exists(new Path(p, "_SUCCESS")))
-        .map(p => java.sql.Date.valueOf(p.getName.stripPrefix("run_d=")))
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath)
+        .filter(c => c.getName.startsWith("run_d=") &&
+          fs.exists(new Path(c, "_SUCCESS")))
+        .map(c => java.sql.Date.valueOf(c.getName.stripPrefix("run_d=")))
         .filter(_.before(s))
-    require(committed.nonEmpty,
-      s"daily state: no committed state partition before $s — bootstrap first")
-    spark.read.parquet(s"${ws.stateDir}/run_d=${committed.maxBy(_.getTime)}")
+    if (committed.isEmpty) None
+    else Some(spark.read.parquet(s"$dir/run_d=${committed.maxBy(_.getTime)}"))
   }
+
+  private def stateAsOf(spark: SparkSession, ws: Workspace, s: java.sql.Date): DataFrame =
+    latestCommitted(spark, ws.stateDir, s).getOrElse(throw new IllegalArgumentException(
+      s"daily state: no committed state partition before $s — bootstrap first"))
 
   /** The r30 incremental recompute driven from the STATE DIMENSION instead
     * of the cci history: context bars come out of each touched series'
@@ -318,8 +326,12 @@ object Daily {
                 $"current_open_cci" >= $"buy_thr")
               .count()
 
-            // r13's order sizing against the persisted conditions dim.
-            val nOrders = if (!withOrders) 0L else {
+            // r13's order sizing against the persisted conditions dim,
+            // then the position carry (r34): yesterday's open lots are
+            // scanned with today's state — the reference's daily sell scan
+            // (daily_function.py:1713 create_sell_order_data, :1828 sell
+            // execution) — sells settle, fresh buys open new lots.
+            val (nOrders, nSells, nPositions) = if (!withOrders) (0L, 0L, 0L) else {
               val orders = spark.read.parquet(ws.conditionsDir)
                 .join(latest, Seq("user_id"))
                 .filter($"yesterday_open_cci" < $"condition_buy_cci_threshold" &&
@@ -343,11 +355,59 @@ object Daily {
                   $"condition_buy_cci_threshold", $"condition_stop_loss_cci_threshold",
                   $"win_rate", $"revenue_rate", $"net_target_price", $"sell_signal")
               overwrite(orders, s"${ws.ordersDir}/run_d=$s")
-              spark.read.parquet(s"${ws.ordersDir}/run_d=$s").count()
+              val nOrd = spark.read.parquet(s"${ws.ordersDir}/run_d=$s").count()
+
+              // A lot OPENS only on a FRESH signal — the series got a new
+              // bar today, so its (yesterday, current) pair just advanced;
+              // without the gate a stale crossover pair would re-open an
+              // identical lot every day it persists. The orders table (the
+              // day's recommendation VIEW, r09 semantics) stays ungated.
+              val freshBuys = orders
+                .join(deltaBars.select($"user_id").distinct(), Seq("user_id"), "left_semi")
+                .select($"user_id", $"order_date".as("buy_d"),
+                  $"buy_order_price".as("buy_price"), $"buy_order_qty".as("buy_qty"),
+                  $"condition_holding_days", $"condition_target_return",
+                  $"condition_stop_loss_cci_threshold", $"net_target_price")
+
+              // Sell scan over yesterday's open lots with TODAY's state:
+              // target and stop need a bar newer than the purchase
+              // (state_d > buy_d — the broker quotes a fresh price);
+              // maturity is calendar-driven (r18's buy date + holding
+              // days). Precedence mirrors r06: target, stop, maturity.
+              val (sells, stillOpen) = latestCommitted(spark, ws.positionsDir, s) match {
+                case None => (None, freshBuys)
+                case Some(pos) =>
+                  val posCols = pos.columns.map(col)
+                  val scored = pos
+                    .join(latest.select($"user_id", $"state_d",
+                        $"close_pr".as("day_close_pr"),
+                        $"close_cci".as("day_close_cci")),
+                      Seq("user_id"))
+                    .withColumn("trade_result",
+                      when($"state_d" > $"buy_d" &&
+                        $"day_close_pr" > $"net_target_price", lit("reach_target"))
+                        .when($"state_d" > $"buy_d" &&
+                          $"day_close_cci" <= $"condition_stop_loss_cci_threshold",
+                          lit("stop_loss"))
+                        .when(lit(s) >= date_add($"buy_d", $"condition_holding_days"),
+                          lit("maturity")))
+                  val sold = scored.filter($"trade_result".isNotNull)
+                    .withColumn("sell_d", lit(s))
+                    .withColumn("sell_price", $"day_close_pr")
+                    .select(posCols ++ Seq($"trade_result", $"sell_d", $"sell_price"): _*)
+                  val open = scored.filter($"trade_result".isNull).select(posCols: _*)
+                  (Some(sold), open.unionByName(freshBuys))
+              }
+              sells.foreach(df => overwrite(df, s"${ws.sellsDir}/run_d=$s"))
+              overwrite(stillOpen, s"${ws.positionsDir}/run_d=$s")
+              val nSell = if (sells.isEmpty) 0L
+                else spark.read.parquet(s"${ws.sellsDir}/run_d=$s").count()
+              val nPos = spark.read.parquet(s"${ws.positionsDir}/run_d=$s").count()
+              (nOrd, nSell, nPos)
             }
 
             val dig = DayDigest(s, nFetched, nBarsNew, nCciNew, nCciTotal,
-              nSeries, nSignals, nOrders)
+              nSeries, nSignals, nOrders, nSells, nPositions)
             // digest LAST: its _SUCCESS marker commits the day
             overwrite(Seq(dig).toDF(), s"${ws.digestDir}/run_d=$s")
             dig
@@ -460,5 +520,107 @@ object Daily {
          |LEFT JOIN cstat c ON c.s = sim.s
          |LEFT JOIN sigs g ON g.s = sim.s
          |ORDER BY d""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- r34
+  /** The full buy→hold→sell lifecycle of the daily product: bootstrap,
+    * persist the best-strategy conditions, run the last week with orders
+    * and the position carry on, then emit one row per LOT — opened by a
+    * fresh crossover on some run day, closed on a later run day by
+    * whichever of target / stop-loss / maturity fired first (reference
+    * create_sell_order_data daily_function.py:1713, sell execution :1828,
+    * maturity arithmetic as r18's buy date + holding days), or still
+    * `open` at the end of the window.
+    *
+    * The DuckDB oracle replays every lot from the RAW events: per sim day
+    * it rebuilds each series' latest (yesterday, current) CCI pair, opens
+    * lots on fresh crossovers against the independently recomputed
+    * best-strategy dim, and closes each lot at its first qualifying later
+    * sim day — the persisted day-by-day position carry must be
+    * indistinguishable from that one-shot replay. */
+  def dailyPositionsQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ws = Workspace(graft.operators.Extras.tempDir("graft-daily-r34"))
+    val conn = new LocalFileEventConnector(dir)
+    val maxLd = Tables.events(spark, dir)
+      .agg(max(to_date($"ts"))).head().getDate(0).toLocalDate
+    val start = maxLd.minusDays(6)
+    bootstrap(spark, conn, ws, java.sql.Date.valueOf(start.minusDays(1)))
+    writeConditions(spark, dir, ws)
+    run(spark, conn, ws, start, maxLd, withOrders = true): Unit
+    val outCols = Seq("user_id", "buy_d", "buy_price", "buy_qty",
+      "condition_holding_days", "condition_target_return",
+      "trade_result", "sell_d", "sell_price").map(col)
+    val open = latestCommitted(spark, ws.positionsDir,
+        java.sql.Date.valueOf(maxLd.plusDays(1)))
+      .getOrElse(sys.error("r34: no committed positions partition"))
+      .withColumn("trade_result", lit("open"))
+      .withColumn("sell_d", lit(null).cast("date"))
+      .withColumn("sell_price", lit(null).cast("double"))
+      .select(outCols: _*)
+    val sellsPath = new Path(ws.sellsDir)
+    val hasSells = sellsPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(sellsPath)
+    val closed =
+      if (!hasSells) None
+      else Some(spark.read.parquet(ws.sellsDir).select(outCols: _*))
+    closed.fold(open)(open.unionByName(_)).orderBy($"user_id", $"buy_d")
+  }
+
+  val dailyPositionsSql: String = {
+    val budgetSlice = s"floor(${Budget * BudgetFraction})"
+    CciPipeline.strategyCte + ",\n" +
+      s"""bw AS (SELECT * FROM (${CciPipeline.bestCte("win_rate")}) bq),
+         |b2x AS (SELECT max(d) AS maxd, max(d) - 6 AS start_d FROM bars),
+         |days2 AS (SELECT unnest(generate_series(start_d, maxd, INTERVAL 1 DAY))::DATE AS s FROM b2x),
+         |tday2 AS (
+         |  SELECT s FROM days2
+         |  WHERE (date_diff('day', DATE '1970-01-01', s) + 3) % 7 < 5
+         |    AND day(s) % 7 <> 3),
+         |sim2 AS (
+         |  SELECT s, coalesce(lag(s) OVER (ORDER BY s),
+         |                     (SELECT start_d - 1 FROM b2x)) AS prev
+         |  FROM tday2),
+         |lat2 AS (
+         |  SELECT sim2.s, sim2.prev, c.user_id, max(c.idx) AS mi
+         |  FROM sim2 JOIN cci c ON c.d <= sim2.s
+         |  GROUP BY sim2.s, sim2.prev, c.user_id),
+         |cur2 AS (
+         |  SELECT l.s, l.prev AS prev_d, l.user_id,
+         |    c1.d AS state_d, c1.close_pr, c1.close_cci,
+         |    c1.open_cci AS cur_cci, c0.open_cci AS prev_cci
+         |  FROM lat2 l
+         |  JOIN cci c1 ON c1.user_id = l.user_id AND c1.idx = l.mi
+         |  LEFT JOIN cci c0 ON c0.user_id = l.user_id AND c0.idx = l.mi - 1),
+         |buys AS (
+         |  SELECT c2.s AS buy_sim_d, c2.user_id, c2.state_d AS buy_d,
+         |    c2.close_pr AS buy_price,
+         |    CAST(floor($budgetSlice / c2.close_pr + 0.5) AS BIGINT) AS buy_qty,
+         |    bw.condition_holding_days, bw.condition_target_return,
+         |    bw.condition_stop_loss_cci_threshold,
+         |    floor((c2.close_pr * (1.0 + (bw.condition_target_return + $TaxRate + ${FeeRate}) / 100.0)) * 1.0 + 0.5) / 1.0 AS net_target_price
+         |  FROM cur2 c2 JOIN bw ON bw.user_id = c2.user_id
+         |  WHERE c2.state_d > c2.prev_d
+         |    AND c2.prev_cci < bw.condition_buy_cci_threshold
+         |    AND c2.cur_cci >= bw.condition_buy_cci_threshold
+         |    AND c2.close_pr <> 0.0
+         |    AND CAST(floor($budgetSlice / c2.close_pr + 0.5) AS BIGINT) >= 1),
+         |scans AS (
+         |  SELECT b.*, c2.s AS t2, c2.close_pr AS scp,
+         |    CASE WHEN c2.state_d > b.buy_d AND c2.close_pr > b.net_target_price THEN 'reach_target'
+         |         WHEN c2.state_d > b.buy_d AND c2.close_cci <= b.condition_stop_loss_cci_threshold THEN 'stop_loss'
+         |         WHEN c2.s >= b.buy_d + b.condition_holding_days THEN 'maturity' END AS res
+         |  FROM buys b JOIN cur2 c2 ON c2.user_id = b.user_id AND c2.s > b.buy_sim_d),
+         |firsthit AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id, buy_d ORDER BY t2) AS rn
+         |  FROM scans WHERE res IS NOT NULL)
+         |SELECT b.user_id, b.buy_d, b.buy_price, b.buy_qty,
+         |  b.condition_holding_days, b.condition_target_return,
+         |  coalesce(f.res, 'open') AS trade_result,
+         |  f.t2 AS sell_d, f.scp AS sell_price
+         |FROM buys b
+         |LEFT JOIN firsthit f
+         |  ON f.user_id = b.user_id AND f.buy_d = b.buy_d AND f.rn = 1
+         |ORDER BY b.user_id, b.buy_d""".stripMargin
   }
 }

@@ -173,6 +173,10 @@ object SparkEntry {
     // back per-symbol as relative strength (the last unmodeled reference
     // data surface, hankook get_index_daily_price)
     "r33_index_relative" -> (CciPipeline.indexRelative _),
+    // r34: the daily product's full buy→hold→sell lifecycle — positions
+    // carried across run days, sells fired by target/stop/maturity; the
+    // oracle replays every lot one-shot from the raw events
+    "r34_daily_positions" -> (graft.Daily.dailyPositionsQuery _),
     "p05b_stratified_presplit" -> (Curation.stratifiedSamplePresplitQuery _),
     // d07b: the large-star/small-star CC core — same clusters, same
     // oracle as d07; the long-chain swap-in pinned under the driver gate
@@ -321,6 +325,7 @@ object SparkEntry {
     "r31_connector_fetch" -> graft.sources.ConnectorFetch.connectorFetchSql,
     "r32_daily_run" -> graft.Daily.dailyRunSql,
     "r33_index_relative" -> CciPipeline.indexRelativeSql,
+    "r34_daily_positions" -> graft.Daily.dailyPositionsSql,
     "d07b_dedup_clusters_stars" -> graft.dedup.Dedup.dedupClustersSql,
     "p05b_stratified_presplit" -> Curation.stratifiedSamplePresplitSql,
     "v02b_windowed_counts" -> graft.streaming.EventStream.windowedCountsBatchSql,

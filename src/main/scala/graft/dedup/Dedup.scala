@@ -203,6 +203,16 @@ object Dedup {
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     docShinglesFrom(Tables.documents(spark, dir))
 
+  /** The per-doc shingle subtree the whole dedup block shares (d02's
+    * inverted index, d03/d08's verify joins, d06/d07's pair graph, t11's
+    * fuzzy decontamination): exposed for the bench's `dedup_build` warm
+    * entry, so per-query numbers are marginal costs instead of charging
+    * the shared cache build to whichever dedup entry happens to run first
+    * (the round-9 d02↔d07 attribution swap). CacheManager canonicalizes
+    * the plan, so every caller's maybeCache resolves to this entry. */
+  private[graft] def sharedShingles(spark: SparkSession, dir: String): DataFrame =
+    graft.GraftSession.maybeCache(docShingles(spark, dir))
+
   /** (doc_a, doc_b, common, na, nb, jaccard) for all pairs sharing at
     * least one sub-cap shingle.
     *

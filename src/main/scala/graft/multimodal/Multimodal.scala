@@ -349,13 +349,14 @@ object Multimodal {
     * sample-table walk extracts the container's actual encoded frame
     * bytes ([[mp4FrameSamples]]) — [[MaxFrames]] evenly spaced frames
     * each, every fingerprint folding the frame's ACTUAL bytes (decoded
-    * pixels / decoded PCM / encoded video samples) — proving the
+    * pixels for GIF rasters and MJPEG-in-MP4 samples, decoded PCM for
+    * WAV, encoded sample bytes for JDK-less video codecs) — proving the
     * one-to-many decode boundary carries real format machinery with zero
-    * new dependencies. Only MP4 pixel DECODE remains the declared stub
-    * (its codecs are not in this container); payloads none of the three
-    * branches accept take evenly spaced [[FrameBytes]]-wide payload
-    * slices folded with the same polynomial hash, deterministic and
-    * oracle-checkable. Memory per task stays
+    * new dependencies. Only NON-JPEG MP4 sample decode (H.264-class)
+    * remains the declared stub (its codecs are not in this container);
+    * payloads none of the three branches accept take evenly spaced
+    * [[FrameBytes]]-wide payload slices folded with the same polynomial
+    * hash, deterministic and oracle-checkable. Memory per task stays
     * bounded by frames-per-record × frame size, never the whole partition;
     * the payload column itself is never shuffled — only the small frame
     * rows are. */
@@ -373,10 +374,11 @@ object Multimodal {
             else wavFrameSamples(id, payload)
               .orElse(mp4FrameSamples(id, payload))
           real.getOrElse {
-            // ??? <- pixel DECODE of extracted MP4 samples goes here
-            // (codec libs not in this container); anything that is not a
-            // GIF / PCM WAV / table-complete MP4 takes the deterministic
-            // fake:
+            // ??? <- non-JPEG sample DECODE goes here (H.264-class codec
+            // libs are not in this container; MJPEG samples already
+            // decode to real pixels in mp4FrameSamples); anything that is
+            // not a GIF / PCM WAV / table-complete MP4 takes the
+            // deterministic fake:
             val len = payload.length.toLong
             val nf = math.min(MaxFrames.toLong, math.max(1L, len / FrameBytes)).toInt
             (0 until nf).map { i =>
@@ -563,11 +565,15 @@ object Multimodal {
   }.toOption
 
   /** m03's MP4 branch: REAL encoded-frame extraction via [[mp4SampleTable]]
-    * — [[MaxFrames]] evenly spaced samples, each fingerprint folding the
-    * sample's ACTUAL bytes out of `mdat`, timestamps from the media
-    * timescale. Pixel DECODING of those samples is the one remaining stub
-    * (it needs codec libraries this container doesn't ship); the sample
-    * boundary — what a pipeline hands the codec — is real. */
+    * — [[MaxFrames]] evenly spaced samples pulled out of `mdat`,
+    * timestamps from the media timescale — then REAL pixel decode where
+    * the codec ships with the JDK: a sample that is itself a JPEG
+    * (MJPEG-in-MP4, the classic capture-pipeline codec) decodes through
+    * `javax.imageio` and the fingerprint folds the DECODED raster in RGB
+    * order, exactly like the GIF branch. Samples in codecs the JDK lacks
+    * (H.264/H.265/AV1 — the narrowed remaining stub) keep the encoded
+    * sample bytes as the fingerprint input; either way the bytes handed
+    * on are exactly what a production pipeline feeds its codec. */
   private[graft] def mp4FrameSamples(id: Long,
       payload: Array[Byte]): Option[Seq[FrameSample]] = scala.util.Try {
     val P = graft.functions.TextFunctions.HashP
@@ -576,13 +582,38 @@ object Multimodal {
     val nf = math.min(MaxFrames, n)
     (0 until nf).map { i =>
       val (off, sz, dts) = samples(i * n / nf)
-      var acc = 0L
-      var j = 0
-      while (j < sz) {
-        acc = (acc * 31 + (payload(off.toInt + j) & 0xff)) % P
-        j += 1
+      val tsMs = dts * 1000L / timescale
+      val jpeg =
+        if (sz >= 2 && (payload(off.toInt) & 0xff) == 0xff &&
+            (payload(off.toInt + 1) & 0xff) == 0xd8)
+          scala.util.Try(Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload, off.toInt, sz)))).toOption.flatten
+        else None
+      jpeg match {
+        case Some(img) =>
+          var acc = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              acc = (acc * 31 + ((rgb >> 16) & 0xff)) % P
+              acc = (acc * 31 + ((rgb >> 8) & 0xff)) % P
+              acc = (acc * 31 + (rgb & 0xff)) % P
+              x += 1
+            }
+            y += 1
+          }
+          FrameSample(id, i, tsMs, img.getWidth * img.getHeight * 3, acc)
+        case None =>
+          var acc = 0L
+          var j = 0
+          while (j < sz) {
+            acc = (acc * 31 + (payload(off.toInt + j) & 0xff)) % P
+            j += 1
+          }
+          FrameSample(id, i, tsMs, sz, acc)
       }
-      FrameSample(id, i, dts * 1000L / timescale, sz, acc)
     }
   }.toOption
 

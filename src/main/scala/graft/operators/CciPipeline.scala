@@ -726,7 +726,7 @@ object CciPipeline {
         "rpdh_cents", "n_trades", "days_held_sum", "buy_cents", "sell_cents")
   }
 
-  private val strategyCte: String =
+  private[graft] val strategyCte: String =
     tradesCtes + ",\n" +
       """strat AS (
         |  SELECT user_id, condition_holding_days, condition_target_return,
@@ -802,7 +802,7 @@ object CciPipeline {
       .orderBy($"investment_target", $"user_id")
   }
 
-  private def bestCte(metric: String): String =
+  private[graft] def bestCte(metric: String): String =
     s"""SELECT * EXCLUDE (rn) FROM (
        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY $metric DESC,
        |    condition_holding_days, condition_target_return,

@@ -173,6 +173,67 @@ class DailyRunSpec extends AnyFunSuite {
     stateGut.zip(stateFull).foreach { case (a, b) => assert(a == b, s"\n$a\n$b") }
   }
 
+  test("r34 position carry: a lot opened on day 2 closes on day 4 by each of target / stop / maturity") {
+    // Three crafted single-event-per-day series over a known trading week
+    // (2024-03-04 Mon .. 03-08 Fri, no holiday-rule hits). Each declines
+    // through history (CCI < 0), jumps on day 2 (Mar 5: CCI crosses 0 →
+    // fresh buy at close 120), then:
+    //   user 1 → 120, 135:  135 > net target (floor(120·1.0200187+.5)=122)  → reach_target on day 4
+    //   user 2 → 118, 50:   crash CCI ≈ −167 ≤ stop −100                    → stop_loss on day 4
+    //   user 3 → 120, 120:  flat; holding_days=2 → maturity = Mar 5 + 2     → maturity on day 4
+    import java.time.Instant
+    import spark.implicits._
+    val histDays = Seq("02-19", "02-20", "02-21", "02-22", "02-23",
+      "02-26", "02-27", "02-28", "02-29", "03-01", "03-04")
+    val histVals = (0 until 11).map(110.0 - _) // 110 .. 100, declining
+    val tails = Map(
+      1L -> Seq("03-05" -> 120.0, "03-06" -> 120.0, "03-07" -> 135.0),
+      2L -> Seq("03-05" -> 120.0, "03-06" -> 118.0, "03-07" -> 50.0),
+      3L -> Seq("03-05" -> 120.0, "03-06" -> 120.0, "03-07" -> 120.0))
+    val rows = for {
+      u <- Seq(1L, 2L, 3L)
+      ((md, v), i) <- (histDays.zip(histVals) ++ tails(u)).zipWithIndex
+    } yield (u * 1000 + i, java.sql.Timestamp.from(
+        Instant.parse(s"2024-$md" + "T12:00:00Z")), u, "px", v, "{}")
+    val srcDir = newWs().root // reuse the temp-dir helper as a source dir
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$srcDir/events.parquet")
+
+    val ws = newWs()
+    val conn = new LocalFileEventConnector(srcDir)
+    Daily.bootstrap(spark, conn, ws, java.sql.Date.valueOf("2024-03-01"))
+    Seq((1L, 0.0, 5, 2.0, -150.0, 1.0, 1.0),
+        (2L, 0.0, 5, 50.0, -100.0, 1.0, 1.0),
+        (3L, 0.0, 2, 50.0, -150.0, 1.0, 1.0))
+      .toDF("user_id", "condition_buy_cci_threshold", "condition_holding_days",
+        "condition_target_return", "condition_stop_loss_cci_threshold",
+        "win_rate", "revenue_rate")
+      .write.parquet(ws.conditionsDir)
+    val digs = Daily.run(spark, conn, ws,
+      java.time.LocalDate.parse("2024-03-04"),
+      java.time.LocalDate.parse("2024-03-08"), withOrders = true)
+
+    val byDay = digs.map(d => d.d.toString -> d).toMap
+    assert(byDay("2024-03-04").n_orders == 0, "no crossover before the jump")
+    assert(byDay("2024-03-05").n_positions == 3, "all three lots open on day 2")
+    assert(byDay("2024-03-06").n_sells == 0, "nothing fires on day 3")
+    assert(byDay("2024-03-07").n_sells == 3, "all three lots close on day 4")
+    assert(byDay("2024-03-07").n_positions == 0)
+    assert(byDay("2024-03-08").n_sells == 0 && byDay("2024-03-08").n_positions == 0,
+      "closed lots stay closed")
+
+    val sells = spark.read.parquet(ws.sellsDir)
+      .select(col("user_id"), col("buy_d"), col("buy_price"), col("sell_d"),
+        col("sell_price"), col("trade_result"))
+      .orderBy(col("user_id")).collect()
+    assert(sells.length == 3)
+    val d5 = java.sql.Date.valueOf("2024-03-05")
+    val d7 = java.sql.Date.valueOf("2024-03-07")
+    assert(sells(0).toSeq == Seq(1L, d5, 120.0, d7, 135.0, "reach_target"))
+    assert(sells(1).toSeq == Seq(2L, d5, 120.0, d7, 50.0, "stop_loss"))
+    assert(sells(2).toSeq == Seq(3L, d5, 120.0, d7, 120.0, "maturity"))
+  }
+
   test("daily state reads prune on the run_d partition column") {
     // the workspace layout must keep producing hive-style partitions: if a
     // write regression flattened run_d into file contents, every state

@@ -605,6 +605,64 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(multimodal.Multimodal.mp4FrameSamples(77L, bare).isEmpty)
   }
 
+  test("m03: MJPEG-in-MP4 samples decode REAL pixels through the JDK codec") {
+    def be32(v: Long) = Array[Byte](
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(tp: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ tp.getBytes("US-ASCII") ++ payload
+    // three REAL JPEG samples (encoded with the JDK's own writer, 8x6,
+    // distinct flat-ish gradients), packed as the MP4's sample stream
+    val sampleBytes = (1 to 3).map { i =>
+      val img = new java.awt.image.BufferedImage(8, 6,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 6).foreach(y => (0 until 8).foreach(x =>
+        img.setRGB(x, y, ((i * 60) << 16) | ((x * 20) << 8) | (y * 30))))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(512) ++ "isom".getBytes)
+    val mdhd = box("mdhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(1000) ++
+      be32(9999) ++ be32(0))
+    val stts = box("stts", be32(0) ++ be32(1) ++ be32(3) ++ be32(40))
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(3) ++
+      sampleBytes.flatMap(s => be32(s.length)).toArray)
+    val stsc = box("stsc", be32(0) ++ be32(1) ++ be32(1) ++ be32(3) ++ be32(1))
+    val chunk = sampleBytes.flatten.toArray
+    def assemble(stcoPayload: Array[Byte]): (Array[Byte], Long) = {
+      val stco = box("stco", be32(0) ++ be32(1) ++ stcoPayload)
+      val stbl = box("stbl", stts ++ stsz ++ stsc ++ stco)
+      val moov = box("moov",
+        box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(600) ++ be32(1500) ++
+          Array.fill[Byte](80)(0)) ++
+        box("trak", box("mdia", mdhd ++ box("minf", stbl))))
+      ((ftyp ++ moov ++ box("mdat", chunk)), (ftyp.length + moov.length + 8).toLong)
+    }
+    val (_, at) = assemble(be32(0))
+    val (mp4, _) = assemble(be32(at))
+
+    val frames = multimodal.Multimodal.mp4FrameSamples(88L, mp4).get
+    assert(frames.length == 3)
+    // each fingerprint folds the DECODED raster (w*h*3 RGB bytes), not
+    // the encoded JPEG: recompute independently from the same bytes
+    val P = functions.TextFunctions.HashP
+    frames.zip(sampleBytes).foreach { case (f, bytes) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(f.frame_len == img.getWidth * img.getHeight * 3)
+      assert(f.frame_len != bytes.length, "frame_len must be the raster, not the JPEG")
+      var acc = 0L
+      (0 until img.getHeight).foreach(y => (0 until img.getWidth).foreach { x =>
+        val rgb = img.getRGB(x, y)
+        acc = (acc * 31 + ((rgb >> 16) & 0xff)) % P
+        acc = (acc * 31 + ((rgb >> 8) & 0xff)) % P
+        acc = (acc * 31 + (rgb & 0xff)) % P
+      })
+      assert(f.frame_fp == acc, s"frame ${f.frame_idx}: decoded pixels differ")
+    }
+    // distinct gradients -> distinct fingerprints
+    assert(frames.map(_.frame_fp).distinct.length == 3)
+  }
+
   test("d10: normalization collapses case/punct/whitespace variants, keeps min id") {
     import TestSpark.spark.implicits._
     val docs = Seq(
