@@ -232,6 +232,23 @@ class DailyRunSpec extends AnyFunSuite {
     assert(sells(0).toSeq == Seq(1L, d5, 120.0, d7, 135.0, "reach_target"))
     assert(sells(1).toSeq == Seq(2L, d5, 120.0, d7, 50.0, "stop_loss"))
     assert(sells(2).toSeq == Seq(3L, d5, 120.0, d7, 120.0, "maturity"))
+
+    // crash rerun of the SELL day: delete its digest (the commit marker)
+    // and rerun — the position carry must re-read Mar 6's committed
+    // positions, re-fire the same three sells, and leave every byte of
+    // the day's sells/positions partitions identical
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete(): Unit
+    }
+    deleteRec(new java.io.File(s"${ws.digestDir}/run_d=$d7"))
+    val redo = Daily.runDay(spark, conn, ws, d7, withOrders = true)
+    assert(redo.n_sells == 3 && redo.n_positions == 0)
+    val sellsAfter = spark.read.parquet(ws.sellsDir)
+      .select(col("user_id"), col("buy_d"), col("buy_price"), col("sell_d"),
+        col("sell_price"), col("trade_result"))
+      .orderBy(col("user_id")).collect()
+    assert(sellsAfter.toSeq == sells.toSeq, "sell rerun must be a no-op")
   }
 
   test("daily state reads prune on the run_d partition column") {
