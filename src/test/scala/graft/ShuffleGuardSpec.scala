@@ -47,7 +47,16 @@ class ShuffleGuardSpec extends AnyFunSuite {
     "v02b_windowed_counts" -> 2, // tumbling agg + sort
     "v11b_session_windows" -> 2, // session_window agg + sort
     "d01_dedup_exact" -> 2,      // hash groupBy + sort
-    "v08b_attribution_join" -> 1 // purchases side broadcast at this SF, + sort
+    "v08b_attribution_join" -> 1, // purchases side broadcast at this SF, + sort
+    // SURVEY §2 r33 claim "no new corpus shuffle": the corpus side is the
+    // SHARED cached cci subtree (cci() persists on construction, so the
+    // InMemoryRelation boundary is plan-intrinsic, not suite-order
+    // luck); everything outside it is days-dimension — index-bars day
+    // agg + index pseudo-key window + output sort. The index CCI joins
+    // back via BroadcastExchange (not a shuffle). A 4th exchange here
+    // means the corpus join stopped broadcasting or the pseudo key
+    // regressed to a corpus-side repartition.
+    "r33_index_relative" -> 3
   )
 
   test("shuffle guard: audited queries keep their exchange counts") {

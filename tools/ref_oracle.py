@@ -16,8 +16,14 @@ Usage:
     sbt -batch "runMain graft.Verify <sfDir> <outDir>"
     python3 tools/ref_oracle.py <sfDir> <outDir> [--time]
 
-Checks r01-r11 and r20. `--time` also prints per-stage wall times of the
-replica itself — the single-node pandas baseline BASELINE.md lacked.
+Checks r01-r11, r20, and the composed daily product — the r32 per-day
+digest chain (app.py:49 execute_pipeline, one digest per trading day of
+the last week) and the r34 buy→hold→sell lot lifecycle
+(daily_function.py:1713 create_sell_order_data, :1828 sell execution) —
+each replayed one-shot from the raw events, so the engine's persisted
+day-by-day incremental carry is compared against an independent full
+recompute. `--time` also prints per-stage wall times of the replica
+itself — the single-node pandas baseline BASELINE.md lacked.
 
 Comparison policy (declared, not hidden):
   * keys, counts, dates, result strings, and raw data-derived prices
@@ -443,9 +449,130 @@ def replica_net_revenue(trades):
     return t
 
 
+def _sim_days(events):
+    """The r32/r34 run window: each trading day of the last week paired
+    with the previous trading day (the fetch window's open end). Trading
+    rule = CciPipeline.isTradingDayLocal: epoch-day+3 mod 7 < 5 (Mon-Fri;
+    1970-01-01 was a Thursday) and day-of-month % 7 != 3 (the synthetic
+    holiday gate)."""
+    maxd = events["d"].max()
+    start = maxd - pd.Timedelta(days=6)
+    epoch = pd.Timestamp("1970-01-01")
+    out = []
+    prev = start - pd.Timedelta(days=1)
+    for s in pd.date_range(start, maxd, freq="D"):
+        if ((s - epoch).days + 3) % 7 < 5 and s.day % 7 != 3:
+            out.append((s, prev))
+            prev = s
+    return out
+
+
+def _latest_state(cci, s):
+    """Per-series state as of sim day s: the (max-idx, max-idx−1) CCI rows
+    with d <= s — what the engine's state dimension carries forward."""
+    cle = cci[cci["d"] <= s]
+    tail = (cle.sort_values(["user_id", "idx"], kind="mergesort")
+               .groupby("user_id", sort=True).tail(2))
+    g = tail.groupby("user_id", sort=True)
+    st = g.agg(state_d=("d", "last"), close_pr=("close_pr", "last"),
+               close_cci=("close_cci", "last"), cur_cci=("open_cci", "last"))
+    st["prev_cci"] = g["open_cci"].agg(
+        lambda x: x.iloc[-2] if len(x) >= 2 else np.nan)
+    return st
+
+
+def replica_daily_digest(events, cci):
+    """r32 (app.py:49 execute_pipeline, one iteration per trading day):
+    the digest a one-shot full recompute produces for each sim day —
+    events fetched in the (prev, s] watermark window, CCI rows <= s (a
+    trailing window never changes under append, so the day-s CCI state IS
+    the full CCI restricted to d <= s), and the crossover count over each
+    series' latest (yesterday, current) open-CCI pair against the literal
+    threshold grid (recommendation semantics: >= on the current side,
+    daily_function.py:1218)."""
+    rows = []
+    for s, prev in _sim_days(events):
+        n_fetched = int(((events["d"] > prev) & (events["d"] <= s)).sum())
+        cle = cci[cci["d"] <= s]
+        st = _latest_state(cci, s)
+        cur = st["cur_cci"].to_numpy(dtype=float)
+        prv = st["prev_cci"].to_numpy(dtype=float)
+        nsig = 0
+        for thr in BUY_THRESHOLDS:
+            with np.errstate(invalid="ignore"):
+                nsig += int(((prv < thr) & (cur >= thr)).sum())
+        rows.append((s, n_fetched, int((cle["d"] > prev).sum()), len(cle),
+                     cle["user_id"].nunique(), nsig))
+    return pd.DataFrame(rows, columns=[
+        "d", "n_fetched", "n_cci_new", "n_cci_total", "n_series",
+        "n_buy_signals"])
+
+
+def replica_daily_positions(events, cci, best):
+    """r34: every lot of the daily product's buy→hold→sell lifecycle,
+    replayed one-shot. A lot opens on a sim day where the series got a
+    fresh bar (state_d > prev sim day) and its (yesterday, current) pair
+    crosses the series' best-win buy threshold (daily_function.py:1218
+    '>=' on the current side); sizing is the reference's budget-slice
+    floor+0.5 (:1393-1401). It closes at the first later sim day where —
+    in r06's precedence order — close beats the fee-adjusted net target
+    (needs a bar newer than the purchase), close-CCI hits the stop
+    threshold (same freshness gate), or the calendar reaches buy date +
+    holding days (:1713-1760); otherwise it is still `open`."""
+    bw = best[best["investment_target"] == "win_rate"].set_index("user_id")
+    sim = _sim_days(events)
+    states = [_latest_state(cci, s) for s, _ in sim]
+    budget_slice = math.floor(BUDGET * BUDGET_FRACTION)
+    lots = []
+    for di, (s, prev) in enumerate(sim):
+        st = states[di]
+        fresh = st[st["state_d"] > prev]
+        j = fresh.join(bw, how="inner")
+        for uid, r in j.iterrows():
+            thr = r["condition_buy_cci_threshold"]
+            # NaN CCI on either side compares False -> no signal
+            if not (r["prev_cci"] < thr and r["cur_cci"] >= thr):
+                continue
+            price = r["close_pr"]
+            if price == 0.0:
+                continue
+            qty = math.floor(budget_slice / price + 0.5)
+            if qty < 1:
+                continue
+            ntp = float(math.floor(price * (1.0 + (
+                r["condition_target_return"] + TAX_RATE + FEE_RATE) / 100.0) + 0.5))
+            lots.append((uid, di, r["state_d"], price, qty,
+                         int(r["condition_holding_days"]),
+                         r["condition_target_return"],
+                         r["condition_stop_loss_cci_threshold"], ntp))
+    rows = []
+    for uid, buy_i, buy_d, price, qty, h, tgt, stop, ntp in lots:
+        result, sell_d, sell_price = "open", pd.NaT, np.nan
+        for di in range(buy_i + 1, len(sim)):
+            s = sim[di][0]
+            r = states[di].loc[uid]
+            res = None
+            if r["state_d"] > buy_d and r["close_pr"] > ntp:
+                res = "reach_target"
+            elif r["state_d"] > buy_d and r["close_cci"] <= stop:
+                res = "stop_loss"
+            elif s >= buy_d + pd.Timedelta(days=h):
+                res = "maturity"
+            if res is not None:
+                result, sell_d, sell_price = res, s, r["close_pr"]
+                break
+        rows.append((uid, buy_d, price, qty, h, tgt, result, sell_d, sell_price))
+    return pd.DataFrame(rows, columns=[
+        "user_id", "buy_d", "buy_price", "buy_qty", "condition_holding_days",
+        "condition_target_return", "trade_result", "sell_d", "sell_price"])
+
+
 # ------------------------------------------------------------ comparison
 
 def norm_key(v):
+    if v is None or v is pd.NaT or (
+            isinstance(v, (float, np.floating)) and np.isnan(v)):
+        return "null"
     if isinstance(v, (np.floating, float)):
         return repr(round(float(v), 6))
     if isinstance(v, pd.Timestamp):
@@ -613,6 +740,18 @@ def main():
             hist, ["user_id", "buy_date", "search_history_days"] + GROUP_COLS,
             ["trade_result", "sell_date", "days_held"],
             {"buy_price": 1e-9, "sell_price": 1e-9})
+
+    daily = timed("r32_daily_run", replica_daily_digest, events, cci)
+    compare("r32_daily_run", load_spark(out_dir, "r32_daily_run"), daily,
+            ["d"], ["n_fetched", "n_cci_new", "n_cci_total", "n_series",
+                    "n_buy_signals"], {})
+
+    pos = timed("r34_daily_positions", replica_daily_positions, events, cci, best)
+    compare("r34_daily_positions", load_spark(out_dir, "r34_daily_positions"),
+            pos, ["user_id", "buy_d"],
+            ["buy_qty", "condition_holding_days", "trade_result", "sell_d"],
+            {"buy_price": 1e-9, "condition_target_return": 1e-9,
+             "sell_price": 1e-9})
 
     n = len(CHECKED)
     print(f"\n{n - len(FAILS)} pass, {len(FAILS)} fail"
