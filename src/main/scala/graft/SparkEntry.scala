@@ -177,6 +177,10 @@ object SparkEntry {
     // carried across run days, sells fired by target/stop/maturity; the
     // oracle replays every lot one-shot from the raw events
     "r34_daily_positions" -> (graft.Daily.dailyPositionsQuery _),
+    // r35: the clock-driven scheduler (app.py setup_scheduler) as a
+    // schedule-plan dimension — one row per (day, cron job) with the
+    // firing instant and the trading-day fire-time gate
+    "r35_schedule_plan" -> (Scheduler.schedulePlan _),
     "p05b_stratified_presplit" -> (Curation.stratifiedSamplePresplitQuery _),
     // d07b: the large-star/small-star CC core — same clusters, same
     // oracle as d07; the long-chain swap-in pinned under the driver gate
@@ -326,6 +330,7 @@ object SparkEntry {
     "r32_daily_run" -> graft.Daily.dailyRunSql,
     "r33_index_relative" -> CciPipeline.indexRelativeSql,
     "r34_daily_positions" -> graft.Daily.dailyPositionsSql,
+    "r35_schedule_plan" -> Scheduler.schedulePlanSql,
     "d07b_dedup_clusters_stars" -> graft.dedup.Dedup.dedupClustersSql,
     "p05b_stratified_presplit" -> Curation.stratifiedSamplePresplitSql,
     "v02b_windowed_counts" -> graft.streaming.EventStream.windowedCountsBatchSql,
