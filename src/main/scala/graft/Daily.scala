@@ -294,37 +294,46 @@ object Daily {
       val fetched = conn.fetch(spark, requests)
       val deltaBars = GraftSession.maybeCache(CciPipeline.barsFromEvents(fetched))
       try {
-        val Seq(nBarsNew, nFetched) = deltaBars
-          .agg(count(lit(1)), coalesce(sum($"volume"), lit(0L))).head()
-          .toSeq.map(_.asInstanceOf[Long])
         overwrite(deltaBars, s"${ws.barsDir}/run_d=$s")
 
         val deltaCci = GraftSession.maybeCache(cciDeltaFromState(state, deltaBars, cfg))
         try {
-          val nCciNew = deltaCci.count()
           overwrite(deltaCci, s"${ws.cciDir}/run_d=$s")
+          // ONE stats action over the two cached deltas (1-row aggregates
+          // cross-joined): the writes above already materialized both
+          // caches, so this job only merges their footers — the per-day
+          // job count is part of the daily bill (5 trading days × every
+          // action here is a scheduled Spark job even when the data is
+          // dimension-scale)
+          val Seq(nBarsNew, nFetched, nCciNew) = deltaBars
+            .agg(count(lit(1)), coalesce(sum($"volume"), lit(0L)))
+            .crossJoin(deltaCci.agg(count(lit(1))))
+            .head().toSeq.map(_.asInstanceOf[Long])
 
           val newState = GraftSession.maybeCache(updateState(state, deltaCci, cfg))
           try {
             overwrite(newState, s"${ws.stateDir}/run_d=$s")
 
             // digest totals are running sums over the state DIMENSION —
-            // the round-9 full-corpus count+countDistinct is gone
-            val Seq(nCciTotal, nSeries) = newState
-              .agg(coalesce(sum($"n_rows"), lit(0L)), count(lit(1))).head()
-              .toSeq.map(_.asInstanceOf[Long])
+            // the round-9 full-corpus count+countDistinct is gone. The
+            // signal count folds into the SAME aggregate: r05/r09's
+            // crossover rule (recommendation semantics: >= on the current
+            // side) per literal threshold as a conditional sum — a null
+            // CCI (window not yet full) makes the condition null and
+            // counts 0, exactly like the former filter+count. One job
+            // instead of two.
+            val sigCnt = cfg.buyThresholds.map(t =>
+                sum(when($"yesterday_open_cci" < t &&
+                  $"current_open_cci" >= t, 1L).otherwise(0L)))
+              .reduce(_ + _)
+            val Seq(nCciTotal, nSeries, nSignals) = newState
+              .agg(coalesce(sum($"n_rows"), lit(0L)), count(lit(1)),
+                coalesce(sigCnt, lit(0L)))
+              .head().toSeq.map(_.asInstanceOf[Long])
 
             val latest = newState.select($"user_id",
               $"watermark_d".as("state_d"), $"close_pr", $"close_cci",
               $"current_open_cci", $"yesterday_open_cci")
-
-            // r05/r09's crossover rule over the literal threshold grid
-            // (recommendation semantics: >= on the current side).
-            val nSignals = latest
-              .crossJoin(broadcast(BuyThresholds.toDF("buy_thr")))
-              .filter($"yesterday_open_cci" < $"buy_thr" &&
-                $"current_open_cci" >= $"buy_thr")
-              .count()
 
             // r13's order sizing against the persisted conditions dim,
             // then the position carry (r34): yesterday's open lots are
@@ -355,7 +364,6 @@ object Daily {
                   $"condition_buy_cci_threshold", $"condition_stop_loss_cci_threshold",
                   $"win_rate", $"revenue_rate", $"net_target_price", $"sell_signal")
               overwrite(orders, s"${ws.ordersDir}/run_d=$s")
-              val nOrd = spark.read.parquet(s"${ws.ordersDir}/run_d=$s").count()
 
               // A lot OPENS only on a FRESH signal — the series got a new
               // bar today, so its (yesterday, current) pair just advanced;
@@ -400,10 +408,21 @@ object Daily {
               }
               sells.foreach(df => overwrite(df, s"${ws.sellsDir}/run_d=$s"))
               overwrite(stillOpen, s"${ws.positionsDir}/run_d=$s")
-              val nSell = if (sells.isEmpty) 0L
-                else spark.read.parquet(s"${ws.sellsDir}/run_d=$s").count()
-              val nPos = spark.read.parquet(s"${ws.positionsDir}/run_d=$s").count()
-              (nOrd, nSell, nPos)
+              // digest counts read what was COMMITTED (the written
+              // partitions, not the plans that produced them) — as one
+              // tagged-union job over the parquet footers instead of
+              // three separate count actions
+              val tagged = Seq(
+                "orders" -> s"${ws.ordersDir}/run_d=$s",
+                "positions" -> s"${ws.positionsDir}/run_d=$s") ++
+                sells.map(_ => "sells" -> s"${ws.sellsDir}/run_d=$s")
+              val cnts = tagged.map { case (t, p) =>
+                spark.read.parquet(p).select(lit(t).as("t")) }
+                .reduce(_ unionByName _)
+                .groupBy($"t").count().collect()
+                .map(r => r.getString(0) -> r.getLong(1)).toMap
+              (cnts.getOrElse("orders", 0L), cnts.getOrElse("sells", 0L),
+                cnts.getOrElse("positions", 0L))
             }
 
             val dig = DayDigest(s, nFetched, nBarsNew, nCciNew, nCciTotal,
