@@ -81,9 +81,16 @@ object Daily {
     def ordersDir: String = s"$root/orders"
     def positionsDir: String = s"$root/positions"
     def sellsDir: String = s"$root/sells"
+    def balanceDir: String = s"$root/balance"
     def digestDir: String = s"$root/digest"
     def conditionsDir: String = s"$root/conditions"
   }
+
+  /** Seed cash and the full-budget sizing threshold, in integer cents —
+    * the reference's literal 1,000,000-won balance checks
+    * (daily_function.py:1466-1474; KRW has no decimals, cents are the
+    * engine's exact-money convention, SURVEY §6). */
+  val InitialBalanceCents: Long = (Budget * 100.0).toLong
 
   /** One row per executed run day — the r23 digest, per day. */
   final case class DayDigest(
@@ -269,8 +276,9 @@ object Daily {
     * gate and the already-committed check ([[run]] applies both). */
   def runDay(spark: SparkSession, conn: EventConnector, ws: Workspace,
       s: java.sql.Date, cfg: GridConfig = GridConfig(),
-      withOrders: Boolean = false): DayDigest = {
+      withOrders: Boolean = false, withBalance: Boolean = false): DayDigest = {
     import spark.implicits._
+    require(!withBalance || withOrders, "withBalance requires withOrders")
 
     val state = GraftSession.maybeCache(stateAsOf(spark, ws, s))
     try {
@@ -341,16 +349,50 @@ object Daily {
             // (daily_function.py:1713 create_sell_order_data, :1828 sell
             // execution) — sells settle, fresh buys open new lots.
             val (nOrders, nSells, nPositions) = if (!withOrders) (0L, 0L, 0L) else {
-              val orders = spark.read.parquet(ws.conditionsDir)
+              // r36: the balance snapshot entering day s — the broker's
+              // settlement-basis cash (get_stock_balance's
+              // prvs_rcdl_excc_amt, hankook_api.py:283, consumed at
+              // daily_function.py:1463). ONE committed dimension row,
+              // constant across the day's orders (KRX settles D+2, so
+              // intraday fills don't move the snapshot — which is why the
+              // reference's per-order re-reads inside its symbol loop see
+              // the same number).
+              val balSnap = if (!withBalance) None else Some(
+                latestCommitted(spark, ws.balanceDir, s).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"daily balance: no committed balance partition before $s — seed the workspace"))
+                  .select($"bal_end_cents".as("bal_cents")))
+              val ordersBase = spark.read.parquet(ws.conditionsDir)
                 .join(latest, Seq("user_id"))
                 .filter($"yesterday_open_cci" < $"condition_buy_cci_threshold" &&
                   $"current_open_cci" >= $"condition_buy_cci_threshold")
                 .withColumn("order_date", $"state_d")
                 .withColumn("buy_order_price", $"close_pr")
-                .withColumn("buy_order_qty",
-                  when($"buy_order_price" =!= 0.0,
-                    floor(floor(lit(Budget * BudgetFraction)) / $"buy_order_price" + 0.5)
-                      .cast("long")))
+              val sized = balSnap match {
+                case None =>
+                  // r13/r34 sizing: the fixed 10%-of-seed budget slice
+                  ordersBase.withColumn("buy_order_qty",
+                    when($"buy_order_price" =!= 0.0,
+                      floor(floor(lit(Budget * BudgetFraction)) / $"buy_order_price" + 0.5))
+                      .cast("long"))
+                case Some(bal) =>
+                  // The reference's balance-driven sizing
+                  // (daily_function.py:1466-1474): >= 1M won -> a 10%
+                  // slice per order; a smaller positive balance places
+                  // minimum qty-1 orders; a non-positive snapshot places
+                  // nothing (the broker's insufficient-funds rejection,
+                  // made deterministic)
+                  ordersBase.crossJoin(broadcast(bal))
+                    .withColumn("buy_order_qty",
+                      when($"buy_order_price" =!= 0.0,
+                        when($"bal_cents" >= InitialBalanceCents,
+                          floor(floor($"bal_cents" / 1000.0) / $"buy_order_price" + 0.5))
+                          .when($"bal_cents" > 0, lit(1.0))
+                          .otherwise(lit(0.0)))
+                        .cast("long"))
+                    .drop("bal_cents")
+              }
+              val orders = sized
                 .filter($"buy_order_qty" >= 1)
                 .withColumn("net_target_price",
                   floor(($"buy_order_price" * (lit(1.0) +
@@ -421,6 +463,31 @@ object Daily {
                 .reduce(_ unionByName _)
                 .groupBy($"t").count().collect()
                 .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+              // r36 settlement: day-s buys debit cost incl. the buy-side
+              // fee, day-s sells credit proceeds net of tax + fee — the
+              // SAME per-share arithmetic as r11's net revenue — in exact
+              // integer cents (per-lot half-up to cents; the sums are
+              // integer-valued doubles, exact and order-independent under
+              // 2^53). Credits land in the NEXT day's snapshot (D+2
+              // settlement collapsed to D+1 at daily granularity). One
+              // action over the two delta-scale frames.
+              balSnap.foreach { bal =>
+                val costAgg = freshBuys.agg(coalesce(sum(
+                    floor($"buy_qty" * $"buy_price" * lit(1.0 + FeeRate) * 100.0 + 0.5)),
+                  lit(0.0)).as("c"))
+                val procAgg = sells.map(_.agg(coalesce(sum(
+                    floor($"buy_qty" * $"sell_price" * lit(1.0 - TaxRate - FeeRate) * 100.0 + 0.5)),
+                  lit(0.0)).as("p")))
+                  .getOrElse(spark.range(1).select(lit(0.0).as("p")))
+                val r = bal.crossJoin(costAgg).crossJoin(procAgg)
+                  .select($"bal_cents", $"c".cast("long"), $"p".cast("long")).head()
+                val (b0, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+                overwrite(
+                  Seq((s, b0, c, p, b0 - c + p)).toDF("d", "bal_start_cents",
+                    "buy_cost_cents", "sell_proceeds_cents", "bal_end_cents"),
+                  s"${ws.balanceDir}/run_d=$s")
+              }
               (cnts.getOrElse("orders", 0L), cnts.getOrElse("sells", 0L),
                 cnts.getOrElse("positions", 0L))
             }
@@ -447,7 +514,7 @@ object Daily {
     * schedule continues where it stopped. */
   def run(spark: SparkSession, conn: EventConnector, ws: Workspace,
       from: LocalDate, to: LocalDate, cfg: GridConfig = GridConfig(),
-      withOrders: Boolean = false): Seq[DayDigest] = {
+      withOrders: Boolean = false, withBalance: Boolean = false): Seq[DayDigest] = {
     import spark.implicits._
     Iterator.iterate(from)(_.plusDays(1)).takeWhile(!_.isAfter(to))
       .filter(CciPipeline.isTradingDayLocal)
@@ -455,9 +522,21 @@ object Daily {
         val s = java.sql.Date.valueOf(ld)
         if (digestCommitted(spark, ws, s))
           spark.read.parquet(s"${ws.digestDir}/run_d=$s").as[DayDigest].head()
-        else runDay(spark, conn, ws, s, cfg, withOrders)
+        else runDay(spark, conn, ws, s, cfg, withOrders, withBalance)
       }
       .toSeq
+  }
+
+  /** Seed the cash-balance dimension (r36): the account's settlement cash
+    * before the first run day — the get_stock_balance seam
+    * (hankook_api.py:283) with the reference's 1M-won starting budget. */
+  def seedBalance(spark: SparkSession, ws: Workspace, cutoff: java.sql.Date,
+      cents: Long = InitialBalanceCents): Unit = {
+    import spark.implicits._
+    overwrite(
+      Seq((cutoff, cents, 0L, 0L, cents)).toDF("d", "bal_start_cents",
+        "buy_cost_cents", "sell_proceeds_cents", "bal_end_cents"),
+      s"${ws.balanceDir}/run_d=$cutoff")
   }
 
   // ---------------------------------------------------------------- r32
@@ -641,5 +720,128 @@ object Daily {
          |LEFT JOIN firsthit f
          |  ON f.user_id = b.user_id AND f.buy_d = b.buy_d AND f.rn = 1
          |ORDER BY b.user_id, b.buy_d""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- r36
+  /** The daily product's CASH-BALANCE carry: order sizing reads the
+    * account's settlement balance instead of a fixed slice (the
+    * reference's get_stock_balance → budget chain, hankook_api.py:283 →
+    * daily_function.py:1462-1474: ≥ 1M won sizes a 10% slice per order,
+    * a smaller positive balance places minimum qty-1 orders), day-s buys
+    * debit cost (incl. buy-side fee) and day-s sells credit proceeds net
+    * of tax + fee into the NEXT day's snapshot — r11's per-share
+    * arithmetic at the account level. Output: one row per run day with
+    * the balance trajectory in exact integer cents.
+    *
+    * The DuckDB oracle replays the feedback loop one-shot from raw
+    * events as a recursive day fold: each day's lot sizes derive from
+    * the recursively-carried balance (a balance HISTORY list, because a
+    * sell's proceeds use the quantity sized on its OPEN day), so the
+    * persisted day-by-day carry must equal a from-scratch sequential
+    * replay — feedback and all. */
+  def dailyBalanceQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ws = Workspace(graft.operators.Extras.tempDir("graft-daily-r36"))
+    val conn = new LocalFileEventConnector(dir)
+    val maxLd = Tables.events(spark, dir)
+      .agg(max(to_date($"ts"))).head().getDate(0).toLocalDate
+    val start = maxLd.minusDays(6)
+    val cutoff = java.sql.Date.valueOf(start.minusDays(1))
+    bootstrap(spark, conn, ws, cutoff)
+    writeConditions(spark, dir, ws)
+    seedBalance(spark, ws, cutoff)
+    run(spark, conn, ws, start, maxLd, withOrders = true, withBalance = true): Unit
+    spark.read.parquet(ws.balanceDir)
+      .filter($"d" > lit(cutoff))
+      .select($"d", $"bal_start_cents", $"buy_cost_cents",
+        $"sell_proceeds_cents", $"bal_end_cents")
+      .orderBy($"d")
+  }
+
+  val dailyBalanceSql: String = {
+    val qty = (b: String) =>
+      s"""(CASE WHEN $b >= $InitialBalanceCents
+         |      THEN floor(floor($b / 1000.0) / l.buy_price + 0.5)
+         |      WHEN $b > 0 THEN 1 ELSE 0 END)""".stripMargin
+    // the balance fold needs WITH RECURSIVE on the (single) WITH clause;
+    // the non-recursive CTEs in front are unaffected by the keyword
+    CciPipeline.strategyCte.replaceFirst("^WITH ", "WITH RECURSIVE ") + ",\n" +
+      s"""bw AS (SELECT * FROM (${CciPipeline.bestCte("win_rate")}) bq),
+         |b3 AS (SELECT max(d) AS maxd, max(d) - 6 AS start_d FROM bars),
+         |days3 AS (SELECT unnest(generate_series(start_d, maxd, INTERVAL 1 DAY))::DATE AS s FROM b3),
+         |tday3 AS (
+         |  SELECT s FROM days3
+         |  WHERE (date_diff('day', DATE '1970-01-01', s) + 3) % 7 < 5
+         |    AND day(s) % 7 <> 3),
+         |sim3 AS (
+         |  SELECT s, coalesce(lag(s) OVER (ORDER BY s),
+         |                     (SELECT start_d - 1 FROM b3)) AS prev,
+         |         row_number() OVER (ORDER BY s) AS si
+         |  FROM tday3),
+         |lat3 AS (
+         |  SELECT sim3.s, sim3.prev, sim3.si, c.user_id, max(c.idx) AS mi
+         |  FROM sim3 JOIN cci c ON c.d <= sim3.s
+         |  GROUP BY sim3.s, sim3.prev, sim3.si, c.user_id),
+         |cur3 AS (
+         |  SELECT l.s, l.prev AS prev_d, l.si, l.user_id,
+         |    c1.d AS state_d, c1.close_pr, c1.close_cci,
+         |    c1.open_cci AS cur_cci, c0.open_cci AS prev_cci
+         |  FROM lat3 l
+         |  JOIN cci c1 ON c1.user_id = l.user_id AND c1.idx = l.mi
+         |  LEFT JOIN cci c0 ON c0.user_id = l.user_id AND c0.idx = l.mi - 1),
+         |opens AS (
+         |  SELECT c2.si AS open_si, c2.user_id, c2.state_d AS buy_d,
+         |    c2.close_pr AS buy_price,
+         |    bw.condition_holding_days, bw.condition_stop_loss_cci_threshold,
+         |    floor((c2.close_pr * (1.0 + (bw.condition_target_return + $TaxRate + ${FeeRate}) / 100.0)) * 1.0 + 0.5) / 1.0 AS net_target_price
+         |  FROM cur3 c2 JOIN bw ON bw.user_id = c2.user_id
+         |  WHERE c2.state_d > c2.prev_d
+         |    AND c2.prev_cci < bw.condition_buy_cci_threshold
+         |    AND c2.cur_cci >= bw.condition_buy_cci_threshold
+         |    AND c2.close_pr <> 0.0),
+         |hits AS (
+         |  SELECT o.user_id, o.buy_d, x.si AS close_si, x.close_pr AS sell_price,
+         |    row_number() OVER (PARTITION BY o.user_id, o.buy_d ORDER BY x.si) AS rn
+         |  FROM opens o JOIN cur3 x ON x.user_id = o.user_id AND x.si > o.open_si
+         |  WHERE (x.state_d > o.buy_d AND x.close_pr > o.net_target_price)
+         |     OR (x.state_d > o.buy_d AND x.close_cci <= o.condition_stop_loss_cci_threshold)
+         |     OR (x.s >= o.buy_d + o.condition_holding_days)),
+         |lots AS (
+         |  SELECT o.open_si, o.user_id, o.buy_price, f.close_si, f.sell_price
+         |  FROM opens o
+         |  LEFT JOIN (SELECT * FROM hits WHERE rn = 1) f
+         |    ON f.user_id = o.user_id AND f.buy_d = o.buy_d),
+         |nsim AS (SELECT max(si) AS n FROM sim3),
+         |balr(si, b, cost_c, proc_c, hist) AS (
+         |  SELECT 1, CAST($InitialBalanceCents AS DOUBLE), CAST(NULL AS DOUBLE),
+         |         CAST(NULL AS DOUBLE),
+         |         [{'si': 1, 'b': CAST($InitialBalanceCents AS DOUBLE)}]
+         |  UNION ALL
+         |  SELECT balr.si + 1,
+         |    balr.b - cost_now + proc_now,
+         |    cost_now, proc_now,
+         |    list_append(balr.hist, {'si': balr.si + 1, 'b': balr.b - cost_now + proc_now})
+         |  FROM balr,
+         |    LATERAL (SELECT
+         |      coalesce((SELECT sum(floor(
+         |          ${qty("balr.b")}
+         |          * l.buy_price * (1.0 + ${FeeRate}) * 100.0 + 0.5))
+         |        FROM lots l WHERE l.open_si = balr.si), 0) AS cost_now,
+         |      coalesce((SELECT sum(floor(
+         |          ${qty("ob.b")}
+         |          * l.sell_price * (1.0 - $TaxRate - ${FeeRate}) * 100.0 + 0.5))
+         |        FROM lots l,
+         |          LATERAL (SELECT list_filter(balr.hist, x -> x.si = l.open_si)[1].b AS b) ob
+         |        WHERE l.close_si = balr.si), 0) AS proc_now) step
+         |  WHERE balr.si <= (SELECT n FROM nsim))
+         |SELECT m.s AS d,
+         |  CAST(r.b AS BIGINT) AS bal_start_cents,
+         |  CAST(r2.cost_c AS BIGINT) AS buy_cost_cents,
+         |  CAST(r2.proc_c AS BIGINT) AS sell_proceeds_cents,
+         |  CAST(r2.b AS BIGINT) AS bal_end_cents
+         |FROM balr r
+         |JOIN balr r2 ON r2.si = r.si + 1
+         |JOIN sim3 m ON m.si = r.si
+         |ORDER BY d""".stripMargin
   }
 }

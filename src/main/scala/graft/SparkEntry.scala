@@ -181,6 +181,11 @@ object SparkEntry {
     // schedule-plan dimension — one row per (day, cron job) with the
     // firing instant and the trading-day fire-time gate
     "r35_schedule_plan" -> (Scheduler.schedulePlan _),
+    // r36: the daily product's cash-balance carry — balance-driven order
+    // sizing (get_stock_balance → 10%-slice/qty-1 rules), buys debit and
+    // sells credit settlement day by day; the oracle replays the
+    // feedback loop one-shot as a recursive day fold
+    "r36_daily_balance" -> (graft.Daily.dailyBalanceQuery _),
     "p05b_stratified_presplit" -> (Curation.stratifiedSamplePresplitQuery _),
     // d07b: the large-star/small-star CC core — same clusters, same
     // oracle as d07; the long-chain swap-in pinned under the driver gate
@@ -331,6 +336,7 @@ object SparkEntry {
     "r33_index_relative" -> CciPipeline.indexRelativeSql,
     "r34_daily_positions" -> graft.Daily.dailyPositionsSql,
     "r35_schedule_plan" -> Scheduler.schedulePlanSql,
+    "r36_daily_balance" -> graft.Daily.dailyBalanceSql,
     "d07b_dedup_clusters_stars" -> graft.dedup.Dedup.dedupClustersSql,
     "p05b_stratified_presplit" -> Curation.stratifiedSamplePresplitSql,
     "v02b_windowed_counts" -> graft.streaming.EventStream.windowedCountsBatchSql,

@@ -61,6 +61,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "r31_" -> "paged-transport fetch runs the fake API on construction",
     "r32_" -> "the composed daily loop runs end-to-end on construction",
     "r34_" -> "the composed daily loop runs end-to-end on construction",
+    "r36_" -> "the composed daily loop runs end-to-end on construction",
     "m05_" -> "binary ingest writes the staged files on construction")
 
   private val lazyQueries: Seq[String] = SparkEntry.queries.keys.toSeq.sorted

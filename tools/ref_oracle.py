@@ -567,6 +567,68 @@ def replica_daily_positions(events, cci, best):
         "condition_target_return", "trade_result", "sell_d", "sell_price"])
 
 
+def replica_daily_balance(events, cci, best):
+    """r36: the cash-balance carry, replayed sequentially. Sizing reads
+    the balance entering the lot's open day (get_stock_balance →
+    daily_function.py:1462-1474: >= 1M won -> 10% slice, positive < 1M ->
+    qty 1, non-positive -> nothing); buys debit cost incl. the buy-side
+    fee and sells credit net proceeds (r11 arithmetic) into the next
+    day's snapshot. Exact integer cents: per-lot half-up, integer sums."""
+    bw = best[best["investment_target"] == "win_rate"].set_index("user_id")
+    sim = _sim_days(events)
+    states = [_latest_state(cci, s) for s, _ in sim]
+    FULL = 100000000  # 1M won in cents
+
+    def qty_of(b, price):
+        if b >= FULL:
+            return math.floor(math.floor(b / 1000.0) / price + 0.5)
+        return 1 if b > 0 else 0
+
+    # candidate lots with close info — sizing-independent, so computable
+    # before the balance fold (the close DAY doesn't depend on qty)
+    lots = []  # (open_i, buy_price, close_i, sell_price)
+    for di, (s, prev) in enumerate(sim):
+        st = states[di]
+        fresh = st[st["state_d"] > prev]
+        j = fresh.join(bw, how="inner")
+        for uid, r in j.iterrows():
+            thr = r["condition_buy_cci_threshold"]
+            if not (r["prev_cci"] < thr and r["cur_cci"] >= thr):
+                continue
+            if r["close_pr"] == 0.0:
+                continue
+            buy_d = r["state_d"]
+            ntp = float(math.floor(r["close_pr"] * (1.0 + (
+                r["condition_target_return"] + TAX_RATE + FEE_RATE) / 100.0) + 0.5))
+            close_i, sell_price = None, None
+            for dj in range(di + 1, len(sim)):
+                r2 = states[dj].loc[uid]
+                if ((r2["state_d"] > buy_d and r2["close_pr"] > ntp)
+                        or (r2["state_d"] > buy_d
+                            and r2["close_cci"] <= r["condition_stop_loss_cci_threshold"])
+                        or (sim[dj][0] >= buy_d + pd.Timedelta(
+                            days=int(r["condition_holding_days"])))):
+                    close_i, sell_price = dj, r2["close_pr"]
+                    break
+            lots.append((di, float(r["close_pr"]), close_i, sell_price))
+
+    b = float(FULL)
+    hist = []
+    rows = []
+    for di, (s, _) in enumerate(sim):
+        hist.append(b)
+        cost = sum(math.floor(qty_of(b, p) * p * (1.0 + FEE_RATE) * 100.0 + 0.5)
+                   for (oi, p, _, _) in lots if oi == di)
+        proc = sum(math.floor(qty_of(hist[oi], p) * sp
+                              * (1.0 - TAX_RATE - FEE_RATE) * 100.0 + 0.5)
+                   for (oi, p, ci, sp) in lots if ci == di)
+        rows.append((s, int(b), int(cost), int(proc), int(b - cost + proc)))
+        b = b - cost + proc
+    return pd.DataFrame(rows, columns=[
+        "d", "bal_start_cents", "buy_cost_cents", "sell_proceeds_cents",
+        "bal_end_cents"])
+
+
 # ------------------------------------------------------------ comparison
 
 def norm_key(v):
@@ -752,6 +814,11 @@ def main():
             ["buy_qty", "condition_holding_days", "trade_result", "sell_d"],
             {"buy_price": 1e-9, "condition_target_return": 1e-9,
              "sell_price": 1e-9})
+
+    balt = timed("r36_daily_balance", replica_daily_balance, events, cci, best)
+    compare("r36_daily_balance", load_spark(out_dir, "r36_daily_balance"),
+            balt, ["d"], ["bal_start_cents", "buy_cost_cents",
+                          "sell_proceeds_cents", "bal_end_cents"], {})
 
     n = len(CHECKED)
     print(f"\n{n - len(FAILS)} pass, {len(FAILS)} fail"
