@@ -186,6 +186,10 @@ object SparkEntry {
     // sells credit settlement day by day; the oracle replays the
     // feedback loop one-shot as a recursive day fold
     "r36_daily_balance" -> (graft.Daily.dailyBalanceQuery _),
+    // r37: the sheet-upload display normalization (upload_to_google_sheet)
+    // — schema-generic stringification with null/NaN/±inf -> '' rules,
+    // deterministic special-value probes keep the gate non-vacuous
+    "r37_export_format" -> (Extras.exportFormatQuery _),
     "p05b_stratified_presplit" -> (Curation.stratifiedSamplePresplitQuery _),
     // d07b: the large-star/small-star CC core — same clusters, same
     // oracle as d07; the long-chain swap-in pinned under the driver gate
@@ -337,6 +341,7 @@ object SparkEntry {
     "r34_daily_positions" -> graft.Daily.dailyPositionsSql,
     "r35_schedule_plan" -> Scheduler.schedulePlanSql,
     "r36_daily_balance" -> graft.Daily.dailyBalanceSql,
+    "r37_export_format" -> Extras.exportFormatSql,
     "d07b_dedup_clusters_stars" -> graft.dedup.Dedup.dedupClustersSql,
     "p05b_stratified_presplit" -> Curation.stratifiedSamplePresplitSql,
     "v02b_windowed_counts" -> graft.streaming.EventStream.windowedCountsBatchSql,

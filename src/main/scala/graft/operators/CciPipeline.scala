@@ -851,7 +851,9 @@ object CciPipeline {
       .orderBy($"user_id")
   }
 
-  val recommendationsSql: String =
+  /** The r09 chain through a `reco` CTE — shared by [[recommendationsSql]]
+    * and the r37 export-formatting oracle. */
+  private[graft] val recommendationsCtes: String =
     strategyCte + ",\n" +
       s"""bw AS (SELECT * FROM (${bestCte("win_rate")}) bq),
          |latest AS (
@@ -860,18 +862,21 @@ object CciPipeline {
          |  FROM (SELECT *, lag(open_cci) OVER (PARTITION BY user_id ORDER BY d) AS prev_open_cci,
          |               row_number() OVER (PARTITION BY user_id ORDER BY d DESC) AS rrn
          |        FROM cci) c
-         |  WHERE rrn = 1)
-         |SELECT bw.user_id, buy_price,
-         |  floor((current_open_cci) * 10000.0 + 0.5) / 10000.0 AS current_open_cci,
-         |  floor((yesterday_open_cci) * 10000.0 + 0.5) / 10000.0 AS yesterday_open_cci,
-         |  condition_holding_days, condition_target_return,
-         |  condition_buy_cci_threshold, condition_stop_loss_cci_threshold,
-         |  win_rate, count_win, revenue_rate, avg_revenue_per_days_held, avg_days_held,
-         |  CASE WHEN yesterday_open_cci < condition_buy_cci_threshold
-         |        AND current_open_cci >= condition_buy_cci_threshold
-         |       THEN 1 ELSE 0 END AS has_buy_signal
-         |FROM bw JOIN latest ON bw.user_id = latest.user_id
-         |ORDER BY bw.user_id""".stripMargin
+         |  WHERE rrn = 1),
+         |reco AS (
+         |  SELECT bw.user_id, buy_price,
+         |    floor((current_open_cci) * 10000.0 + 0.5) / 10000.0 AS current_open_cci,
+         |    floor((yesterday_open_cci) * 10000.0 + 0.5) / 10000.0 AS yesterday_open_cci,
+         |    condition_holding_days, condition_target_return,
+         |    condition_buy_cci_threshold, condition_stop_loss_cci_threshold,
+         |    win_rate, count_win, revenue_rate, avg_revenue_per_days_held, avg_days_held,
+         |    CASE WHEN yesterday_open_cci < condition_buy_cci_threshold
+         |          AND current_open_cci >= condition_buy_cci_threshold
+         |         THEN 1 ELSE 0 END AS has_buy_signal
+         |  FROM bw JOIN latest ON bw.user_id = latest.user_id)""".stripMargin
+
+  val recommendationsSql: String =
+    recommendationsCtes + "\nSELECT * FROM reco ORDER BY user_id"
 
   // ---------------------------------------------------------------- r15
   /** History-window filter (reference get_filtered_cci_data,

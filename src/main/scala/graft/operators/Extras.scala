@@ -609,4 +609,75 @@ object Extras {
       |WHERE l_shipdate >= TIMESTAMP '2000-01-01'
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- r37
+  /** Export/display normalization — the reference's sheet-upload edge
+    * (daily_function.py:1608-1630 `upload_to_google_sheet`: ±inf → None,
+    * NaN/NaT → '', Timestamps → isoformat, everything handed to the
+    * Sheets API as strings). Generic over the input schema: every column
+    * becomes a string under the declared rules — null / NaN / ±inf →
+    * empty string; dates ISO; doubles land on the engine's 4-decimal
+    * half-up grid and render at FIXED scale via DECIMAL(38,4) (shortest-
+    * roundtrip double printing differs between engines, fixed-scale
+    * decimal rendering does not); integrals and strings verbatim.
+    * Row-local projection, no shuffle — the same class as t12. */
+  def exportFormat(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      val c = col(f.name)
+      val out = f.dataType match {
+        case DoubleType | FloatType =>
+          when(c.isNull || isnan(c) || c === Double.PositiveInfinity ||
+              c === Double.NegativeInfinity, lit(""))
+            .otherwise((floor(c * 10000.0 + 0.5) / 10000.0)
+              .cast(DecimalType(38, 4)).cast("string"))
+        case _ => coalesce(c.cast("string"), lit(""))
+      }
+      out.as(f.name)
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  /** r37 driver entry: the r09 recommendations frame (the table the
+    * reference uploads) through [[exportFormat]], with an as-of date
+    * column (ISO rule) and deterministic NaN/∞/null probe columns so the
+    * special-value rules are exercised on every run (t12's non-vacuous-
+    * gate convention — the corpus itself is finite-valued). */
+  def exportFormatQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val asOf = broadcast(Tables.events(spark, dir)
+      .agg(max(to_date($"ts")).as("as_of_d")))
+    val base = CciPipeline.recommendations(spark, dir)
+      .crossJoin(asOf)
+      .withColumn("probe_quality",
+        when($"user_id" % 3 === 0, lit(null).cast("double"))
+          .when($"user_id" % 3 === 1, lit(Double.PositiveInfinity))
+          .otherwise(lit(Double.NaN)))
+      .withColumn("probe_note",
+        when($"user_id" % 2 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("u"), $"user_id")))
+    exportFormat(base).orderBy($"user_id".cast("long"))
+  }
+
+  val exportFormatSql: String = {
+    def dbl(c: String) =
+      s"""CASE WHEN $c IS NULL OR isnan($c) OR isinf($c) THEN ''
+         |     ELSE CAST(CAST(floor($c * 10000.0 + 0.5) / 10000.0 AS DECIMAL(38,4)) AS VARCHAR) END AS $c""".stripMargin
+    def str(c: String) = s"coalesce(CAST($c AS VARCHAR), '') AS $c"
+    CciPipeline.recommendationsCtes + "\n" +
+      s"""SELECT ${str("user_id")}, ${dbl("buy_price")},
+         |  ${dbl("current_open_cci")}, ${dbl("yesterday_open_cci")},
+         |  ${str("condition_holding_days")}, ${dbl("condition_target_return")},
+         |  ${dbl("condition_buy_cci_threshold")}, ${dbl("condition_stop_loss_cci_threshold")},
+         |  ${dbl("win_rate")}, ${str("count_win")}, ${dbl("revenue_rate")},
+         |  ${dbl("avg_revenue_per_days_held")}, ${dbl("avg_days_held")},
+         |  ${str("has_buy_signal")},
+         |  coalesce(CAST((SELECT max(CAST(ts AS DATE)) FROM events_us) AS VARCHAR), '') AS as_of_d,
+         |  -- the engine materializes REAL null/∞/NaN doubles here; the
+         |  -- oracle pins the normalized rendering — a leak of "Infinity"
+         |  -- or "NaN" through exportFormat breaks the hash
+         |  '' AS probe_quality,
+         |  CASE WHEN user_id % 2 = 0 THEN '' ELSE 'u' || CAST(user_id AS VARCHAR) END AS probe_note
+         |FROM reco
+         |ORDER BY CAST(user_id AS BIGINT)""".stripMargin
+  }
 }
