@@ -190,6 +190,10 @@ object SparkEntry {
     // — schema-generic stringification with null/NaN/±inf -> '' rules,
     // deterministic special-value probes keep the gate non-vacuous
     "r37_export_format" -> (Extras.exportFormatQuery _),
+    // r38: engine run telemetry (the monitor_resources analogue) — a
+    // SparkListener digest of the flagship aggregation's jobs/tasks/
+    // bytes; values are env-dependent -> rows-only, structure spec'd
+    "r38_run_telemetry" -> (graft.Telemetry.telemetryQuery _),
     "p05b_stratified_presplit" -> (Curation.stratifiedSamplePresplitQuery _),
     // d07b: the large-star/small-star CC core — same clusters, same
     // oracle as d07; the long-chain swap-in pinned under the driver gate

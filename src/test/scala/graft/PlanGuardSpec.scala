@@ -62,6 +62,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "r32_" -> "the composed daily loop runs end-to-end on construction",
     "r34_" -> "the composed daily loop runs end-to-end on construction",
     "r36_" -> "the composed daily loop runs end-to-end on construction",
+    "r38_" -> "the telemetry listener runs the measured action on construction",
     "m05_" -> "binary ingest writes the staged files on construction")
 
   private val lazyQueries: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
