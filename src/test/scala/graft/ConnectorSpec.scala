@@ -201,6 +201,44 @@ class ConnectorSpec extends AnyFunSuite {
     a.zip(b).foreach { case (x, y) => assert(x == y, s"\n$x\n$y") }
   }
 
+  test("the BALANCE-carrying daily product is transport-fault-invariant — trajectory byte-identical") {
+    // r36 on top of the flaky transport: the whole product INCLUDING the
+    // balance feedback (sizing reads the settlement snapshot, buys debit,
+    // sells credit) must land the identical cash trajectory whether the
+    // feed arrived cleanly or through injected 500s and token expiries —
+    // a retry that double-fetched or dropped a page would move a lot's
+    // qty and cascade through every later day's balance
+    FakePagedApi.register("dailyflakybal", apiData)
+    val flaky = paged(new FakePagedApi("dailyflakybal",
+      pageSize = 11, failEveryNthPage = 3, tokenTtlCalls = 7))
+    val maxLd = Tables.events(spark, sf)
+      .agg(max(to_date($"ts"))).head().getDate(0).toLocalDate
+    val start = maxLd.minusDays(4)
+    val cutoff = java.sql.Date.valueOf(start.minusDays(1))
+    def runWith(conn: graft.sources.EventConnector) = {
+      val ws = Daily.Workspace(
+        java.nio.file.Files.createTempDirectory("graft-daily-connbal").toString)
+      Daily.bootstrap(spark, conn, ws, cutoff)
+      Daily.writeConditions(spark, sf, ws)
+      Daily.seedBalance(spark, ws, cutoff)
+      val digs = Daily.run(spark, conn, ws, start, maxLd,
+        withOrders = true, withBalance = true)
+      val bal = spark.read.parquet(ws.balanceDir)
+        .select($"d", $"bal_start_cents", $"buy_cost_cents",
+          $"sell_proceeds_cents", $"bal_end_cents")
+        .orderBy($"d").collect().toSeq
+      (digs, bal)
+    }
+    val (digsA, balA) = runWith(flaky)
+    val (digsB, balB) = runWith(new LocalFileEventConnector(sf))
+    assert(FakePagedApi.stats("dailyflakybal").transientFailures.get() > 0,
+      "fault injection never fired during the balance run")
+    assert(digsA.map(d => (d.d, d.n_fetched, d.n_orders, d.n_sells, d.n_positions)) ==
+      digsB.map(d => (d.d, d.n_fetched, d.n_orders, d.n_sells, d.n_positions)))
+    assert(balA.nonEmpty && balA == balB,
+      s"balance trajectories diverged:\n$balA\n$balB")
+  }
+
   test("paged transport: driver-side token + symbol-list 5xx are absorbed, not fatal") {
     // the daily run's FIRST call is listKeys on the scheduler side — the
     // same transient fault class the page fetch absorbs must not kill it

@@ -102,4 +102,31 @@ class PropertySpec extends AnyFunSuite {
       assert(ArrayFoldExpr.absDevSum(arr, m) == ref)
     }
   }
+
+  test("Scheduler.nextFires: strictly after now, on the cron grid, and self-consistent") {
+    import graft.operators.Scheduler
+    val cronTimes = Scheduler.Jobs.map { case (_, h, m) => (h, m) }.toSet
+    val gen = for {
+      epochDay <- Gen.choose(18000L, 22000L) // 2019..2030
+      sec <- Gen.choose(0L, 86399L)
+    } yield java.time.LocalDateTime.ofEpochSecond(
+      epochDay * 86400L + sec, 0, java.time.ZoneOffset.UTC)
+    samples(gen).foreach { now =>
+      val (at, jobs) = Scheduler.nextFires(now)
+      assert(at.isAfter(now), s"$at not after $now")
+      assert(cronTimes.contains((at.getHour, at.getMinute)), s"$at off the cron grid")
+      assert(jobs.nonEmpty && jobs == jobs.sorted)
+      // every listed job fires at exactly this wall time
+      jobs.foreach { j =>
+        val (_, h, m) = Scheduler.Jobs.find(_._1 == j).get
+        assert(h == at.getHour && m == at.getMinute)
+      }
+      // nothing fires strictly between now and the returned instant:
+      // stepping to just-before `at` must return the same instant
+      val (at2, jobs2) = Scheduler.nextFires(at.minusSeconds(1))
+      assert(at2 == at && jobs2 == jobs)
+      // and the fire is never more than a day out
+      assert(!at.isAfter(now.plusDays(1).plusMinutes(1)))
+    }
+  }
 }
