@@ -567,6 +567,30 @@ def replica_daily_positions(events, cci, best):
         "condition_target_return", "trade_result", "sell_d", "sell_price"])
 
 
+def replica_index_relative(events, cci):
+    """r33 (hankook_api.py:153,174 get_index_daily_price): market-wide
+    index bars — every event across all series aggregated per day, first/
+    last by the total (ts, event_id) order — run through the SAME rolling
+    CCI under a pseudo series key, joined back per symbol as relative
+    strength (symbol CCI minus index CCI on the day)."""
+    ev = events.sort_values(["d", "ts_us", "event_id"], kind="mergesort")
+    g = ev.groupby("d", sort=True)
+    ibars = g.agg(open_pr=("value", "first"), high_pr=("value", "max"),
+                  low_pr=("value", "min"), close_pr=("value", "last"),
+                  volume=("value", "size")).reset_index()
+    ibars["user_id"] = -1
+    icci = (replica_cci(ibars)[["d", "close_cci"]]
+            .rename(columns={"close_cci": "index_cci_raw"}))
+    out = cci.merge(icci, on="d", how="inner")
+    out = out[out["close_cci"].notna() & out["index_cci_raw"].notna()]
+    return pd.DataFrame({
+        "user_id": out["user_id"], "d": out["d"],
+        "close_cci": round_half_up(out["close_cci"], 10000),
+        "index_cci": round_half_up(out["index_cci_raw"], 10000),
+        "rel_strength": round_half_up(
+            out["close_cci"] - out["index_cci_raw"], 10000)})
+
+
 def replica_daily_balance(events, cci, best):
     """r36: the cash-balance carry, replayed sequentially. Sizing reads
     the balance entering the lot's open day (get_stock_balance →
@@ -814,6 +838,11 @@ def main():
             ["buy_qty", "condition_holding_days", "trade_result", "sell_d"],
             {"buy_price": 1e-9, "condition_target_return": 1e-9,
              "sell_price": 1e-9})
+
+    idx = timed("r33_index_relative", replica_index_relative, events, cci)
+    compare("r33_index_relative", load_spark(out_dir, "r33_index_relative"),
+            idx, ["user_id", "d"], [],
+            {"close_cci": 2e-4, "index_cci": 2e-4, "rel_strength": 2e-4})
 
     balt = timed("r36_daily_balance", replica_daily_balance, events, cci, best)
     compare("r36_daily_balance", load_spark(out_dir, "r36_daily_balance"),
