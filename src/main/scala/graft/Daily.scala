@@ -54,10 +54,14 @@ import graft.sources.{EventConnector, LocalFileEventConnector, Tables}
   *  - **Reads prune.** State reads select exactly one committed `run_d=`
   *    partition, so a rerun of day N never sees a crashed day-N partial.
   *  - **Idempotent reruns.** Each day overwrites exactly its own `run_d=`
-  *    partitions; the watermark (from the last COMMITTED state partition)
-  *    makes a rerun of an already-committed day fetch an empty window and
-  *    write empty deltas — a no-op. The digest partition doubles as the
-  *    commit marker: [[run]] skips days whose digest committed, so a
+  *    partitions. A rerun of day `s` resumes from day `s-1`'s committed
+  *    state, so it re-fetches the SAME `(watermark, s]` window and every
+  *    write deterministically overwrites the identical partition content
+  *    (spec-pinned by the crash-rerun cases) — idempotence comes from
+  *    deterministic replay of the day, not from an empty fetch. The
+  *    digest partition doubles as the commit marker: [[run]] skips days
+  *    committed FOR THE REQUESTED MODE ([[digestCommitted]] also demands
+  *    the positions/balance markers when those flags are on), so a
   *    restarted schedule resumes where it crashed. (A transactional table
   *    format would make the multi-table day commit atomic; the ordering —
   *    bars, cci, state, orders, digest last — bounds the damage to "rerun
@@ -125,9 +129,16 @@ object Daily {
   private def stateFromCci(cciState: DataFrame, cfg: GridConfig): DataFrame = {
     import cciState.sparkSession.implicits._
     val offs = cciState.groupBy($"user_id").agg(max($"idx").as("mi"))
+    // keep at least the last TWO rows even when the window context needs
+    // fewer (cciN <= 2): the yesterday_open_cci field below reads idx ==
+    // mi - 1, which a bare cciN-1 filter would exclude at cciN = 2 (and
+    // at cciN = 1 it would keep nothing, emptying the state table).
+    // Extra context rows are harmless to the delta windows — they are
+    // bounded at cciN-1 preceding rows — and updateState re-slices ctx
+    // to its steady width.
     cciState
       .join(broadcast(offs), Seq("user_id"))
-      .filter($"idx" > $"mi" - (cfg.cciN - 1))
+      .filter($"idx" > $"mi" - math.max(cfg.cciN - 1, 2))
       .groupBy($"user_id")
       .agg(
         max($"d").as("watermark_d"),
@@ -166,8 +177,12 @@ object Daily {
   /** The r30 incremental recompute driven from the STATE DIMENSION instead
     * of the cci history: context bars come out of each touched series'
     * stored `ctx` array, `idx` resumes from the stored position — same
-    * window content as [[CciPipeline.cciIncrementalDelta]], so bit-equal
-    * output, with zero history reads. */
+    * window content as [[CciPipeline.cciIncrementalFrom]], so bit-equal
+    * output, with zero history reads. The two variants share their ground
+    * truth rather than their code: each is independently gated against
+    * the one-shot [[CciPipeline.cciFromBars]] (r30's oracle; DailyRunSpec's
+    * incremental≡full equality), so an edit that forks one from the other
+    * turns a gate red instead of silently diverging. */
   private def cciDeltaFromState(state: DataFrame, deltaBars: DataFrame,
       cfg: GridConfig): DataFrame = {
     import state.sparkSession.implicits._
@@ -285,7 +300,13 @@ object Daily {
       // r21's watermark arithmetic against the state dimension: saved keys
       // resume after their stored watermark; keys new to the universe
       // backfill from DefaultFetchStart. Requests stay dimension-scale.
-      val requests = conn.listKeys(spark, s)
+      // The fetch universe is listKeys ∪ SAVED keys: a real broker's
+      // listing can transiently omit a symbol we hold state (and possibly
+      // open lots) for — dropping it would freeze its watermark and leave
+      // its positions scanned against a stale close forever. A genuinely
+      // delisted symbol just fetches an empty window from then on.
+      val requests = conn.listKeys(spark, s).select($"user_id")
+        .unionByName(state.select($"user_id")).distinct()
         .join(state.select($"user_id", $"watermark_d".as("saved_max")),
           Seq("user_id"), "left")
         .select($"user_id",
@@ -392,7 +413,11 @@ object Daily {
                         .cast("long"))
                     .drop("bal_cents")
               }
-              val orders = sized
+              // the orders plan feeds up to four consumers (its own
+              // write, the fresh-buys gate into positions, the settlement
+              // cost sum, the committed read-back) — cache it so the
+              // conditions⨝latest sizing chain runs once, not per consumer
+              val orders = GraftSession.maybeCache(sized
                 .filter($"buy_order_qty" >= 1)
                 .withColumn("net_target_price",
                   floor(($"buy_order_price" * (lit(1.0) +
@@ -404,7 +429,9 @@ object Daily {
                 .select($"user_id", $"order_date", $"buy_order_price", $"buy_order_qty",
                   $"condition_holding_days", $"condition_target_return",
                   $"condition_buy_cci_threshold", $"condition_stop_loss_cci_threshold",
-                  $"win_rate", $"revenue_rate", $"net_target_price", $"sell_signal")
+                  $"win_rate", $"revenue_rate", $"net_target_price", $"sell_signal"))
+              var scoredCache: Option[DataFrame] = None
+              try {
               overwrite(orders, s"${ws.ordersDir}/run_d=$s")
 
               // A lot OPENS only on a FRESH signal — the series got a new
@@ -424,11 +451,14 @@ object Daily {
               // (state_d > buy_d — the broker quotes a fresh price);
               // maturity is calendar-driven (r18's buy date + holding
               // days). Precedence mirrors r06: target, stop, maturity.
-              val (sells, stillOpen) = latestCommitted(spark, ws.positionsDir, s) match {
-                case None => (None, freshBuys)
+              val (sells, stillOpen, scoredC) =
+                latestCommitted(spark, ws.positionsDir, s) match {
+                case None => (None, freshBuys, None)
                 case Some(pos) =>
                   val posCols = pos.columns.map(col)
-                  val scored = pos
+                  // cached like `orders`: the scan feeds the sells write,
+                  // the open carry and the settlement proceeds sum
+                  val scored = GraftSession.maybeCache(pos
                     .join(latest.select($"user_id", $"state_d",
                         $"close_pr".as("day_close_pr"),
                         $"close_cci".as("day_close_cci")),
@@ -440,14 +470,15 @@ object Daily {
                           $"day_close_cci" <= $"condition_stop_loss_cci_threshold",
                           lit("stop_loss"))
                         .when(lit(s) >= date_add($"buy_d", $"condition_holding_days"),
-                          lit("maturity")))
+                          lit("maturity"))))
                   val sold = scored.filter($"trade_result".isNotNull)
                     .withColumn("sell_d", lit(s))
                     .withColumn("sell_price", $"day_close_pr")
                     .select(posCols ++ Seq($"trade_result", $"sell_d", $"sell_price"): _*)
                   val open = scored.filter($"trade_result".isNull).select(posCols: _*)
-                  (Some(sold), open.unionByName(freshBuys))
+                  (Some(sold), open.unionByName(freshBuys), Some(scored))
               }
+              scoredCache = scoredC
               sells.foreach(df => overwrite(df, s"${ws.sellsDir}/run_d=$s"))
               overwrite(stillOpen, s"${ws.positionsDir}/run_d=$s")
               // digest counts read what was COMMITTED (the written
@@ -490,6 +521,10 @@ object Daily {
               }
               (cnts.getOrElse("orders", 0L), cnts.getOrElse("sells", 0L),
                 cnts.getOrElse("positions", 0L))
+              } finally {
+                scoredCache.foreach(_.unpersist()): Unit
+                orders.unpersist(): Unit
+              }
             }
 
             val dig = DayDigest(s, nFetched, nBarsNew, nCciNew, nCciTotal,
@@ -503,10 +538,23 @@ object Daily {
     } finally state.unpersist()
   }
 
-  private def digestCommitted(spark: SparkSession, ws: Workspace, s: java.sql.Date): Boolean = {
-    val marker = new Path(s"${ws.digestDir}/run_d=$s", "_SUCCESS")
+  private def committedMarker(spark: SparkSession, dir: String, s: java.sql.Date): Boolean = {
+    val marker = new Path(s"$dir/run_d=$s", "_SUCCESS")
     marker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(marker)
   }
+
+  /** A day counts as committed FOR THE REQUESTED MODE: the digest marker
+    * alone is not enough when this run wants orders/balance but the day
+    * was originally committed by an order-less (or balance-less) run —
+    * skipping it would leave the mode's partitions silently missing for
+    * that day. Re-running such a day is safe: the watermark-driven fetch
+    * and every write are deterministic overwrites of the day's own
+    * partitions (spec-pinned by the crash-rerun cases). */
+  private def digestCommitted(spark: SparkSession, ws: Workspace, s: java.sql.Date,
+      withOrders: Boolean, withBalance: Boolean): Boolean =
+    committedMarker(spark, ws.digestDir, s) &&
+      (!withOrders || committedMarker(spark, ws.positionsDir, s)) &&
+      (!withBalance || committedMarker(spark, ws.balanceDir, s))
 
   /** Run every trading day in [from, to]: the scheduler loop. Non-trading
     * days are skipped (the reference's `is_holiday` gate); days whose digest
@@ -520,7 +568,7 @@ object Daily {
       .filter(CciPipeline.isTradingDayLocal)
       .map { ld =>
         val s = java.sql.Date.valueOf(ld)
-        if (digestCommitted(spark, ws, s))
+        if (digestCommitted(spark, ws, s, withOrders, withBalance))
           spark.read.parquet(s"${ws.digestDir}/run_d=$s").as[DayDigest].head()
         else runDay(spark, conn, ws, s, cfg, withOrders, withBalance)
       }

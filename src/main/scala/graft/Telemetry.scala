@@ -40,6 +40,12 @@ object Telemetry {
     }
     override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
       val info = e.stageInfo
+      // a FAILED stage attempt also emits onStageCompleted, and its
+      // resubmission emits another — counting both would double the
+      // attempt's tasks/bytes on any run with a fetch-failure retry.
+      // Count the event (quiescence watches the stream) but fold only
+      // successful attempts into the digest.
+      if (info.failureReason.isDefined) { events.incrementAndGet(); return }
       val m = info.taskMetrics
       stages.incrementAndGet()
       tasks.addAndGet(info.numTasks.toLong)
@@ -68,15 +74,19 @@ object Telemetry {
     spark.sparkContext.addSparkListener(l)
     try {
       df.write.format("noop").mode("overwrite").save()
+      // quiescence needs a FLOOR: the action above always schedules at
+      // least one job, so "no new event for quietMs" only counts once a
+      // job-end has actually been observed — otherwise a listener bus
+      // lagging more than quietMs behind save() would yield an all-zero
+      // digest. The deadline still bounds the wait if delivery stalls.
       val deadline = System.nanoTime() + maxWaitMs * 1000000L
       var last = -1L
-      while ({
+      var stable = false
+      while (!stable && System.nanoTime() < deadline) {
         val seen = l.events.get()
-        val moving = seen != last
-        last = seen
-        if (moving) Thread.sleep(quietMs)
-        moving && System.nanoTime() < deadline
-      }) ()
+        if (seen == last && l.jobs.get() > 0) stable = true
+        else { last = seen; Thread.sleep(quietMs) }
+      }
     } finally spark.sparkContext.removeSparkListener(l)
     Seq(
       ("n_jobs", l.jobs.get().toLong),

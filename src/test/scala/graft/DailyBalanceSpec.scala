@@ -128,6 +128,72 @@ class DailyBalanceSpec extends AnyFunSuite {
     assert(t.forall { case (_, b0, c, p, b1) => b0 == 0 && c == 0 && p == 0 && b1 == 0 })
   }
 
+  test("mode upgrade: a week committed WITHOUT orders re-runs its days when orders+balance are requested") {
+    // regression: the resume check looked only at the digest marker, so
+    // a workspace first driven in digest-only mode would skip every day
+    // of a later orders+balance run — no positions, sells, or balance
+    // partitions would ever be written
+    import spark.implicits._
+    val ws = Daily.Workspace(newDir())
+    val conn = new graft.sources.LocalFileEventConnector(srcDir)
+    val cutoff = java.sql.Date.valueOf("2024-03-01")
+    Daily.bootstrap(spark, conn, ws, cutoff)
+    val bare = Daily.run(spark, conn, ws,
+      java.time.LocalDate.parse("2024-03-04"),
+      java.time.LocalDate.parse("2024-03-08"))
+    assert(bare.map(_.n_positions).sum == 0, "order-less mode writes no lots")
+
+    Seq((1L, 0.0, 5, 2.0, -150.0, 1.0, 1.0),
+        (2L, 0.0, 5, 50.0, -100.0, 1.0, 1.0),
+        (3L, 0.0, 2, 50.0, -150.0, 1.0, 1.0))
+      .toDF("user_id", "condition_buy_cci_threshold", "condition_holding_days",
+        "condition_target_return", "condition_stop_loss_cci_threshold",
+        "win_rate", "revenue_rate")
+      .write.parquet(ws.conditionsDir)
+    Daily.seedBalance(spark, ws, cutoff, Daily.InitialBalanceCents)
+    val digs = runWeek(ws)
+    val byDay = digs.map(d => d.d.toString -> d).toMap
+    assert(byDay("2024-03-05").n_positions == 3, "upgrade re-ran the open day")
+    assert(byDay("2024-03-07").n_sells == 3, "upgrade re-ran the sell day")
+    assert(trajectory(ws).length == 5, "balance written for every trading day")
+  }
+
+  test("a symbol missing from listKeys is still fetched via its saved state key") {
+    // regression: the fetch universe was listKeys alone, so a series the
+    // broker's listing transiently dropped would freeze its watermark and
+    // leave its open lot scanned against a stale close forever; the
+    // universe is now listKeys UNION saved keys
+    val cutoff = java.sql.Date.valueOf("2024-03-01")
+    val base = new graft.sources.LocalFileEventConnector(srcDir)
+    val shrunk = new graft.sources.EventConnector {
+      override def name: String = "shrunk-listing"
+      // after bootstrap, user 1 vanishes from the listing
+      override def listKeys(spark: org.apache.spark.sql.SparkSession,
+          asOf: java.sql.Date) = {
+        val all = base.listKeys(spark, asOf)
+        if (asOf.after(cutoff)) all.filter(col("user_id") =!= 1L) else all
+      }
+      override def fetch(spark: org.apache.spark.sql.SparkSession,
+          requests: org.apache.spark.sql.DataFrame) = base.fetch(spark, requests)
+    }
+    def sellsOf(conn: graft.sources.EventConnector) = {
+      val ws = freshWs(Daily.InitialBalanceCents)
+      Daily.run(spark, conn, ws,
+        java.time.LocalDate.parse("2024-03-04"),
+        java.time.LocalDate.parse("2024-03-08"),
+        withOrders = true, withBalance = true): Unit
+      spark.read.parquet(ws.sellsDir)
+        .select(col("user_id"), col("buy_d"), col("sell_d"),
+          col("sell_price"), col("trade_result"))
+        .orderBy(col("user_id")).collect().toSeq
+    }
+    val a = sellsOf(shrunk)
+    val b = sellsOf(base)
+    assert(a.exists(_.getLong(0) == 1L),
+      "user 1's lifecycle must survive the listing gap")
+    assert(a == b, s"shrunk-listing run diverged:\n$a\n$b")
+  }
+
   test("r36 crash rerun of the sell day leaves the balance partition byte-identical") {
     val ws = freshWs(Daily.InitialBalanceCents)
     runWeek(ws)

@@ -251,6 +251,44 @@ class DailyRunSpec extends AnyFunSuite {
     assert(sellsAfter.toSeq == sells.toSeq, "sell rerun must be a no-op")
   }
 
+  test("bootstrap state carries the (current, yesterday) pair at every legal window width") {
+    // regression: the ctx filter `idx > mi - (cciN-1)` excluded the
+    // idx == mi-1 row at cciN = 2 (yesterday_open_cci silently always
+    // null -> missed crossovers on the first incremental day) and kept
+    // ZERO rows at cciN = 1 (empty state table). The filter now keeps at
+    // least the last two rows regardless of window width.
+    val conn = new LocalFileEventConnector(sf)
+    val cutoff = java.sql.Date.valueOf(maxLd)
+    for (n <- Seq(2, 3, 5)) {
+      val cfg = GridConfig(cciN = n)
+      val ws = newWs()
+      Daily.bootstrap(spark, conn, ws, cutoff, cfg)
+      val state = spark.read.parquet(s"${ws.stateDir}/run_d=$cutoff")
+        .select(col("user_id"), col("watermark_d"), col("current_open_cci"),
+          col("yesterday_open_cci"))
+        .orderBy(col("user_id")).collect()
+      // independent formulation: lag window + row_number desc over the
+      // one-shot CCI at the same width
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      val wDesc = Window.partitionBy(col("user_id")).orderBy(col("d").desc)
+      val expect = CciPipeline.cciFromBars(
+          CciPipeline.ohlcBars(spark, sf).filter(col("d") <= lit(cutoff)), cfg)
+        .withColumn("prev", lag(col("open_cci"), 1).over(w))
+        .withColumn("rrn", row_number().over(wDesc))
+        .filter(col("rrn") === 1)
+        .select(col("user_id"), col("d"), col("open_cci"), col("prev"))
+        .orderBy(col("user_id")).collect()
+      assert(state.length == expect.length && state.nonEmpty, s"cciN=$n")
+      state.zip(expect).foreach { case (g, e) =>
+        assert(g.getLong(0) == e.getLong(0), s"cciN=$n")
+        assert(g.getDate(1) == e.getDate(1), s"cciN=$n watermark")
+        assert(Option(g.get(2)) == Option(e.get(2)), s"cciN=$n current")
+        assert(Option(g.get(3)) == Option(e.get(3)),
+          s"cciN=$n yesterday for user ${g.getLong(0)}: got ${g.get(3)}, want ${e.get(3)}")
+      }
+    }
+  }
+
   test("daily state reads prune on the run_d partition column") {
     // the workspace layout must keep producing hive-style partitions: if a
     // write regression flattened run_d into file contents, every state

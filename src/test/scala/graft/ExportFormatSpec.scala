@@ -35,6 +35,15 @@ class ExportFormatSpec extends AnyFunSuite {
       _.dataType == org.apache.spark.sql.types.StringType))
   }
 
+  test("r37 empty input: empty frame in, empty all-string frame out") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Option[Double], Option[String])].toDF("id", "v", "s")
+    val out = Extras.exportFormat(empty)
+    assert(out.count() == 0)
+    assert(out.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.StringType))
+  }
+
   test("r37 rounding: values land on the 4-decimal half-up grid before rendering") {
     import spark.implicits._
     val df = Seq(0.00005, -0.25, 1234.56785, 2.0).toDF("v")
