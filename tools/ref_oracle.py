@@ -680,6 +680,11 @@ def compare(name, spark_df, rep_df, keys, exact_cols, tol_cols):
     with NaN<->null equivalence."""
     CHECKED.append(name)
     problems = []
+    if len(spark_df) == 0 and len(rep_df) == 0:
+        # a shared bug (or a data regen that emptied a table) must not
+        # read as agreement — every replica-checked stage is non-empty at
+        # the gated scale factors
+        problems.append("both sides empty — vacuous compare")
     if len(spark_df) != len(rep_df):
         problems.append(f"row count spark={len(spark_df)} replica={len(rep_df)}")
     sk = spark_df.copy()
