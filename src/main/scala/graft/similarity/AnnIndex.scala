@@ -96,6 +96,12 @@ object AnnIndex {
       throw new IllegalArgumentException(
         s"s06 topK: query vec_id=$id has dim ${vn.length}, index dim is $dim")
     }
+    // duplicate ids in an untrusted batch would each probe and score,
+    // then merge under ONE query_id in the final window — a silently
+    // mixed top-k instead of an error (and probed.toMap below would
+    // drop all but one probe set)
+    require(queryBatch.map(_._1).distinct.length == queryBatch.length,
+      "s06 topK: duplicate vec_id in the query batch")
     // per-query probe set from the tiny centroid table (first-min ties)
     val probed: Map[Long, Set[Int]] = queryBatch.map { case (id, qn) =>
       id -> coarse.indices
@@ -108,6 +114,15 @@ object AnnIndex {
     val bBooks = spark.sparkContext.broadcast(books)
     val bQ = spark.sparkContext.broadcast(queryBatch)
     val bProbed = spark.sparkContext.broadcast(probed)
+    // Per-partition BOUNDED top-k during scoring — the same size-
+    // (PqRerank·TopK) max-heap per query as pqTopKWith (Similarity),
+    // which exists precisely to avoid a full per-cell sort per query: a
+    // partition emits ≤ queries × R·K rows into the merge window, not
+    // |probed-cell rows| × queries (at 100 TB a hot probed cell would
+    // otherwise funnel its whole population through the window). The
+    // merged result is identical: each partition's per-query top-R·K is
+    // a superset of its contribution to the global top-R·K.
+    val keep = PqRerank * TopK
     val scored = rows.select($"vec_id", $"cell", $"codes")
       .as[(Long, Int, Seq[Int])]
       .mapPartitions { it =>
@@ -116,21 +131,30 @@ object AnnIndex {
           Array.tabulate(PqSubspaces)(m =>
             Array.tabulate(c(m).length)(k => sqL2(q, m * c(m)(k).length, c(m)(k))))
         }
-        it.flatMap { case (vid, cell, codes) =>
-          qs.indices.iterator
-            .filter(qi => pr(qs(qi)._1).contains(cell))
-            .map { qi =>
+        val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+        val heaps = Array.fill(qs.length)(
+          new scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord))
+        it.foreach { case (vid, cell, codes) =>
+          var qi = 0
+          while (qi < qs.length) {
+            if (pr(qs(qi)._1).contains(cell) &&
+                !(excludeSelf && qs(qi)._1 == vid)) {
               var d2 = 0.0; var m = 0
               while (m < PqSubspaces) { d2 += luts(qi)(m)(codes(m)); m += 1 }
-              (qs(qi)._1, vid, d2)
+              val h = heaps(qi)
+              if (h.size < keep) h.enqueue((d2, vid))
+              else if (ord.lt((d2, vid), h.head)) { h.dequeue(); h.enqueue((d2, vid)) }
             }
+            qi += 1
+          }
         }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (d2, vid) => (qs(qi)._1, vid, d2) } }
       }.toDF("query_id", "neighbor_id", "d2")
     val wC = Window.partitionBy($"query_id").orderBy($"d2".asc, $"neighbor_id")
-    val cands = (if (excludeSelf) scored.filter($"query_id" =!= $"neighbor_id")
-                 else scored)
+    val cands = scored
       .withColumn("crnk", row_number().over(wC))
-      .filter($"crnk" <= PqRerank * TopK)
+      .filter($"crnk" <= keep)
       .select($"query_id", $"neighbor_id")
     val corpus = rows.select($"vec_id".as("neighbor_id"), $"v".as("vn2"), $"norm".as("nn"))
     val q = qv.select($"vec_id".as("query_id"), $"v".as("vq"), $"norm".as("nq"))
@@ -138,9 +162,9 @@ object AnnIndex {
     cands
       .join(corpus, Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
-      .withColumn("cosine", F.fr(
-        when($"nq" * $"nn" =!= 0.0,
-          graft.functions.catalyst.GraftColumns.dot_f64($"vq", $"vn2") / ($"nq" * $"nn")), 6))
+      // Similarity.cosine, not an inline copy: the byte-identical
+      // arithmetic is load-bearing for the exact-score parity contract
+      .withColumn("cosine", F.fr(Similarity.cosine($"vq", $"vn2", $"nq", $"nn"), 6))
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= TopK)
       .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
@@ -153,7 +177,11 @@ object AnnIndex {
     * (approximate by construction, like s04/s05). */
   def indexedTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val indexDir = s"/tmp/graft_s06_index_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    // sanitized name + a hash of the RAW dir: two distinct dirs that
+    // sanitize identically must not silently share (and overwrite) one
+    // live index
+    val indexDir = s"/tmp/graft_s06_index_${dir.replaceAll("[^A-Za-z0-9]", "_")}_" +
+      (dir.hashCode.toLong & 0xffffffffL).toHexString
     buildIndex(spark, graft.sources.Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v")), indexDir)
     topK(spark, Similarity.pqQueryDefault(spark, dir), indexDir,
@@ -193,6 +221,13 @@ object AnnIndex {
         val cs = bCoarse.value; val bk = bBooks.value
         it.map { case (id, vnSeq, v, norm) =>
           val vn = vnSeq.toArray
+          // dimension guard at the encode boundary (build AND append): a
+          // wrong-dim vector would otherwise either throw a bare AIOOBE
+          // in sqL2 (short) or silently commit index rows whose cell/
+          // codes ignore the tail while `norm` covers it (long) — served
+          // cosines for such rows would be wrong with no error
+          require(vn.length == cs(0).length,
+            s"s06 encode: vec_id=$id has dim ${vn.length}, index dim is ${cs(0).length}")
           var cell = 0; var bestD = Double.MaxValue; var c = 0
           while (c < cs.length) {
             val d = sqL2(vn, 0, cs(c))

@@ -39,7 +39,7 @@ object Similarity {
   /** Per-pair cosine from the codegen dot product and the vectors'
     * precomputed norms (oracle arithmetic identical: sqrt of the same
     * per-vector sums, multiplied in the same order). */
-  private def cosine(va: org.apache.spark.sql.Column, vb: org.apache.spark.sql.Column,
+  private[similarity] def cosine(va: org.apache.spark.sql.Column, vb: org.apache.spark.sql.Column,
       na: org.apache.spark.sql.Column, nb: org.apache.spark.sql.Column) =
     when(na * nb =!= 0.0, // ANSI: zero-norm vector would throw on divide
       graft.functions.catalyst.GraftColumns.dot_f64(va, vb) / (na * nb))
@@ -203,7 +203,11 @@ object Similarity {
       }.reduce(_ + _)
       struct(lit(t).as("tbl"), bucket.as("bucket"))
     }
-    val bucketed = e
+    // zero-length embeddings cannot hash: Spark's sequence(0, -1) would
+    // auto-descend (yielding [0,-1]) while DuckDB's range(1,1) is empty,
+    // so the two engines would bucket such a vector differently — exclude
+    // them on BOTH sides instead (they have no meaningful neighbors)
+    val bucketed = e.filter(size($"v") > 0)
       .select($"vec_id", explode(array(tableBuckets: _*)).as("tb"))
       .select($"vec_id", $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
     val cand = bucketed.filter($"vec_id" % QueryStride === 0)
@@ -242,7 +246,7 @@ object Similarity {
       val bucket = (0 until planes).map { p =>
         s"(CASE WHEN (${planeDot(t * planes + p)}) >= 0 THEN ${1 << p} ELSE 0 END)"
       }.mkString("\n      + ")
-      s"SELECT vec_id, $t AS tbl,\n      $bucket AS bucket FROM e"
+      s"SELECT vec_id, $t AS tbl,\n      $bucket AS bucket FROM e WHERE len(v) > 0"
     }.mkString("\n  UNION ALL\n  ")
     val dot = S.foldSum("list_transform(range(1, len(vq) + 1), i -> vq[i] * vn[i])")
     val nq = S.foldSum("list_transform(vq, x -> x * x)")
@@ -291,8 +295,12 @@ object Similarity {
       k: Int = IvfCells, nProbe: Int = IvfProbe): DataFrame = {
     import spark.implicits._
     import org.apache.spark.ml.functions.array_to_vector
-    val e = graft.GraftSession.maybeCache(vecs(spark, dir)
-      .withColumn("features", array_to_vector($"v")))
+    // cache the SHARED vecs plan (one CacheManager entry with s03/s05/
+    // d09 — canonically identical) and add the ml features column OUTSIDE
+    // the cache: wrapping the widened plan would pin a second full copy
+    // of every embedding for the session
+    val e = graft.GraftSession.maybeCache(vecs(spark, dir))
+      .withColumn("features", array_to_vector($"v"))
     // One quantizer per (session, dir, k): shared with ml03 and memoized,
     // so a session running both pays a single KMeans fit.
     val model = graft.ml.Features.fittedKmeans(spark, dir, k)
@@ -335,22 +343,25 @@ object Similarity {
   def embeddingDedupIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = graft.GraftSession.maybeCache(vecs(spark, dir))
-    val dims = e.select($"vec_id", posexplode($"v").as(Seq("dim", "dv")))
-    val labDims = e.select($"label", posexplode($"v").as(Seq("dim", "dv")))
-    val centroids = labDims.groupBy($"label", $"dim")
+    // ONE posexplode carrying both consumers' columns (the SQL twin's
+    // single `dims` CTE selects vec_id AND label) — a second full
+    // rows×dims explode of the cached corpus doubled the hot path's work
+    val dims = e.select($"vec_id", $"label", posexplode($"v").as(Seq("dim", "dv")))
+    val centroids = dims.groupBy($"label", $"dim")
       .agg((sum(floor($"dv" * 1e6).cast("long")).cast("double") /
         count(lit(1)) / 1e6).as("cv"))
-    val cn2 = centroids.groupBy($"label")
+      .withColumnRenamed("label", "clabel")
+    val cn2 = centroids.groupBy($"clabel")
       .agg(sum(floor($"cv" * $"cv" * 1e9).cast("long")).as("cn2q"))
-    val aw = Window.partitionBy($"vec_id").orderBy($"score", $"label")
-    val assigned = dims.join(centroids, Seq("dim"))
-      .groupBy($"vec_id", $"label")
+    val aw = Window.partitionBy($"vec_id").orderBy($"score", $"clabel")
+    val assigned = dims.drop("label").join(centroids, Seq("dim"))
+      .groupBy($"vec_id", $"clabel")
       .agg(sum(floor($"dv" * $"cv" * 1e9).cast("long")).as("dotq"))
-      .join(cn2, Seq("label"))
+      .join(cn2, Seq("clabel"))
       .withColumn("score", $"cn2q" - lit(2L) * $"dotq")
       .withColumn("arnk", row_number().over(aw))
       .filter($"arnk" === 1)
-      .select($"vec_id", $"label".as("cell"))
+      .select($"vec_id", $"clabel".as("cell"))
     val m = e.join(assigned, Seq("vec_id"))
       .select($"vec_id", $"cell", $"v", $"norm")
     m.toDF("vec_a", "cell", "va", "na")
@@ -438,6 +449,8 @@ object Similarity {
         .select($"vec_id", transform($"v", x => x / $"norm").as("vn"))
         .orderBy($"vec_id").limit(PqTrainMax)
         .select($"vn").as[Seq[Double]].collect().map(_.toArray)
+      require(sample.nonEmpty,
+        "pqCodebooks: no non-zero vectors to train on (empty or all-zero corpus)")
       Array.tabulate(PqSubspaces) { m =>
         val pts = sample.map(v => java.util.Arrays.copyOfRange(v, m * sub, (m + 1) * sub))
         lloyd(pts, PqCentroids, PqTrainIters)
@@ -546,7 +559,9 @@ object Similarity {
     val qv = queries
       .select($"vec_id", $"v")
       .withColumn("norm", sqrt(F.foldSum(transform($"v", x => x * x))))
-    val dim = e.select(size($"v")).head.getInt(0)
+    val dimRow = e.select(size($"v")).limit(1).collect()
+    require(dimRow.nonEmpty, "pqTopKWith: empty embedding corpus")
+    val dim = dimRow.head.getInt(0)
     val sub = dim / PqSubspaces
     val cb = pqCodebooks(spark, dir, sub)
     val bCb = spark.sparkContext.broadcast(cb)
@@ -581,6 +596,11 @@ object Similarity {
       throw new IllegalArgumentException(
         s"pqTopKWith: query vec_id=$id has dim ${vn.length}, corpus dim is $dim")
     }
+    // duplicate ids in an untrusted batch would each build a heap, then
+    // merge under ONE query_id in the final window — a silently mixed
+    // top-k instead of an error
+    require(queryBatch.map(_._1).distinct.length == queryBatch.length,
+      "pqTopKWith: duplicate vec_id in the query batch")
     val bQ = spark.sparkContext.broadcast(queryBatch)
     // Per-partition BOUNDED top-k during scoring: a size-(PqRerank·TopK)
     // max-heap per query, so a partition emits ≤ queries × R·K candidate
