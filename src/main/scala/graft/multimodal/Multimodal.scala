@@ -54,6 +54,75 @@ object Multimodal {
   private[graft] def isImage(b: Array[Byte]): Boolean =
     isPng(b) || isJpeg(b) || isGif(b)
 
+  /** RIFF/WAVE magic (offsets 0 and 8). */
+  private[graft] def isWav(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** ISO-BMFF magic: 'ftyp' at offset 4. */
+  private[graft] def isMp4(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+  /** The shared polynomial byte fold — ONE definition for the stub, the
+    * encoded-sample and the PCM fingerprints (the DuckDB oracle's parity
+    * depends on this exact fold order and modulus). */
+  private def foldBytes(b: Array[Byte], off: Int, len: Int): Long = {
+    val P = graft.functions.TextFunctions.HashP
+    var acc = 0L
+    var j = 0
+    while (j < len) { acc = (acc * 31 + (b(off + j) & 0xff)) % P; j += 1 }
+    acc
+  }
+
+  /** The shared RGB raster fold (GIF frames + MJPEG-in-MP4 samples):
+    * R,G,B bytes in raster order through the same polynomial. */
+  private def foldRgb(img: java.awt.image.BufferedImage): Long = {
+    val P = graft.functions.TextFunctions.HashP
+    var acc = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        acc = (acc * 31 + ((rgb >> 16) & 0xff)) % P
+        acc = (acc * 31 + ((rgb >> 8) & 0xff)) % P
+        acc = (acc * 31 + (rgb & 0xff)) % P
+        x += 1
+      }
+      y += 1
+    }
+    acc
+  }
+
+  /** Pixel-count ceiling for any raster decode: a crafted header
+    * declaring a huge canvas would otherwise make ImageIO allocate a
+    * multi-GB raster — an OutOfMemoryError, which is an Error, not an
+    * Exception, so the Try-based totality contract cannot absorb it. */
+  private[graft] val MaxDecodePixels: Long = 16L * 1024 * 1024 // 4096 × 4096
+
+  /** Decode an in-memory image with (a) a MEMORY-backed input — ImageIO's
+    * default path wraps even a ByteArrayInputStream in a disk temp-file
+    * cache per record — and (b) the [[MaxDecodePixels]] bound checked from
+    * the HEADER before any raster allocation. None for unreadable or
+    * oversized payloads (they fall to the caller's stub branch). */
+  private[graft] def boundedImageRead(b: Array[Byte], off: Int, len: Int)
+      : Option[java.awt.image.BufferedImage] = scala.util.Try {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(b, off, len))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val px = r.getWidth(0).toLong * r.getHeight(0).toLong
+          if (px <= 0 || px > MaxDecodePixels) None else Option(r.read(0))
+        } finally r.dispose()
+      }
+    } finally iis.close()
+  }.toOption.flatten
+
   /** Minimal REAL WAV header parse — RIFF/WAVE magic, then the chunk walk
     * ([id:4][size:4 LE][data]) for `fmt ` (channels, byte rate) and `data`
     * (payload length). Returns (channels, duration_ms); None for anything
@@ -201,9 +270,7 @@ object Multimodal {
           // (IIOException), and one bad record must not fail the job —
           // the decode boundary stays total, falling back to the stub.
           val img =
-            if (isImage(payload))
-              scala.util.Try(Option(javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(payload)))).toOption.flatten
+            if (isImage(payload)) boundedImageRead(payload, 0, payload.length)
             else None
           img match {
             case Some(i) =>
@@ -362,17 +429,21 @@ object Multimodal {
     * rows are. */
   def frameSamples(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val P = graft.functions.TextFunctions.HashP
     withPayload(spark, dir)
       .filter($"media_type".isin("audio", "video") && octet_length($"payload") > 0)
       .select($"doc_id", $"payload")
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.flatMap { case (id, payload) =>
+          // magic-gated dispatch: probing every payload through
+          // AudioSystem/the box walk would throw-and-catch two filled-in
+          // exceptions PER RECORD on the (overwhelmingly non-media) hot
+          // path — the cheap byte checks make the miss case free
           val real =
             if (isGif(payload)) gifFrameSamples(id, payload)
-            else wavFrameSamples(id, payload)
-              .orElse(mp4FrameSamples(id, payload))
+            else if (isWav(payload)) wavFrameSamples(id, payload)
+            else if (isMp4(payload)) mp4FrameSamples(id, payload)
+            else None
           real.getOrElse {
             // ??? <- non-JPEG sample DECODE goes here (H.264-class codec
             // libs are not in this container; MJPEG samples already
@@ -384,13 +455,8 @@ object Multimodal {
             (0 until nf).map { i =>
               val off = i.toLong * len / nf // floor division (positive)
               val flen = math.min(FrameBytes.toLong, len - off).toInt
-              var acc = 0L
-              var j = 0
-              while (j < flen) {
-                acc = (acc * 31 + (payload(off.toInt + j) & 0xff)) % P
-                j += 1
-              }
-              FrameSample(id, i, off * 40, flen, acc)
+              FrameSample(id, i, off * 40, flen,
+                foldBytes(payload, off.toInt, flen))
             }
           }.iterator
         }
@@ -410,34 +476,31 @@ object Multimodal {
     * the stub, the boundary's totality contract. */
   private[graft] def gifFrameSamples(id: Long,
       payload: Array[Byte]): Option[Seq[FrameSample]] = scala.util.Try {
-    val P = graft.functions.TextFunctions.HashP
-    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    // memory-backed input stream, explicitly CLOSED: the default
+    // createImageInputStream(ByteArrayInputStream) returns a disk
+    // temp-file-backed stream that reader.dispose() does NOT close — a
+    // leaked fd + temp file per GIF record on a long-lived executor
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
     try {
-      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(payload)))
-      val n = reader.getNumImages(true)
-      require(n > 0)
-      val nf = math.min(MaxFrames, n)
-      (0 until nf).map { i =>
-        val srcFrame = i * n / nf // evenly spaced over the animation
-        val img = reader.read(srcFrame)
-        var acc = 0L
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val rgb = img.getRGB(x, y)
-            acc = (acc * 31 + ((rgb >> 16) & 0xff)) % P
-            acc = (acc * 31 + ((rgb >> 8) & 0xff)) % P
-            acc = (acc * 31 + (rgb & 0xff)) % P
-            x += 1
-          }
-          y += 1
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        require(n > 0)
+        val nf = math.min(MaxFrames, n)
+        (0 until nf).map { i =>
+          val srcFrame = i * n / nf // evenly spaced over the animation
+          // header-level pixel bound BEFORE the raster allocation (the
+          // decompression-bomb guard — see boundedImageRead)
+          require(reader.getWidth(srcFrame).toLong *
+            reader.getHeight(srcFrame).toLong <= MaxDecodePixels)
+          val img = reader.read(srcFrame)
+          FrameSample(id, i, srcFrame.toLong * 40,
+            img.getWidth * img.getHeight * 3, foldRgb(img))
         }
-        FrameSample(id, i, srcFrame.toLong * 40,
-          img.getWidth * img.getHeight * 3, acc)
-      }
-    } finally reader.dispose()
+      } finally reader.dispose()
+    } finally iis.close()
   }.toOption
 
   /** REAL MP4 sample extraction at the CONTAINER level: walk the sample
@@ -553,7 +616,12 @@ object Multimodal {
           val spc = math.min(stscRun(run)._2, (nSamples - s).toLong).toInt
           (0 until spc).foreach { _ =>
             val sz = sizes(s)
-            require(sz > 0 && sz <= Int.MaxValue && off + sz <= b.length)
+            // overflow-safe bound: a co64 offset with the high bit set
+            // (negative Long) or a huge positive one would make the naive
+            // `off + sz <= length` wrap and PASS, emitting a table whose
+            // samples lie outside the payload
+            require(off >= 0 && sz > 0 && sz <= Int.MaxValue &&
+              off <= b.length - sz)
             out += ((off, sz.toInt, dts(s)))
             off += sz; s += 1
           }
@@ -576,7 +644,6 @@ object Multimodal {
     * on are exactly what a production pipeline feeds its codec. */
   private[graft] def mp4FrameSamples(id: Long,
       payload: Array[Byte]): Option[Seq[FrameSample]] = scala.util.Try {
-    val P = graft.functions.TextFunctions.HashP
     val (timescale, samples) = mp4SampleTable(payload).get
     val n = samples.length
     val nf = math.min(MaxFrames, n)
@@ -586,33 +653,13 @@ object Multimodal {
       val jpeg =
         if (sz >= 2 && (payload(off.toInt) & 0xff) == 0xff &&
             (payload(off.toInt + 1) & 0xff) == 0xd8)
-          scala.util.Try(Option(javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(payload, off.toInt, sz)))).toOption.flatten
+          boundedImageRead(payload, off.toInt, sz)
         else None
       jpeg match {
         case Some(img) =>
-          var acc = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val rgb = img.getRGB(x, y)
-              acc = (acc * 31 + ((rgb >> 16) & 0xff)) % P
-              acc = (acc * 31 + ((rgb >> 8) & 0xff)) % P
-              acc = (acc * 31 + (rgb & 0xff)) % P
-              x += 1
-            }
-            y += 1
-          }
-          FrameSample(id, i, tsMs, img.getWidth * img.getHeight * 3, acc)
+          FrameSample(id, i, tsMs, img.getWidth * img.getHeight * 3, foldRgb(img))
         case None =>
-          var acc = 0L
-          var j = 0
-          while (j < sz) {
-            acc = (acc * 31 + (payload(off.toInt + j) & 0xff)) % P
-            j += 1
-          }
-          FrameSample(id, i, tsMs, sz, acc)
+          FrameSample(id, i, tsMs, sz, foldBytes(payload, off.toInt, sz))
       }
     }
   }.toOption
@@ -630,7 +677,6 @@ object Multimodal {
   private[graft] def wavFrameSamples(id: Long,
       payload: Array[Byte]): Option[Seq[FrameSample]] = scala.util.Try {
     import javax.sound.sampled.{AudioFormat, AudioSystem}
-    val P = graft.functions.TextFunctions.HashP
     val in = AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(payload))
     try {
@@ -638,23 +684,39 @@ object Multimodal {
       require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
         fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED)
       require(fmt.getFrameSize > 0 && fmt.getFrameRate > 0)
-      val pcm = in.readAllBytes()
-      require(pcm.nonEmpty)
       val frameSize = fmt.getFrameSize
-      val len = pcm.length.toLong
+      // the skip-forward reader below needs non-decreasing window starts;
+      // alignment jitter is < frameSize, so this holds whenever a sample
+      // frame fits in a window (any format beyond 16 channels × 32 bit
+      // falls to the stub — a non-loss at the fingerprint boundary)
+      require(frameSize <= FrameBytes)
+      // Stream the 8 windows via skip()/readNBytes instead of
+      // readAllBytes: materializing a multi-GB decoded PCM array to
+      // fingerprint ≤ MaxFrames × FrameBytes bytes would double
+      // per-record memory and break the "bounded by frames × frame size"
+      // promise. Length comes from the header's frame count; a lying
+      // header (declared > actual bytes) fails the short-read check and
+      // falls to the stub.
+      val frames = in.getFrameLength
+      require(frames > 0 && frames <= Long.MaxValue / frameSize)
+      val len = frames * frameSize
       val nf = math.min(MaxFrames.toLong, math.max(1L, len / FrameBytes)).toInt
+      var pos = 0L
       (0 until nf).map { i =>
         val raw = i.toLong * len / nf
         val off = raw - raw % frameSize // align to a sample-frame boundary
         val flen = math.min(FrameBytes.toLong, len - off).toInt
-        var acc = 0L
-        var j = 0
-        while (j < flen) {
-          acc = (acc * 31 + (pcm(off.toInt + j) & 0xff)) % P
-          j += 1
+        var toSkip = off - pos
+        while (toSkip > 0) {
+          val sk = in.skip(toSkip)
+          require(sk > 0)
+          toSkip -= sk
         }
+        val buf = in.readNBytes(flen)
+        require(buf.length == flen)
+        pos = off + flen
         FrameSample(id, i, ((off / frameSize) * 1000.0 / fmt.getFrameRate).toLong,
-          flen, acc)
+          flen, foldBytes(buf, 0, flen))
       }
     } finally in.close()
   }.toOption
@@ -764,15 +826,13 @@ object Multimodal {
     * a file's bytes more than one task-batch at a time. */
   def binaryIngest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // deterministic per-input lake dir: file names are doc-id-derived, so
-    // repeat invocations overwrite in place instead of leaking a corpus
-    // sample into /tmp per call. Purged first (as compactionReport does):
-    // a regenerated corpus at the same path, or a 32-bit hashCode
-    // collision, must not leave stale doc_*.bin files to be ingested —
-    // the oracle reads only the CURRENT documents table.
-    val lake = s"${System.getProperty("java.io.tmpdir")}/graft_media_lake_${dir.hashCode.toHexString}"
-    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(lake))
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(lake))
+    // FRESH lake dir per invocation (shutdown-hook cleaned): the returned
+    // DataFrame reads the files LAZILY, so a shared fixed path meant a
+    // second call's purge-and-rewrite could invalidate the first call's
+    // still-unconsumed result mid-scan (and two dirs sharing a 32-bit
+    // hashCode would silently ingest each other's corpus). A fresh dir
+    // also can't see stale doc_*.bin files from an earlier corpus.
+    val lake = graft.operators.Extras.tempDir("graft_media_lake")
     Tables.documents(spark, dir)
       .filter($"doc_id" % LakeStride === 0)
       .select($"doc_id", encode($"text", "UTF-8").as("payload"))

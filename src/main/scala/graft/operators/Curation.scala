@@ -103,8 +103,13 @@ object Curation {
     * across `salts` tasks instead of funnelling through one; the selected
     * set differs from [[stratifiedSample]] only by per-split ceil rounding
     * (at most `salts - 1` extra docs per stratum, asserted in the spec). */
+  /** p05b's sub-stratum count — ONE constant for the Scala default and
+    * the oracle SQL (a bare literal on either side would silently fork
+    * the gate if the other changed). */
+  val PresplitSalts = 8
+
   def stratifiedSamplePresplit(spark: SparkSession, dir: String,
-      salts: Int = 8): DataFrame = {
+      salts: Int = PresplitSalts): DataFrame = {
     import spark.implicits._
     import graft.functions.{TextFunctions => F}
     val w = Window.partitionBy($"lang", $"source", $"salt")
@@ -130,7 +135,7 @@ object Curation {
   val stratifiedSamplePresplitSql: String = {
     import graft.functions.{TextSql => S}
     s"""WITH h AS (
-       |  SELECT doc_id, lang, source, doc_id % 8 AS salt,
+       |  SELECT doc_id, lang, source, doc_id % $PresplitSalts AS salt,
        |    ${S.polyHash("CAST(doc_id AS VARCHAR) || '-p05'")} AS hh
        |  FROM documents),
        |r AS (
