@@ -29,6 +29,11 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // Lets dev.ludovic.netlib's VectorBLAS (SIMD via the JDK17 incubator
+  // Vector API) load for MLlib's gemm-bound paths — without it netlib
+  // falls back to pure-Java BLAS (ml04's recommendForAllUsers measured
+  // 10.1 s -> 8.35 s at sf0.1 with the flag).
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
