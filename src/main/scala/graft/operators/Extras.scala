@@ -619,17 +619,27 @@ object Extras {
     * empty string; dates ISO; doubles land on the engine's 4-decimal
     * half-up grid and render at FIXED scale via DECIMAL(38,4) (shortest-
     * roundtrip double printing differs between engines, fixed-scale
-    * decimal rendering does not); integrals and strings verbatim.
+    * decimal rendering does not); finite magnitudes the long-backed grid
+    * cannot hold (|x| ≥ Long.MaxValue/10⁴ ≈ 9.22e14) render as '' like
+    * ±inf; integrals and strings verbatim.
     * Row-local projection, no shuffle — the same class as t12. */
+  val ExportGridMaxAbs: Double = Long.MaxValue / 10000.0
+
   def exportFormat(df: DataFrame): DataFrame = {
     val cols = df.schema.fields.map { f =>
       val c = col(f.name)
       val out = f.dataType match {
         case DoubleType | FloatType =>
-          when(c.isNull || isnan(c) || c === Double.PositiveInfinity ||
-              c === Double.NegativeInfinity, lit(""))
-            .otherwise((floor(c * 10000.0 + 0.5) / 10000.0)
-              .cast(DecimalType(38, 4)).cast("string"))
+          // GridMaxAbs: Spark's floor returns LONG, so a |x| at or above
+          // Long.MaxValue/1e4 SATURATES the grid arithmetic and would
+          // render a plausible-but-wrong fixed number
+          // ("922337203685477.6000") instead of failing — a magnitude
+          // that cannot land on the 4-decimal grid renders as '' like
+          // ±inf (abs(∞) trips the same guard). The coalesce backstops
+          // the never-null contract should the decimal cast ever null.
+          when(c.isNull || isnan(c) || abs(c) >= ExportGridMaxAbs, lit(""))
+            .otherwise(coalesce((floor(c * 10000.0 + 0.5) / 10000.0)
+              .cast(DecimalType(38, 4)).cast("string"), lit("")))
         case _ => coalesce(c.cast("string"), lit(""))
       }
       out.as(f.name)
@@ -660,7 +670,8 @@ object Extras {
 
   val exportFormatSql: String = {
     def dbl(c: String) =
-      s"""CASE WHEN $c IS NULL OR isnan($c) OR isinf($c) THEN ''
+      s"""CASE WHEN $c IS NULL OR isnan($c) OR isinf($c)
+         |       OR abs($c) >= ${Extras.ExportGridMaxAbs} THEN ''
          |     ELSE CAST(CAST(floor($c * 10000.0 + 0.5) / 10000.0 AS DECIMAL(38,4)) AS VARCHAR) END AS $c""".stripMargin
     def str(c: String) = s"coalesce(CAST($c AS VARCHAR), '') AS $c"
     CciPipeline.recommendationsCtes + "\n" +

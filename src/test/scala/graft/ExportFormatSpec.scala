@@ -44,6 +44,19 @@ class ExportFormatSpec extends AnyFunSuite {
       _.dataType == org.apache.spark.sql.types.StringType))
   }
 
+  test("r37 out-of-grid magnitudes render as '', not a saturated number") {
+    import spark.implicits._
+    // Spark's floor returns LONG: without the magnitude guard, 1e35
+    // saturates the grid arithmetic at Long.MaxValue and renders the
+    // plausible-but-wrong "922337203685477.6000". At-or-above the grid
+    // bound -> '' like +-inf; just inside it still renders.
+    val df = Seq(1e35, -1e35, Double.MaxValue,
+      Extras.ExportGridMaxAbs, 1e12, 1.5).toDF("v")
+    val got = Extras.exportFormat(df).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("", "", "", "", "1000000000000.0000", "1.5000"))
+    assert(!got.contains(null))
+  }
+
   test("r37 rounding: values land on the 4-decimal half-up grid before rendering") {
     import spark.implicits._
     val df = Seq(0.00005, -0.25, 1234.56785, 2.0).toDF("v")
