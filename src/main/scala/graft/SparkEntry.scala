@@ -194,6 +194,10 @@ object SparkEntry {
     // SparkListener digest of the flagship aggregation's jobs/tasks/
     // bytes; values are env-dependent -> rows-only, structure spec'd
     "r38_run_telemetry" -> (graft.Telemetry.telemetryQuery _),
+    // r39: the run's Slack notification feed (slack_message.py seams) as
+    // one auditable table — candidate count, per-candidate crossover
+    // messages, buy count, end-of-run summary, numbers at fixed scale
+    "r39_notify_feed" -> (Notify.notifyFeed _),
     "p05b_stratified_presplit" -> (Curation.stratifiedSamplePresplitQuery _),
     // d07b: the large-star/small-star CC core — same clusters, same
     // oracle as d07; the long-chain swap-in pinned under the driver gate
@@ -346,6 +350,7 @@ object SparkEntry {
     "r35_schedule_plan" -> Scheduler.schedulePlanSql,
     "r36_daily_balance" -> graft.Daily.dailyBalanceSql,
     "r37_export_format" -> Extras.exportFormatSql,
+    "r39_notify_feed" -> Notify.notifyFeedSql,
     "d07b_dedup_clusters_stars" -> graft.dedup.Dedup.dedupClustersSql,
     "p05b_stratified_presplit" -> Curation.stratifiedSamplePresplitSql,
     "v02b_windowed_counts" -> graft.streaming.EventStream.windowedCountsBatchSql,
