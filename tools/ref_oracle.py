@@ -427,6 +427,63 @@ def replica_candidates(best):
     return out[["user_id", "count_win"] + GROUP_COLS].sort_values("user_id")
 
 
+def replica_notify_feed(reco, cand, best, events):
+    """r39 (slack_message.py:7 send_simple_message at its four daily seams —
+    daily_function.py:1387 candidate count, :1456 per-candidate crossover
+    message, :1534 buy-signal count, :1136 end-of-run summary): the
+    notification feed, replayed as PARSED FIELDS. The per-symbol message
+    embeds CCIs on the engine's grid chain (4-dp then 1-dp half-up); the
+    harness compares those parsed numbers with a one-grid-cell tolerance
+    (0.2 > the 0.1 cell), since a last-ulp difference between pandas' and
+    the engine's CCI fold can flip the rendered 1-dp digit at a .05
+    boundary — counts, kinds, and the as-of date compare exactly."""
+    bw = best[best["investment_target"] == "win_rate"]
+    cset = set(cand["user_id"])
+    buys = reco[(reco["has_buy_signal"] == 1) & reco["user_id"].isin(cset)]
+    run_d = str(events["d"].max())[:10]
+
+    def g1(x):  # 4-dp then 1-dp half-up grid; +0.0 normalizes -0.0
+        return float(round_half_up(round_half_up(float(x), 10000), 10)) + 0.0
+
+    rows = [(1, np.nan, "candidate_count", float(len(cset)),
+             np.nan, np.nan, np.nan, "")]
+    for _, r in buys.sort_values("user_id").iterrows():
+        rows.append((2, r["user_id"], "buy_signal", np.nan,
+                     g1(r["yesterday_open_cci"]), g1(r["current_open_cci"]),
+                     g1(r["condition_buy_cci_threshold"]), ""))
+    rows.append((3, np.nan, "buy_count", float(len(buys)),
+                 np.nan, np.nan, np.nan, ""))
+    rows.append((4, np.nan, "run_end", float(len(bw)),
+                 np.nan, np.nan, np.nan, run_d))
+    return pd.DataFrame(rows, columns=[
+        "seq_group", "user_id", "kind", "n", "y_cci", "c_cci", "thr", "run_d"])
+
+
+def parse_notify_feed(spark_feed):
+    """Parse the engine's rendered messages back into the replica's field
+    schema, so the string-embedded numbers get numeric comparison."""
+    import re
+    rows = []
+    for _, r in spark_feed.iterrows():
+        kind, msg = r["kind"], r["message"]
+        n = y = c = t = np.nan
+        run_d = ""
+        if kind == "buy_signal":
+            m = re.search(r"전날 CCI: (-?[0-9.]+), 오늘 CCI: (-?[0-9.]+), "
+                          r"매수 기준 CCI: (-?[0-9.]+),", msg)
+            if m:
+                y, c, t = (float(m.group(i)) for i in (1, 2, 3))
+        elif kind == "run_end":
+            m = re.search(r"DF length: (\d+), run_d: (\d{4}-\d{2}-\d{2})$", msg)
+            if m:
+                n, run_d = float(m.group(1)), m.group(2)
+        else:
+            n = float(msg.rsplit(" : ", 1)[1])
+        rows.append((r["seq_group"], r["user_id"], kind, n, y, c, t, run_d))
+    return pd.DataFrame(rows, columns=[
+        "seq_group", "user_id", "kind", "n", "y_cci", "c_cci", "thr", "run_d"])
+
+
 def replica_net_revenue(trades):
     """r11 (daily_function.py:99-100,1743-1744): tax on the sell side, fee
     both ways, fee-adjusted target price."""
@@ -853,6 +910,14 @@ def main():
     compare("r36_daily_balance", load_spark(out_dir, "r36_daily_balance"),
             balt, ["d"], ["bal_start_cents", "buy_cost_cents",
                           "sell_proceeds_cents", "bal_end_cents"], {})
+
+    feed = timed("r39_notify_feed", replica_notify_feed, reco, cand, best, events)
+    compare("r39_notify_feed",
+            parse_notify_feed(load_spark(out_dir, "r39_notify_feed")), feed,
+            ["seq_group", "user_id"], ["kind", "n", "run_d"],
+            # one 1-dp grid cell (0.2 > 0.1): a last-ulp CCI difference may
+            # flip the rendered digit at a .05 boundary, never by two cells
+            {"y_cci": 0.2, "c_cci": 0.2, "thr": 1e-9})
 
     n = len(CHECKED)
     print(f"\n{n - len(FAILS)} pass, {len(FAILS)} fail"
