@@ -118,6 +118,7 @@ object SparkEntry {
     "m04_media_report" -> (graft.multimodal.Multimodal.mediaReport _),
     "d10_dedup_normalized" -> (graft.dedup.Dedup.normalizedDedup _),
     "d11_span_dedup" -> (graft.dedup.Dedup.spanDedup _),
+    "d12_dedup_substring" -> (graft.dedup.Dedup.substringRewrite _),
     "q04_order_priority" -> (Relational.q04OrderPriority _),
     "q28_waiting_suppliers" -> (Relational.q28WaitingSuppliers _),
     "q29_market_share" -> (Relational.q29MarketShare _),
@@ -150,6 +151,7 @@ object SparkEntry {
     // vs the exact s01 baseline asserted in LlmOpsSpec
     "s05_ann_pq" -> (graft.similarity.Similarity.pqTopK _),
     "p08_curriculum" -> (Curation.curriculum _),
+    "p09_temperature_sample" -> (Curation.temperatureSample _),
     // r29: the bounded-task chunked form of the flagship rolling CCI —
     // bit-equal to r04 by construction (shared rollingCci fold), checked
     // against the SAME oracle; chunkRows=64 forces multiple chunk
@@ -319,6 +321,7 @@ object SparkEntry {
     "m04_media_report" -> graft.multimodal.Multimodal.mediaReportSql,
     "d10_dedup_normalized" -> graft.dedup.Dedup.normalizedDedupSql,
     "d11_span_dedup" -> graft.dedup.Dedup.spanDedupSql,
+    "d12_dedup_substring" -> graft.dedup.Dedup.substringRewriteSql,
     "q04_order_priority" -> Relational.q04Sql,
     "q28_waiting_suppliers" -> Relational.q28Sql,
     "q29_market_share" -> Relational.q29Sql,
@@ -341,6 +344,7 @@ object SparkEntry {
     "q43b_trade_rank_part" -> GraphRank.tradeRankSql,
     "r28_schema_evolution" -> Extras.schemaEvolutionSql,
     "p08_curriculum" -> Curation.curriculumSql,
+    "p09_temperature_sample" -> Curation.temperatureSampleSql,
     "r29_cci_chunked" -> CciPipeline.cciSql,
     "r30_cci_incremental" -> CciPipeline.cciSql,
     "r31_connector_fetch" -> graft.sources.ConnectorFetch.connectorFetchSql,

@@ -190,6 +190,96 @@ object Dedup {
          |FROM tot LEFT JOIN dup ON tot.doc_id = dup.doc_id
          |ORDER BY tot.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d12
+  /** d12: exact duplicated-substring REMOVAL (the rewrite counterpart of
+    * d11's flag-only gate — Lee et al. 2021's "Deduplicating Training Data
+    * Makes Language Models Better", at d11's 5-token span unit). A token
+    * position is dropped when it is covered by a 5-gram span that also
+    * occurs in at least one OTHER document, unless this document is the
+    * span's canonical owner (min doc_id) — exactly one document keeps each
+    * shared substring, so the corpus loses the repeats but never the
+    * content. Output is the REWRITTEN text plus removal counts.
+    *
+    * Scale shape: span occurrences explode map-side and aggregate on
+    * (sh, doc) then sh — both partial-aggregable, so a stop-span shared by
+    * 10M documents costs one row per map partition in the dim build. The
+    * verdict join back to occurrences is filtered to df>=2 spans BEFORE
+    * the join (organic corpora: a small fraction) and is linear in dup
+    * occurrences — each occurrence needs its own verdict, so no
+    * formulation beats linear; AQE handles dup-span skew. Covered-position
+    * assembly groups on doc_id (uniform key, arrays bounded by document
+    * length) and the rewrite is a row-local indexed-filter HOF. NO pair
+    * space is ever built. */
+  def substringRewrite(spark: SparkSession, dir: String): DataFrame =
+    substringRewriteFrom(Tables.documents(spark, dir))
+
+  def substringRewriteFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = docs.select($"doc_id", F.tokens($"text").as("tk"))
+    // pos = 0-based span start (posexplode index into the spans5 array).
+    val occ = toks.select($"doc_id", posexplode(F.spans5($"tk")))
+      .toDF("doc_id", "pos", "sh")
+    val dim = occ.groupBy($"sh", $"doc_id").agg(count(lit(1)).as("n_occ"))
+      .groupBy($"sh")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("owner"))
+      .filter($"n_docs" >= 2)
+      .select($"sh", $"owner")
+    val dup = occ.join(dim, Seq("sh")).filter($"doc_id" =!= $"owner")
+    val cov = dup
+      .select($"doc_id", explode(sequence($"pos", $"pos" + 4)).as("cpos"))
+      .groupBy($"doc_id").agg(sort_array(collect_set($"cpos")).as("cps"))
+    toks.join(cov, Seq("doc_id"), "left")
+      .select($"doc_id",
+        size($"tk").cast("long").as("n_tokens"),
+        when($"cps".isNull, lit(0L))
+          .otherwise(size($"cps").cast("long")).as("n_removed"),
+        when($"cps".isNull, concat_ws(" ", $"tk"))
+          .otherwise(concat_ws(" ",
+            filter($"tk", (t, i) => !array_contains($"cps", i))))
+          .as("text_clean"))
+      .withColumn("removed_frac", F.fr(
+        $"n_removed".cast("double") / nullif($"n_tokens", lit(0L)), 4))
+      .select($"doc_id", $"n_tokens", $"n_removed", $"removed_frac",
+        $"text_clean")
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB twin: the two zipped unnests align 1:1 (same range), so each
+    * occ row carries its 0-based start position exactly like posexplode. */
+  val substringRewriteSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |occ AS (
+       |  SELECT doc_id,
+       |    unnest(range(1, len(tk) - 3)) - 1 AS pos,
+       |    unnest(list_transform(range(1, len(tk) - 3),
+       |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS sh
+       |  FROM toks),
+       |dim AS (
+       |  SELECT sh, min(doc_id) AS owner FROM occ
+       |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+       |dup AS (
+       |  SELECT o.doc_id, o.pos FROM occ o JOIN dim d USING (sh)
+       |  WHERE o.doc_id <> d.owner),
+       |cov AS (
+       |  SELECT doc_id, list_sort(list_distinct(flatten(list(
+       |    [pos, pos + 1, pos + 2, pos + 3, pos + 4])))) AS cps
+       |  FROM dup GROUP BY doc_id),
+       |r AS (
+       |  SELECT t.doc_id, len(tk) AS n_tokens,
+       |    coalesce(len(cps), 0) AS n_removed,
+       |    CASE WHEN cps IS NULL THEN array_to_string(tk, ' ')
+       |      -- coalesce: DuckDB folds the all-removed empty list to NULL
+       |      -- where Spark's concat_ws gives '' — normalize to ''
+       |      ELSE coalesce(array_to_string(list_filter(tk,
+       |        (x, i) -> NOT list_contains(cps, i - 1)), ' '), '')
+       |    END AS text_clean
+       |  FROM toks t LEFT JOIN cov c USING (doc_id))
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(n_removed AS BIGINT) AS n_removed,
+       |  ${S.fr("CAST(n_removed AS DOUBLE) / nullif(n_tokens, 0)", 4)} AS removed_frac,
+       |  text_clean
+       |FROM r ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ shared
   /** Per-doc distinct shingle arrays (the verify side of LSH). Tokens are
     * projected before the shingle HOF — see [[F.shingles3]]. `carry` keeps

@@ -435,4 +435,76 @@ object Curation {
        |  r.doc_id, r.band, r.quality
        |FROM r JOIN off USING (band)
        |ORDER BY seq""".stripMargin
+
+  // ---------------------------------------------------------------- p09
+  /** Pips on the 4-decimal rate grid (10^4): all epoch arithmetic below
+    * the one declared rounding happens in exact integers. */
+  val TempPips = 10000L
+
+  /** p09: temperature-based domain RESAMPLING (the multilingual
+    * temperature-sampling knob of mT5/XLM-R, τ = 0.5): where p06 cuts each
+    * language down to a budget, p09 UPsamples low-resource languages by
+    * replication so one training epoch sees q_d ∝ p_d^τ instead of the raw
+    * p_d. With τ = 0.5 the replication factor collapses to
+    * rate_d = √(tokens_max / tokens_d) (the normalizer cancels against the
+    * min-rate anchor, so the largest language trains exactly once) — and
+    * that closed form is why the oracle can be bit-exact: integer token
+    * sums, ONE IEEE divide and ONE sqrt (both correctly rounded on every
+    * engine; a general pow(τ) would fork between libms), rounded once onto
+    * the 4-decimal grid. Per doc the epoch count is
+    * floor(rate) + Bernoulli(frac(rate)) with the deterministic salted
+    * polynomial hash as the coin — integer pip arithmetic after the single
+    * rounding, so engines and reruns agree exactly.
+    *
+    * Scale shape: one partial-aggregable groupBy(lang) builds the
+    * language-token dimension (langs ≪ corpus); the max anchor is a 1-row
+    * aggregate over that dimension; both join back broadcast. Everything
+    * per-doc is row-local — NO corpus shuffle at all. */
+  def temperatureSample(spark: SparkSession, dir: String): DataFrame =
+    temperatureSampleFrom(graft.sources.Tables.documents(spark, dir))
+
+  def temperatureSampleFrom(docsIn: DataFrame): DataFrame = {
+    import docsIn.sparkSession.implicits._
+    import graft.functions.{TextFunctions => F}
+    val docs = docsIn.select($"doc_id", $"lang",
+      size(F.tokens($"text")).cast("long").as("n_tokens"),
+      pmod(F.polyHash(concat($"doc_id".cast("string"), lit("-p09"))),
+        lit(TempPips)).as("h"))
+    val langDim = docs.groupBy($"lang").agg(sum($"n_tokens").as("lang_tokens"))
+    val anchor = langDim.agg(max($"lang_tokens").as("max_tokens"))
+    val rated = langDim.crossJoin(broadcast(anchor))
+      .withColumn("rate_pips",
+        floor(sqrt($"max_tokens".cast("double") / $"lang_tokens".cast("double"))
+          * TempPips + 0.5).cast("long"))
+      .select($"lang", $"lang_tokens", $"rate_pips")
+    docs.join(broadcast(rated), Seq("lang"))
+      .select($"doc_id", $"lang", $"n_tokens",
+        ($"rate_pips".cast("double") / TempPips).as("rate"),
+        ((($"rate_pips" - $"rate_pips" % TempPips) / TempPips).cast("long") +
+          when($"h" < $"rate_pips" % TempPips, 1L).otherwise(0L)).as("n_epochs"))
+      .withColumn("emitted_tokens", $"n_tokens" * $"n_epochs")
+      .orderBy($"doc_id")
+  }
+
+  val temperatureSampleSql: String = {
+    import graft.functions.{TextSql => S}
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ${S.polyHash("CAST(doc_id AS VARCHAR) || '-p09'")} % $TempPips AS h
+       |  FROM documents),
+       |lt AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens FROM d GROUP BY 1),
+       |mx AS (SELECT max(lang_tokens) AS max_tokens FROM lt),
+       |r AS (
+       |  SELECT lang,
+       |    CAST(floor(sqrt(CAST(max_tokens AS DOUBLE) / CAST(lang_tokens AS DOUBLE))
+       |      * $TempPips + 0.5) AS BIGINT) AS rate_pips
+       |  FROM lt CROSS JOIN mx)
+       |SELECT d.doc_id, d.lang, d.n_tokens,
+       |  CAST(rate_pips AS DOUBLE) / $TempPips AS rate,
+       |  CAST(rate_pips // $TempPips + (CASE WHEN h < rate_pips % $TempPips THEN 1 ELSE 0 END) AS BIGINT) AS n_epochs,
+       |  CAST(d.n_tokens * (rate_pips // $TempPips + (CASE WHEN h < rate_pips % $TempPips THEN 1 ELSE 0 END)) AS BIGINT) AS emitted_tokens
+       |FROM d JOIN r USING (lang)
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }

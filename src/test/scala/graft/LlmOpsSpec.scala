@@ -724,6 +724,49 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r.forall(!_.getAs[Boolean]("flagged"))) // 1/6 < 0.3
   }
 
+  test("d12: substring removal keeps the owner copy, strips clones, spares within-doc repeats") {
+    import TestSpark.spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),          // owner of the shared content
+      (2L, "a b c d e f g h i j"),          // exact clone -> fully removed
+      (3L, "z y x a b c d e f q"),          // shares the 6-token window "a b c d e f"
+      (4L, "m m m m m m m m m m"))          // within-doc repeats only: df=1, kept
+      .toDF("doc_id", "text")
+    val r = dedup.Dedup.substringRewriteFrom(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[String]("text_clean") == "a b c d e f g h i j")
+    assert(r(1L).getAs[Long]("n_removed") == 0L)
+    assert(r(2L).getAs[String]("text_clean") == "")
+    assert(r(2L).getAs[Long]("n_removed") == 10L)
+    assert(r(2L).getAs[Double]("removed_frac") == 1.0)
+    // doc 3: spans "a b c d e" (pos 3) and "b c d e f" (pos 4) are shared
+    // with docs 1/2 (owner = 1), covering positions 3..8 -> 6 tokens gone.
+    assert(r(3L).getAs[Long]("n_removed") == 6L)
+    assert(r(3L).getAs[String]("text_clean") == "z y x q")
+    // doc 4's "m m m m m" span repeats 6x but only within itself: df=1
+    assert(r(4L).getAs[Long]("n_removed") == 0L)
+    assert(r(4L).getAs[String]("text_clean") == "m m m m m m m m m m")
+  }
+
+  test("d12 conserves content: every kept token count matches, corpus loses only covered repeats") {
+    import TestSpark.spark.implicits._
+    val out = dedup.Dedup.substringRewrite(spark, sf)
+    // no window anywhere (same partial-aggregable discipline as d11)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "d12 must stay window-free: df from groupBy, rewrite row-local")
+    val r = out.select(
+      sum($"n_tokens").as("tok"), sum($"n_removed").as("rem"),
+      sum(when($"n_removed" > 0, 1).otherwise(0)).as("touched")).head
+    assert(r.getAs[Long]("touched") > 0, "sf corpus has clone clusters; some doc must be rewritten")
+    assert(r.getAs[Long]("rem") < r.getAs[Long]("tok"), "owners keep their copy")
+    // rewritten text token count reconciles with n_tokens - n_removed
+    val bad = out.filter(
+      when($"text_clean" === "", lit(0L))
+        .otherwise(size(split($"text_clean", " ")).cast("long"))
+        =!= $"n_tokens" - $"n_removed").count()
+    assert(bad == 0L)
+  }
+
   test("t08: repetition gate flags a degenerate doc and passes a diverse one") {
     import TestSpark.spark.implicits._
     val docs = Seq(
@@ -952,6 +995,49 @@ class LlmOpsSpec extends AnyFunSuite {
     // ascending-band curriculum: bands never decrease along the sequence
     val bands = rows.sortBy(_.getLong(0)).map(_.getInt(2))
     assert(bands.zip(bands.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("p09: temperature resampling anchors the largest language at 1 epoch, upsamples by sqrt") {
+    import TestSpark.spark.implicits._
+    // 90/10 token split -> minority rate = sqrt(9) = 3.0 exactly (frac 0,
+    // so the hash coin never fires and every minority doc gets 3 epochs).
+    val docs = (
+      (1 to 90).map(i => (i.toLong, "big", "w " * 9 + "w")) ++
+      (1 to 10).map(i => (100L + i, "small", "w " * 9 + "w"))
+    ).toDF("doc_id", "lang", "text")
+    val r = operators.Curation.temperatureSampleFrom(docs).collect()
+    val byLang = r.groupBy(_.getAs[String]("lang"))
+    assert(byLang("big").forall(x =>
+      x.getAs[Double]("rate") == 1.0 && x.getAs[Long]("n_epochs") == 1L))
+    assert(byLang("small").forall(x =>
+      x.getAs[Double]("rate") == 3.0 && x.getAs[Long]("n_epochs") == 3L))
+    // after resampling the flattened share: 900 vs 10*10*3 = 300 emitted
+    assert(r.map(_.getAs[Long]("emitted_tokens")).sum == 1200L)
+  }
+
+  test("p09: fractional rates round stochastically but deterministically, within one doc of exact") {
+    import TestSpark.spark.implicits._
+    // 9/4 token ratio -> rate = sqrt(2.25) = 1.5: each minority doc gets
+    // 1 or 2 epochs by its salted hash coin, reproducibly.
+    val docs = (
+      (1 to 900).map(i => (i.toLong, "big", "w")) ++
+      (1 to 400).map(i => (10000L + i, "small", "w"))
+    ).toDF("doc_id", "lang", "text")
+    val out = operators.Curation.temperatureSampleFrom(docs)
+    val r = out.collect()
+    val small = r.filter(_.getAs[String]("lang") == "small")
+    assert(small.forall(x => { val e = x.getAs[Long]("n_epochs"); e == 1L || e == 2L }))
+    val emitted = small.map(_.getAs[Long]("n_epochs")).sum
+    // E[emitted] = 400 * 1.5 = 600; the polyHash coin is uniform enough
+    // for a generous tolerance, and the exact value is pinned by rerun.
+    assert(emitted > 520 && emitted < 680, s"emitted=$emitted")
+    assert(out.collect().map(_.getAs[Long]("n_epochs")).toSeq ==
+      r.map(_.getAs[Long]("n_epochs")).toSeq, "rerun must be identical")
+    // corpus level: sf run emits at least every doc once, no corpus shuffle
+    val sfOut = operators.Curation.temperatureSample(spark, sf)
+    assert(sfOut.filter($"n_epochs" < 1).count() == 0)
+    val plan = sfOut.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "p09 must be window-free")
   }
 
   test("m05: binaryFile ingestion round-trips every sampled asset byte-for-byte") {
