@@ -54,7 +54,16 @@ object Bench {
           // the dedup block's shared doc-shingle cache, warmed as its own
           // entry for the same reason (the round-9 d02↔d07 swap)
           "dedup_build" -> timed("dedup_build")(
-            materialize(graft.dedup.Dedup.sharedShingles(spark, sfDir))))
+            materialize(graft.dedup.Dedup.sharedShingles(spark, sfDir))),
+          // the composed daily product's two orchestrated week runs
+          // (fixed-slice and balance-fed sizing), shared by the r32/r34/
+          // r36 gates — warmed here so the bootstrap + day-loop
+          // orchestration cost is its own entry instead of landing on
+          // whichever daily gate happens to run first
+          "daily_build" -> timed("daily_build") {
+            Daily.sharedDailyRun(spark, sfDir, balanceFed = false): Unit
+            Daily.sharedDailyRun(spark, sfDir, balanceFed = true): Unit
+          })
       else Seq.empty
     val queryResults = selected.map { case (name, fn) =>
       name -> timed(name)(materialize(fn(spark, sfDir)))

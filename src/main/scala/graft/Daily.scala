@@ -598,19 +598,51 @@ object Daily {
     * day s ≡ the full-corpus CCI restricted to d ≤ s (trailing windows
     * never change under append), and each event row is fetched exactly once
     * — on the first trading day ≥ its date. */
+  /** One orchestrated run of the composed daily product per (events dir,
+    * sizing mode), shared by the three daily gates: the reference runs ONE
+    * daily app (app.py:49 execute_pipeline) whose single cron invocation
+    * produces the digest feed, the lot lifecycle AND the balance
+    * trajectory — r32/r34/r36 gate three OUTPUT TABLES of that one run,
+    * so re-orchestrating the whole week per gate (3 bootstraps + 3 day
+    * loops per sweep) was pure duplication. Two runs remain because the
+    * sizing mode genuinely forks the data: r34 gates the fixed-slice
+    * sizing (r13's rule) while r36's balance-fed sizing changes
+    * `buy_order_qty` from day 2 on. r32 reads its digests off the
+    * balance-fed run — its six gated columns are computed from the
+    * fetch→bars→CCI→state chain BEFORE the orders branch and are
+    * bit-identical across modes (spec-pinned in DailyRunSpec).
+    * Workspaces are shutdown-hook-cleaned temp dirs (Extras.tempDir);
+    * the cache is per-JVM, exactly the lifetime of those dirs. */
+  private val sharedRuns = new java.util.concurrent.ConcurrentHashMap[
+    (String, Boolean), (Workspace, java.sql.Date, LocalDate)]()
+
+  def sharedDailyRun(spark: SparkSession, dir: String,
+      balanceFed: Boolean): (Workspace, java.sql.Date, LocalDate) =
+    sharedRuns.computeIfAbsent((dir, balanceFed), _ => {
+      import spark.implicits._
+      val ws = Workspace(graft.operators.Extras.tempDir(
+        if (balanceFed) "graft-daily-bal" else "graft-daily-fix"))
+      val conn = new LocalFileEventConnector(dir)
+      val maxLd = Tables.events(spark, dir)
+        .agg(max(to_date($"ts"))).head().getDate(0).toLocalDate
+      val start = maxLd.minusDays(6)
+      val cutoff = java.sql.Date.valueOf(start.minusDays(1))
+      bootstrap(spark, conn, ws, cutoff)
+      writeConditions(spark, dir, ws)
+      if (balanceFed) seedBalance(spark, ws, cutoff)
+      run(spark, conn, ws, start, maxLd,
+        withOrders = true, withBalance = balanceFed): Unit
+      (ws, cutoff, maxLd)
+    })
+
   def dailyRunQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // shutdown-hook-cleaned workspace (Extras.tempDir): a bare
-    // createTempDirectory would leak a full bars+cci+digest workspace
-    // per verify/bench invocation in a long-lived session
-    val ws = Workspace(graft.operators.Extras.tempDir("graft-daily-r32"))
-    val conn = new LocalFileEventConnector(dir)
-    val maxLd = Tables.events(spark, dir)
-      .agg(max(to_date($"ts"))).head().getDate(0).toLocalDate
-    val start = maxLd.minusDays(6)
-    bootstrap(spark, conn, ws, java.sql.Date.valueOf(start.minusDays(1)))
-    val digests = run(spark, conn, ws, start, maxLd)
-    spark.createDataset(digests).toDF()
+    val (ws, cutoff, _) = sharedDailyRun(spark, dir, balanceFed = true)
+    // the committed digest partitions ARE the run's return value (run()
+    // re-reads them on resume the same way); bootstrap commits no digest,
+    // so the read-back is exactly the run window's trading days
+    spark.read.parquet(ws.digestDir)
+      .filter($"d" > lit(cutoff))
       .select($"d", $"n_fetched", $"n_cci_new", $"n_cci_total",
         $"n_series", $"n_buy_signals")
       .orderBy($"d")
@@ -686,14 +718,7 @@ object Daily {
     * indistinguishable from that one-shot replay. */
   def dailyPositionsQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ws = Workspace(graft.operators.Extras.tempDir("graft-daily-r34"))
-    val conn = new LocalFileEventConnector(dir)
-    val maxLd = Tables.events(spark, dir)
-      .agg(max(to_date($"ts"))).head().getDate(0).toLocalDate
-    val start = maxLd.minusDays(6)
-    bootstrap(spark, conn, ws, java.sql.Date.valueOf(start.minusDays(1)))
-    writeConditions(spark, dir, ws)
-    run(spark, conn, ws, start, maxLd, withOrders = true): Unit
+    val (ws, _, maxLd) = sharedDailyRun(spark, dir, balanceFed = false)
     val outCols = Seq("user_id", "buy_d", "buy_price", "buy_qty",
       "condition_holding_days", "condition_target_return",
       "trade_result", "sell_d", "sell_price").map(col)
@@ -789,16 +814,7 @@ object Daily {
     * replay — feedback and all. */
   def dailyBalanceQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ws = Workspace(graft.operators.Extras.tempDir("graft-daily-r36"))
-    val conn = new LocalFileEventConnector(dir)
-    val maxLd = Tables.events(spark, dir)
-      .agg(max(to_date($"ts"))).head().getDate(0).toLocalDate
-    val start = maxLd.minusDays(6)
-    val cutoff = java.sql.Date.valueOf(start.minusDays(1))
-    bootstrap(spark, conn, ws, cutoff)
-    writeConditions(spark, dir, ws)
-    seedBalance(spark, ws, cutoff)
-    run(spark, conn, ws, start, maxLd, withOrders = true, withBalance = true): Unit
+    val (ws, cutoff, _) = sharedDailyRun(spark, dir, balanceFed = true)
     spark.read.parquet(ws.balanceDir)
       .filter($"d" > lit(cutoff))
       .select($"d", $"bal_start_cents", $"buy_cost_cents",

@@ -62,6 +62,31 @@ class DailyRunSpec extends AnyFunSuite {
       "every event in the window fetched exactly once")
   }
 
+  test("r32 piggyback soundness: digests are bit-identical across sizing modes") {
+    // r32's gated columns come from the fetch→bars→CCI→state chain BEFORE
+    // the orders branch, so reading them off the shared balance-fed run
+    // (Daily.sharedDailyRun) must be indistinguishable from an order-less
+    // run — the claim that lets r32/r34/r36 share two orchestrations
+    val conn = new LocalFileEventConnector(sf)
+    val start = maxLd.minusDays(6)
+    val cutoff = java.sql.Date.valueOf(start.minusDays(1))
+    def digestsFor(orders: Boolean, balance: Boolean) = {
+      val ws = newWs()
+      Daily.bootstrap(spark, conn, ws, cutoff)
+      if (orders) Daily.writeConditions(spark, sf, ws)
+      if (balance) Daily.seedBalance(spark, ws, cutoff)
+      Daily.run(spark, conn, ws, start, maxLd,
+          withOrders = orders, withBalance = balance)
+        .map(g => (g.d, g.n_fetched, g.n_cci_new, g.n_cci_total,
+          g.n_series, g.n_buy_signals))
+    }
+    val plain = digestsFor(orders = false, balance = false)
+    val balanceFed = digestsFor(orders = true, balance = true)
+    assert(plain.nonEmpty)
+    assert(plain == balanceFed,
+      "order/balance branches must not leak into the r32 digest columns")
+  }
+
   test("daily loop: crash rerun of a committed day is a state no-op") {
     val ws = newWs()
     val conn = new LocalFileEventConnector(sf)
