@@ -119,6 +119,7 @@ object SparkEntry {
     "d10_dedup_normalized" -> (graft.dedup.Dedup.normalizedDedup _),
     "d11_span_dedup" -> (graft.dedup.Dedup.spanDedup _),
     "d12_dedup_substring" -> (graft.dedup.Dedup.substringRewrite _),
+    "d13_dedup_bloom" -> (graft.dedup.Dedup.bloomDedup _),
     "q04_order_priority" -> (Relational.q04OrderPriority _),
     "q28_waiting_suppliers" -> (Relational.q28WaitingSuppliers _),
     "q29_market_share" -> (Relational.q29MarketShare _),
@@ -322,6 +323,7 @@ object SparkEntry {
     "d10_dedup_normalized" -> graft.dedup.Dedup.normalizedDedupSql,
     "d11_span_dedup" -> graft.dedup.Dedup.spanDedupSql,
     "d12_dedup_substring" -> graft.dedup.Dedup.substringRewriteSql,
+    "d13_dedup_bloom" -> graft.dedup.Dedup.bloomDedupSql,
     "q04_order_priority" -> Relational.q04Sql,
     "q28_waiting_suppliers" -> Relational.q28Sql,
     "q29_market_share" -> Relational.q29Sql,

@@ -280,6 +280,106 @@ object Dedup {
        |  text_clean
        |FROM r ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d13
+  /** Bloom sketch sizing for [[bloomDedup]]: a contract constant, not
+    * data-derived — 2^23 bits is a fixed 1 MiB driver/broadcast artifact
+    * at ANY corpus size (~1% false-positive rate at 2^20 corpus hashes;
+    * a 100 TB deployment sizes it per the corpus-hash cardinality it
+    * maintains anyway, and the OUTPUT is invariant to the choice). */
+  val BloomNumBits = 1L << 23
+  /** Ingest-id offset for the derived re-crawl batch (see [[bloomDedup]]). */
+  val ReIngestOffset = 10000000L
+
+  /** d13: Bloom-prefiltered batch-vs-corpus EXACT membership dedup — the
+    * re-crawl admission gate at 100 TB (a new ingest batch asks "which of
+    * these did the corpus already absorb?" without ever joining the batch
+    * against the full corpus). Three steps, each the scale-correct form:
+    *
+    *  1. BUILD: one pass over the corpus folds every content hash into a
+    *     [[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]]
+    *     — partial sketches merge by bitwise OR, so the build is fully
+    *     partial-aggregable and the result is a bounded [[BloomNumBits]]-bit
+    *     binary (the same machinery Spark's own runtime row-level filtering
+    *     injects). At scale the sketch is built once per ingest cadence and
+    *     reused across batches.
+    *  2. PREFILTER: the batch probes the sketch as a codegen'd scalar
+    *     predicate ([[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    *     over a literal) — row-local, no shuffle, no false negatives; only
+    *     the (dups + ~1% FP) survivors continue.
+    *  3. CONFIRM: the survivors' hashes BROADCAST-semi-join into the corpus
+    *     scan (the corpus never shuffles — one scan with a map-side probe),
+    *     and the matched corpus rows alone aggregate to min-doc_id owners.
+    *     False positives die here, so the OUTPUT is exactly the anti-join
+    *     semantics the oracle states, Bloom-invisibly.
+    *
+    * The gated batch is derived in-query (t12's determinism pattern — the
+    * sf corpora have no exact cross-id duplicates, so a real split would
+    * gate vacuously): docs with doc_id ≡ 3 (mod 7) re-arrive verbatim under
+    * ingest_id = doc_id + [[ReIngestOffset]] (the re-crawl), docs ≡ 5
+    * (mod 7) arrive REVISED (a marker token appended — genuinely new
+    * content). Output: one row per batch doc with its admission verdict. */
+  def bloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val batch = docs.filter(pmod($"doc_id", lit(7L)) === 3L)
+      .select(($"doc_id" + ReIngestOffset).as("ingest_id"), $"text")
+      .unionByName(docs.filter(pmod($"doc_id", lit(7L)) === 5L)
+        .select(($"doc_id" + 2L * ReIngestOffset).as("ingest_id"),
+          concat($"text", lit(" rev")).as("text")))
+    bloomDedupFrom(docs, batch)
+  }
+
+  private[graft] def bloomDedupFrom(corpus: DataFrame, batch: DataFrame,
+      numBits: Long = BloomNumBits): DataFrame = {
+    import corpus.sparkSession.implicits._
+    import org.apache.spark.sql.GraftShim
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
+    // the sketch key is Spark-internal (xxhash64 never reaches the output,
+    // so it needs no oracle twin); md5 is the EXACT membership key, shared
+    // with the d01 convention and the DuckDB oracle
+    val bloomBytes = corpus.select(GraftShim.column(
+        new BloomFilterAggregate(GraftShim.expression(xxhash64($"text")),
+          Literal(numBits / 8), Literal(numBits)).toAggregateExpression())
+        .as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    // the aggregate yields null over an EMPTY corpus (zero inserted
+    // hashes): nothing can be a member, so the prefilter is `false`
+    val mightContain =
+      if (bloomBytes == null) lit(false)
+      else GraftShim.column(BloomFilterMightContain(
+        Literal(bloomBytes), GraftShim.expression(xxhash64($"text"))))
+
+    val hashedBatch = batch.select($"ingest_id", $"text",
+      md5($"text").as("h"), mightContain.as("cand"))
+    val survivors = hashedBatch.filter($"cand").select($"h").distinct()
+    val owners = corpus.select(md5($"text").as("h"), $"doc_id")
+      .join(broadcast(survivors), Seq("h"))
+      .groupBy($"h").agg(min($"doc_id").as("dup_of"))
+    hashedBatch.join(broadcast(owners), Seq("h"), "left")
+      .select($"ingest_id", $"dup_of", $"dup_of".isNull.as("is_new"))
+      .orderBy($"ingest_id")
+  }
+
+  /** DuckDB twin: the Bloom sketch is implementation, not semantics — the
+    * oracle states the plain exact-hash anti-join over the same derived
+    * batch, which step 3's confirm join reduces the engine to. */
+  val bloomDedupSql: String =
+    s"""WITH batch AS (
+       |  SELECT doc_id + $ReIngestOffset AS ingest_id, text
+       |  FROM documents WHERE doc_id % 7 = 3
+       |  UNION ALL
+       |  SELECT doc_id + ${2L * ReIngestOffset} AS ingest_id, text || ' rev'
+       |  FROM documents WHERE doc_id % 7 = 5),
+       |own AS (
+       |  SELECT md5(text) AS h, min(doc_id) AS dup_of
+       |  FROM documents GROUP BY 1)
+       |SELECT b.ingest_id, own.dup_of, own.dup_of IS NULL AS is_new
+       |FROM (SELECT ingest_id, md5(text) AS h FROM batch) b
+       |LEFT JOIN own USING (h)
+       |ORDER BY b.ingest_id""".stripMargin
+
   // ------------------------------------------------------------ shared
   /** Per-doc distinct shingle arrays (the verify side of LSH). Tokens are
     * projected before the shingle HOF — see [[F.shingles3]]. `carry` keeps

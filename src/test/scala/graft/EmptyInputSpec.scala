@@ -34,6 +34,15 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(dedup.Dedup.incrementalDedupFrom(emptyDocs).count() == 0)
   }
 
+  test("d13 bloom dedup tolerates an empty corpus and an empty batch") {
+    val batch = Seq((1001L, "anything")).toDF("ingest_id", "text")
+    val emptyBatch = Seq.empty[(Long, String)].toDF("ingest_id", "text")
+    // empty corpus: the sketch aggregate yields null -> everything is new
+    val r = dedup.Dedup.bloomDedupFrom(emptyDocs, batch).collect()
+    assert(r.length == 1 && r.head.getBoolean(2) && r.head.isNullAt(1))
+    assert(dedup.Dedup.bloomDedupFrom(oneDoc, emptyBatch).count() == 0)
+  }
+
   test("text From-operators tolerate empty and singleton corpora") {
     assert(operators.TextAnalysis.repetitionScoreFrom(emptyDocs).count() == 0)
     assert(operators.TextAnalysis.repetitionScoreFrom(oneDoc).count() == 1)

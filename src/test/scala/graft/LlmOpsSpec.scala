@@ -767,6 +767,49 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  test("d13: bloom prefilter stays exact under a saturated sketch (forced false positives)") {
+    import TestSpark.spark.implicits._
+    val corpus = (1L to 200L).map(i => (i, s"corpus doc number $i"))
+      .toDF("doc_id", "text")
+    val batch = (Seq(
+      (1001L, "corpus doc number 17"),   // true dup
+      (1002L, "corpus doc number 170"),  // true dup
+      (1003L, "brand new content a")) ++
+      (1L to 60L).map(i => (2000L + i, s"fresh text $i")))
+      .toDF("ingest_id", "text")
+    // 64 bits for 200 inserts: the sketch saturates, so essentially EVERY
+    // batch row becomes a candidate — the confirm join must still produce
+    // the exact anti-join answer (false positives die there by design)
+    val r = dedup.Dedup.bloomDedupFrom(corpus, batch, numBits = 64L)
+      .collect().map(x => x.getLong(0) ->
+        (Option(x.get(1)).map(_.asInstanceOf[Long]), x.getBoolean(2))).toMap
+    assert(r(1001L) == (Some(17L), false))
+    assert(r(1002L) == (Some(170L), false))
+    assert(r(1003L) == (None, true))
+    assert((1L to 60L).forall(i => r(2000L + i) == (None, true)))
+  }
+
+  test("d13: sf re-crawl gate — verbatim re-ingest rejected to its source doc, revisions admitted") {
+    import TestSpark.spark.implicits._
+    val out = dedup.Dedup.bloomDedup(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    // the batch probes the sketch row-locally and the corpus never
+    // shuffles: both joins broadcast, the bloom probe is in the plan
+    assert(plan.toLowerCase.contains("might_contain"),
+      "bloom prefilter must reach the physical plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus membership must confirm via broadcast joins, never a corpus shuffle")
+    val r = out.collect()
+    val re = r.filter(_.getLong(0) < 2L * dedup.Dedup.ReIngestOffset)
+    val rev = r.filter(_.getLong(0) >= 2L * dedup.Dedup.ReIngestOffset)
+    assert(re.nonEmpty && rev.nonEmpty)
+    // sf0.001 has no intra-corpus exact dups, so each re-crawl row's owner
+    // is exactly its source doc
+    assert(re.forall(x => !x.getBoolean(2) &&
+      x.getLong(1) == x.getLong(0) - dedup.Dedup.ReIngestOffset))
+    assert(rev.forall(x => x.getBoolean(2) && x.isNullAt(1)))
+  }
+
   test("t08: repetition gate flags a degenerate doc and passes a diverse one") {
     import TestSpark.spark.implicits._
     val docs = Seq(

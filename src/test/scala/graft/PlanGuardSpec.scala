@@ -33,6 +33,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "d07_" -> "connected-components fixpoint loop runs jobs on construction",
     "d07b_" -> "large-star/small-star fixpoint loop runs jobs on construction",
     "d08_" -> "incremental-dedup workspace write + eager checkpoint",
+    "d13_" -> "bloom sketch build aggregates the corpus on construction",
     "d09_" -> "IVF centroid training collects a bounded sample on construction",
     "s04_" -> "IVF centroid training collects a bounded sample on construction",
     "s05_" -> "PQ codebook training collects a bounded sample on construction",
