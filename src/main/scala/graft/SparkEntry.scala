@@ -201,6 +201,18 @@ object SparkEntry {
     // one auditable table — candidate count, per-candidate crossover
     // messages, buy count, end-of-run summary, numbers at fixed scale
     "r39_notify_feed" -> (Notify.notifyFeed _),
+    // m06: perceptual-hash (dHash) image near-dup — real raster decode at
+    // the boundary, banded Hamming candidates, d08-style per-doc verdicts
+    "m06_image_phash" -> (graft.multimodal.Multimodal.imagePhash _),
+    // s07: corpus-wide k-NN graph (every vector, mutual-kNN flag) on the
+    // s03 IVF core — the SemDeDup/graph-ANN entry artifact
+    "s07_knn_graph" -> (graft.similarity.Similarity.knnGraph _),
+    // d14: SemDeDup-style semantic clusters — components over the d05
+    // embedding near-dup graph, canonical-per-cluster kept
+    "d14_semantic_clusters" -> (graft.dedup.Dedup.semanticClusters _),
+    // t13: multinomial naive-Bayes classifier (CCNet/fastText-style
+    // filtering stage) — integer micro-log scoring for engine parity
+    "t13_nb_classifier" -> (TextAnalysis.nbClassifier _),
     "p05b_stratified_presplit" -> (Curation.stratifiedSamplePresplitQuery _),
     // d07b: the large-star/small-star CC core — same clusters, same
     // oracle as d07; the long-chain swap-in pinned under the driver gate
@@ -357,6 +369,10 @@ object SparkEntry {
     "r36_daily_balance" -> graft.Daily.dailyBalanceSql,
     "r37_export_format" -> Extras.exportFormatSql,
     "r39_notify_feed" -> Notify.notifyFeedSql,
+    "m06_image_phash" -> graft.multimodal.Multimodal.imagePhashSql,
+    "s07_knn_graph" -> graft.similarity.Similarity.knnGraphSql,
+    "d14_semantic_clusters" -> graft.dedup.Dedup.semanticClustersSql,
+    "t13_nb_classifier" -> TextAnalysis.nbClassifierSql,
     "d07b_dedup_clusters_stars" -> graft.dedup.Dedup.dedupClustersSql,
     "p05b_stratified_presplit" -> Curation.stratifiedSamplePresplitSql,
     "v02b_windowed_counts" -> graft.streaming.EventStream.windowedCountsBatchSql,

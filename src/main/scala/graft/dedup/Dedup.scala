@@ -851,6 +851,59 @@ object Dedup {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d14
+  /** d14: SEMANTIC dedup clusters (the SemDeDup recipe): connected
+    * components over the d05 embedding-cosine near-dup graph instead of
+    * the d02 shingle graph — semantically redundant groups (paraphrases,
+    * re-renders, translations sharing an embedding neighborhood) that
+    * lexical dedup can't see, with one canonical representative kept per
+    * component. Same [[clustersFromPairs]] core and the same recursive-CTE
+    * oracle shape as d07; edges are label-blocked like d05 (at scale the
+    * blocking key is the coarse quantizer cell, so candidates never leave
+    * their cell and the component loop runs over near-dup vectors only —
+    * a sliver of the corpus). Output mirrors d07:
+    * (vec_id, cluster_id, cluster_size, is_canonical). */
+  def semanticClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = graft.GraftSession.maybeEagerCheckpoint(
+      embeddingCosine(spark, dir)
+        .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b")))
+    clustersFromPairs(
+      Tables.embeddings(spark, dir).select($"vec_id".as("doc_id")), pairs)
+      .select($"doc_id".as("vec_id"), $"cluster_id", $"cluster_size",
+        $"is_canonical")
+      .orderBy($"vec_id")
+  }
+
+  val semanticClustersSql: String = {
+    val dot = S.foldSum("list_transform(range(1, len(va) + 1), i -> va[i] * vb[i])")
+    val na = S.foldSum("list_transform(va, x -> x * x)")
+    val nb = S.foldSum("list_transform(vb, x -> x * x)")
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+       |sp AS (
+       |  SELECT vec_a, vec_b FROM p
+       |  WHERE CASE WHEN (sqrt($na) * sqrt($nb)) <> 0.0
+       |             THEN ($dot) / (sqrt($na) * sqrt($nb)) END >= $CosineThreshold),
+       |edges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM sp
+       |  UNION ALL SELECT vec_b, vec_a FROM sp),
+       |reach AS (
+       |  WITH RECURSIVE r(a, b) AS (
+       |    SELECT vec_id, vec_id FROM embeddings
+       |    UNION
+       |    SELECT r.a, e2.dst FROM r JOIN edges e2 ON e2.src = r.b)
+       |  SELECT * FROM r),
+       |comp AS (SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a),
+       |csz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+       |SELECT c.vec_id, c.cluster_id, s.cluster_size,
+       |  c.vec_id = c.cluster_id AS is_canonical
+       |FROM comp c JOIN csz s USING (cluster_id)
+       |ORDER BY c.vec_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- d07
   /** Near-dup CLUSTER formation: connected components over the d02
     * near-dup pair graph, then keep-one-per-cluster — the step that turns

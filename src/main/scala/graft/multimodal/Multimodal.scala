@@ -856,4 +856,180 @@ object Multimodal {
        |  md5(text) AS content_md5
        |FROM documents WHERE doc_id % $LakeStride = 0
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- m06
+  /** dHash grid: 9 columns × 8 rows of area-averaged grays; each of the
+    * 8×8 horizontal-gradient comparisons is one fingerprint bit. Only 63
+    * of the 64 bits are used (the last comparison is dropped) so the
+    * fingerprint stays NON-NEGATIVE in a signed 64-bit BIGINT — band
+    * extraction and the banding arithmetic are then shift/mask-safe in
+    * both engines with no unsigned games. */
+  private[graft] val PHashGridW = 9
+  private[graft] val PHashGridH = 8
+  private[graft] val PHashBits = 63
+  /** 4 bands × 16 bits: any pair within Hamming distance [[PHashHammingMax]]
+    * = 3 differs in at most 3 bands, so it collides exactly on at least
+    * one — the banding is EXACT for this radius (same pigeonhole as d04's
+    * 8-bit SimHash blocks). A production deployment wanting radius r
+    * raises the band count to r+1. */
+  private[graft] val PHashBands = 4
+  private[graft] val PHashHammingMax = 3
+
+  /** The 63-bit dHash from a row-major 9×8 gray grid: bit p (0-based,
+    * p = y·8+x) is set iff gray(y, x+1) > gray(y, x). */
+  private[graft] def dhashBits(g: Array[Int]): Long = {
+    var h = 0L
+    var p = 0
+    while (p < PHashBits) {
+      val y = p / 8
+      val x = p % 8
+      if (g(y * PHashGridW + x + 1) > g(y * PHashGridW + x)) h |= 1L << p
+      p += 1
+    }
+    h
+  }
+
+  /** Area-average a decoded raster down to the 9×8 gray grid. Cell (cx,cy)
+    * averages the pixel block [cx·W/9, (cx+1)·W/9) × [cy·H/8, (cy+1)·H/8)
+    * (integer luma 299R+587G+114B / 1000); rasters narrower than the grid
+    * clamp each cell to at least one pixel so the map is total for any
+    * W,H ≥ 1. Downsampling BEFORE comparing is what makes the hash
+    * perceptual: re-encodes, small crops and single-pixel edits move a
+    * cell average a little, flipping at most a couple of gradient bits. */
+  private[graft] def grayGrid(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val g = new Array[Int](PHashGridW * PHashGridH)
+    var cy = 0
+    while (cy < PHashGridH) {
+      val y0 = cy * h / PHashGridH
+      val y1 = math.min(h, math.max(y0 + 1, (cy + 1) * h / PHashGridH))
+      var cx = 0
+      while (cx < PHashGridW) {
+        val x0 = cx * w / PHashGridW
+        val x1 = math.min(w, math.max(x0 + 1, (cx + 1) * w / PHashGridW))
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)) / 1000L
+            x += 1
+          }
+          y += 1
+        }
+        g(cy * PHashGridW + cx) = (sum / ((x1 - x0).toLong * (y1 - y0))).toInt
+        cx = cx + 1
+      }
+      cy += 1
+    }
+    g
+  }
+
+  /** The decode-less fallback grid: 72 evenly spaced payload bytes stand
+    * in for the grays (position k·len/72, unsigned byte value) — the same
+    * deterministic-fake discipline as m01/m03, so the driver-gated run
+    * (text payloads) is SQL-replayable byte for byte. Requires len ≥ 1. */
+  private[graft] def pseudoGrayGrid(payload: Array[Byte]): Array[Int] =
+    Array.tabulate(PHashGridW * PHashGridH) { k =>
+      payload(((k.toLong * payload.length) / (PHashGridW * PHashGridH)).toInt) & 0xff
+    }
+
+  /** Perceptual hash at the decode boundary: REAL for anything ImageIO
+    * decodes (PNG/JPEG/GIF — the m01 machinery, same pixel bound), the
+    * byte-sampling fake for everything else. Total for len ≥ 1. */
+  private[graft] def pHash64(payload: Array[Byte]): Long = {
+    val img =
+      if (isImage(payload)) boundedImageRead(payload, 0, payload.length) else None
+    dhashBits(img.map(grayGrid).getOrElse(pseudoGrayGrid(payload)))
+  }
+
+  /** m06: perceptual-hash near-dup detection over the image corpus — the
+    * image-side analogue of d04's SimHash text dedup, and the standard
+    * first pass of a multimodal training-data pipeline (re-encoded /
+    * lightly edited image copies survive exact-hash dedup; a dHash within
+    * a small Hamming radius catches them).
+    *
+    * Shape at 100 TB: one mapPartitions pass decodes + hashes each image
+    * (the payload column never shuffles — only the 8-byte fingerprint
+    * does), candidates block on [[PHashBands]] 16-bit bands (exact for
+    * the radius, never an all-pairs join), and each image reports its
+    * earliest near-dup like d08. Output: (doc_id, phash, is_dup, dup_of,
+    * hamming). */
+  def imagePhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imagePhashFrom(withPayload(spark, dir)
+      .filter($"media_type" === "image" && octet_length($"payload") > 0))
+  }
+
+  /** [[imagePhash]] over any (doc_id, payload) frame (real-raster
+    * fixtures in tests enter here). */
+  private[graft] def imagePhashFrom(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = graft.GraftSession.maybeCache(
+      df.select($"doc_id", $"payload").as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, p) => (id, pHash64(p)) })
+        .toDF("doc_id", "phash"))
+    val ks = spark.range(PHashBands).select($"id".cast("int").as("k"))
+    val bands = hashed.crossJoin(broadcast(ks))
+      .withColumn("blk", expr("shiftright(phash, k * 16) & 65535"))
+    val a = bands.select($"doc_id".as("doc_a"), $"phash".as("ph_a"), $"k", $"blk")
+    val b = bands.select($"doc_id".as("doc_b"), $"phash".as("ph_b"), $"k", $"blk")
+    val dups = a.join(b, Seq("k", "blk"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", $"ph_a", $"ph_b").distinct()
+      .withColumn("hamming", expr("bit_count(ph_a ^ ph_b)"))
+      .filter($"hamming" <= PHashHammingMax)
+      .groupBy($"doc_b")
+      .agg(min($"doc_a").as("dup_of"), min_by($"hamming", $"doc_a").as("hamming"))
+    hashed
+      .join(dups.withColumnRenamed("doc_b", "doc_id"), Seq("doc_id"), "left")
+      .select($"doc_id", $"phash", $"dup_of".isNotNull.as("is_dup"),
+        $"dup_of", $"hamming")
+      .orderBy($"doc_id")
+  }
+
+  val imagePhashSql: String = {
+    val gw = PHashGridW
+    val cells = gw * PHashGridH
+    s"""WITH img AS (
+       |  SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS len
+       |  FROM documents
+       |  WHERE doc_id % 3 = 0 AND octet_length(encode(text)) > 0),
+       |g AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, $cells), k ->
+       |      ascii(substr(text, CAST((k * len) // $cells AS INTEGER) + 1, 1))) AS gs
+       |  FROM img),
+       |ph AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(${PHashBits - 1}, -1, -1), p ->
+       |        CASE WHEN gs[CAST((p // 8) * $gw + (p % 8) + 2 AS INTEGER)]
+       |                  > gs[CAST((p // 8) * $gw + (p % 8) + 1 AS INTEGER)]
+       |             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+       |      (a, b) -> a * 2 + b) AS phash
+       |  FROM g),
+       |bands AS (
+       |  SELECT doc_id, phash, k, (phash >> CAST(k * 16 AS INTEGER)) & 65535 AS blk
+       |  FROM ph CROSS JOIN (SELECT unnest(range(0, $PHashBands)) AS k) kk),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.phash AS ph_a, b.phash AS ph_b
+       |  FROM bands a JOIN bands b
+       |    ON a.k = b.k AND a.blk = b.blk AND a.doc_id < b.doc_id),
+       |dup AS (
+       |  SELECT doc_b AS doc_id, min(doc_a) AS dup_of,
+       |    arg_min(bit_count(xor(ph_a, ph_b)), doc_a) AS hamming
+       |  FROM cand
+       |  WHERE bit_count(xor(ph_a, ph_b)) <= $PHashHammingMax
+       |  GROUP BY doc_b)
+       |SELECT p.doc_id, p.phash, d.doc_id IS NOT NULL AS is_dup,
+       |  d.dup_of, d.hamming
+       |FROM ph p LEFT JOIN dup d ON d.doc_id = p.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => F, TextSql => S}
@@ -647,4 +648,110 @@ object TextAnalysis {
        |    '$Ipv4Pat', '[IP]', 'g')) AS redacted_len
        |FROM contaminated
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t13
+  /** Every NbEvalStride-th doc is held out and classified; the rest
+    * train the model. */
+  val NbEvalStride = 10
+
+  /** t13: multinomial naive-Bayes document classifier — the
+    * classifier-based filtering stage of the CCNet/fastText family
+    * (langid or quality gating by a supervised model), trained and
+    * scored fully inside the engine. Labels are the corpus `lang`
+    * column; the model is add-one-smoothed token likelihoods.
+    *
+    * Float-parity discipline (the t09 trick, applied to LOGS): every
+    * per-token log-likelihood ln((c+1)/(N_c+V)) and each class's log
+    * prior are quantized to integer micro-units (floor(ln·1e6 + 0.5))
+    * the moment they are computed, and all downstream accumulation is
+    * exact integer addition — the argmax both engines take is over
+    * identical longs.
+    *
+    * Scale shape: training is one (lang, token) groupBy (map-side
+    * partial); the model joins eval tokens on the TOKEN key as a shuffle
+    * join like t10's df (a 100 TB vocabulary must not broadcast), while
+    * the class table (priors + unseen-token default, one row per class)
+    * broadcasts; the per-doc argmax window partitions on doc_id with
+    * |classes| rows each. */
+  def nbClassifier(spark: SparkSession, dir: String): DataFrame =
+    nbClassifierFrom(Tables.documents(spark, dir))
+
+  /** [[nbClassifier]] over any (doc_id, lang, text) frame (synthetic
+    * corpora in tests). */
+  private[graft] def nbClassifierFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tok = graft.GraftSession.maybeCache(
+      docs.select($"doc_id", $"lang", explode(F.tokens($"text")).as("w"))
+        .filter($"w" =!= ""))
+    val train = tok.filter($"doc_id" % NbEvalStride =!= 0)
+    val ev = tok.filter($"doc_id" % NbEvalStride === 0)
+    val wc = train.groupBy($"lang", $"w").agg(count(lit(1)).as("cwc"))
+    val tc = wc.groupBy($"lang").agg(sum($"cwc").as("n_tok"))
+    // 1-row aggregates ride along as broadcasts — no driver action
+    val vv = train.agg(countDistinct($"w").as("v_size"))
+    val nt = train.agg(countDistinct($"doc_id").as("n_total"))
+    val cdocs = train.groupBy($"lang").agg(countDistinct($"doc_id").as("n_docs"))
+    val cls = cdocs.join(tc, Seq("lang"))
+      .crossJoin(broadcast(vv)).crossJoin(broadcast(nt))
+      .select($"lang".as("cls"),
+        floor(log($"n_docs".cast("double") / $"n_total") * 1e6 + 0.5)
+          .cast("long").as("lprior"),
+        floor(log(lit(1.0) / ($"n_tok" + $"v_size")) * 1e6 + 0.5)
+          .cast("long").as("lp0"))
+    val model = wc.join(tc, Seq("lang")).crossJoin(broadcast(vv))
+      .select($"lang".as("cls"), $"w",
+        floor(log(($"cwc" + lit(1.0)) / ($"n_tok" + $"v_size")) * 1e6 + 0.5)
+          .cast("long").as("lp"))
+    val scored = ev.select($"doc_id", $"w").crossJoin(broadcast(cls))
+      .join(model, Seq("cls", "w"), "left")
+      .groupBy($"doc_id", $"cls", $"lprior")
+      .agg(sum(coalesce($"lp", $"lp0")).as("sum_lp"))
+      .select($"doc_id", $"cls", ($"lprior" + $"sum_lp").as("score6"))
+    val rkw = Window.partitionBy($"doc_id").orderBy($"score6".desc, $"cls")
+    val pred = scored.withColumn("rk", row_number().over(rkw)).filter($"rk" === 1)
+    ev.select($"doc_id", $"lang").distinct()
+      .join(pred, Seq("doc_id"))
+      .select($"doc_id", $"lang", $"cls".as("pred_lang"),
+        ($"lang" === $"cls").as("correct"),
+        F.fr($"score6".cast("double") / 1e6, 4).as("log_score"))
+      .orderBy($"doc_id")
+  }
+
+  val nbClassifierSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |tok AS (SELECT * FROM toks WHERE w <> ''),
+       |train AS (SELECT * FROM tok WHERE doc_id % $NbEvalStride <> 0),
+       |ev AS (SELECT * FROM tok WHERE doc_id % $NbEvalStride = 0),
+       |wc AS (SELECT lang, w, count(*) AS cwc FROM train GROUP BY 1, 2),
+       |tc AS (SELECT lang, CAST(sum(cwc) AS BIGINT) AS n_tok FROM wc GROUP BY 1),
+       |vv AS (SELECT count(DISTINCT w) AS v_size FROM train),
+       |nt AS (SELECT count(DISTINCT doc_id) AS n_total FROM train),
+       |cdocs AS (SELECT lang, count(DISTINCT doc_id) AS n_docs FROM train GROUP BY 1),
+       |cls AS (
+       |  SELECT c.lang AS cls,
+       |    CAST(floor(ln(CAST(n_docs AS DOUBLE) / n_total) * 1e6 + 0.5) AS BIGINT) AS lprior,
+       |    CAST(floor(ln(1.0 / (n_tok + v_size)) * 1e6 + 0.5) AS BIGINT) AS lp0
+       |  FROM cdocs c JOIN tc USING (lang) CROSS JOIN vv CROSS JOIN nt),
+       |model AS (
+       |  SELECT wc.lang AS cls, wc.w,
+       |    CAST(floor(ln((cwc + 1.0) / (n_tok + v_size)) * 1e6 + 0.5) AS BIGINT) AS lp
+       |  FROM wc JOIN tc USING (lang) CROSS JOIN vv),
+       |scored AS (
+       |  SELECT e.doc_id, c.cls, c.lprior + CAST(sum(coalesce(m.lp, c.lp0)) AS BIGINT) AS score6
+       |  FROM ev e CROSS JOIN cls c
+       |  LEFT JOIN model m ON m.cls = c.cls AND m.w = e.w
+       |  GROUP BY e.doc_id, c.cls, c.lprior),
+       |pred AS (
+       |  SELECT doc_id, cls, score6 FROM (
+       |    SELECT doc_id, cls, score6,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY score6 DESC, cls) AS rk
+       |    FROM scored) r
+       |  WHERE rk = 1),
+       |truth AS (SELECT DISTINCT doc_id, lang FROM ev)
+       |SELECT t.doc_id, t.lang, p.cls AS pred_lang, t.lang = p.cls AS correct,
+       |  ${S.fr("CAST(score6 AS DOUBLE) / 1e6", 4)} AS log_score
+       |FROM truth t JOIN pred p USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
 }

@@ -98,12 +98,23 @@ object Similarity {
     * At 100 TB the cell id is the shuffle key; only probed cells are read. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = graft.GraftSession.maybeCache(vecs(spark, dir))
+    ivfProbedTopK(graft.GraftSession.maybeCache(vecs(spark, dir)),
+      _ % QueryStride === 0)
+      .orderBy($"query_id", $"rnk")
+  }
+
+  /** The s03 IVF core over an arbitrary query subset (`isQuery` applies
+    * to vec_id): label-cell centroids, quantized integer probe ranking,
+    * exact cosine top-k within probed cells. Unordered — callers add
+    * their own final sort. s07 runs it with every vector as a query. */
+  private def ivfProbedTopK(e: DataFrame,
+      isQuery: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    import e.sparkSession.implicits._
     val dims = e.select($"vec_id", $"label", posexplode($"v").as(Seq("dim", "dv")))
     val centroids = dims.groupBy($"label", $"dim")
       .agg((sum(floor($"dv" * 1e6).cast("long")).cast("double") /
         count(lit(1)) / 1e6).as("cv"))
-    val qdims = e.filter($"vec_id" % QueryStride === 0)
+    val qdims = e.filter(isQuery($"vec_id"))
       .select($"vec_id".as("query_id"), posexplode($"v").as(Seq("dim", "qv")))
     val probeW = Window.partitionBy($"query_id").orderBy($"score".desc, $"label")
     val probes = qdims.join(centroids, Seq("dim"))
@@ -112,7 +123,7 @@ object Similarity {
       .withColumn("cell_rank", row_number().over(probeW))
       .filter($"cell_rank" <= IvfProbes)
       .select($"query_id", $"label")
-    val q = e.filter($"vec_id" % QueryStride === 0)
+    val q = e.filter(isQuery($"vec_id"))
       .select($"vec_id".as("query_id"), $"v".as("vq"), $"norm".as("nq"))
     val c = e.select($"vec_id".as("neighbor_id"), $"v".as("vn"), $"norm".as("nn"), $"label")
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
@@ -124,7 +135,6 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= TopK)
       .select($"query_id", $"rnk", $"neighbor_id", $"label", $"cosine")
-      .orderBy($"query_id", $"rnk")
   }
 
   val ivfTopKSql: String = {
@@ -654,5 +664,72 @@ object Similarity {
       .filter($"rnk" <= TopK)
       .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
       .orderBy($"query_id", $"rnk")
+  }
+
+  // ---------------------------------------------------------------- s07
+  /** s07: the corpus-wide k-NN GRAPH — every vector's [[TopK]] nearest
+    * neighbors (not just the stride query set), plus the mutual-kNN flag
+    * (edge (a,b) is mutual iff b also ranks a — the symmetric subgraph
+    * SemDeDup-style semantic clustering and graph-ANN construction both
+    * start from). Built on the s03 IVF core, so candidates stay
+    * cell-bounded: at 100 TB this is one probes×cells shuffle keyed on
+    * the cell id plus a self-join of the k·N edge list on (dst, src) —
+    * never an all-pairs product. Deterministic (quantized probe ranking,
+    * rounded cosine, id tiebreaks) → oracle-checked exactly. */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = ivfProbedTopK(
+      graft.GraftSession.maybeCache(vecs(spark, dir)), _ => lit(true))
+      .select($"query_id".as("vec_id"), $"rnk", $"neighbor_id", $"cosine")
+    val e = graft.GraftSession.maybeCache(edges)
+    val rev = e.select($"vec_id".as("r_dst"), $"neighbor_id".as("r_src"))
+    e.join(rev, $"vec_id" === $"r_src" && $"neighbor_id" === $"r_dst", "left")
+      .select($"vec_id", $"rnk", $"neighbor_id", $"cosine",
+        $"r_src".isNotNull.as("mutual"))
+      .orderBy($"vec_id", $"rnk")
+  }
+
+  val knnGraphSql: String = {
+    val dot = S.foldSum("list_transform(range(1, len(vq) + 1), i -> vq[i] * vn[i])")
+    val nq = S.foldSum("list_transform(vq, x -> x * x)")
+    val nn = S.foldSum("list_transform(vn, x -> x * x)")
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |dims AS (
+       |  SELECT vec_id, label, i AS dim, v[i] AS dv
+       |  FROM e, unnest(range(1, len(v) + 1)) AS t(i)),
+       |centroids AS (
+       |  SELECT label, dim,
+       |    CAST(sum(CAST(floor(dv * 1000000.0) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0 AS cv
+       |  FROM dims GROUP BY 1, 2),
+       |probes AS (
+       |  SELECT query_id, label FROM (
+       |    SELECT query_id, label,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, label) AS cell_rank
+       |    FROM (SELECT vec_id AS query_id, c.label,
+       |            sum(CAST(floor(dv * cv * 1000000000.0) AS BIGINT)) AS score
+       |          FROM dims d JOIN centroids c USING (dim)
+       |          GROUP BY 1, 2) s) r
+       |  WHERE cell_rank <= $IvfProbes),
+       |pairs AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id, q.v AS vq, c.v AS vn
+       |  FROM probes p
+       |  JOIN e c ON c.label = p.label
+       |  JOIN e q ON q.vec_id = p.query_id
+       |  WHERE c.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    ${S.fr(s"CASE WHEN (sqrt($nq) * sqrt($nn)) <> 0.0 THEN ($dot) / (sqrt($nq) * sqrt($nn)) END", 6)} AS cosine
+       |  FROM pairs),
+       |knn AS (
+       |  SELECT query_id AS vec_id, rnk, neighbor_id, cosine FROM (
+       |    SELECT query_id, neighbor_id, cosine,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+       |    FROM scored) r
+       |  WHERE rnk <= $TopK)
+       |SELECT k.vec_id, k.rnk, k.neighbor_id, k.cosine,
+       |  r.vec_id IS NOT NULL AS mutual
+       |FROM knn k LEFT JOIN knn r
+       |  ON r.vec_id = k.neighbor_id AND r.neighbor_id = k.vec_id
+       |ORDER BY k.vec_id, k.rnk""".stripMargin
   }
 }

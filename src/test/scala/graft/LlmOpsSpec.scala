@@ -1152,4 +1152,148 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.filter(col("n_phones") === 1 && !col("redacted").contains("[PHONE]")).count() == 0)
     assert(out.filter(col("n_ips") === 1 && !col("redacted").contains("[IP]")).count() == 0)
   }
+
+  test("t13: naive Bayes recovers a separable synthetic vocabulary") {
+    import TestSpark.spark.implicits._
+    // two languages with disjoint vocabularies; eval docs (id % 10 == 0)
+    // use their language's words, so a correct model classifies them all
+    val docs = (1L to 40L).map { i =>
+      val lang = if (i % 2 == 0) "aa" else "bb"
+      val word = if (lang == "aa") "alpha" else "beta"
+      (i, lang, s"$word $word common$i $word")
+    }.toDF("doc_id", "lang", "text")
+    val out = operators.TextAnalysis.nbClassifierFrom(docs).collect()
+    assert(out.length == 4) // ids 10, 20, 30, 40
+    assert(out.forall(_.getBoolean(3)), out.mkString("; "))
+  }
+
+  test("t13: gated corpus run is total over the eval split and stays in-model") {
+    // the sf corpus's lang labels are uncorrelated with its synthetic
+    // text, so accuracy is not meaningful here (the separable-vocabulary
+    // test above carries the quality assertion); this pins the contract:
+    // one verdict per tokenized eval doc, predictions only from trained
+    // classes, deterministic across runs
+    val out = operators.TextAnalysis.nbClassifier(spark, sf).cache()
+    try {
+      val evalDocs = sources.Tables.documents(spark, sf)
+        .filter(col("doc_id") % operators.TextAnalysis.NbEvalStride === 0 &&
+          length(trim(col("text"))) > 0)
+      assert(out.count() == evalDocs.count())
+      val trainLangs = sources.Tables.documents(spark, sf)
+        .filter(col("doc_id") % operators.TextAnalysis.NbEvalStride =!= 0)
+        .select(col("lang").as("pred_lang")).distinct()
+      assert(out.join(trainLangs, Seq("pred_lang"), "left_anti").count() == 0)
+      val again = operators.TextAnalysis.nbClassifier(spark, sf)
+      assert(out.exceptAll(again).count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
+  test("d14: semantic clusters cover the corpus and respect the d05 edge set") {
+    val clusters = dedup.Dedup.semanticClusters(spark, sf).cache()
+    try {
+      val vecs = sources.Tables.embeddings(spark, sf)
+      assert(clusters.count() == vecs.count())
+      // every d05 near-dup pair lands in one cluster
+      val pairs = dedup.Dedup.embeddingCosine(spark, sf)
+        .select(col("vec_a"), col("vec_b"))
+      val ca = clusters.select(col("vec_id").as("vec_a"), col("cluster_id").as("cl_a"))
+      val cb = clusters.select(col("vec_id").as("vec_b"), col("cluster_id").as("cl_b"))
+      assert(pairs.join(ca, "vec_a").join(cb, "vec_b")
+        .filter(col("cl_a") =!= col("cl_b")).count() == 0)
+      // exactly one canonical per cluster, and it is the cluster minimum
+      assert(clusters.filter(col("is_canonical")).count() ==
+        clusters.select("cluster_id").distinct().count())
+      assert(clusters.filter(col("is_canonical") && col("vec_id") =!= col("cluster_id"))
+        .count() == 0)
+      // vectors touching no edge are singletons
+      val touched = pairs.select(col("vec_a").as("vec_id"))
+        .unionByName(pairs.select(col("vec_b").as("vec_id"))).distinct()
+      assert(clusters.join(touched, Seq("vec_id"), "left_anti")
+        .filter(col("cluster_size") =!= 1).count() == 0)
+    } finally { clusters.unpersist(); () }
+  }
+
+  test("s07: knn graph restricted to the stride queries reproduces s03 exactly") {
+    val graph = similarity.Similarity.knnGraph(spark, sf)
+      .filter(col("vec_id") % similarity.Similarity.QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+    val ivf = similarity.Similarity.ivfTopK(spark, sf)
+      .select("query_id", "rnk", "neighbor_id", "cosine")
+    assert(graph.exceptAll(ivf).count() == 0 && ivf.exceptAll(graph).count() == 0)
+  }
+
+  test("s07: the mutual flag is symmetric and marks exactly the reciprocated edges") {
+    val g = similarity.Similarity.knnGraph(spark, sf)
+      .select("vec_id", "neighbor_id", "mutual").cache()
+    try {
+      val edges = g.select("vec_id", "neighbor_id")
+      val reciprocated = edges
+        .join(edges.toDF("neighbor_id", "vec_id"), Seq("vec_id", "neighbor_id"), "left_semi")
+      // mutual <=> the reversed edge exists in the graph
+      val mut = g.filter(col("mutual")).select("vec_id", "neighbor_id")
+      assert(mut.exceptAll(reciprocated).count() == 0)
+      assert(reciprocated.exceptAll(mut).count() == 0)
+      assert(mut.count() % 2 == 0) // mutual edges come in pairs
+    } finally { g.unpersist(); () }
+  }
+
+  test("m06: dHash gradient bits - monotone raster all-ones, flat raster zero") {
+    val M = multimodal.Multimodal
+    // row-major 9x8 grids: strictly increasing along x -> every comparison
+    // fires (all 63 bits); constant -> none (strict >)
+    val rising = Array.tabulate(72)(k => (k % 9) * 10)
+    val flat = Array.fill(72)(128)
+    assert(M.dhashBits(rising) == Long.MaxValue) // 63 low bits set, sign clear
+    assert(M.dhashBits(flat) == 0L)
+  }
+
+  test("m06: perceptual near-dup - one-pixel edit survives, inversion does not") {
+    import TestSpark.spark.implicits._
+    val M = multimodal.Multimodal
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        36, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 36) {
+        val g = f(x, y) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val base = png((x, _) => x * 7)            // left-to-right brightening
+    val edited = png((x, y) => if (x == 18 && y == 12) 0 else x * 7) // one dead pixel
+    val inverted = png((x, _) => 255 - x * 7)  // reversed gradient
+    val hBase = M.pHash64(base)
+    val hEdit = M.pHash64(edited)
+    val hInv = M.pHash64(inverted)
+    assert(java.lang.Long.bitCount(hBase ^ hEdit) <= M.PHashHammingMax)
+    assert(java.lang.Long.bitCount(hBase ^ hInv) > M.PHashHammingMax)
+    // the full banded pipeline reaches the same verdicts on REAL rasters
+    val docs = Seq((10L, base), (20L, edited), (30L, inverted))
+      .toDF("doc_id", "payload")
+    val out = M.imagePhashFrom(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(20L).getBoolean(2) && out(20L).getLong(3) == 10L) // edit ~ base
+    assert(!out(30L).getBoolean(2)) // inversion is its own image
+    assert(!out(10L).getBoolean(2)) // the earliest copy is canonical
+  }
+
+  test("m06: gated corpus run - exact text copies hash identically") {
+    val out = multimodal.Multimodal.imagePhash(spark, sf)
+    val docs = sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0 && length(col("text")) > 0)
+    assert(out.count() == docs.count())
+    // every image doc whose text equals an EARLIER image doc's text must
+    // be flagged with a hamming-0 match (identical pseudo-grids)
+    val firstIds = docs.groupBy("text")
+      .agg(min("doc_id").as("first_id"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    val laterCopies = docs.join(firstIds, "text")
+      .filter(col("doc_id") > col("first_id"))
+      .select(col("doc_id"))
+    val flagged = out.filter(col("is_dup") && col("hamming") === 0)
+      .select(col("doc_id"))
+    assert(laterCopies.join(flagged, "doc_id").count() == laterCopies.count())
+  }
 }
