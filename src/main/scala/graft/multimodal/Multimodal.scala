@@ -973,7 +973,7 @@ object Multimodal {
       df.select($"doc_id", $"payload").as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, p) => (id, pHash64(p)) })
         .toDF("doc_id", "phash"))
-    val ks = spark.range(PHashBands).select($"id".cast("int").as("k"))
+    val ks = (0 until PHashBands).toDF("k")
     val bands = hashed.crossJoin(broadcast(ks))
       .withColumn("blk", expr("shiftright(phash, k * 16) & 65535"))
     val a = bands.select($"doc_id".as("doc_a"), $"phash".as("ph_a"), $"k", $"blk")

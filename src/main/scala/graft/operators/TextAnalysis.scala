@@ -702,7 +702,16 @@ object TextAnalysis {
       .select($"lang".as("cls"), $"w",
         floor(log(($"cwc" + lit(1.0)) / ($"n_tok" + $"v_size")) * 1e6 + 0.5)
           .cast("long").as("lp"))
-    val scored = ev.select($"doc_id", $"w").crossJoin(broadcast(cls))
+    // The class axis fans out through a ONE-ROW packed aggregate (the
+    // model-broadcast shape): a global collect_list is metadata-bounded
+    // by construction, so the cross join's bounded side is structural —
+    // the per-row explode after the join is |classes|-bounded fan-out.
+    val clsPacked = cls.agg(
+      collect_list(struct($"cls", $"lprior", $"lp0")).as("cl"))
+    val scored = ev.select($"doc_id", $"w").crossJoin(broadcast(clsPacked))
+      .select($"doc_id", $"w", explode($"cl").as("c"))
+      .select($"doc_id", $"w", $"c.cls".as("cls"),
+        $"c.lprior".as("lprior"), $"c.lp0".as("lp0"))
       .join(model, Seq("cls", "w"), "left")
       .groupBy($"doc_id", $"cls", $"lprior")
       .agg(sum(coalesce($"lp", $"lp0")).as("sum_lp"))
