@@ -213,6 +213,9 @@ object SparkEntry {
     // t13: multinomial naive-Bayes classifier (CCNet/fastText-style
     // filtering stage) — integer micro-log scoring for engine parity
     "t13_nb_classifier" -> (TextAnalysis.nbClassifier _),
+    // p10: quality-weighted repetition schedule — multi-epoch training
+    // order with exact global positions (data-constrained scaling knob)
+    "p10_quality_repeat" -> (Curation.qualityRepeat _),
     "p05b_stratified_presplit" -> (Curation.stratifiedSamplePresplitQuery _),
     // d07b: the large-star/small-star CC core — same clusters, same
     // oracle as d07; the long-chain swap-in pinned under the driver gate
@@ -373,6 +376,7 @@ object SparkEntry {
     "s07_knn_graph" -> graft.similarity.Similarity.knnGraphSql,
     "d14_semantic_clusters" -> graft.dedup.Dedup.semanticClustersSql,
     "t13_nb_classifier" -> TextAnalysis.nbClassifierSql,
+    "p10_quality_repeat" -> Curation.qualityRepeatSql,
     "d07b_dedup_clusters_stars" -> graft.dedup.Dedup.dedupClustersSql,
     "p05b_stratified_presplit" -> Curation.stratifiedSamplePresplitSql,
     "v02b_windowed_counts" -> graft.streaming.EventStream.windowedCountsBatchSql,

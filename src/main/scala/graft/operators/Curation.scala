@@ -507,4 +507,109 @@ object Curation {
        |FROM d JOIN r USING (lang)
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- p10
+  /** Copies per quality band (band 0..3 via the p08 banding): the top
+    * band trains [[RepeatTop]] times, the next [[RepeatMid]], the rest
+    * once — the "repeat your best data" knob of data-constrained scaling
+    * (Muennighoff et al. 2023: a few epochs over curated data beat one
+    * epoch over more). */
+  val RepeatTop = 3
+  val RepeatMid = 2
+
+  /** p10: QUALITY-WEIGHTED REPETITION schedule — the materialized
+    * multi-epoch training order: pass 1 carries every doc, pass 2 the
+    * mid-and-up quality bands, pass 3 the top band, each pass internally
+    * shuffled by the salted deterministic hash, with ONE exact global
+    * sequence number across passes. Complements p08 (single-pass
+    * curriculum) and p09 (language upsampling): the repeat axis here is
+    * QUALITY, and the repeated stream is materialized with positions, not
+    * just counted.
+    *
+    * Bands are CORPUS-RELATIVE (p08's absolute grid is degenerate when a
+    * corpus's scores cluster in one absolute band, which would make every
+    * repeat factor 1): the observed [min, max] score range splits into
+    * [[CurriculumBands]] equal bands via a 1-row min/max aggregate —
+    * exact aggregates and one identical IEEE divide, so both engines band
+    * identically.
+    *
+    * Scale shape: the copy explode is a ≤[[RepeatTop]]-way row-local
+    * fan-out; the within-pass rank is a pass-keyed window ([[RepeatTop]]
+    * corpus-scale partitions — pre-split per the p05 caveat at the
+    * extreme); pass offsets are a 3-row broadcast through the p04
+    * two-level trick, so the only global window runs over 3 rows. */
+  def qualityRepeat(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => F}
+    val q0 = TextAnalysis.qualityScore(spark, dir)
+      .select($"doc_id", $"n_tokens",
+        coalesce($"quality_score", lit(0.0)).as("quality"))
+    val ext = q0.agg(min($"quality").as("q_lo"), max($"quality").as("q_hi"))
+    val q = q0.crossJoin(broadcast(ext))
+      .withColumn("band",
+        when($"q_hi" > $"q_lo",
+          least(floor(($"quality" - $"q_lo") / ($"q_hi" - $"q_lo") * CurriculumBands),
+            lit((CurriculumBands - 1).toDouble)))
+          .otherwise(lit(0.0)).cast("int"))
+      .withColumn("repeats",
+        when($"band" === CurriculumBands - 1, RepeatTop)
+          .when($"band" === CurriculumBands - 2, RepeatMid).otherwise(1))
+    val copies = q
+      .select($"doc_id", $"n_tokens", $"band",
+        explode(sequence(lit(1), $"repeats")).as("copy_idx"))
+      .withColumn("ord", F.polyHash(concat(
+        $"doc_id".cast("string"), lit("-"), $"copy_idx".cast("string"), lit("-p10"))))
+    val wIn = Window.partitionBy($"copy_idx").orderBy($"ord", $"doc_id")
+    // declared single-partition window over <= RepeatTop rows (pmod keeps
+    // the constant key from being folded out — see p04)
+    val wP = Window.partitionBy(pmod($"copy_idx", lit(1)))
+      .orderBy($"copy_idx").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = copies.groupBy($"copy_idx").agg(count(lit(1)).as("n"))
+      .withColumn("pass_offset", coalesce(sum($"n").over(wP), lit(0L)))
+      .select($"copy_idx", $"pass_offset")
+    copies
+      .join(broadcast(offsets), Seq("copy_idx"))
+      .withColumn("seq", $"pass_offset" + row_number().over(wIn) - 1)
+      .select($"seq", $"doc_id", $"copy_idx", $"band", $"n_tokens")
+      .orderBy($"seq")
+  }
+
+  val qualityRepeatSql: String =
+    s"""WITH qs AS (
+       |${TextAnalysis.qualityCoreSql}),
+       |ext AS (
+       |  SELECT min(coalesce(quality_score, 0.0)) AS q_lo,
+       |         max(coalesce(quality_score, 0.0)) AS q_hi
+       |  FROM qs),
+       |b AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(CASE WHEN q_hi > q_lo THEN
+       |      least(floor((coalesce(quality_score, 0.0) - q_lo) / (q_hi - q_lo)
+       |        * $CurriculumBands), ${CurriculumBands - 1})
+       |      ELSE 0.0 END AS INTEGER) AS band
+       |  FROM qs CROSS JOIN ext),
+       |c AS (
+       |  SELECT doc_id, n_tokens, band, CAST(unnest(range(1,
+       |    (CASE WHEN band = ${CurriculumBands - 1} THEN $RepeatTop
+       |          WHEN band = ${CurriculumBands - 2} THEN $RepeatMid
+       |          ELSE 1 END) + 1)) AS INTEGER) AS copy_idx
+       |  FROM b),
+       |h AS (
+       |  SELECT doc_id, n_tokens, band, copy_idx,
+       |    ${graft.functions.TextSql.polyHash(
+            "CAST(doc_id AS VARCHAR) || '-' || CAST(copy_idx AS VARCHAR) || '-p10'")} AS ord
+       |  FROM c),
+       |r AS (
+       |  SELECT doc_id, n_tokens, band, copy_idx,
+       |    row_number() OVER (PARTITION BY copy_idx ORDER BY ord, doc_id) AS rk
+       |  FROM h),
+       |o AS (SELECT copy_idx, count(*) AS n FROM c GROUP BY 1),
+       |off AS (
+       |  SELECT copy_idx, coalesce(sum(n) OVER (ORDER BY copy_idx
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pass_offset
+       |  FROM o)
+       |SELECT CAST(off.pass_offset + r.rk - 1 AS BIGINT) AS seq,
+       |  r.doc_id, r.copy_idx, r.band, r.n_tokens
+       |FROM r JOIN off USING (copy_idx)
+       |ORDER BY seq""".stripMargin
 }

@@ -1153,6 +1153,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.filter(col("n_ips") === 1 && !col("redacted").contains("[IP]")).count() == 0)
   }
 
+  test("p10: repetition schedule is a gapless sequence with band-correct copy counts") {
+    val out = operators.Curation.qualityRepeat(spark, sf).cache()
+    try {
+      val n = out.count()
+      // seq is an exact gapless 0..n-1 permutation
+      assert(out.agg(min("seq"), max("seq"), countDistinct("seq")).head() match {
+        case r => r.getLong(0) == 0L && r.getLong(1) == n - 1 && r.getLong(2) == n
+      })
+      // every doc appears exactly repeats(band) times
+      val perDoc = out.groupBy("doc_id", "band").count()
+      assert(perDoc.filter(
+        col("band") === operators.Curation.CurriculumBands - 1 &&
+          col("count") =!= operators.Curation.RepeatTop).count() == 0)
+      assert(perDoc.filter(
+        col("band") === operators.Curation.CurriculumBands - 2 &&
+          col("count") =!= operators.Curation.RepeatMid).count() == 0)
+      assert(perDoc.filter(
+        col("band") < operators.Curation.CurriculumBands - 2 &&
+          col("count") =!= 1).count() == 0)
+      // passes are contiguous: every pass-1 position precedes every pass-2
+      val p1max = out.filter(col("copy_idx") === 1).agg(max("seq")).head.getLong(0)
+      val p2min = out.filter(col("copy_idx") === 2).agg(min("seq")).head.getLong(0)
+      assert(p1max < p2min)
+    } finally { out.unpersist(); () }
+  }
+
   test("t13: naive Bayes recovers a separable synthetic vocabulary") {
     import TestSpark.spark.implicits._
     // two languages with disjoint vocabularies; eval docs (id % 10 == 0)
