@@ -232,6 +232,9 @@ object SparkEntry {
     "v05b_distinct_events" -> (graft.streaming.EventStream.streamDedupBatch _),
     "v06b_dedup_ingest" -> (graft.streaming.DocStream.dedupIngestBatch _),
     "v07b_lsh_candidates" -> (graft.streaming.DocStream.lshCandidatesBatch _),
+    // v13b: verified phash near-dup pair set — batch twin anchoring the
+    // v13 streaming image-admission detector
+    "v13b_phash_pairs" -> (graft.streaming.DocStream.phashPairsBatch _),
     "v08b_attribution_join" -> (graft.streaming.EventStream.viewToPurchaseBatch _),
     "v11b_session_windows" -> (graft.streaming.EventStream.sessionWindowsBatchQuery _),
     // sql01-sql03: the pure-SQL surface — Spark side is a SQL string over
@@ -384,6 +387,7 @@ object SparkEntry {
     "v05b_distinct_events" -> graft.streaming.EventStream.streamDedupBatchSql,
     "v06b_dedup_ingest" -> graft.streaming.DocStream.dedupIngestBatchSql,
     "v07b_lsh_candidates" -> graft.streaming.DocStream.lshCandidatesBatchSql,
+    "v13b_phash_pairs" -> graft.streaming.DocStream.phashPairsBatchSql,
     "v08b_attribution_join" -> graft.streaming.EventStream.viewToPurchaseBatchSql,
     "v11b_session_windows" -> graft.streaming.EventStream.sessionWindowsBatchSql,
     "sql01_pricing_via_sql" -> Relational.q01Sql,

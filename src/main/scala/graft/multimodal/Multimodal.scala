@@ -992,7 +992,10 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
-  val imagePhashSql: String = {
+  /** Oracle CTE chain shared by m06 and the v13b streaming twin: the
+    * fallback pseudo-gray dHash per image doc (`ph`) and its 4×16-bit
+    * band explode (`bands`). */
+  private[graft] val phashCtes: String = {
     val gw = PHashGridW
     val cells = gw * PHashGridH
     s"""WITH img AS (
@@ -1015,8 +1018,12 @@ object Multimodal {
        |  FROM g),
        |bands AS (
        |  SELECT doc_id, phash, k, (phash >> CAST(k * 16 AS INTEGER)) & 65535 AS blk
-       |  FROM ph CROSS JOIN (SELECT unnest(range(0, $PHashBands)) AS k) kk),
-       |cand AS (
+       |  FROM ph CROSS JOIN (SELECT unnest(range(0, $PHashBands)) AS k) kk)""".stripMargin
+  }
+
+  val imagePhashSql: String =
+    phashCtes + ",\n" +
+      s"""cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    a.phash AS ph_a, b.phash AS ph_b
        |  FROM bands a JOIN bands b
@@ -1031,5 +1038,4 @@ object Multimodal {
        |  d.dup_of, d.hamming
        |FROM ph p LEFT JOIN dup d ON d.doc_id = p.doc_id
        |ORDER BY p.doc_id""".stripMargin
-  }
 }

@@ -174,4 +174,118 @@ object DocStream {
         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- v13
+  /** Emitted image near-dup: `doc_b` arrived while `doc_a` was already in
+    * the band's state and their fingerprints verify at Hamming ≤
+    * [[graft.multimodal.Multimodal.PHashHammingMax]]. Unlike v07's
+    * unverified LSH candidates, the verify here is LOCAL (two longs), so
+    * the detector emits confirmed near-dups, no downstream join needed. */
+  final case class PhashMatch(doc_a: Long, doc_b: Long, band: Int, hamming: Int)
+  /** Public: Spark's state encoder codegen needs constructor access. */
+  final case class BandHashes(members: List[(Long, Long)])
+
+  /** v13: STREAMING image near-dup admission — the m06 perceptual dedup
+    * at the ingest door. Each arriving image-typed doc hashes through the
+    * SAME decode boundary as batch m06 ([[graft.multimodal.Multimodal
+    * .pHash64]] — real rasters decode, everything else takes the
+    * deterministic byte-sampling fallback), explodes its 4×16-bit band
+    * keys, and a per-band state of (doc_id, phash) pairs emits a verified
+    * match for every Hamming ≤ 3 collision within the watermark horizon.
+    * Banding is EXACT for the radius, so within one horizon the emitted
+    * pair set equals batch m06's — the parity spec proves it against the
+    * driver-gated v13b twin. State per band key is capped at
+    * [[MaxBandMembers]] and expires at the event-time horizon, the v07
+    * discipline. */
+  def phashMatches(spark: SparkSession, streamDir: String): Dataset[PhashMatch] = {
+    import spark.implicits._
+    // primitives only in the closure (aliasing the Multimodal object as a
+    // local val would capture the non-serializable singleton)
+    val nBands = graft.multimodal.Multimodal.PHashBands
+    val bands = readDocStream(spark, streamDir)
+      .filter(col("doc_id") % 3 === 0 && length(col("text")) > 0)
+      .select(col("doc_id"), col("text"), col("ingest_ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .mapPartitions(_.flatMap { case (id, text, ts) =>
+        val ph = graft.multimodal.Multimodal.pHash64(text.getBytes("UTF-8"))
+        (0 until nBands).iterator.map { k =>
+          (id, k, (ph >> (k * 16)) & 0xffffL, ph, ts)
+        }
+      })
+      .toDF("doc_id", "band", "blk", "phash", "ingest_ts")
+      .withWatermark("ingest_ts", "1 hour")
+      .as[(Long, Int, Long, Long, java.sql.Timestamp)]
+    bands
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[BandHashes, PhashMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, _, state: GroupState[BandHashes]) if state.hasTimedOut =>
+          state.remove(); Iterator.empty
+        case ((band, _), rows, state: GroupState[BandHashes]) =>
+          val rs = rows.toSeq
+          // deterministic within a batch: process in doc_id order
+          val arriving = rs.map(r => (r._1, r._4)).distinct.sortBy(_._1)
+          var seen = state.getOption.map(_.members).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[PhashMatch]
+          arriving.foreach { case (d, ph) =>
+            if (seen.size < MaxBandMembers) {
+              seen.foreach { case (p, php) =>
+                val h = java.lang.Long.bitCount(ph ^ php)
+                if (p != d && h <= graft.multimodal.Multimodal.PHashHammingMax)
+                  out += PhashMatch(math.min(p, d), math.max(p, d), band, h)
+              }
+              seen = (d, ph) :: seen
+            }
+          }
+          state.update(BandHashes(seen))
+          // expire one horizon after the band's LATEST arrival, clamped
+          // above the current watermark (the v07 first-batch lesson)
+          val maxTsMs = rs.map(_._5.getTime).max
+          state.setTimeoutTimestamp(
+            math.max(maxTsMs + 3600L * 1000, state.getCurrentWatermarkMs() + 1))
+          out.iterator
+      }
+  }
+
+  /** v13's batch twin as a DRIVER-GATED query row (v13b): the verified
+    * Hamming ≤ 3 pair set with its colliding-band count — exactly the
+    * pairs the streaming detector emits within one horizon (the pair-set
+    * view of m06, whose gated row keeps per-doc verdicts). */
+  def phashPairsBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = Tables.documents(spark, dir)
+      .filter($"doc_id" % 3 === 0 && length($"text") > 0)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        (id, graft.multimodal.Multimodal.pHash64(p))
+      })
+      .toDF("doc_id", "phash")
+    val ks = (0 until graft.multimodal.Multimodal.PHashBands).toDF("k")
+    val bands = hashed.crossJoin(broadcast(ks))
+      .withColumn("blk", expr("shiftright(phash, k * 16) & 65535"))
+    bands.select($"doc_id".as("doc_a"), $"phash".as("ph_a"), $"k", $"blk")
+      .join(bands.select($"doc_id".as("doc_b"), $"phash".as("ph_b"), $"k", $"blk"),
+        Seq("k", "blk"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b", $"ph_a", $"ph_b")
+      .agg(count(lit(1)).as("n_bands"))
+      .withColumn("hamming", expr("bit_count(ph_a ^ ph_b)"))
+      .filter($"hamming" <= graft.multimodal.Multimodal.PHashHammingMax)
+      .select($"doc_a", $"doc_b", $"n_bands", $"hamming")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val phashPairsBatchSql: String =
+    graft.multimodal.Multimodal.phashCtes + ",\n" +
+      s"""pcand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.phash AS ph_a, b.phash AS ph_b, count(*) AS n_bands
+         |  FROM bands a JOIN bands b
+         |    ON a.k = b.k AND a.blk = b.blk AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b, n_bands, bit_count(xor(ph_a, ph_b)) AS hamming
+         |FROM pcand
+         |WHERE bit_count(xor(ph_a, ph_b)) <= ${graft.multimodal.Multimodal.PHashHammingMax}
+         |ORDER BY doc_a, doc_b""".stripMargin
 }

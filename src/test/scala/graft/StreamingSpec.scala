@@ -150,6 +150,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(verified.exceptAll(got).count() == 0)
   }
 
+  test("v13: streaming phash matches equal the batch verified pair set") {
+    import TestSpark.spark.implicits._
+    // the sf0.001 image slice has no near-dups, so synthesize a corpus
+    // with exact copies (hamming 0) and a one-char same-length edit, and
+    // run BOTH the stream and the batch twin over the same directory
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    val edited = base.updated(30, 'x')
+    val other = "completely different content about spark shuffles and joins " * 4
+    val docs = Seq(
+      (0L, base), (3L, base), (6L, edited), (9L, other), (12L, other),
+      (1L, base), (2L, base) // non-image ids: must be ignored by the %3 gate
+    ).map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // flatten to a single $dir/documents.parquet FILE: the file stream
+    // does not recurse into a written directory, and the batch twin's
+    // Tables.documents reads the same path either way
+    val docDir = java.nio.file.Files.createTempDirectory("graft_docstream13").toString
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ds13_w").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$docDir/documents.parquet"))
+    val q = streaming.DocStream.phashMatches(spark, docDir)
+      .writeStream.outputMode("append").format("memory").queryName("v13_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("v13_out").select("doc_a", "doc_b", "hamming").distinct()
+    // the driver-gated batch twin (v13b) is the comparison side, so the
+    // DuckDB oracle anchors the streaming detector transitively
+    val batch = streaming.DocStream.phashPairsBatch(spark, docDir)
+      .select("doc_a", "doc_b", "hamming")
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).count() == 0,
+      "streaming emitted a pair the batch banding would not")
+    assert(batch.exceptAll(got).count() == 0,
+      "streaming missed a batch phash match")
+    // the exact copies verify at hamming 0, and non-image ids never enter
+    assert(got.filter(col("doc_a") === 0L && col("doc_b") === 3L &&
+      col("hamming") === 0).count() == 1)
+    assert(got.filter(col("doc_a") % 3 =!= 0 || col("doc_b") % 3 =!= 0).count() == 0)
+  }
+
   test("v07: band state survives across batches within the horizon (cross-batch collisions)") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft_docstream7b")
