@@ -101,6 +101,27 @@ object ScalingProbe {
       if (on("pairs", "d08_uniq"))
         out("d08_uniq") = timed(Dedup.incrementalDedupFrom(uniq))
     }
+    val phashEntries = Seq("m06_hotcap", "m06_uniq")
+    if (probes("phash") || phashEntries.exists(probes)) {
+      // the m06 banding under the two adversarial corpora: hot replicas
+      // collide at Hamming 0 en masse (every band bucket is mult-deep —
+      // the cap must bound the pair space), uniq replicas never collide
+      // cross-replica (pair volume ∝ true dups, linearity measured)
+      def payload(docs: DataFrame) = docs
+        .filter($"doc_id" % 3 === 0 && length($"text") > 0)
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      if (on("phash", "m06_hotcap"))
+        out("m06_hotcap") =
+          timed(graft.multimodal.Multimodal.imagePhashFrom(payload(hot), bucketCap = 64))
+      if (on("phash", "m06_uniq")) {
+        val uniq2 = land(replicate(i => base.select(
+          ($"doc_id" + lit(i.toLong * 10000000L)).as("doc_id"),
+          regexp_replace($"text", "(\\S+)", "$1_" + i).as("text"))),
+          s"/tmp/graft_scale_probe_uniq_$mult")
+        out("m06_uniq") =
+          timed(graft.multimodal.Multimodal.imagePhashFrom(payload(uniq2)))
+      }
+    }
     if (probes("trade") || probes("r06_trade")) {
       // The r06 grid-sim chain on mult× replicated series (user_id
       // shifted, condition grid fixed): signals grow ∝ series, the futures

@@ -234,7 +234,7 @@ object SparkEntry {
     "v07b_lsh_candidates" -> (graft.streaming.DocStream.lshCandidatesBatch _),
     // v13b: verified phash near-dup pair set — batch twin anchoring the
     // v13 streaming image-admission detector
-    "v13b_phash_pairs" -> (graft.streaming.DocStream.phashPairsBatch _),
+    "v13b_phash_pairs" -> (graft.streaming.DocStream.phashPairsGated _),
     "v08b_attribution_join" -> (graft.streaming.EventStream.viewToPurchaseBatch _),
     "v11b_session_windows" -> (graft.streaming.EventStream.sessionWindowsBatchQuery _),
     // sql01-sql03: the pure-SQL surface — Spark side is a SQL string over

@@ -965,8 +965,16 @@ object Multimodal {
   }
 
   /** [[imagePhash]] over any (doc_id, payload) frame (real-raster
-    * fixtures in tests enter here). */
-  private[graft] def imagePhashFrom(df: DataFrame): DataFrame = {
+    * fixtures in tests enter here). `bucketCap` is the MEGA-BUCKET guard
+    * (d03's discipline on the image side): a band bucket of B members is
+    * only ever mega-sized when the images are (near-)identical en masse —
+    * a dup SET whose pairwise enumeration is quadratic in the OUTPUT. A
+    * 100 TB deployment routes buckets over the cap to the linear-per-doc
+    * exact-hash group form instead of emitting their pairs; the
+    * driver-gated row keeps the cap OFF (full pair contract,
+    * oracle-exact). ScalingProbe's `phash` entries measure both shapes. */
+  private[graft] def imagePhashFrom(df: DataFrame,
+      bucketCap: Int = Int.MaxValue): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val hashed = graft.GraftSession.maybeCache(
@@ -974,8 +982,15 @@ object Multimodal {
         .mapPartitions(_.map { case (id, p) => (id, pHash64(p)) })
         .toDF("doc_id", "phash"))
     val ks = (0 until PHashBands).toDF("k")
-    val bands = hashed.crossJoin(broadcast(ks))
+    val allBands = hashed.crossJoin(broadcast(ks))
       .withColumn("blk", expr("shiftright(phash, k * 16) & 65535"))
+    val bands =
+      if (bucketCap == Int.MaxValue) allBands
+      else {
+        val sizes = allBands.groupBy($"k", $"blk").agg(count(lit(1)).as("bn"))
+        allBands.join(sizes.filter($"bn" <= bucketCap), Seq("k", "blk"))
+          .select($"doc_id", $"phash", $"k", $"blk")
+      }
     val a = bands.select($"doc_id".as("doc_a"), $"phash".as("ph_a"), $"k", $"blk")
     val b = bands.select($"doc_id".as("doc_b"), $"phash".as("ph_b"), $"k", $"blk")
     val dups = a.join(b, Seq("k", "blk"))
@@ -994,13 +1009,14 @@ object Multimodal {
 
   /** Oracle CTE chain shared by m06 and the v13b streaming twin: the
     * fallback pseudo-gray dHash per image doc (`ph`) and its 4×16-bit
-    * band explode (`bands`). */
-  private[graft] val phashCtes: String = {
+    * band explode (`bands`), over any (doc_id, text) source CTE/table
+    * (no leading WITH — callers compose). */
+  private[graft] def phashCteChain(src: String): String = {
     val gw = PHashGridW
     val cells = gw * PHashGridH
-    s"""WITH img AS (
+    s"""img AS (
        |  SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS len
-       |  FROM documents
+       |  FROM $src
        |  WHERE doc_id % 3 = 0 AND octet_length(encode(text)) > 0),
        |g AS (
        |  SELECT doc_id,
@@ -1022,7 +1038,7 @@ object Multimodal {
   }
 
   val imagePhashSql: String =
-    phashCtes + ",\n" +
+    "WITH " + phashCteChain("documents") + ",\n" +
       s"""cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    a.phash AS ph_a, b.phash AS ph_b

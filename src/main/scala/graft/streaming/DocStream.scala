@@ -247,13 +247,37 @@ object DocStream {
       }
   }
 
+  /** Deterministic dup INJECTION for the gated v13b row (t12's
+    * non-vacuity discipline): every [[InjectStride]]-th doc re-arrives
+    * verbatim under a shifted id, so the verified pair set is non-empty
+    * at every SF even when the natural image slice carries no near-dups.
+    * The offset is divisible by 3 so image-typing is preserved. */
+  val InjectStride = 30L
+  val InjectOffset = 3000000000L
+
   /** v13's batch twin as a DRIVER-GATED query row (v13b): the verified
     * Hamming ≤ 3 pair set with its colliding-band count — exactly the
     * pairs the streaming detector emits within one horizon (the pair-set
-    * view of m06, whose gated row keeps per-doc verdicts). */
-  def phashPairsBatch(spark: SparkSession, dir: String): DataFrame = {
+    * view of m06, whose gated row keeps per-doc verdicts), over the
+    * dup-injected corpus. The parity spec drives [[phashPairsBatch]]
+    * (no injection) against the stream on a shared synthesized corpus. */
+  def phashPairsGated(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val hashed = Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    phashPairsFrom(docs.unionByName(
+      docs.filter($"doc_id" % InjectStride === 0)
+        .withColumn("doc_id", $"doc_id" + InjectOffset)))
+  }
+
+  /** v13's batch twin over the raw corpus at `dir` (the stream parity
+    * comparison side). */
+  def phashPairsBatch(spark: SparkSession, dir: String): DataFrame =
+    phashPairsFrom(Tables.documents(spark, dir))
+
+  private def phashPairsFrom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hashed = docs
       .filter($"doc_id" % 3 === 0 && length($"text") > 0)
       .select($"doc_id", encode($"text", "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
@@ -277,7 +301,13 @@ object DocStream {
   }
 
   val phashPairsBatchSql: String =
-    graft.multimodal.Multimodal.phashCtes + ",\n" +
+    s"""WITH dd AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $InjectOffset AS doc_id, text FROM documents
+       |  WHERE doc_id % $InjectStride = 0),
+       |""".stripMargin +
+      graft.multimodal.Multimodal.phashCteChain("dd") + ",\n" +
       s"""pcand AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    a.phash AS ph_a, b.phash AS ph_b, count(*) AS n_bands

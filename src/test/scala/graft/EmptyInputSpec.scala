@@ -68,6 +68,24 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(multimodal.Multimodal.decodeFeaturesFrom(emptyMedia).count() == 0)
   }
 
+  test("round-10 From-operators tolerate empty and singleton inputs") {
+    // m06 phash: empty frame -> empty; one image -> present, not a dup
+    val emptyPayload = Seq.empty[(Long, Array[Byte])].toDF("doc_id", "payload")
+    assert(multimodal.Multimodal.imagePhashFrom(emptyPayload).count() == 0)
+    val onePayload = Seq((3L, "lone image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val r = multimodal.Multimodal.imagePhashFrom(onePayload).collect()
+    assert(r.length == 1 && !r.head.getBoolean(2))
+    // t13 naive Bayes: empty corpus, train-only corpus, and eval-only
+    // corpus (model with zero classes) must all yield empty, not throw
+    val emptyLang = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    assert(operators.TextAnalysis.nbClassifierFrom(emptyLang).count() == 0)
+    val trainOnly = Seq((1L, "en", "a b c")).toDF("doc_id", "lang", "text")
+    assert(operators.TextAnalysis.nbClassifierFrom(trainOnly).count() == 0)
+    val evalOnly = Seq((10L, "en", "a b c")).toDF("doc_id", "lang", "text")
+    assert(operators.TextAnalysis.nbClassifierFrom(evalOnly).count() == 0)
+  }
+
   test("streaming keepLast tolerates empty and resolves singleton trivially") {
     val schema = streaming.UpsertStream.barSchema
     val empty = spark.createDataFrame(

@@ -1305,6 +1305,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!out(10L).getBoolean(2)) // the earliest copy is canonical
   }
 
+  test("m06: the mega-bucket cap bounds dup-set pair enumeration") {
+    import TestSpark.spark.implicits._
+    val big = (1L to 50L).map(i => (i * 3, "mega duplicate payload body " * 8))
+    val small = Seq((201L * 3, "tiny pair text " * 8), (202L * 3, "tiny pair text " * 8))
+    val docs = (big ++ small).toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val capped = multimodal.Multimodal.imagePhashFrom(docs, bucketCap = 8)
+    // the 50-deep identical set exceeds the cap in every band -> no pair
+    // evidence for it (a 100 TB run routes it to the exact-hash group
+    // form); the 2-doc set stays under the cap and is still flagged
+    assert(capped.filter(col("doc_id") <= 150L && col("is_dup")).count() == 0)
+    assert(capped.filter(col("doc_id") === 202L * 3 && col("is_dup")).count() == 1)
+    // uncapped keeps the full pair contract
+    val full = multimodal.Multimodal.imagePhashFrom(docs)
+    assert(full.filter(col("doc_id") <= 150L && col("is_dup")).count() == 49)
+  }
+
   test("m06: gated corpus run - exact text copies hash identically") {
     val out = multimodal.Multimodal.imagePhash(spark, sf)
     val docs = sources.Tables.documents(spark, sf)
