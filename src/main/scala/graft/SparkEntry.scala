@@ -216,6 +216,9 @@ object SparkEntry {
     // p10: quality-weighted repetition schedule — multi-epoch training
     // order with exact global positions (data-constrained scaling knob)
     "p10_quality_repeat" -> (Curation.qualityRepeat _),
+    // t14: distributed BPE tokenizer training — iterative argmax has no
+    // single-query SQL form -> rows-only; reference-parity spec'd
+    "t14_bpe_train" -> (TextAnalysis.bpeTrain _),
     "p05b_stratified_presplit" -> (Curation.stratifiedSamplePresplitQuery _),
     // d07b: the large-star/small-star CC core — same clusters, same
     // oracle as d07; the long-chain swap-in pinned under the driver gate

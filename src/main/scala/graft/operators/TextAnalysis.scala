@@ -763,4 +763,125 @@ object TextAnalysis {
        |  ${S.fr("CAST(score6 AS DOUBLE) / 1e6", 4)} AS log_score
        |FROM truth t JOIN pred p USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t14
+  /** Merge rounds to train; the loop stops early when no pair reaches
+    * [[BpeMinPairCount]] weighted occurrences. */
+  val BpeNumMerges = 30
+  val BpeMinPairCount = 2L
+
+  /** t14: distributed BPE tokenizer TRAINING (Sennrich et al. 2016 —
+    * the word-frequency formulation every BPE trainer uses): the corpus
+    * collapses to its word-TYPE dictionary (one corpus-scale shuffle;
+    * at 100 TB the dict is huge but ≪ corpus), each word starts as its
+    * character sequence, and each round counts weighted adjacent symbol
+    * pairs over the dict (one dict-scale partial-aggregable shuffle),
+    * picks the most frequent pair (count DESC, then lexicographic — the
+    * 1-row argmax is the one inherently sequential decision, collected
+    * like the daily loop's control reads), and rewrites every sequence
+    * left-to-right non-overlapping. Per-round frames are
+    * eager-checkpointed so 30 rounds don't stack lineage.
+    *
+    * Output: the merge TABLE (rank, left, right, merged, pair_count) —
+    * the artifact a tokenizer ships. Iterative argmax has no single-query
+    * SQL form → rows-only in the driver; LlmOpsSpec proves the table
+    * equals an independent in-memory reference BPE on both a classic
+    * hand-checkable corpus and the sf word dictionary. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainFrom(Tables.documents(spark, dir))
+
+  private[graft] def bpeTrainFrom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var seqs = graft.GraftSession.maybeEagerCheckpoint(
+      docs.select(explode(F.tokens($"text")).as("w"))
+        .filter($"w" =!= "")
+        .groupBy($"w").agg(count(lit(1)).as("cnt"))
+        .select($"cnt", split($"w", "").as("seq")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    var rank = 1
+    while (rank <= BpeNumMerges && !exhausted) {
+      // size >= 2 guard: sequence(1, 0) would auto-DESCEND (the p09
+      // pitfall), fabricating a pair out of a single-symbol word
+      val pairs = seqs.filter(size($"seq") >= 2)
+        .select($"cnt", explode(expr(
+          "transform(sequence(1, size(seq) - 1), i -> struct(seq[i-1] AS l, seq[i] AS r))"))
+          .as("p"))
+        .groupBy($"p.l".as("l"), $"p.r".as("r"))
+        .agg(sum($"cnt").as("n"))
+        .filter($"n" >= BpeMinPairCount)
+      val best = pairs.orderBy($"n".desc, $"l", $"r").limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((rank, l, r, n))
+        seqs = graft.GraftSession.maybeEagerCheckpoint(
+          seqs.select($"cnt",
+            applyMergeCol($"seq", l, r).as("seq")))
+        rank += 1
+      }
+    }
+    merges.toSeq
+      .toDF("rank", "left", "right", "pair_count")
+      .select($"rank", $"left", $"right",
+        concat($"left", $"right").as("merged"), $"pair_count")
+      .orderBy($"rank")
+  }
+
+  /** Left-to-right non-overlapping merge of adjacent (l, r) in a symbol
+    * array — the BPE apply step, as a deterministic Scala fold at the
+    * row level (codegen-friendly enough at dict scale; the dict row
+    * count, not the corpus, bounds the work). */
+  private def applyMergeCol(seq: org.apache.spark.sql.Column,
+      l: String, r: String): org.apache.spark.sql.Column = {
+    val f = udf { s: Seq[String] =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.toSeq
+    }
+    f(seq)
+  }
+
+  /** The in-memory reference BPE (same tie-break), for spec parity. */
+  private[graft] def bpeReference(wordCounts: Map[String, Long],
+      numMerges: Int = BpeNumMerges): Seq[(Int, String, String, Long)] = {
+    var dict: Map[Vector[String], Long] =
+      wordCounts.groupMapReduce { case (w, _) => w.split("").toVector } { _._2 } { _ + _ }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      dict.foreach { case (seq, cnt) =>
+        seq.sliding(2).foreach {
+          case Vector(a, b) => pairCounts((a, b)) = pairCounts.getOrElse((a, b), 0L) + cnt
+          case _ => ()
+        }
+      }
+      val eligible = pairCounts.filter(_._2 >= BpeMinPairCount)
+      if (eligible.isEmpty) done = true
+      else {
+        val ((l, r), n) = eligible.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((rank, l, r, n))
+        dict = dict.groupMapReduce { case (seq, _) =>
+          val ns = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < seq.length) {
+            if (i + 1 < seq.length && seq(i) == l && seq(i + 1) == r) {
+              ns += (l + r); i += 2
+            } else { ns += seq(i); i += 1 }
+          }
+          ns.toVector
+        } { _._2 } { _ + _ }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
 }

@@ -1153,6 +1153,37 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.filter(col("n_ips") === 1 && !col("redacted").contains("[IP]")).count() == 0)
   }
 
+  test("t14: BPE merges match the reference on the classic corpus") {
+    import TestSpark.spark.implicits._
+    // Sennrich's canonical example family: shared prefixes merge first
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower"),
+      (3L, "newest newest newest newest newest newest"),
+      (4L, "widest widest widest")).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.bpeTrainFrom(docs)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    val wordCounts = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val want = operators.TextAnalysis.bpeReference(wordCounts)
+    assert(got.toSeq == want, s"got=${got.toSeq}\nwant=$want")
+    // the classic first merge: 'e','s' (9 weighted occurrences)
+    assert(got.head == ((1, "e", "s", 9L)))
+  }
+
+  test("t14: corpus run matches the reference BPE on the sf word dictionary") {
+    import TestSpark.spark.implicits._
+    val wordCounts = sources.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = operators.TextAnalysis.bpeReference(wordCounts)
+    val got = operators.TextAnalysis.bpeTrain(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(got.toSeq == want)
+    assert(got.nonEmpty && got.map(_._1).toSeq == (1 to got.length))
+  }
+
   test("p10: repetition schedule is a gapless sequence with band-correct copy counts") {
     val out = operators.Curation.qualityRepeat(spark, sf).cache()
     try {

@@ -64,7 +64,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "r34_" -> "the composed daily loop runs end-to-end on construction",
     "r36_" -> "the composed daily loop runs end-to-end on construction",
     "r38_" -> "the telemetry listener runs the measured action on construction",
-    "m05_" -> "binary ingest writes the staged files on construction")
+    "m05_" -> "binary ingest writes the staged files on construction",
+    "t14_" -> "BPE merge loop collects the 1-row argmax each round on construction")
 
   private val lazyQueries: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
     .filterNot(n => eagerExemptions.keys.exists(n.startsWith))
