@@ -793,11 +793,17 @@ object TextAnalysis {
   private[graft] def bpeTrainFrom(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // Partition the dict to its own scale, not the corpus's: the loop
+    // re-dispatches every partition as a task each round, so 30 rounds x
+    // 32 near-empty partitions is pure scheduler overhead at test SF. A
+    // 100 TB run sizes this to its (huge) word-type dict instead.
+    val dictParts = math.max(1, spark.sparkContext.defaultParallelism / 8)
     var seqs = graft.GraftSession.maybeEagerCheckpoint(
       docs.select(explode(F.tokens($"text")).as("w"))
         .filter($"w" =!= "")
         .groupBy($"w").agg(count(lit(1)).as("cnt"))
-        .select($"cnt", split($"w", "").as("seq")))
+        .select($"cnt", split($"w", "").as("seq"))
+        .repartition(dictParts))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
     var rank = 1
@@ -816,9 +822,17 @@ object TextAnalysis {
       else {
         val (l, r, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((rank, l, r, n))
-        seqs = graft.GraftSession.maybeEagerCheckpoint(
-          seqs.select($"cnt",
-            applyMergeCol($"seq", l, r).as("seq")))
+        // The winning pair rides a 1-row broadcast instead of literals:
+        // embedding (l, r) as literals regenerates WholeStageCodegen
+        // source every round (30 rounds x ~3 stages of fresh compilation
+        // dominated the loop's wall time) — with the pair as DATA the
+        // generated code is identical across rounds and the codegen cache
+        // hits. The checkpoint is LAZY: the next round's argmax collect
+        // materializes it in the same job while lineage still truncates.
+        seqs = seqs
+          .crossJoin(broadcast(Seq((l, r)).toDF("ml", "mr")))
+          .select($"cnt", mergeUdf($"seq", $"ml", $"mr").as("seq"))
+          .localCheckpoint(false)
         rank += 1
       }
     }
@@ -830,12 +844,11 @@ object TextAnalysis {
   }
 
   /** Left-to-right non-overlapping merge of adjacent (l, r) in a symbol
-    * array — the BPE apply step, as a deterministic Scala fold at the
-    * row level (codegen-friendly enough at dict scale; the dict row
-    * count, not the corpus, bounds the work). */
-  private def applyMergeCol(seq: org.apache.spark.sql.Column,
-      l: String, r: String): org.apache.spark.sql.Column = {
-    val f = udf { s: Seq[String] =>
+    * array — the BPE apply step. ONE udf instance for every round (the
+    * pair arrives as data columns, see the codegen note in the loop);
+    * the dict row count, not the corpus, bounds the work. */
+  private val mergeUdf =
+    udf { (s: Seq[String], l: String, r: String) =>
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       var i = 0
       while (i < s.length) {
@@ -845,8 +858,6 @@ object TextAnalysis {
       }
       out.toSeq
     }
-    f(seq)
-  }
 
   /** The in-memory reference BPE (same tie-break), for spec parity. */
   private[graft] def bpeReference(wordCounts: Map[String, Long],
