@@ -219,6 +219,9 @@ object SparkEntry {
     // t14: distributed BPE tokenizer training — iterative argmax has no
     // single-query SQL form -> rows-only; reference-parity spec'd
     "t14_bpe_train" -> (TextAnalysis.bpeTrain _),
+    // ml05: FPGrowth market-basket itemsets (size <= 2) — the one MLlib
+    // algorithm whose exact support counts a SQL oracle can pin
+    "ml05_frequent_pairs" -> (graft.ml.Features.frequentPairs _),
     "p05b_stratified_presplit" -> (Curation.stratifiedSamplePresplitQuery _),
     // d07b: the large-star/small-star CC core — same clusters, same
     // oracle as d07; the long-chain swap-in pinned under the driver gate
@@ -383,6 +386,7 @@ object SparkEntry {
     "d14_semantic_clusters" -> graft.dedup.Dedup.semanticClustersSql,
     "t13_nb_classifier" -> TextAnalysis.nbClassifierSql,
     "p10_quality_repeat" -> Curation.qualityRepeatSql,
+    "ml05_frequent_pairs" -> graft.ml.Features.frequentPairsSql,
     "d07b_dedup_clusters_stars" -> graft.dedup.Dedup.dedupClustersSql,
     "p05b_stratified_presplit" -> Curation.stratifiedSamplePresplitSql,
     "v02b_windowed_counts" -> graft.streaming.EventStream.windowedCountsBatchSql,

@@ -270,4 +270,55 @@ object Features {
       .select($"c_custkey", $"rec.item".as("rec_partkey"),
         ($"rk0" + 1).as("rk"), $"rec.rating".as("score"))
   }
+
+  // ---------------------------------------------------------------- ml05
+  /** Minimum basket count for a frequent itemset. */
+  val FpMinCount = 3L
+
+  /** ml05: frequent-itemset mining (market-basket) over order baskets —
+    * MLlib FPGrowth on the distinct parts of each order, reported for
+    * itemsets of size ≤ 2 so the row is EXACTLY oracle-checkable (single
+    * and pair supports are plain SQL counts; FPGrowth's support counting
+    * is exact, so the distributed FP-tree and the oracle's brute
+    * enumeration must agree row for row — a rare chance to pin an MLlib
+    * algorithm to a SQL oracle, where the other ml rows are rows-only).
+    *
+    * minSupport is a FRACTION in MLlib (cutoff = ceil(N·minSupport));
+    * (FpMinCount − 0.5)/N makes the ceil land exactly on [[FpMinCount]]
+    * regardless of floating error. Scale shape: FPGrowth shards baskets
+    * and mines conditional trees per partition-aggregated suffix — no
+    * all-pairs join; the oracle's pair self-join exists only at gate SF. */
+  def frequentPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val baskets = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .groupBy($"l_orderkey").agg(collect_set($"l_partkey").as("items"))
+    val n = baskets.count()
+    val model = new org.apache.spark.ml.fpm.FPGrowth()
+      .setItemsCol("items")
+      .setMinSupport((FpMinCount - 0.5) / n)
+      .setMinConfidence(0.5)
+      .fit(baskets)
+    model.freqItemsets
+      .filter(size($"items") <= 2)
+      .select(sort_array($"items").as("it"), $"freq".as("support"))
+      .select(element_at($"it", 1).as("item_a"),
+        when(size($"it") === 2, element_at($"it", 2)).as("item_b"),
+        $"support")
+      .orderBy($"item_a", $"item_b")
+  }
+
+  val frequentPairsSql: String =
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |singles AS (
+       |  SELECT p AS item_a, CAST(NULL AS BIGINT) AS item_b, count(*) AS support
+       |  FROM b GROUP BY 1 HAVING count(*) >= $FpMinCount),
+       |pairs AS (
+       |  SELECT a.p AS item_a, c.p AS item_b, count(*) AS support
+       |  FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+       |  GROUP BY 1, 2 HAVING count(*) >= $FpMinCount)
+       |SELECT item_a, item_b, support FROM singles
+       |UNION ALL
+       |SELECT item_a, item_b, support FROM pairs
+       |ORDER BY item_a, item_b NULLS FIRST""".stripMargin
 }

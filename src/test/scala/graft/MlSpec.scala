@@ -74,4 +74,23 @@ class MlSpec extends AnyFunSuite {
     // purchases before any view have null last_view_ts -- allowed
     assert(a.filter(col("last_view_ts").isNotNull && col("view_to_purchase_us") <= 0).count() == 0)
   }
+
+  test("ml05: frequent itemsets respect support monotonicity and ordering") {
+    val out = ml.Features.frequentPairs(spark, sf).cache()
+    try {
+      assert(out.count() > 0)
+      val singles = out.filter(col("item_b").isNull)
+        .select(col("item_a").as("it"), col("support").as("s1"))
+      val pairs = out.filter(col("item_b").isNotNull)
+      // anti-monotone support: a pair never outcounts either member, and
+      // a frequent pair's members must themselves be frequent
+      val joined = pairs
+        .join(singles.toDF("item_a", "sa"), "item_a")
+        .join(singles.toDF("item_b", "sb"), "item_b")
+      assert(pairs.count() == joined.count())
+      assert(joined.filter(col("support") > least(col("sa"), col("sb"))).count() == 0)
+      assert(pairs.filter(col("item_a") >= col("item_b")).count() == 0)
+      assert(out.filter(col("support") < ml.Features.FpMinCount).count() == 0)
+    } finally { out.unpersist(); () }
+  }
 }
