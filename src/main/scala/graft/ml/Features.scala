@@ -255,6 +255,7 @@ object Features {
     fittedWinModel(spark, dir)
     fittedKmeans(spark, dir, 10)
     fittedAls(spark, dir)
+    fittedFp(spark, dir)
     ()
   }
 
@@ -288,18 +289,33 @@ object Features {
     * regardless of floating error. Scale shape: FPGrowth shards baskets
     * and mines conditional trees per partition-aggregated suffix — no
     * all-pairs join; the oracle's pair self-join exists only at gate SF. */
+  private val fpMemo = new graft.SessionMemo[String,
+    org.apache.spark.ml.fpm.FPGrowthModel]
+
+  /** The fitted FPGrowth model, memoized per (session, dir) and persisted
+    * to the model workspace like the other fits — bench's `fit_build`
+    * warms it so the ml05 row times serving (freqItemsets read) only. */
+  private def fittedFp(spark: SparkSession, dir: String)
+      : org.apache.spark.ml.fpm.FPGrowthModel =
+    fpMemo.getOrElseUpdate(spark, dir) {
+      loadOrFit(spark, modelPath(spark, dir, Seq("lineitem"), "fp"),
+        org.apache.spark.ml.fpm.FPGrowthModel.load) {
+        import spark.implicits._
+        val baskets = Tables.lineitem(spark, dir)
+          .select($"l_orderkey", $"l_partkey").distinct()
+          .groupBy($"l_orderkey").agg(collect_set($"l_partkey").as("items"))
+        val n = baskets.count()
+        new org.apache.spark.ml.fpm.FPGrowth()
+          .setItemsCol("items")
+          .setMinSupport((FpMinCount - 0.5) / n)
+          .setMinConfidence(0.5)
+          .fit(baskets)
+      }
+    }
+
   def frequentPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val baskets = Tables.lineitem(spark, dir)
-      .select($"l_orderkey", $"l_partkey").distinct()
-      .groupBy($"l_orderkey").agg(collect_set($"l_partkey").as("items"))
-    val n = baskets.count()
-    val model = new org.apache.spark.ml.fpm.FPGrowth()
-      .setItemsCol("items")
-      .setMinSupport((FpMinCount - 0.5) / n)
-      .setMinConfidence(0.5)
-      .fit(baskets)
-    model.freqItemsets
+    fittedFp(spark, dir).freqItemsets
       .filter(size($"items") <= 2)
       .select(sort_array($"items").as("it"), $"freq".as("support"))
       .select(element_at($"it", 1).as("item_a"),
