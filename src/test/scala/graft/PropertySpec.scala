@@ -129,4 +129,42 @@ class PropertySpec extends AnyFunSuite {
       assert(!at.isAfter(now.plusDays(1).plusMinutes(1)))
     }
   }
+
+  test("pHash64: total, deterministic, non-negative on arbitrary bytes") {
+    val M = multimodal.Multimodal
+    val bytesGen = Gen.nonEmptyListOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
+      .map(_.toArray)
+    samples(bytesGen).foreach { b =>
+      val h = M.pHash64(b)
+      assert(h == M.pHash64(b))            // deterministic
+      assert(h >= 0L)                      // 63-bit contract: sign clear
+    }
+    // crafted image magics with garbage bodies fall to the fallback, not a throw
+    val pngish = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 7, 7)
+    val jpgish = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 9, 9)
+    assert(M.pHash64(pngish) >= 0L && M.pHash64(jpgish) >= 0L)
+  }
+
+  test("pHash64: Hamming distance is bounded by the bit budget and symmetric") {
+    val M = multimodal.Multimodal
+    val g = Gen.nonEmptyListOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+    samples(Gen.zip(g, g), 100).foreach { case (a, b) =>
+      val d = java.lang.Long.bitCount(M.pHash64(a) ^ M.pHash64(b))
+      assert(d >= 0 && d <= M.PHashBits)
+      assert(d == java.lang.Long.bitCount(M.pHash64(b) ^ M.pHash64(a)))
+    }
+  }
+
+  test("BPE reference: merges are well-formed on arbitrary word dictionaries") {
+    val wordGen = Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    val dictGen = Gen.nonEmptyMap(Gen.zip(wordGen, Gen.choose(1L, 9L)))
+    samples(dictGen, 60).foreach { dict =>
+      val merges = operators.TextAnalysis.bpeReference(dict, numMerges = 10)
+      // ranks are 1..n with no gap, every merge met the support cutoff,
+      // and each merged symbol is the concatenation of its parts
+      assert(merges.map(_._1) == (1 to merges.length))
+      assert(merges.forall(_._4 >= operators.TextAnalysis.BpeMinPairCount))
+      assert(merges.forall { case (_, l, r, _) => (l + r).nonEmpty })
+    }
+  }
 }
