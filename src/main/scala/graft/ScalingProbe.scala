@@ -81,15 +81,15 @@ object ScalingProbe {
     if (on("linear", "p04"))
       out("p04") = timed(graft.operators.Curation.sequencePackFrom(hot))
     val pairEntries = Seq("d02_hot", "d02_uniq", "d03_hotcap", "d03_uniq", "d08_uniq")
+    // uniq corpus only built when a probe that needs it runs (it needs its
+    // own parquet landing to keep scan costs comparable); lazy AND shared
+    // by the pair and phash probe groups — one landing, one definition
+    lazy val uniq = land(replicate(i => base.select(
+      ($"doc_id" + lit(i.toLong * 10000000L)).as("doc_id"),
+      regexp_replace($"text", "(\\S+)", "$1_" + i).as("text"))),
+      s"/tmp/graft_scale_probe_uniq_$mult")
     if (probes("pairs") || pairEntries.exists(probes)) {
       import graft.dedup.Dedup
-      // uniq corpus only built when the pair probes run (it needs its own
-      // parquet landing to keep scan costs comparable); lazy so hot-only
-      // entry runs skip the landing entirely
-      lazy val uniq = land(replicate(i => base.select(
-        ($"doc_id" + lit(i.toLong * 10000000L)).as("doc_id"),
-        regexp_replace($"text", "(\\S+)", "$1_" + i).as("text"))),
-        s"/tmp/graft_scale_probe_uniq_$mult")
       if (on("pairs", "d02_hot"))
         out("d02_hot") = timed(Dedup.jaccardPairsFrom(hot, Dedup.MaxShingleDf))
       if (on("pairs", "d02_uniq"))
@@ -106,21 +106,22 @@ object ScalingProbe {
       // the m06 banding under the two adversarial corpora: hot replicas
       // collide at Hamming 0 en masse (every band bucket is mult-deep —
       // the cap must bound the pair space), uniq replicas never collide
-      // cross-replica (pair volume ∝ true dups, linearity measured)
+      // cross-replica (pair volume ∝ true dups, linearity measured).
+      // EVERY replicated doc enters as an image payload: the replica id
+      // shift (i·1e7) is not divisible by 3, so m06's gated `% 3` slice
+      // would put a doc's copies in the image set in only every third
+      // replica and the mega-bucket scenario would never materialize —
+      // imagePhashFrom is payload-frame-parameterized precisely so the
+      // probe can feed the full corpus.
       def payload(docs: DataFrame) = docs
-        .filter($"doc_id" % 3 === 0 && length($"text") > 0)
+        .filter(length($"text") > 0)
         .select($"doc_id", encode($"text", "UTF-8").as("payload"))
       if (on("phash", "m06_hotcap"))
         out("m06_hotcap") =
           timed(graft.multimodal.Multimodal.imagePhashFrom(payload(hot), bucketCap = 64))
-      if (on("phash", "m06_uniq")) {
-        val uniq2 = land(replicate(i => base.select(
-          ($"doc_id" + lit(i.toLong * 10000000L)).as("doc_id"),
-          regexp_replace($"text", "(\\S+)", "$1_" + i).as("text"))),
-          s"/tmp/graft_scale_probe_uniq_$mult")
+      if (on("phash", "m06_uniq"))
         out("m06_uniq") =
-          timed(graft.multimodal.Multimodal.imagePhashFrom(payload(uniq2)))
-      }
+          timed(graft.multimodal.Multimodal.imagePhashFrom(payload(uniq)))
     }
     if (probes("trade") || probes("r06_trade")) {
       // The r06 grid-sim chain on mult× replicated series (user_id

@@ -394,7 +394,7 @@ object SparkEntry {
     "v05b_distinct_events" -> graft.streaming.EventStream.streamDedupBatchSql,
     "v06b_dedup_ingest" -> graft.streaming.DocStream.dedupIngestBatchSql,
     "v07b_lsh_candidates" -> graft.streaming.DocStream.lshCandidatesBatchSql,
-    "v13b_phash_pairs" -> graft.streaming.DocStream.phashPairsBatchSql,
+    "v13b_phash_pairs" -> graft.streaming.DocStream.phashPairsGatedSql,
     "v08b_attribution_join" -> graft.streaming.EventStream.viewToPurchaseBatchSql,
     "v11b_session_windows" -> graft.streaming.EventStream.sessionWindowsBatchSql,
     "sql01_pricing_via_sql" -> Relational.q01Sql,

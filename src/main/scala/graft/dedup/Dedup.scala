@@ -814,6 +814,18 @@ object Dedup {
   def embeddingCosine(spark: SparkSession, dir: String,
       threshold: Double): DataFrame = {
     import spark.implicits._
+    embeddingCosineRaw(spark, dir, threshold)
+      .select($"vec_a", $"vec_b", $"label", F.fr($"cosine_raw", 4).as("cosine"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** The d05 pair core WITHOUT the final rounding/sort — d14's component
+    * fixpoint consumes this directly (materializing the sorted form would
+    * pay a range-sampling pass + global sort the unordered loop discards,
+    * the same trap nearDupPairs documents for d07). */
+  private[graft] def embeddingCosineRaw(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    import spark.implicits._
     // Norms are per-vector: compute them once before the pair join (the
     // oracle's per-pair sqrt(na)*sqrt(nb) sees the identical values).
     // The per-pair dot is the native codegen DotF64 expression.
@@ -829,8 +841,6 @@ object Dedup {
         when($"norm_a" * $"norm_b" =!= 0.0,
           graft.functions.catalyst.GraftColumns.dot_f64($"va", $"vb") / ($"norm_a" * $"norm_b")))
       .filter($"cosine_raw" >= threshold)
-      .select($"vec_a", $"vec_b", $"label", F.fr($"cosine_raw", 4).as("cosine"))
-      .orderBy($"vec_a", $"vec_b")
   }
 
   val embeddingCosineSql: String = {
@@ -863,17 +873,23 @@ object Dedup {
     * their cell and the component loop runs over near-dup vectors only —
     * a sliver of the corpus). Output mirrors d07:
     * (vec_id, cluster_id, cluster_size, is_canonical). */
-  def semanticClusters(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val pairs = graft.GraftSession.maybeEagerCheckpoint(
-      embeddingCosine(spark, dir)
-        .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b")))
-    clustersFromPairs(
-      Tables.embeddings(spark, dir).select($"vec_id".as("doc_id")), pairs)
-      .select($"doc_id".as("vec_id"), $"cluster_id", $"cluster_size",
-        $"is_canonical")
-      .orderBy($"vec_id")
-  }
+  /** Memoized like d07's clusterMemo: the iterative fixpoint's per-round
+    * checkpoints can't be shared via plan canonicalization, so composing
+    * callers reuse one convergence run per (session, dir). */
+  private val semanticMemo = new graft.SessionMemo[String, DataFrame]
+
+  def semanticClusters(spark: SparkSession, dir: String): DataFrame =
+    semanticMemo.getOrElseUpdate(spark, dir) {
+      import spark.implicits._
+      val pairs = graft.GraftSession.maybeEagerCheckpoint(
+        embeddingCosineRaw(spark, dir, CosineThreshold)
+          .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b")))
+      clustersFromPairs(
+        Tables.embeddings(spark, dir).select($"vec_id".as("doc_id")), pairs)
+        .select($"doc_id".as("vec_id"), $"cluster_id", $"cluster_size",
+          $"is_canonical")
+        .orderBy($"vec_id")
+    }
 
   val semanticClustersSql: String = {
     val dot = S.foldSum("list_transform(range(1, len(va) + 1), i -> va[i] * vb[i])")

@@ -61,6 +61,35 @@ object TextFunctions {
     val s = math.pow(10, n)
     floor(c * s + 0.5) / s
   }
+
+  /** Deterministic micro-log of a rational: floor(1e6·ln(a/b) + 0.5) for
+    * integer columns 1 ≤ a ≤ b < 2^62, computed WITHOUT libm ln — java
+    * Math.log and C libm log are each only ulp-accurate, so their
+    * last-bit disagreement can flip a floor/argmax between engines (the
+    * t10 rule: no libm float in rank position). Construction: bit-length
+    * normalization a/b = m·2⁻ᵏ with m ∈ [1,2) (exact integer and
+    * power-of-two steps; the one rounded op is the division, correctly
+    * rounded identically everywhere), then ln(m) = 2·atanh((m−1)/(m+1))
+    * as a FIXED-ORDER 7-term series — every op an IEEE-determined
+    * +,*,/ on identical inputs, so both engines produce bit-identical
+    * longs. Truncation < 1e-8 is a consistent DEFINITION shared by both
+    * sides, not an approximation hazard. [[TextSql.microLnCols]] is the
+    * DuckDB twin, op for op. */
+  def microLn(a: Column, b: Column): Column = {
+    val s = length(bin(b)) - length(bin(a))
+    // floor(pow+0.5) snaps 2^s to the exact integer even if a libm pow
+    // were an ulp off; the long->double cast of a power of two is exact
+    val p2 = floor(pow(lit(2.0), s) + 0.5).cast("long")
+    val m0 = (a.cast("double") * p2) / b.cast("double")
+    val m = when(m0 < 1.0, m0 * 2).otherwise(m0)
+    val k = when(m0 < 1.0, s + 1).otherwise(s)
+    val z = (m - 1) / (m + 1)
+    val z2 = z * z
+    val lnm = lit(2.0) * z * (lit(1.0) + z2 * (lit(1.0) / 3 + z2 * (lit(1.0) / 5 +
+      z2 * (lit(1.0) / 7 + z2 * (lit(1.0) / 9 + z2 * (lit(1.0) / 11 +
+      z2 * (lit(1.0) / 13)))))))
+    floor((lnm - k * lit(0.6931471805599453)) * lit(1e6) + lit(0.5)).cast("long")
+  }
 }
 
 /** DuckDB SQL twins of [[TextFunctions]] for oracle construction. */
@@ -99,4 +128,28 @@ object TextSql {
     val s = math.pow(10, n)
     s"floor(($expr) * $s + 0.5) / $s"
   }
+
+  /** [[TextFunctions.microLn]]'s DuckDB twin as staged CTE columns (a
+    * single expression would exponentially duplicate the subterms).
+    * Produces a CTE chain `pfx0 … pfx` where `pfx` = `src`'s columns
+    * plus `outCol` holding floor(1e6·ln(aExpr/bExpr)+0.5); identical
+    * operation order to the Scala side, so the longs are bit-equal. */
+  def microLnCtes(pfx: String, src: String, aExpr: String, bExpr: String,
+      outCol: String): String =
+    s"""${pfx}0 AS (SELECT *, CAST($aExpr AS BIGINT) AS mla_,
+       |  CAST($bExpr AS BIGINT) AS mlb_ FROM $src),
+       |${pfx}1 AS (SELECT *, length(bin(mlb_)) - length(bin(mla_)) AS mls_ FROM ${pfx}0),
+       |${pfx}2 AS (SELECT *,
+       |  (CAST(mla_ AS DOUBLE) * CAST(floor(power(2.0, mls_) + 0.5) AS BIGINT))
+       |    / CAST(mlb_ AS DOUBLE) AS mlm0_ FROM ${pfx}1),
+       |${pfx}3 AS (SELECT *,
+       |  CASE WHEN mlm0_ < 1.0 THEN mlm0_ * 2 ELSE mlm0_ END AS mlm_,
+       |  CASE WHEN mlm0_ < 1.0 THEN mls_ + 1 ELSE mls_ END AS mlk_ FROM ${pfx}2),
+       |${pfx}4 AS (SELECT *, (mlm_ - 1) / (mlm_ + 1) AS mlz_ FROM ${pfx}3),
+       |${pfx}5 AS (SELECT *, mlz_ * mlz_ AS mlz2_ FROM ${pfx}4),
+       |$pfx AS (SELECT * EXCLUDE (mla_, mlb_, mls_, mlm0_, mlm_, mlk_, mlz_, mlz2_),
+       |  CAST(floor((2.0 * mlz_ * (1.0 + mlz2_ * (1.0/3 + mlz2_ * (1.0/5 +
+       |    mlz2_ * (1.0/7 + mlz2_ * (1.0/9 + mlz2_ * (1.0/11 + mlz2_ * (1.0/13)))))))
+       |    - mlk_ * 0.6931471805599453) * 1e6 + 0.5) AS BIGINT) AS $outCol
+       |  FROM ${pfx}5)""".stripMargin
 }

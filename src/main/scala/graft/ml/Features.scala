@@ -79,7 +79,7 @@ object Features {
   /** Drop every in-memory memoized model (tests: forces the persisted
     * path). */
   private[graft] def clearMemos(): Unit = {
-    lrMemo.clear(); kmMemo.clear(); alsMemo.clear()
+    lrMemo.clear(); kmMemo.clear(); alsMemo.clear(); fpMemo.clear()
   }
 
   /** ml01: feature assembly + standardization over per-trade features.

@@ -691,17 +691,19 @@ object TextAnalysis {
     val vv = train.agg(countDistinct($"w").as("v_size"))
     val nt = train.agg(countDistinct($"doc_id").as("n_total"))
     val cdocs = train.groupBy($"lang").agg(countDistinct($"doc_id").as("n_docs"))
+    // Micro-log quantization happens through the DETERMINISTIC
+    // F.microLn (bit-length normalization + fixed atanh series), not
+    // libm ln: java Math.log and DuckDB's libm log are each ulp-accurate
+    // but can disagree in the last bit, and a last-ulp fork under the
+    // floor is exactly the t10 rank-position hazard.
     val cls = cdocs.join(tc, Seq("lang"))
       .crossJoin(broadcast(vv)).crossJoin(broadcast(nt))
       .select($"lang".as("cls"),
-        floor(log($"n_docs".cast("double") / $"n_total") * 1e6 + 0.5)
-          .cast("long").as("lprior"),
-        floor(log(lit(1.0) / ($"n_tok" + $"v_size")) * 1e6 + 0.5)
-          .cast("long").as("lp0"))
+        F.microLn($"n_docs", $"n_total").as("lprior"),
+        F.microLn(lit(1L), $"n_tok" + $"v_size").as("lp0"))
     val model = wc.join(tc, Seq("lang")).crossJoin(broadcast(vv))
       .select($"lang".as("cls"), $"w",
-        floor(log(($"cwc" + lit(1.0)) / ($"n_tok" + $"v_size")) * 1e6 + 0.5)
-          .cast("long").as("lp"))
+        F.microLn($"cwc" + 1, $"n_tok" + $"v_size").as("lp"))
     // The class axis fans out through a ONE-ROW packed aggregate (the
     // model-broadcast shape): a global collect_list is metadata-bounded
     // by construction, so the cross join's bounded side is structural —
@@ -738,15 +740,17 @@ object TextAnalysis {
        |vv AS (SELECT count(DISTINCT w) AS v_size FROM train),
        |nt AS (SELECT count(DISTINCT doc_id) AS n_total FROM train),
        |cdocs AS (SELECT lang, count(DISTINCT doc_id) AS n_docs FROM train GROUP BY 1),
-       |cls AS (
-       |  SELECT c.lang AS cls,
-       |    CAST(floor(ln(CAST(n_docs AS DOUBLE) / n_total) * 1e6 + 0.5) AS BIGINT) AS lprior,
-       |    CAST(floor(ln(1.0 / (n_tok + v_size)) * 1e6 + 0.5) AS BIGINT) AS lp0
+       |cbase AS (
+       |  SELECT c.lang, n_docs, n_total, n_tok, v_size
        |  FROM cdocs c JOIN tc USING (lang) CROSS JOIN vv CROSS JOIN nt),
-       |model AS (
-       |  SELECT wc.lang AS cls, wc.w,
-       |    CAST(floor(ln((cwc + 1.0) / (n_tok + v_size)) * 1e6 + 0.5) AS BIGINT) AS lp
+       |${S.microLnCtes("cp", "cbase", "n_docs", "n_total", "lprior")},
+       |${S.microLnCtes("cz", "cp", "1", "n_tok + v_size", "lp0")},
+       |cls AS (SELECT lang AS cls, lprior, lp0 FROM cz),
+       |mbase AS (
+       |  SELECT wc.lang, wc.w, cwc, n_tok, v_size
        |  FROM wc JOIN tc USING (lang) CROSS JOIN vv),
+       |${S.microLnCtes("mp", "mbase", "cwc + 1", "n_tok + v_size", "lp")},
+       |model AS (SELECT lang AS cls, w, lp FROM mp),
        |scored AS (
        |  SELECT e.doc_id, c.cls, c.lprior + CAST(sum(coalesce(m.lp, c.lp0)) AS BIGINT) AS score6
        |  FROM ev e CROSS JOIN cls c

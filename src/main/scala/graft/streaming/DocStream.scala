@@ -300,7 +300,7 @@ object DocStream {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  val phashPairsBatchSql: String =
+  val phashPairsGatedSql: String =
     s"""WITH dd AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL

@@ -31,6 +31,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "d03_" -> "eager checkpoint of the banded signature table",
     "d05_" -> "eager checkpoint of the embedding-bucket candidates",
     "d07_" -> "connected-components fixpoint loop runs jobs on construction",
+    "d14_" -> "connected-components fixpoint loop runs jobs on construction",
     "d07b_" -> "large-star/small-star fixpoint loop runs jobs on construction",
     "d08_" -> "incremental-dedup workspace write + eager checkpoint",
     "d13_" -> "bloom sketch build aggregates the corpus on construction",

@@ -130,6 +130,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("microLn: within one micro of libm ln across magnitudes (same definition, no libm)") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val bs = Seq(1L, 2L, 3L, 7L, 100L, 12345L, 1000003L, 1L << 40)
+    val pairs = for {
+      b <- bs; a <- Seq(1L, b / 3 + 1, b / 2 + 1, b - 1, b) if a >= 1 && a <= b
+    } yield (a, b)
+    val got = pairs.distinct.toDF("a", "b")
+      .select(col("a"), col("b"),
+        functions.TextFunctions.microLn(col("a"), col("b")).as("m"))
+      .collect()
+    got.foreach { r =>
+      val (a, b, m) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val ref = math.floor(math.log(a.toDouble / b) * 1e6 + 0.5).toLong
+      assert(math.abs(m - ref) <= 1, s"microLn($a,$b)=$m vs libm $ref")
+    }
+    // exact zero at a == b
+    assert(got.filter(r => r.getLong(0) == r.getLong(1)).forall(_.getLong(2) == 0L))
+  }
+
   test("pHash64: total, deterministic, non-negative on arbitrary bytes") {
     val M = multimodal.Multimodal
     val bytesGen = Gen.nonEmptyListOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
