@@ -219,6 +219,9 @@ object SparkEntry {
     // t14: distributed BPE tokenizer training — iterative argmax has no
     // single-query SQL form -> rows-only; reference-parity spec'd
     "t14_bpe_train" -> (TextAnalysis.bpeTrain _),
+    // p11: content-addressed corpus manifest — the versioned-release
+    // integrity record; one partial-aggregable scan
+    "p11_corpus_manifest" -> (Curation.corpusManifest _),
     // ml05: FPGrowth market-basket itemsets (size <= 2) — the one MLlib
     // algorithm whose exact support counts a SQL oracle can pin
     "ml05_frequent_pairs" -> (graft.ml.Features.frequentPairs _),
@@ -387,6 +390,7 @@ object SparkEntry {
     "t13_nb_classifier" -> TextAnalysis.nbClassifierSql,
     "p10_quality_repeat" -> Curation.qualityRepeatSql,
     "ml05_frequent_pairs" -> graft.ml.Features.frequentPairsSql,
+    "p11_corpus_manifest" -> Curation.corpusManifestSql,
     "d07b_dedup_clusters_stars" -> graft.dedup.Dedup.dedupClustersSql,
     "p05b_stratified_presplit" -> Curation.stratifiedSamplePresplitSql,
     "v02b_windowed_counts" -> graft.streaming.EventStream.windowedCountsBatchSql,

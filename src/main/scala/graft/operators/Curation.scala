@@ -574,6 +574,47 @@ object Curation {
       .orderBy($"seq")
   }
 
+  // ---------------------------------------------------------------- p11
+  /** p11: corpus MANIFEST — the content-addressed integrity record a
+    * versioned dataset release ships (what changed between corpus
+    * snapshots is a manifest diff, not a 100 TB scan): per (lang, source)
+    * group the doc/byte counts, the id range, and an ORDER-INDEPENDENT
+    * content fingerprint (bit_xor of each doc's polynomial content hash
+    * xor-folded with its id, so moving a doc between groups, editing one
+    * byte, or dropping a row all change the group fingerprint). One
+    * partial-aggregable groupBy — bit_xor and the counts combine
+    * associatively, so the manifest costs one corpus scan at any scale. */
+  def corpusManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => F}
+    graft.sources.Tables.documents(spark, dir)
+      .select($"lang", $"source", $"doc_id", $"n_chars",
+        F.polyHash($"text").bitwiseXOR($"doc_id").as("h"))
+      .groupBy($"lang", $"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("n_chars"),
+        min($"doc_id").as("min_id"),
+        max($"doc_id").as("max_id"),
+        expr("bit_xor(h)").as("content_fp"))
+      .orderBy($"lang", $"source")
+  }
+
+  val corpusManifestSql: String = {
+    import graft.functions.{TextSql => S}
+    s"""WITH h AS (
+       |  SELECT lang, source, doc_id, n_chars,
+       |    xor(${S.polyHash("text")}, doc_id) AS h
+       |  FROM documents)
+       |SELECT lang, source, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+       |  bit_xor(h) AS content_fp
+       |FROM h
+       |GROUP BY lang, source
+       |ORDER BY lang, source""".stripMargin
+  }
+
   val qualityRepeatSql: String =
     s"""WITH qs AS (
        |${TextAnalysis.qualityCoreSql}),

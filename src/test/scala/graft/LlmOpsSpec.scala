@@ -1153,6 +1153,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.filter(col("n_ips") === 1 && !col("redacted").contains("[IP]")).count() == 0)
   }
 
+  test("p11: manifest fingerprints detect edits and reconcile with the corpus") {
+    val m = operators.Curation.corpusManifest(spark, sf).collect()
+    val docs = sources.Tables.documents(spark, sf)
+    assert(m.map(_.getLong(2)).sum == docs.count())
+    assert(m.map(_.getLong(3)).sum ==
+      docs.agg(sum("n_chars")).head.getLong(0))
+    // a one-byte edit to one doc flips exactly that group's fingerprint
+    import TestSpark.spark.implicits._
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === m.head.getLong(4), concat(col("text"), lit("x")))
+        .otherwise(col("text")))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_p11").toString
+    edited.write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val m2 = operators.Curation.corpusManifest(spark, dir2).collect()
+    val k = (r: org.apache.spark.sql.Row) => (r.getString(0), r.getString(1))
+    val fp1 = m.map(r => k(r) -> r.getLong(6)).toMap
+    val fp2 = m2.map(r => k(r) -> r.getLong(6)).toMap
+    val changed = fp1.keySet.filter(g => fp1(g) != fp2.getOrElse(g, Long.MinValue))
+    assert(changed.size == 1, s"exactly one group must change, got $changed")
+  }
+
   test("t14: BPE merges match the reference on the classic corpus") {
     import TestSpark.spark.implicits._
     // Sennrich's canonical example family: shared prefixes merge first
