@@ -192,6 +192,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.filter(col("doc_a") % 3 =!= 0 || col("doc_b") % 3 =!= 0).count() == 0)
   }
 
+  test("v13: phash state survives across batches - near-dups split over arrivals are caught") {
+    import TestSpark.spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    val other = "completely different content about spark shuffles and joins " * 4
+    def write(dir: String, rows: Seq[(Long, String)]): Unit = {
+      val df = rows.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ds13w").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(dir).resolve(s"b${rows.head._1}.parquet"))
+      ()
+    }
+    val docDir = java.nio.file.Files.createTempDirectory("graft_docstream13b").toString
+    write(docDir, Seq((0L, base), (9L, other)))
+    val q = streaming.DocStream.phashMatches(spark, docDir)
+      .writeStream.outputMode("append").format("memory").queryName("v13b_out").start()
+    try {
+      q.processAllAvailable()
+      write(docDir, Seq((3L, base), (12L, other)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("v13b_out").select("doc_a", "doc_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch-1 state must still be live when batch 2 arrives
+    assert(got.contains((0L, 3L)), s"cross-batch exact copy lost: $got")
+    assert(got.contains((9L, 12L)), s"cross-batch exact copy lost: $got")
+    assert(!got.contains((0L, 9L)) && !got.contains((0L, 12L)))
+  }
+
   test("v07: band state survives across batches within the horizon (cross-batch collisions)") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft_docstream7b")
