@@ -222,6 +222,9 @@ object SparkEntry {
     // p11: content-addressed corpus manifest — the versioned-release
     // integrity record; one partial-aggregable scan
     "p11_corpus_manifest" -> (Curation.corpusManifest _),
+    // s08: radius/threshold retrieval — everything closer than tau,
+    // the recall-controlled mode top-k cannot express
+    "s08_range_search" -> (graft.similarity.Similarity.rangeSearch _),
     // ml05: FPGrowth market-basket itemsets (size <= 2) — the one MLlib
     // algorithm whose exact support counts a SQL oracle can pin
     "ml05_frequent_pairs" -> (graft.ml.Features.frequentPairs _),
@@ -391,6 +394,7 @@ object SparkEntry {
     "p10_quality_repeat" -> Curation.qualityRepeatSql,
     "ml05_frequent_pairs" -> graft.ml.Features.frequentPairsSql,
     "p11_corpus_manifest" -> Curation.corpusManifestSql,
+    "s08_range_search" -> graft.similarity.Similarity.rangeSearchSql,
     "d07b_dedup_clusters_stars" -> graft.dedup.Dedup.dedupClustersSql,
     "p05b_stratified_presplit" -> Curation.stratifiedSamplePresplitSql,
     "v02b_windowed_counts" -> graft.streaming.EventStream.windowedCountsBatchSql,

@@ -666,6 +666,56 @@ object Similarity {
       .orderBy($"query_id", $"rnk")
   }
 
+  // ---------------------------------------------------------------- s08
+  /** Minimum cosine for a range-search hit (set where the sf corpora's
+    * weak geometric clusters still produce matches — real embedding
+    * spaces sit far tighter, and the radius is the caller's knob). */
+  val RangeTau = 0.2
+
+  /** s08: RANGE (radius/threshold) similarity search — every corpus
+    * vector within cosine ≥ [[RangeTau]] of each query, the
+    * recall-controlled retrieval mode top-k cannot express (k truncates
+    * dense neighborhoods and pads sparse ones; a dedup-style gate wants
+    * "everything closer than τ"). Blocked on the label cell like d05 —
+    * at 100 TB the blocking key is the coarse quantizer cell and only
+    * the query's probed cells are scanned; the per-pair work is the
+    * codegen dot product, no window and no rank state at all (unlike
+    * top-k there is nothing to rank — the filter IS the semantics). */
+  def rangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = graft.GraftSession.maybeCache(vecs(spark, dir))
+    val q = e.filter($"vec_id" % QueryStride === 0)
+      .select($"vec_id".as("query_id"), $"label", $"v".as("vq"), $"norm".as("nq"))
+    val c = e.select($"vec_id".as("neighbor_id"), $"label", $"v".as("vn"), $"norm".as("nn"))
+    q.join(c, Seq("label"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("cosine_raw", cosine($"vq", $"vn", $"nq", $"nn"))
+      .filter($"cosine_raw" >= RangeTau)
+      .select($"query_id", $"neighbor_id", $"label",
+        F.fr($"cosine_raw", 6).as("cosine"))
+      .orderBy($"query_id", $"neighbor_id")
+  }
+
+  val rangeSearchSql: String = {
+    val dot = S.foldSum("list_transform(range(1, len(vq) + 1), i -> vq[i] * vn[i])")
+    val nq = S.foldSum("list_transform(vq, x -> x * x)")
+    val nn = S.foldSum("list_transform(vn, x -> x * x)")
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.label AS label,
+       |         q.v AS vq, c.v AS vn
+       |  FROM e q JOIN e c ON q.label = c.label
+       |  WHERE q.vec_id % $QueryStride = 0 AND q.vec_id <> c.vec_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, label,
+       |    CASE WHEN (sqrt($nq) * sqrt($nn)) <> 0.0
+       |         THEN ($dot) / (sqrt($nq) * sqrt($nn)) END AS cosine_raw
+       |  FROM p)
+       |SELECT query_id, neighbor_id, label, ${S.fr("cosine_raw", 6)} AS cosine
+       |FROM scored WHERE cosine_raw >= $RangeTau
+       |ORDER BY query_id, neighbor_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- s07
   /** s07: the corpus-wide k-NN GRAPH — every vector's [[TopK]] nearest
     * neighbors (not just the stride query set), plus the mutual-kNN flag

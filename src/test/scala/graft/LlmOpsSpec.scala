@@ -1291,6 +1291,32 @@ class LlmOpsSpec extends AnyFunSuite {
     } finally { clusters.unpersist(); () }
   }
 
+  test("s08: range search returns exactly the above-threshold slice of the query's cell") {
+    val out = similarity.Similarity.rangeSearch(spark, sf).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter(col("cosine") < similarity.Similarity.RangeTau - 1e-6).count() == 0)
+      // range search at tau must contain every s01 brute-force top-k hit
+      // scoring >= tau for the same queries, label permitting: on this
+      // corpus the brute top-k above tau IS within-label (check it), so
+      // containment is exact
+      val brute = similarity.Similarity.bruteForceTopK(spark, sf)
+        .filter(col("cosine") >= similarity.Similarity.RangeTau)
+        .select("query_id", "neighbor_id")
+      val missing = brute.join(out.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      // any miss must be a cross-label pair (outside s08's declared block)
+      val vecs = sources.Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("label"))
+      val crossLabel = missing
+        .join(vecs.toDF("query_id", "ql"), "query_id")
+        .join(vecs.toDF("neighbor_id", "nl"), "neighbor_id")
+        .filter(col("ql") === col("nl"))
+      assert(crossLabel.count() == 0,
+        "a within-label above-threshold neighbor was missed")
+    } finally { out.unpersist(); () }
+  }
+
   test("s07: knn graph restricted to the stride queries reproduces s03 exactly") {
     val graph = similarity.Similarity.knnGraph(spark, sf)
       .filter(col("vec_id") % similarity.Similarity.QueryStride === 0)
