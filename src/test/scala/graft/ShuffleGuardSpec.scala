@@ -56,7 +56,16 @@ class ShuffleGuardSpec extends AnyFunSuite {
     // back via BroadcastExchange (not a shuffle). A 4th exchange here
     // means the corpus join stopped broadcasting or the pseudo key
     // regressed to a corpus-side repartition.
-    "r33_index_relative" -> 3
+    "r33_index_relative" -> 3,
+    // SURVEY §2 p11 claim "one partial-aggregable scan": the manifest is
+    // one agg exchange + the output sort — a second agg exchange means
+    // the xor fold stopped combining map-side
+    "p11_corpus_manifest" -> 2,
+    // SURVEY §2 s08 claim "no window/rank state at all": the label join
+    // broadcasts the stride query side at this SF, leaving only the
+    // output sort exchange; a window/rank regression would add its own
+    // hash exchange here
+    "s08_range_search" -> 1
   )
 
   test("shuffle guard: audited queries keep their exchange counts") {
