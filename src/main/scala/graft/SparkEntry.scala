@@ -147,6 +147,14 @@ object SparkEntry {
     // q43b: the large-domain rank-vector layout (rankPartitions = 8) —
     // layout-independent output, gated on the SAME oracle as q43
     "q43b_trade_rank_part" -> (GraphRank.tradeRankPartitioned _),
+    // q44: interval-overlap concurrency via sweep-line deltas — the range
+    // join Spark lacks, answered with one groupBy(day) + a dimension-scale
+    // cumsum; oracle is the independent naive non-equi join
+    "q44_interval_concurrency" -> (Intervals.intervalConcurrency _),
+    // r40: file-level min/max zone-map skipping on a non-partition column
+    // over a range-clustered layout (Delta/Iceberg data skipping with
+    // plain parquet + a metadata table); oracle is the full-scan filter
+    "r40_zonemap_skip" -> (ZoneMap.zonemapSkip _),
     "r28_schema_evolution" -> (Extras.schemaEvolution _),
     // s05: approximate by construction (PQ codes) -> rows-only; recall
     // vs the exact s01 baseline asserted in LlmOpsSpec
@@ -374,6 +382,8 @@ object SparkEntry {
     "q42_retention" -> EventAnalytics.retentionSql,
     "q43_trade_rank" -> GraphRank.tradeRankSql,
     "q43b_trade_rank_part" -> GraphRank.tradeRankSql,
+    "q44_interval_concurrency" -> Intervals.intervalConcurrencySql,
+    "r40_zonemap_skip" -> ZoneMap.zonemapSkipSql,
     "r28_schema_evolution" -> Extras.schemaEvolutionSql,
     "p08_curriculum" -> Curation.curriculumSql,
     "p09_temperature_sample" -> Curation.temperatureSampleSql,

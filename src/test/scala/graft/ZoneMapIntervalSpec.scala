@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q44 sweep-line interval concurrency + r40 zone-map data skipping. */
+class ZoneMapIntervalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // ---------------------------------------------------------------- q44
+
+  test("q44: sweep-line equals the naive interval-overlap count") {
+    import spark.implicits._
+    val got = operators.Intervals.intervalConcurrency(spark, sf).collect()
+    // independent naive recompute: explode nothing, just count per
+    // boundary day with a driver-side scan (bounded at sf0.001)
+    val iv = sources.Tables.orders(spark, sf).select(
+      to_date($"o_orderdate").as("s"),
+      date_add(to_date($"o_orderdate"),
+        (lit(3) + pmod($"o_orderkey", lit(28L))).cast("int")).as("e"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getDate(1).toLocalDate))
+    val days = iv.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val naive = days.map(d => d -> iv.count(p => !p._1.isAfter(d) && d.isBefore(p._2))).toMap
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      assert(r.getLong(1) == naive(d).toLong, s"mismatch at $d")
+    }
+    assert(got.length == days.length, "boundary-day set differs from naive")
+  }
+
+  test("q44: running count returns to zero after the last interval closes") {
+    val got = operators.Intervals.intervalConcurrency(spark, sf)
+      .orderBy(col("d")).collect()
+    assert(got.last.getLong(1) == 0L,
+      "every interval is finite, so the final boundary day must drain to 0")
+    assert(got.forall(_.getLong(1) >= 0L), "active count can never go negative")
+  }
+
+  test("q44: the only window runs over the day dimension, partitioned non-foldably") {
+    val plan = operators.Intervals.intervalConcurrency(spark, sf)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size == 1)
+    assert(windows.head.partitionSpec.nonEmpty,
+      "the deliberate single partition must survive constant folding")
+  }
+
+  // ---------------------------------------------------------------- r40
+
+  test("r40: zone map skips files and the pruned read matches the full scan") {
+    import spark.implicits._
+    val result = operators.ZoneMap.zonemapSkip(spark, sf).collect()
+    // parity vs the unpruned full-table filter, same rounding
+    val full = sources.Tables.lineitem(spark, sf)
+      .filter($"l_extendedprice" >= operators.ZoneMap.PriceLo &&
+        $"l_extendedprice" <= operators.ZoneMap.PriceHi)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(floor($"l_quantity" * 100.0 + 0.5).cast("long")).cast("double") / 100.0)
+          .as("sum_qty"),
+        (sum(floor($"l_extendedprice" * 100.0 + 0.5).cast("long")).cast("double") / 100.0)
+          .as("sum_price"))
+      .orderBy($"l_returnflag").collect()
+    assert(result.map(_.toString).sameElements(full.map(_.toString)))
+  }
+
+  test("r40: every zone honestly bounds its file's values") {
+    import spark.implicits._
+    // rebuild the layout through the public query path first (memoized)
+    operators.ZoneMap.zonemapSkip(spark, sf).count()
+    val layout = operators.ZoneMap.layouts(sf)
+    val zm = operators.ZoneMap.zoneMap(spark, layout).collect()
+    assert(zm.length == operators.ZoneMap.ZoneFiles)
+    zm.foreach { z =>
+      val file = z.getAs[String]("file")
+      val vals = spark.read.parquet(file).select($"l_extendedprice")
+        .agg(min($"l_extendedprice"), max($"l_extendedprice")).head()
+      assert(vals.getDouble(0) == z.getAs[Double]("zmin"), s"zmin lies for $file")
+      assert(vals.getDouble(1) == z.getAs[Double]("zmax"), s"zmax lies for $file")
+    }
+    // and the planner's file set is sound AND strictly skipping
+    val (files, total) = operators.ZoneMap.planSkip(spark, layout,
+      operators.ZoneMap.PriceLo, operators.ZoneMap.PriceHi)
+    assert(total == operators.ZoneMap.ZoneFiles)
+    assert(files.nonEmpty && files.length < total,
+      s"expected real skipping, got ${files.length}/$total")
+    // soundness: no excluded file may contain an in-band value
+    val excluded = zm.map(_.getAs[String]("file")).filterNot(files.contains)
+    excluded.foreach { file =>
+      val n = spark.read.parquet(file)
+        .filter($"l_extendedprice" >= operators.ZoneMap.PriceLo &&
+          $"l_extendedprice" <= operators.ZoneMap.PriceHi).count()
+      assert(n == 0L, s"skipped file $file holds $n in-band rows")
+    }
+  }
+}
