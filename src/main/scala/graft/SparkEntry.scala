@@ -233,6 +233,16 @@ object SparkEntry {
     // s08: radius/threshold retrieval — everything closer than tau,
     // the recall-controlled mode top-k cannot express
     "s08_range_search" -> (graft.similarity.Similarity.rangeSearch _),
+    // q45: ancestor closure of a parent-pointer hierarchy via pointer
+    // doubling — the recursive CTE Spark lacks in O(log depth) rounds;
+    // oracle is DuckDB's independent WITH RECURSIVE evaluation
+    "q45_hierarchy_closure" -> (Hierarchy.hierarchyClosure _),
+    // t15: RAG-ingestion document chunking — overlapping fixed token
+    // windows with offsets; entirely row-local, no pre-sort shuffle
+    "t15_doc_chunk" -> (TextAnalysis.docChunk _),
+    // p12: corpus snapshot diff as a manifest diff — two dimension-scale
+    // manifests full-outer-joined into added/removed/changed/unchanged
+    "p12_manifest_diff" -> (Curation.manifestDiff _),
     // ml05: FPGrowth market-basket itemsets (size <= 2) — the one MLlib
     // algorithm whose exact support counts a SQL oracle can pin
     "ml05_frequent_pairs" -> (graft.ml.Features.frequentPairs _),
@@ -405,6 +415,9 @@ object SparkEntry {
     "ml05_frequent_pairs" -> graft.ml.Features.frequentPairsSql,
     "p11_corpus_manifest" -> Curation.corpusManifestSql,
     "s08_range_search" -> graft.similarity.Similarity.rangeSearchSql,
+    "q45_hierarchy_closure" -> Hierarchy.hierarchyClosureSql,
+    "t15_doc_chunk" -> TextAnalysis.docChunkSql,
+    "p12_manifest_diff" -> Curation.manifestDiffSql,
     "d07b_dedup_clusters_stars" -> graft.dedup.Dedup.dedupClustersSql,
     "p05b_stratified_presplit" -> Curation.stratifiedSamplePresplitSql,
     "v02b_windowed_counts" -> graft.streaming.EventStream.windowedCountsBatchSql,

@@ -586,8 +586,18 @@ object Curation {
     * associatively, so the manifest costs one corpus scan at any scale. */
   def corpusManifest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    manifestOf(graft.sources.Tables.documents(spark, dir))
+      .orderBy($"lang", $"source")
+  }
+
+  /** The manifest aggregate over an arbitrary document snapshot (shared
+    * by p11's gated row and p12's diff — both snapshots go through the
+    * SAME fingerprint arithmetic, so a diff row can only mean a real
+    * content difference). Unordered; callers sort. */
+  private[operators] def manifestOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     import graft.functions.{TextFunctions => F}
-    graft.sources.Tables.documents(spark, dir)
+    docs
       .select($"lang", $"source", $"doc_id", $"n_chars",
         F.polyHash($"text").bitwiseXOR($"doc_id").as("h"))
       .groupBy($"lang", $"source")
@@ -597,7 +607,6 @@ object Curation {
         min($"doc_id").as("min_id"),
         max($"doc_id").as("max_id"),
         expr("bit_xor(h)").as("content_fp"))
-      .orderBy($"lang", $"source")
   }
 
   val corpusManifestSql: String = {
@@ -612,6 +621,95 @@ object Curation {
        |  bit_xor(h) AS content_fp
        |FROM h
        |GROUP BY lang, source
+       |ORDER BY lang, source""".stripMargin
+  }
+
+  /** Snapshot-B derivation constants for p12 (deterministic in-query
+    * contamination, t12's convention — the corpus ships no second
+    * version): docs with id ≡ [[DiffEditMod]] (mod 7) get one byte
+    * appended (fingerprint flip, counts unchanged), source
+    * [[DiffDropSource]] is dropped entirely (removed groups), and docs
+    * with id ≡ [[DiffIngestMod]] (mod 13) re-ingest under source
+    * [[DiffIngestSource]] with ids shifted by [[DiffIngestShift]]
+    * (added groups). */
+  val DiffEditMod = 3
+  val DiffIngestMod = 1
+  val DiffIngestShift = 10000000L
+  val DiffDropSource = "src19"
+  val DiffIngestSource = "ingest"
+
+  // ---------------------------------------------------------------- p12
+  /** p12: corpus SNAPSHOT DIFF — p11's promise made a query. Releasing
+    * corpus v2 next to v1 must answer "what changed" WITHOUT comparing
+    * content: each snapshot folds to its dimension-scale manifest (one
+    * partial-aggregable scan each — at 100 TB the manifests are a few
+    * thousand rows), and the diff is a FULL OUTER join of the two on the
+    * group key with a four-way status verdict: `added` (group only in B),
+    * `removed` (only in A), `changed` (doc/byte counts or the
+    * order-independent content fingerprint differ), `unchanged`. The
+    * fingerprint is what makes `unchanged` TRUSTWORTHY: any one-byte
+    * edit, dropped row, or id move flips it (spec-proven on p11). */
+  def manifestDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val a = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    val edited = a.filter($"source" =!= DiffDropSource)
+      .withColumn("text",
+        when($"doc_id" % 7 === DiffEditMod, concat($"text", lit("!")))
+          .otherwise($"text"))
+    val added = a.filter($"doc_id" % 13 === DiffIngestMod)
+      .select(($"doc_id" + DiffIngestShift).as("doc_id"), $"text", $"lang",
+        lit(DiffIngestSource).as("source"), $"n_chars")
+    val b = edited.unionByName(added)
+    val ma = manifestOf(a).select($"lang", $"source", $"n_docs".as("docs_a"),
+      $"n_chars".as("chars_a"), $"content_fp".as("fp_a"))
+    val mb = manifestOf(b).select($"lang", $"source", $"n_docs".as("docs_b"),
+      $"n_chars".as("chars_b"), $"content_fp".as("fp_b"))
+    ma.join(mb, Seq("lang", "source"), "full_outer")
+      .select($"lang", $"source",
+        when($"docs_a".isNull, lit("added"))
+          .when($"docs_b".isNull, lit("removed"))
+          .when($"docs_a" =!= $"docs_b" || $"chars_a" =!= $"chars_b" ||
+            $"fp_a" =!= $"fp_b", lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        $"docs_a", $"docs_b", $"fp_a", $"fp_b")
+      .orderBy($"lang", $"source")
+  }
+
+  val manifestDiffSql: String = {
+    import graft.functions.{TextSql => S}
+    s"""WITH base AS (
+       |  SELECT doc_id, text, lang, source, n_chars FROM documents),
+       |edited AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = $DiffEditMod THEN text || '!' ELSE text END AS text,
+       |    lang, source, n_chars
+       |  FROM base WHERE source <> '$DiffDropSource'),
+       |added AS (
+       |  SELECT doc_id + $DiffIngestShift AS doc_id, text, lang,
+       |    '$DiffIngestSource' AS source, n_chars
+       |  FROM base WHERE doc_id % 13 = $DiffIngestMod),
+       |snap_b AS (SELECT * FROM edited UNION ALL SELECT * FROM added),
+       |ma AS (
+       |  SELECT lang, source, count(*) AS docs_a,
+       |    CAST(sum(n_chars) AS BIGINT) AS chars_a,
+       |    bit_xor(xor(${S.polyHash("text")}, doc_id)) AS fp_a
+       |  FROM base GROUP BY lang, source),
+       |mb AS (
+       |  SELECT lang, source, count(*) AS docs_b,
+       |    CAST(sum(n_chars) AS BIGINT) AS chars_b,
+       |    bit_xor(xor(${S.polyHash("text")}, doc_id)) AS fp_b
+       |  FROM snap_b GROUP BY lang, source)
+       |SELECT coalesce(ma.lang, mb.lang) AS lang,
+       |  coalesce(ma.source, mb.source) AS source,
+       |  CASE WHEN ma.lang IS NULL THEN 'added'
+       |       WHEN mb.lang IS NULL THEN 'removed'
+       |       WHEN ma.docs_a <> mb.docs_b OR ma.chars_a <> mb.chars_b
+       |         OR ma.fp_a <> mb.fp_b THEN 'changed'
+       |       ELSE 'unchanged' END AS status,
+       |  ma.docs_a, mb.docs_b, ma.fp_a, mb.fp_b
+       |FROM ma FULL OUTER JOIN mb
+       |  ON ma.lang = mb.lang AND ma.source = mb.source
        |ORDER BY lang, source""".stripMargin
   }
 

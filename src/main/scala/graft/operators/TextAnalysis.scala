@@ -899,4 +899,57 @@ object TextAnalysis {
     }
     out.toSeq
   }
+
+  /** Chunk window / stride in tokens (25% overlap) — the RAG-ingestion
+    * convention of overlapping fixed-size windows. */
+  val ChunkTokens = 40
+  val ChunkStride = 30
+
+  // ---------------------------------------------------------------- t15
+  /** t15: document CHUNKING — the retrieval-ingestion splitter (fixed
+    * token windows with overlap, the unit a RAG pipeline embeds and
+    * indexes). Chunks start every [[ChunkStride]] tokens and span up to
+    * [[ChunkTokens]]; the last window clamps at the document end, and
+    * every document emits at least one chunk. Entirely ROW-LOCAL: the
+    * token split, the per-doc window explode (fan-out ≈ n/stride — the
+    * overlap factor, never interval-length), and the slice+join
+    * reconstruction are all map-side codegen; no shuffle exists before
+    * the output sort, so the operator streams at any corpus scale.
+    * Token offsets come out alongside the text so downstream spans
+    * (t12 redaction hits, d12 duplicated-substring verdicts) can be
+    * mapped back into chunk coordinates. */
+  def docChunk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", F.tokens($"text").as("tk"))
+      .select($"doc_id", $"tk", size($"tk").as("n"))
+      .select($"doc_id", $"n",
+        explode(sequence(lit(0), expr(s"(n - 1) div $ChunkStride"))).as("ci"),
+        $"tk")
+      .select($"doc_id",
+        $"ci".cast("long").as("chunk_id"),
+        ($"ci".cast("long") * ChunkStride).as("tok_start"),
+        slice($"tk", $"ci" * ChunkStride + 1, lit(ChunkTokens)).as("ck"))
+      .select($"doc_id", $"chunk_id", $"tok_start",
+        size($"ck").cast("long").as("n_chunk_tokens"),
+        array_join($"ck", " ").as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  val docChunkSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |sized AS (
+       |  SELECT doc_id, tk, len(tk) AS n FROM toks),
+       |c AS (
+       |  SELECT doc_id, tk, n,
+       |    unnest(generate_series(0, (n - 1) // $ChunkStride)) AS ci
+       |  FROM sized)
+       |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+       |  CAST(ci * $ChunkStride AS BIGINT) AS tok_start,
+       |  CAST(len(list_slice(tk, ci * $ChunkStride + 1,
+       |    least(ci * $ChunkStride + $ChunkTokens, n))) AS BIGINT) AS n_chunk_tokens,
+       |  array_to_string(list_slice(tk, ci * $ChunkStride + 1,
+       |    least(ci * $ChunkStride + $ChunkTokens, n)), ' ') AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 }

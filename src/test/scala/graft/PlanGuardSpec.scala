@@ -63,6 +63,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "r28_" -> "schema-evolution round-trip writes files on construction",
     "r31_" -> "paged-transport fetch runs the fake API on construction",
     "r40_" -> "zone-map layout write + file-list metadata collect on construction",
+    "q45_" -> "pointer-doubling fixpoint loop runs count actions on construction",
     "r32_" -> "the composed daily loop runs end-to-end on construction",
     "r34_" -> "the composed daily loop runs end-to-end on construction",
     "r36_" -> "the composed daily loop runs end-to-end on construction",
