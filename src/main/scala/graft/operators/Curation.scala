@@ -626,13 +626,15 @@ object Curation {
 
   /** Snapshot-B derivation constants for p12 (deterministic in-query
     * contamination, t12's convention — the corpus ships no second
-    * version): docs with id ≡ [[DiffEditMod]] (mod 7) get one byte
-    * appended (fingerprint flip, counts unchanged), source
+    * version): docs with id ≡ [[DiffEditMod]] (mod [[DiffEditDiv]]) get
+    * one byte appended (fingerprint flip, counts unchanged), source
     * [[DiffDropSource]] is dropped entirely (removed groups), and docs
-    * with id ≡ [[DiffIngestMod]] (mod 13) re-ingest under source
+    * with id ≡ [[DiffIngestMod]] (mod [[DiffIngestDiv]]) re-ingest under source
     * [[DiffIngestSource]] with ids shifted by [[DiffIngestShift]]
     * (added groups). */
+  val DiffEditDiv = 7
   val DiffEditMod = 3
+  val DiffIngestDiv = 13
   val DiffIngestMod = 1
   val DiffIngestShift = 10000000L
   val DiffDropSource = "src19"
@@ -651,13 +653,14 @@ object Curation {
     * edit, dropped row, or id move flips it (spec-proven on p11). */
   def manifestDiff(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val a = graft.sources.Tables.documents(spark, dir)
-      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    val a = graft.GraftSession.maybeCache(
+      graft.sources.Tables.documents(spark, dir)
+        .select($"doc_id", $"text", $"lang", $"source", $"n_chars"))
     val edited = a.filter($"source" =!= DiffDropSource)
       .withColumn("text",
-        when($"doc_id" % 7 === DiffEditMod, concat($"text", lit("!")))
+        when($"doc_id" % DiffEditDiv === DiffEditMod, concat($"text", lit("!")))
           .otherwise($"text"))
-    val added = a.filter($"doc_id" % 13 === DiffIngestMod)
+    val added = a.filter($"doc_id" % DiffIngestDiv === DiffIngestMod)
       .select(($"doc_id" + DiffIngestShift).as("doc_id"), $"text", $"lang",
         lit(DiffIngestSource).as("source"), $"n_chars")
     val b = edited.unionByName(added)
@@ -682,13 +685,13 @@ object Curation {
        |  SELECT doc_id, text, lang, source, n_chars FROM documents),
        |edited AS (
        |  SELECT doc_id,
-       |    CASE WHEN doc_id % 7 = $DiffEditMod THEN text || '!' ELSE text END AS text,
+       |    CASE WHEN doc_id % $DiffEditDiv = $DiffEditMod THEN text || '!' ELSE text END AS text,
        |    lang, source, n_chars
        |  FROM base WHERE source <> '$DiffDropSource'),
        |added AS (
        |  SELECT doc_id + $DiffIngestShift AS doc_id, text, lang,
        |    '$DiffIngestSource' AS source, n_chars
-       |  FROM base WHERE doc_id % 13 = $DiffIngestMod),
+       |  FROM base WHERE doc_id % $DiffIngestDiv = $DiffIngestMod),
        |snap_b AS (SELECT * FROM edited UNION ALL SELECT * FROM added),
        |ma AS (
        |  SELECT lang, source, count(*) AS docs_a,

@@ -101,9 +101,9 @@ object ZoneMap {
       .filter($"l_extendedprice" >= PriceLo && $"l_extendedprice" <= PriceHi)
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n_lines"),
-        (sum(floor($"l_quantity" * 100.0 + 0.5).cast("long")).cast("double") / 100.0)
+        (sum(graft.functions.Money.cents($"l_quantity")).cast("double") / 100.0)
           .as("sum_qty"),
-        (sum(floor($"l_extendedprice" * 100.0 + 0.5).cast("long")).cast("double") / 100.0)
+        (sum(graft.functions.Money.cents($"l_extendedprice")).cast("double") / 100.0)
           .as("sum_price"))
       .orderBy($"l_returnflag")
   }

@@ -99,14 +99,16 @@ class HierarchyChunkDiffSpec extends AnyFunSuite {
     assert(diff.keys.exists(_._2 == operators.Curation.DiffIngestSource),
       "the ingest derivation must produce at least one added group")
     // a surviving group holding an edited doc is changed; one holding none is unchanged
-    val edited = base.filter(t => t._3 % 7 == operators.Curation.DiffEditMod)
+    val edited = base.filter(t =>
+      t._3 % operators.Curation.DiffEditDiv == operators.Curation.DiffEditMod)
       .map(t => (t._1, t._2)).toSet
     baseGroups.filterNot(_._2 == operators.Curation.DiffDropSource).foreach { g =>
       val expect = if (edited.contains(g)) "changed" else "unchanged"
       assert(diff(g) == expect, s"$g")
     }
     // and the verdict table covers exactly A-groups ∪ B-groups
-    val ingestLangs = base.filter(_._3 % 13 == operators.Curation.DiffIngestMod)
+    val ingestLangs = base.filter(
+      _._3 % operators.Curation.DiffIngestDiv == operators.Curation.DiffIngestMod)
       .map(t => (t._1, operators.Curation.DiffIngestSource)).toSet
     assert(diff.keySet == baseGroups ++ ingestLangs)
   }

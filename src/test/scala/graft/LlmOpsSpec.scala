@@ -1308,11 +1308,11 @@ class LlmOpsSpec extends AnyFunSuite {
       // any miss must be a cross-label pair (outside s08's declared block)
       val vecs = sources.Tables.embeddings(spark, sf)
         .select(col("vec_id"), col("label"))
-      val crossLabel = missing
+      val withinLabelMisses = missing
         .join(vecs.toDF("query_id", "ql"), "query_id")
         .join(vecs.toDF("neighbor_id", "nl"), "neighbor_id")
         .filter(col("ql") === col("nl"))
-      assert(crossLabel.count() == 0,
+      assert(withinLabelMisses.count() == 0,
         "a within-label above-threshold neighbor was missed")
     } finally { out.unpersist(); () }
   }
