@@ -254,6 +254,23 @@ object ScalingProbe {
         (System.nanoTime() - t0) / 1e9
       }
     }
+    if (probes("closure") || probes("q45_closure")) {
+      // q45's round-count claim measured: a comb-shaped tree (n/D lanes ×
+      // depth D = 32 — deeper than any real org/BOM tree, so the round
+      // count is the contested resource). Pointer doubling closes in
+      // ceil(log2 D) = 5 self-join rounds over the growing closure; the
+      // frontier baseline (the naive WITH RECURSIVE port) pays D = 32
+      // rounds of smaller joins. Closure volume is n·(D-1)/2 rows either
+      // way — the probe measures rounds-vs-volume, and how the gap moves
+      // with n.
+      val depth = 32L
+      val nNodes = 16000L * mult
+      val lanes = nNodes / depth
+      val edges = spark.range(lanes, nNodes).toDF("node")
+        .select($"node", ($"node" - lanes).as("anc"), lit(1L).as("dist"))
+      out("q45_doubling") = timed(graft.operators.Hierarchy.closureFrom(edges))
+      out("q45_frontier") = timed(graft.operators.Hierarchy.frontierClosureFrom(edges))
+    }
     // Fail fast on an empty selection (typo'd SPARK_GRAFT_PROBE): the run
     // would otherwise print malformed JSON ("...,}") and measure nothing.
     require(out.nonEmpty,
