@@ -65,7 +65,11 @@ import graft.sources.{EventConnector, LocalFileEventConnector, Tables}
   *    restarted schedule resumes where it crashed. (A transactional table
   *    format would make the multi-table day commit atomic; the ordering —
   *    bars, cci, state, orders, digest last — bounds the damage to "rerun
-  *    the day".)
+  *    the day".) A rerun whose day has ALL THREE chain partitions
+  *    committed goes further: it resumes from them without touching the
+  *    connector at all (committed chain partitions are authoritative
+  *    under the determinism contract above) — which is also what lets
+  *    two sizing modes share one chain ([[sharedDailyRun]]).
   *  - **No driver data.** The loop is driver-side *control* flow only (one
   *    iteration per day, like the reference's scheduler); every data step is
   *    a distributed plan over dimension- or delta-scale frames.
@@ -77,11 +81,17 @@ import graft.sources.{EventConnector, LocalFileEventConnector, Tables}
   */
 object Daily {
 
-  /** Paths of one persisted daily-run workspace. */
-  final case class Workspace(root: String) {
-    def barsDir: String = s"$root/bars"
-    def cciDir: String = s"$root/cci"
-    def stateDir: String = s"$root/state"
+  /** Paths of one persisted daily-run workspace. The mode-independent
+    * CHAIN tables (bars/cci/state — everything upstream of the orders
+    * branch) can live under a shared `chainRoot` so two sizing modes over
+    * the same feed maintain ONE chain ([[sharedDailyRun]]); mode-owned
+    * outputs (orders, positions, sells, balance, digest) stay under
+    * `root`. */
+  final case class Workspace(root: String, chainRoot: Option[String] = None) {
+    private def chain: String = chainRoot.getOrElse(root)
+    def barsDir: String = s"$chain/bars"
+    def cciDir: String = s"$chain/cci"
+    def stateDir: String = s"$chain/state"
     def ordersDir: String = s"$root/orders"
     def positionsDir: String = s"$root/positions"
     def sellsDir: String = s"$root/sells"
@@ -257,6 +267,10 @@ object Daily {
   def bootstrap(spark: SparkSession, conn: EventConnector, ws: Workspace,
       cutoff: java.sql.Date, cfg: GridConfig = GridConfig()): Unit = {
     import spark.implicits._
+    // a committed chain (a crashed-and-rerun bootstrap, or a second
+    // sizing mode over a shared chainRoot) is authoritative: skip the
+    // backfill fetch entirely
+    if (chainCommitted(spark, ws, cutoff)) return
     val requests = conn.listKeys(spark, cutoff).select($"user_id",
       lit(CciPipeline.DefaultFetchStart).cast("date").as("fetch_start"),
       lit(cutoff).as("fetch_end"))
@@ -284,6 +298,215 @@ object Daily {
         .drop("investment_target"),
       ws.conditionsDir)
 
+  /** The day's mode-dependent TAIL — the digest stats actions, the
+    * orders / positions / balance branch, and the digest commit — over
+    * the day's three chain frames, which either path (fresh compute or
+    * committed-chain resume) supplies already materialized. */
+  private def finishDay(spark: SparkSession, ws: Workspace, s: java.sql.Date,
+      cfg: GridConfig, withOrders: Boolean, withBalance: Boolean,
+      deltaBars: DataFrame, deltaCci: DataFrame, newState: DataFrame): DayDigest = {
+    import spark.implicits._
+    // ONE stats action over the two delta frames (1-row aggregates
+    // cross-joined): fresh-path writes already materialized the caches,
+    // resume-path reads are committed parquet — either way this job only
+    // touches footer-scale data, but it IS a scheduled Spark job (the
+    // per-day job count is part of the daily bill)
+    val Seq(nBarsNew, nFetched, nCciNew) = deltaBars
+      .agg(count(lit(1)), coalesce(sum($"volume"), lit(0L)))
+      .crossJoin(deltaCci.agg(count(lit(1))))
+      .head().toSeq.map(_.asInstanceOf[Long])
+
+    // digest totals are running sums over the state DIMENSION —
+    // the round-9 full-corpus count+countDistinct is gone. The
+    // signal count folds into the SAME aggregate: r05/r09's
+    // crossover rule (recommendation semantics: >= on the current
+    // side) per literal threshold as a conditional sum — a null
+    // CCI (window not yet full) makes the condition null and
+    // counts 0, exactly like the former filter+count. One job
+    // instead of two.
+    val sigCnt = cfg.buyThresholds.map(t =>
+        sum(when($"yesterday_open_cci" < t &&
+          $"current_open_cci" >= t, 1L).otherwise(0L)))
+      .reduce(_ + _)
+    val Seq(nCciTotal, nSeries, nSignals) = newState
+      .agg(coalesce(sum($"n_rows"), lit(0L)), count(lit(1)),
+        coalesce(sigCnt, lit(0L)))
+      .head().toSeq.map(_.asInstanceOf[Long])
+
+    val latest = newState.select($"user_id",
+      $"watermark_d".as("state_d"), $"close_pr", $"close_cci",
+      $"current_open_cci", $"yesterday_open_cci")
+
+    // r13's order sizing against the persisted conditions dim,
+    // then the position carry (r34): yesterday's open lots are
+    // scanned with today's state — the reference's daily sell scan
+    // (daily_function.py:1713 create_sell_order_data, :1828 sell
+    // execution) — sells settle, fresh buys open new lots.
+    val (nOrders, nSells, nPositions) = if (!withOrders) (0L, 0L, 0L) else {
+      // r36: the balance snapshot entering day s — the broker's
+      // settlement-basis cash (get_stock_balance's
+      // prvs_rcdl_excc_amt, hankook_api.py:283, consumed at
+      // daily_function.py:1463). ONE committed dimension row,
+      // constant across the day's orders (KRX settles D+2, so
+      // intraday fills don't move the snapshot — which is why the
+      // reference's per-order re-reads inside its symbol loop see
+      // the same number).
+      val balSnap = if (!withBalance) None else Some(
+        latestCommitted(spark, ws.balanceDir, s).getOrElse(
+          throw new IllegalArgumentException(
+            s"daily balance: no committed balance partition before $s — seed the workspace"))
+          .select($"bal_end_cents".as("bal_cents")))
+      val ordersBase = spark.read.parquet(ws.conditionsDir)
+        .join(latest, Seq("user_id"))
+        .filter($"yesterday_open_cci" < $"condition_buy_cci_threshold" &&
+          $"current_open_cci" >= $"condition_buy_cci_threshold")
+        .withColumn("order_date", $"state_d")
+        .withColumn("buy_order_price", $"close_pr")
+      val sized = balSnap match {
+        case None =>
+          // r13/r34 sizing: the fixed 10%-of-seed budget slice
+          ordersBase.withColumn("buy_order_qty",
+            when($"buy_order_price" =!= 0.0,
+              floor(floor(lit(Budget * BudgetFraction)) / $"buy_order_price" + 0.5))
+              .cast("long"))
+        case Some(bal) =>
+          // The reference's balance-driven sizing
+          // (daily_function.py:1466-1474): >= 1M won -> a 10%
+          // slice per order; a smaller positive balance places
+          // minimum qty-1 orders; a non-positive snapshot places
+          // nothing (the broker's insufficient-funds rejection,
+          // made deterministic)
+          ordersBase.crossJoin(broadcast(bal))
+            .withColumn("buy_order_qty",
+              when($"buy_order_price" =!= 0.0,
+                when($"bal_cents" >= InitialBalanceCents,
+                  floor(floor($"bal_cents" / 1000.0) / $"buy_order_price" + 0.5))
+                  .when($"bal_cents" > 0, lit(1.0))
+                  .otherwise(lit(0.0)))
+                .cast("long"))
+            .drop("bal_cents")
+      }
+      // the orders plan feeds up to four consumers (its own
+      // write, the fresh-buys gate into positions, the settlement
+      // cost sum, the committed read-back) — cache it so the
+      // conditions⨝latest sizing chain runs once, not per consumer
+      val orders = GraftSession.maybeCache(sized
+        .filter($"buy_order_qty" >= 1)
+        .withColumn("net_target_price",
+          floor(($"buy_order_price" * (lit(1.0) +
+            ($"condition_target_return" + TaxRate + FeeRate) / 100.0)) * 1.0 + 0.5) / 1.0)
+        .withColumn("sell_signal",
+          when($"close_pr" > $"net_target_price", lit("reach_target"))
+            .when($"close_cci" <= $"condition_stop_loss_cci_threshold", lit("stop_loss"))
+            .otherwise(lit("pending")))
+        .select($"user_id", $"order_date", $"buy_order_price", $"buy_order_qty",
+          $"condition_holding_days", $"condition_target_return",
+          $"condition_buy_cci_threshold", $"condition_stop_loss_cci_threshold",
+          $"win_rate", $"revenue_rate", $"net_target_price", $"sell_signal"))
+      var scoredCache: Option[DataFrame] = None
+      try {
+      overwrite(orders, s"${ws.ordersDir}/run_d=$s")
+
+      // A lot OPENS only on a FRESH signal — the series got a new
+      // bar today, so its (yesterday, current) pair just advanced;
+      // without the gate a stale crossover pair would re-open an
+      // identical lot every day it persists. The orders table (the
+      // day's recommendation VIEW, r09 semantics) stays ungated.
+      val freshBuys = orders
+        .join(deltaBars.select($"user_id").distinct(), Seq("user_id"), "left_semi")
+        .select($"user_id", $"order_date".as("buy_d"),
+          $"buy_order_price".as("buy_price"), $"buy_order_qty".as("buy_qty"),
+          $"condition_holding_days", $"condition_target_return",
+          $"condition_stop_loss_cci_threshold", $"net_target_price")
+
+      // Sell scan over yesterday's open lots with TODAY's state:
+      // target and stop need a bar newer than the purchase
+      // (state_d > buy_d — the broker quotes a fresh price);
+      // maturity is calendar-driven (r18's buy date + holding
+      // days). Precedence mirrors r06: target, stop, maturity.
+      val (sells, stillOpen, scoredC) =
+        latestCommitted(spark, ws.positionsDir, s) match {
+        case None => (None, freshBuys, None)
+        case Some(pos) =>
+          val posCols = pos.columns.map(col)
+          // cached like `orders`: the scan feeds the sells write,
+          // the open carry and the settlement proceeds sum
+          val scored = GraftSession.maybeCache(pos
+            .join(latest.select($"user_id", $"state_d",
+                $"close_pr".as("day_close_pr"),
+                $"close_cci".as("day_close_cci")),
+              Seq("user_id"))
+            .withColumn("trade_result",
+              when($"state_d" > $"buy_d" &&
+                $"day_close_pr" > $"net_target_price", lit("reach_target"))
+                .when($"state_d" > $"buy_d" &&
+                  $"day_close_cci" <= $"condition_stop_loss_cci_threshold",
+                  lit("stop_loss"))
+                .when(lit(s) >= date_add($"buy_d", $"condition_holding_days"),
+                  lit("maturity"))))
+          val sold = scored.filter($"trade_result".isNotNull)
+            .withColumn("sell_d", lit(s))
+            .withColumn("sell_price", $"day_close_pr")
+            .select(posCols ++ Seq($"trade_result", $"sell_d", $"sell_price"): _*)
+          val open = scored.filter($"trade_result".isNull).select(posCols: _*)
+          (Some(sold), open.unionByName(freshBuys), Some(scored))
+      }
+      scoredCache = scoredC
+      sells.foreach(df => overwrite(df, s"${ws.sellsDir}/run_d=$s"))
+      overwrite(stillOpen, s"${ws.positionsDir}/run_d=$s")
+      // digest counts read what was COMMITTED (the written
+      // partitions, not the plans that produced them) — as one
+      // tagged-union job over the parquet footers instead of
+      // three separate count actions
+      val tagged = Seq(
+        "orders" -> s"${ws.ordersDir}/run_d=$s",
+        "positions" -> s"${ws.positionsDir}/run_d=$s") ++
+        sells.map(_ => "sells" -> s"${ws.sellsDir}/run_d=$s")
+      val cnts = tagged.map { case (t, p) =>
+        spark.read.parquet(p).select(lit(t).as("t")) }
+        .reduce(_ unionByName _)
+        .groupBy($"t").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+      // r36 settlement: day-s buys debit cost incl. the buy-side
+      // fee, day-s sells credit proceeds net of tax + fee — the
+      // SAME per-share arithmetic as r11's net revenue — in exact
+      // integer cents (per-lot half-up to cents; the sums are
+      // integer-valued doubles, exact and order-independent under
+      // 2^53). Credits land in the NEXT day's snapshot (D+2
+      // settlement collapsed to D+1 at daily granularity). One
+      // action over the two delta-scale frames.
+      balSnap.foreach { bal =>
+        val costAgg = freshBuys.agg(coalesce(sum(
+            floor($"buy_qty" * $"buy_price" * lit(1.0 + FeeRate) * 100.0 + 0.5)),
+          lit(0.0)).as("c"))
+        val procAgg = sells.map(_.agg(coalesce(sum(
+            floor($"buy_qty" * $"sell_price" * lit(1.0 - TaxRate - FeeRate) * 100.0 + 0.5)),
+          lit(0.0)).as("p")))
+          .getOrElse(spark.range(1).select(lit(0.0).as("p")))
+        val r = bal.crossJoin(costAgg).crossJoin(procAgg)
+          .select($"bal_cents", $"c".cast("long"), $"p".cast("long")).head()
+        val (b0, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        overwrite(
+          Seq((s, b0, c, p, b0 - c + p)).toDF("d", "bal_start_cents",
+            "buy_cost_cents", "sell_proceeds_cents", "bal_end_cents"),
+          s"${ws.balanceDir}/run_d=$s")
+      }
+      (cnts.getOrElse("orders", 0L), cnts.getOrElse("sells", 0L),
+        cnts.getOrElse("positions", 0L))
+      } finally {
+        scoredCache.foreach(_.unpersist()): Unit
+        orders.unpersist(): Unit
+      }
+    }
+
+    val dig = DayDigest(s, nFetched, nBarsNew, nCciNew, nCciTotal,
+      nSeries, nSignals, nOrders, nSells, nPositions)
+    // digest LAST: its _SUCCESS marker commits the day
+    overwrite(Seq(dig).toDF(), s"${ws.digestDir}/run_d=$s")
+    dig
+  }
+
   /** Execute one run day: watermark → fetch → bars append → incremental CCI
     * → state fold → signal scan → orders → digest. Every read is the
     * previous state partition (∝ series) or the day's delta; the bars/cci
@@ -294,6 +517,26 @@ object Daily {
       withOrders: Boolean = false, withBalance: Boolean = false): DayDigest = {
     import spark.implicits._
     require(!withBalance || withOrders, "withBalance requires withOrders")
+
+    // CHAIN RESUME: the day's committed bars/cci/state partitions are
+    // authoritative — the chain is deterministic given the prior state and
+    // the day's fetch window (the same contract that makes crash reruns
+    // overwrite identical content), so a rerun that crashed after the
+    // state commit, or a second sizing mode over a shared chainRoot
+    // ([[sharedDailyRun]]), reads them back instead of re-fetching the
+    // broker window and re-deriving the CCI fold.
+    if (chainCommitted(spark, ws, s)) {
+      val deltaBars = GraftSession.maybeCache(
+        spark.read.parquet(s"${ws.barsDir}/run_d=$s"))
+      try {
+        val deltaCci = spark.read.parquet(s"${ws.cciDir}/run_d=$s")
+        val newState = GraftSession.maybeCache(
+          spark.read.parquet(s"${ws.stateDir}/run_d=$s"))
+        try return finishDay(spark, ws, s, cfg, withOrders, withBalance,
+          deltaBars, deltaCci, newState)
+        finally newState.unpersist()
+      } finally deltaBars.unpersist()
+    }
 
     val state = GraftSession.maybeCache(stateAsOf(spark, ws, s))
     try {
@@ -328,215 +571,22 @@ object Daily {
         val deltaCci = GraftSession.maybeCache(cciDeltaFromState(state, deltaBars, cfg))
         try {
           overwrite(deltaCci, s"${ws.cciDir}/run_d=$s")
-          // ONE stats action over the two cached deltas (1-row aggregates
-          // cross-joined): the writes above already materialized both
-          // caches, so this job only merges their footers — the per-day
-          // job count is part of the daily bill (5 trading days × every
-          // action here is a scheduled Spark job even when the data is
-          // dimension-scale)
-          val Seq(nBarsNew, nFetched, nCciNew) = deltaBars
-            .agg(count(lit(1)), coalesce(sum($"volume"), lit(0L)))
-            .crossJoin(deltaCci.agg(count(lit(1))))
-            .head().toSeq.map(_.asInstanceOf[Long])
-
           val newState = GraftSession.maybeCache(updateState(state, deltaCci, cfg))
           try {
             overwrite(newState, s"${ws.stateDir}/run_d=$s")
 
-            // digest totals are running sums over the state DIMENSION —
-            // the round-9 full-corpus count+countDistinct is gone. The
-            // signal count folds into the SAME aggregate: r05/r09's
-            // crossover rule (recommendation semantics: >= on the current
-            // side) per literal threshold as a conditional sum — a null
-            // CCI (window not yet full) makes the condition null and
-            // counts 0, exactly like the former filter+count. One job
-            // instead of two.
-            val sigCnt = cfg.buyThresholds.map(t =>
-                sum(when($"yesterday_open_cci" < t &&
-                  $"current_open_cci" >= t, 1L).otherwise(0L)))
-              .reduce(_ + _)
-            val Seq(nCciTotal, nSeries, nSignals) = newState
-              .agg(coalesce(sum($"n_rows"), lit(0L)), count(lit(1)),
-                coalesce(sigCnt, lit(0L)))
-              .head().toSeq.map(_.asInstanceOf[Long])
-
-            val latest = newState.select($"user_id",
-              $"watermark_d".as("state_d"), $"close_pr", $"close_cci",
-              $"current_open_cci", $"yesterday_open_cci")
-
-            // r13's order sizing against the persisted conditions dim,
-            // then the position carry (r34): yesterday's open lots are
-            // scanned with today's state — the reference's daily sell scan
-            // (daily_function.py:1713 create_sell_order_data, :1828 sell
-            // execution) — sells settle, fresh buys open new lots.
-            val (nOrders, nSells, nPositions) = if (!withOrders) (0L, 0L, 0L) else {
-              // r36: the balance snapshot entering day s — the broker's
-              // settlement-basis cash (get_stock_balance's
-              // prvs_rcdl_excc_amt, hankook_api.py:283, consumed at
-              // daily_function.py:1463). ONE committed dimension row,
-              // constant across the day's orders (KRX settles D+2, so
-              // intraday fills don't move the snapshot — which is why the
-              // reference's per-order re-reads inside its symbol loop see
-              // the same number).
-              val balSnap = if (!withBalance) None else Some(
-                latestCommitted(spark, ws.balanceDir, s).getOrElse(
-                  throw new IllegalArgumentException(
-                    s"daily balance: no committed balance partition before $s — seed the workspace"))
-                  .select($"bal_end_cents".as("bal_cents")))
-              val ordersBase = spark.read.parquet(ws.conditionsDir)
-                .join(latest, Seq("user_id"))
-                .filter($"yesterday_open_cci" < $"condition_buy_cci_threshold" &&
-                  $"current_open_cci" >= $"condition_buy_cci_threshold")
-                .withColumn("order_date", $"state_d")
-                .withColumn("buy_order_price", $"close_pr")
-              val sized = balSnap match {
-                case None =>
-                  // r13/r34 sizing: the fixed 10%-of-seed budget slice
-                  ordersBase.withColumn("buy_order_qty",
-                    when($"buy_order_price" =!= 0.0,
-                      floor(floor(lit(Budget * BudgetFraction)) / $"buy_order_price" + 0.5))
-                      .cast("long"))
-                case Some(bal) =>
-                  // The reference's balance-driven sizing
-                  // (daily_function.py:1466-1474): >= 1M won -> a 10%
-                  // slice per order; a smaller positive balance places
-                  // minimum qty-1 orders; a non-positive snapshot places
-                  // nothing (the broker's insufficient-funds rejection,
-                  // made deterministic)
-                  ordersBase.crossJoin(broadcast(bal))
-                    .withColumn("buy_order_qty",
-                      when($"buy_order_price" =!= 0.0,
-                        when($"bal_cents" >= InitialBalanceCents,
-                          floor(floor($"bal_cents" / 1000.0) / $"buy_order_price" + 0.5))
-                          .when($"bal_cents" > 0, lit(1.0))
-                          .otherwise(lit(0.0)))
-                        .cast("long"))
-                    .drop("bal_cents")
-              }
-              // the orders plan feeds up to four consumers (its own
-              // write, the fresh-buys gate into positions, the settlement
-              // cost sum, the committed read-back) — cache it so the
-              // conditions⨝latest sizing chain runs once, not per consumer
-              val orders = GraftSession.maybeCache(sized
-                .filter($"buy_order_qty" >= 1)
-                .withColumn("net_target_price",
-                  floor(($"buy_order_price" * (lit(1.0) +
-                    ($"condition_target_return" + TaxRate + FeeRate) / 100.0)) * 1.0 + 0.5) / 1.0)
-                .withColumn("sell_signal",
-                  when($"close_pr" > $"net_target_price", lit("reach_target"))
-                    .when($"close_cci" <= $"condition_stop_loss_cci_threshold", lit("stop_loss"))
-                    .otherwise(lit("pending")))
-                .select($"user_id", $"order_date", $"buy_order_price", $"buy_order_qty",
-                  $"condition_holding_days", $"condition_target_return",
-                  $"condition_buy_cci_threshold", $"condition_stop_loss_cci_threshold",
-                  $"win_rate", $"revenue_rate", $"net_target_price", $"sell_signal"))
-              var scoredCache: Option[DataFrame] = None
-              try {
-              overwrite(orders, s"${ws.ordersDir}/run_d=$s")
-
-              // A lot OPENS only on a FRESH signal — the series got a new
-              // bar today, so its (yesterday, current) pair just advanced;
-              // without the gate a stale crossover pair would re-open an
-              // identical lot every day it persists. The orders table (the
-              // day's recommendation VIEW, r09 semantics) stays ungated.
-              val freshBuys = orders
-                .join(deltaBars.select($"user_id").distinct(), Seq("user_id"), "left_semi")
-                .select($"user_id", $"order_date".as("buy_d"),
-                  $"buy_order_price".as("buy_price"), $"buy_order_qty".as("buy_qty"),
-                  $"condition_holding_days", $"condition_target_return",
-                  $"condition_stop_loss_cci_threshold", $"net_target_price")
-
-              // Sell scan over yesterday's open lots with TODAY's state:
-              // target and stop need a bar newer than the purchase
-              // (state_d > buy_d — the broker quotes a fresh price);
-              // maturity is calendar-driven (r18's buy date + holding
-              // days). Precedence mirrors r06: target, stop, maturity.
-              val (sells, stillOpen, scoredC) =
-                latestCommitted(spark, ws.positionsDir, s) match {
-                case None => (None, freshBuys, None)
-                case Some(pos) =>
-                  val posCols = pos.columns.map(col)
-                  // cached like `orders`: the scan feeds the sells write,
-                  // the open carry and the settlement proceeds sum
-                  val scored = GraftSession.maybeCache(pos
-                    .join(latest.select($"user_id", $"state_d",
-                        $"close_pr".as("day_close_pr"),
-                        $"close_cci".as("day_close_cci")),
-                      Seq("user_id"))
-                    .withColumn("trade_result",
-                      when($"state_d" > $"buy_d" &&
-                        $"day_close_pr" > $"net_target_price", lit("reach_target"))
-                        .when($"state_d" > $"buy_d" &&
-                          $"day_close_cci" <= $"condition_stop_loss_cci_threshold",
-                          lit("stop_loss"))
-                        .when(lit(s) >= date_add($"buy_d", $"condition_holding_days"),
-                          lit("maturity"))))
-                  val sold = scored.filter($"trade_result".isNotNull)
-                    .withColumn("sell_d", lit(s))
-                    .withColumn("sell_price", $"day_close_pr")
-                    .select(posCols ++ Seq($"trade_result", $"sell_d", $"sell_price"): _*)
-                  val open = scored.filter($"trade_result".isNull).select(posCols: _*)
-                  (Some(sold), open.unionByName(freshBuys), Some(scored))
-              }
-              scoredCache = scoredC
-              sells.foreach(df => overwrite(df, s"${ws.sellsDir}/run_d=$s"))
-              overwrite(stillOpen, s"${ws.positionsDir}/run_d=$s")
-              // digest counts read what was COMMITTED (the written
-              // partitions, not the plans that produced them) — as one
-              // tagged-union job over the parquet footers instead of
-              // three separate count actions
-              val tagged = Seq(
-                "orders" -> s"${ws.ordersDir}/run_d=$s",
-                "positions" -> s"${ws.positionsDir}/run_d=$s") ++
-                sells.map(_ => "sells" -> s"${ws.sellsDir}/run_d=$s")
-              val cnts = tagged.map { case (t, p) =>
-                spark.read.parquet(p).select(lit(t).as("t")) }
-                .reduce(_ unionByName _)
-                .groupBy($"t").count().collect()
-                .map(r => r.getString(0) -> r.getLong(1)).toMap
-
-              // r36 settlement: day-s buys debit cost incl. the buy-side
-              // fee, day-s sells credit proceeds net of tax + fee — the
-              // SAME per-share arithmetic as r11's net revenue — in exact
-              // integer cents (per-lot half-up to cents; the sums are
-              // integer-valued doubles, exact and order-independent under
-              // 2^53). Credits land in the NEXT day's snapshot (D+2
-              // settlement collapsed to D+1 at daily granularity). One
-              // action over the two delta-scale frames.
-              balSnap.foreach { bal =>
-                val costAgg = freshBuys.agg(coalesce(sum(
-                    floor($"buy_qty" * $"buy_price" * lit(1.0 + FeeRate) * 100.0 + 0.5)),
-                  lit(0.0)).as("c"))
-                val procAgg = sells.map(_.agg(coalesce(sum(
-                    floor($"buy_qty" * $"sell_price" * lit(1.0 - TaxRate - FeeRate) * 100.0 + 0.5)),
-                  lit(0.0)).as("p")))
-                  .getOrElse(spark.range(1).select(lit(0.0).as("p")))
-                val r = bal.crossJoin(costAgg).crossJoin(procAgg)
-                  .select($"bal_cents", $"c".cast("long"), $"p".cast("long")).head()
-                val (b0, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
-                overwrite(
-                  Seq((s, b0, c, p, b0 - c + p)).toDF("d", "bal_start_cents",
-                    "buy_cost_cents", "sell_proceeds_cents", "bal_end_cents"),
-                  s"${ws.balanceDir}/run_d=$s")
-              }
-              (cnts.getOrElse("orders", 0L), cnts.getOrElse("sells", 0L),
-                cnts.getOrElse("positions", 0L))
-              } finally {
-                scoredCache.foreach(_.unpersist()): Unit
-                orders.unpersist(): Unit
-              }
-            }
-
-            val dig = DayDigest(s, nFetched, nBarsNew, nCciNew, nCciTotal,
-              nSeries, nSignals, nOrders, nSells, nPositions)
-            // digest LAST: its _SUCCESS marker commits the day
-            overwrite(Seq(dig).toDF(), s"${ws.digestDir}/run_d=$s")
-            dig
+            finishDay(spark, ws, s, cfg, withOrders, withBalance,
+              deltaBars, deltaCci, newState)
           } finally newState.unpersist()
         } finally deltaCci.unpersist()
       } finally deltaBars.unpersist()
     } finally state.unpersist()
   }
+
+  /** All three chain tables committed for day `s` — the resume predicate
+    * shared by [[runDay]] and [[bootstrap]]. */
+  private def chainCommitted(spark: SparkSession, ws: Workspace, s: java.sql.Date): Boolean =
+    Seq(ws.barsDir, ws.cciDir, ws.stateDir).forall(committedMarker(spark, _, s))
 
   private def committedMarker(spark: SparkSession, dir: String, s: java.sql.Date): Boolean = {
     val marker = new Path(s"$dir/run_d=$s", "_SUCCESS")
@@ -615,13 +665,23 @@ object Daily {
     * the cache is per-JVM, exactly the lifetime of those dirs. */
   private val sharedRuns = new java.util.concurrent.ConcurrentHashMap[
     (String, Boolean), (Workspace, java.sql.Date, LocalDate)]()
+  private val sharedChains =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def sharedDailyRun(spark: SparkSession, dir: String,
       balanceFed: Boolean): (Workspace, java.sql.Date, LocalDate) =
     sharedRuns.computeIfAbsent((dir, balanceFed), _ => {
       import spark.implicits._
+      // the two sizing modes share ONE chain workspace: the
+      // fetch→bars→CCI→state chain is mode-independent (spec-pinned by
+      // the r32 piggyback test), so whichever mode runs second resolves
+      // its bootstrap and every day's chain recompute to committed-chain
+      // resumes — the second orchestration pays only its orders branch
+      val chainRoot = sharedChains.computeIfAbsent(dir,
+        _ => graft.operators.Extras.tempDir("graft-daily-chain"))
       val ws = Workspace(graft.operators.Extras.tempDir(
-        if (balanceFed) "graft-daily-bal" else "graft-daily-fix"))
+        if (balanceFed) "graft-daily-bal" else "graft-daily-fix"),
+        Some(chainRoot))
       val conn = new LocalFileEventConnector(dir)
       val maxLd = Tables.events(spark, dir)
         .agg(max(to_date($"ts"))).head().getDate(0).toLocalDate

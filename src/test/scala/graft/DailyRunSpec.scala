@@ -21,6 +21,19 @@ class DailyRunSpec extends AnyFunSuite {
   private def newWs(): Daily.Workspace = Daily.Workspace(
     java.nio.file.Files.createTempDirectory("graft-daily-spec").toString)
 
+  /** A transport that fails on ANY use — proves a code path never
+    * touches the connector. */
+  private def neverFetch: graft.sources.EventConnector =
+    new graft.sources.EventConnector {
+      override def name = "throwing"
+      override def listKeys(sp: org.apache.spark.sql.SparkSession,
+          asOf: java.sql.Date): DataFrame =
+        sys.error("listKeys must not run on a committed-chain resume")
+      override def fetch(sp: org.apache.spark.sql.SparkSession,
+          requests: DataFrame): DataFrame =
+        sys.error("fetch must not run on a committed-chain resume")
+    }
+
   private lazy val maxLd: LocalDate = Tables.events(spark, sf)
     .agg(max(to_date(col("ts")))).head().getDate(0).toLocalDate
 
@@ -96,17 +109,30 @@ class DailyRunSpec extends AnyFunSuite {
     val lastDay = digs.last.d
     val before = cciCols(spark.read.parquet(ws.cciDir).drop("run_d"))
 
-    // simulate a crash AFTER the state writes but BEFORE the digest commit,
-    // then rerun the day: state reads prune to run_d < s, so the rerun
-    // re-fetches the same window and overwrites identical partitions
     def deleteRec(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(deleteRec)
       f.delete(): Unit
     }
+
+    // crash AFTER the state commit but BEFORE the digest commit: the
+    // day's chain partitions are all committed, so the rerun RESUMES
+    // from them — it must never touch the connector (enforced by the
+    // throwing transport) and must rebuild the digest from the
+    // committed chain alone
     deleteRec(new java.io.File(s"${ws.digestDir}/run_d=$lastDay"))
-    val redo = Daily.runDay(spark, conn, ws, lastDay)
+    val redo = Daily.runDay(spark, neverFetch, ws, lastDay)
     assert(redo.n_fetched == digs.last.n_fetched)
     assert(redo.n_cci_total == digs.last.n_cci_total)
+
+    // crash BETWEEN the cci and state commits: the chain is incomplete,
+    // so the rerun takes the FRESH path — state reads prune to
+    // run_d < s, the same fetch window replays, and every write
+    // deterministically overwrites identical partition content
+    deleteRec(new java.io.File(s"${ws.digestDir}/run_d=$lastDay"))
+    deleteRec(new java.io.File(s"${ws.stateDir}/run_d=$lastDay"))
+    val redo2 = Daily.runDay(spark, conn, ws, lastDay)
+    assert(redo2.n_fetched == digs.last.n_fetched)
+    assert(redo2.n_cci_total == digs.last.n_cci_total)
     val after = cciCols(spark.read.parquet(ws.cciDir).drop("run_d"))
     assert(before.length == after.length)
     before.zip(after).foreach { case (a, b) => assert(a == b) }
@@ -116,6 +142,38 @@ class DailyRunSpec extends AnyFunSuite {
     val again = Daily.run(spark, conn, ws, start, maxLd)
     assert(again.map(d => (d.d, d.n_fetched, d.n_cci_total)) ==
       digs.map(d => (d.d, d.n_fetched, d.n_cci_total)))
+  }
+
+  test("shared chain: a second sizing mode replays the week without touching the connector") {
+    // sharedDailyRun's cost model: the fetch→bars→CCI→state chain is
+    // mode-independent, so a second mode pointed at the first mode's
+    // chainRoot must resolve its bootstrap AND every day to
+    // committed-chain resumes — proven by running the whole second week
+    // on a transport that throws on any use
+    val conn = new LocalFileEventConnector(sf)
+    val start = maxLd.minusDays(6)
+    val cutoff = java.sql.Date.valueOf(start.minusDays(1))
+    val chainWs = newWs()
+    Daily.bootstrap(spark, conn, chainWs, cutoff)
+    val digs = Daily.run(spark, conn, chainWs, start, maxLd)
+    assert(digs.nonEmpty)
+
+    val ws2 = Daily.Workspace(
+      java.nio.file.Files.createTempDirectory("graft-daily-spec").toString,
+      Some(chainWs.root))
+    Daily.bootstrap(spark, neverFetch, ws2, cutoff) // committed chain: no-op
+    Daily.writeConditions(spark, sf, ws2)
+    val digs2 = Daily.run(spark, neverFetch, ws2, start, maxLd, withOrders = true)
+    assert(digs2.map(g => (g.d, g.n_fetched, g.n_cci_new, g.n_cci_total,
+      g.n_series, g.n_buy_signals)) ==
+      digs.map(g => (g.d, g.n_fetched, g.n_cci_new, g.n_cci_total,
+        g.n_series, g.n_buy_signals)),
+      "chain digest columns must be identical when read off the shared chain")
+    // the mode-owned outputs land under the second mode's OWN root
+    assert(new java.io.File(ws2.positionsDir).exists,
+      "the orders branch must still run for the resumed mode")
+    assert(!new java.io.File(s"${chainWs.root}/positions").exists,
+      "the chain workspace must not grow mode-owned outputs")
   }
 
   test("daily orders: final-day order table matches an independent one-shot r13 formulation") {
