@@ -240,6 +240,9 @@ object SparkEntry {
     // t15: RAG-ingestion document chunking — overlapping fixed token
     // windows with offsets; entirely row-local, no pre-sort shuffle
     "t15_doc_chunk" -> (TextAnalysis.docChunk _),
+    // v14b: batch twin of the streaming chunk-ingest door — t15's
+    // splitter + keep-first chunk-content dedup + per-source accounting
+    "v14b_chunk_ingest" -> (graft.streaming.DocStream.chunkIngestBatch _),
     // p12: corpus snapshot diff as a manifest diff — two dimension-scale
     // manifests full-outer-joined into added/removed/changed/unchanged
     "p12_manifest_diff" -> (Curation.manifestDiff _),
@@ -417,6 +420,7 @@ object SparkEntry {
     "s08_range_search" -> graft.similarity.Similarity.rangeSearchSql,
     "q45_hierarchy_closure" -> Hierarchy.hierarchyClosureSql,
     "t15_doc_chunk" -> TextAnalysis.docChunkSql,
+    "v14b_chunk_ingest" -> graft.streaming.DocStream.chunkIngestBatchSql,
     "p12_manifest_diff" -> Curation.manifestDiffSql,
     "d07b_dedup_clusters_stars" -> graft.dedup.Dedup.dedupClustersSql,
     "p05b_stratified_presplit" -> Curation.stratifiedSamplePresplitSql,

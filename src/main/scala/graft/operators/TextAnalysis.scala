@@ -920,20 +920,32 @@ object TextAnalysis {
     * mapped back into chunk coordinates. */
   def docChunk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id", F.tokens($"text").as("tk"))
-      .select($"doc_id", $"tk", size($"tk").as("n"))
-      .select($"doc_id", $"n",
-        explode(sequence(lit(0), expr(s"(n - 1) div $ChunkStride"))).as("ci"),
-        $"tk")
-      .select($"doc_id",
-        $"ci".cast("long").as("chunk_id"),
-        ($"ci".cast("long") * ChunkStride).as("tok_start"),
-        slice($"tk", $"ci" * ChunkStride + 1, lit(ChunkTokens)).as("ck"))
-      .select($"doc_id", $"chunk_id", $"tok_start",
-        size($"ck").cast("long").as("n_chunk_tokens"),
-        array_join($"ck", " ").as("chunk_text"))
+    chunksOf(Tables.documents(spark, dir).select($"doc_id", $"text"))
+      .select($"doc_id", $"chunk_id", $"tok_start", $"n_chunk_tokens",
+        $"chunk_text")
       .orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** The chunk projection over an arbitrary document frame — t15's
+    * window arithmetic shared by the gated row and the v14 chunk-ingest
+    * stream (both sides split identically, so a chunk admitted by the
+    * stream and one cut by the batch splitter agree on content and
+    * coordinates). Replaces `text` with the chunk columns; every other
+    * input column (lang, source, ingest_ts, ...) passes through.
+    * Entirely row-local; unordered, callers sort. */
+  private[graft] def chunksOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("tk", F.tokens($"text"))
+      .withColumn("n", size($"tk"))
+      .withColumn("ci",
+        explode(sequence(lit(0), expr(s"(n - 1) div $ChunkStride"))))
+      .withColumn("chunk_id", $"ci".cast("long"))
+      .withColumn("tok_start", $"ci".cast("long") * ChunkStride)
+      .withColumn("ck", slice($"tk", $"ci" * ChunkStride + 1, lit(ChunkTokens)))
+      .withColumn("n_chunk_tokens", size($"ck").cast("long"))
+      .withColumn("chunk_text", array_join($"ck", " "))
+      .drop("text", "tk", "n", "ci", "ck")
   }
 
   val docChunkSql: String =

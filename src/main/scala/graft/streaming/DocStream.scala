@@ -318,4 +318,89 @@ object DocStream {
          |FROM pcand
          |WHERE bit_count(xor(ph_a, ph_b)) <= ${graft.multimodal.Multimodal.PHashHammingMax}
          |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- v14
+  /** v14: streaming RAG chunk ingest — arriving documents split into
+    * t15's overlapping token windows ROW-LOCALLY (the splitter is a
+    * stateless projection, so chunking itself adds no stream state), and
+    * recurring chunk CONTENT — exact-duplicate documents, cross-document
+    * boilerplate — is admitted once per watermark horizon on the
+    * (lang, source, chunk PolyHash) key: the dedup that saves a
+    * downstream embedder from re-embedding what its per-source index
+    * already holds. The key is GROUP-scoped deliberately: a handful of
+    * chunk texts recur across (lang, source) groups, and a global key
+    * would attribute such a chunk to whichever copy a micro-batch
+    * happened to see first — group-scoping keeps the streamed counts
+    * deterministic (identical text ⇒ identical token count, so any kept
+    * copy yields the same accounting). State is one key per admitted
+    * chunk within the horizon, expired by the watermark. Output:
+    * per-(lang, source) admitted-chunk accounting. */
+  def chunkIngest(spark: SparkSession, streamDir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.TextAnalysis.chunksOf(
+        readDocStream(spark, streamDir)
+          .select($"doc_id", $"text", $"lang", $"source", $"ingest_ts"))
+      .withColumn("chunk_hash",
+        graft.functions.catalyst.GraftColumns.poly_hash($"chunk_text"))
+      .withWatermark("ingest_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("lang", "source", "chunk_hash")
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_unique_chunks"),
+        sum($"n_chunk_tokens").as("total_chunk_tokens"))
+  }
+
+  /** v14's batch twin as a DRIVER-GATED query row (v14b): the identical
+    * splitter ([[graft.operators.TextAnalysis.chunksOf]]) and the same
+    * group-scoped identity — one row per (lang, source, chunk hash),
+    * then the per-group accounting. Two partial-aggregable shuffles
+    * (the second over dimension-scale groups) — trivially 100-TB-safe.
+    * StreamingSpec compares the streamed counts against THIS function,
+    * so the DuckDB oracle anchors v14 transitively. */
+  def chunkIngestBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.TextAnalysis.chunksOf(
+        Tables.documents(spark, dir)
+          .select($"doc_id", $"text", $"lang", $"source"))
+      .withColumn("ch",
+        graft.functions.catalyst.GraftColumns.poly_hash($"chunk_text"))
+      // identical text ⇒ identical token count; min() only pins the plan
+      // to a deterministic aggregate
+      .groupBy($"lang", $"source", $"ch")
+      .agg(min($"n_chunk_tokens").as("n_chunk_tokens"))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_unique_chunks"),
+        sum($"n_chunk_tokens").as("total_chunk_tokens"))
+      .orderBy($"lang", $"source")
+  }
+
+  val chunkIngestBatchSql: String = {
+    val W = graft.operators.TextAnalysis.ChunkTokens
+    val S2 = graft.operators.TextAnalysis.ChunkStride
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, source, string_split(text, ' ') AS tk
+       |  FROM documents),
+       |sized AS (
+       |  SELECT doc_id, lang, source, tk, len(tk) AS n FROM toks),
+       |c AS (
+       |  SELECT doc_id, lang, source, tk, n,
+       |    unnest(generate_series(0, (n - 1) // $S2)) AS ci
+       |  FROM sized),
+       |ck AS (
+       |  SELECT doc_id, lang, source, CAST(ci AS BIGINT) AS chunk_id,
+       |    CAST(len(list_slice(tk, ci * $S2 + 1,
+       |      least(ci * $S2 + $W, n))) AS BIGINT) AS n_chunk_tokens,
+       |    array_to_string(list_slice(tk, ci * $S2 + 1,
+       |      least(ci * $S2 + $W, n)), ' ') AS chunk_text
+       |  FROM c),
+       |h AS (
+       |  SELECT *, ${S.polyHash("chunk_text")} AS ch FROM ck),
+       |u AS (
+       |  SELECT lang, source, ch, min(n_chunk_tokens) AS n_chunk_tokens
+       |  FROM h GROUP BY lang, source, ch)
+       |SELECT lang, source, count(*) AS n_unique_chunks,
+       |  CAST(sum(n_chunk_tokens) AS BIGINT) AS total_chunk_tokens
+       |FROM u
+       |GROUP BY lang, source
+       |ORDER BY lang, source""".stripMargin
+  }
 }

@@ -126,6 +126,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.filter(col("total_chars") =!= col("bc")).count() == 0)
   }
 
+  test("v14: streaming chunk ingest dedups chunk content and matches the batch twin") {
+    val docDir = {
+      val d = java.nio.file.Files.createTempDirectory("graft_chunkstream").toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        java.nio.file.Paths.get(s"$d/documents.parquet"))
+      d
+    }
+    val q = streaming.DocStream.chunkIngest(spark, docDir)
+      .writeStream.outputMode("complete").format("memory").queryName("v14_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("v14_out")
+    // the driver-gated batch twin (v14b) is the comparison side, so the
+    // DuckDB oracle anchors the streamed chunk admission transitively
+    val batch = streaming.DocStream.chunkIngestBatch(spark, sf)
+      .withColumnRenamed("n_unique_chunks", "bn")
+      .withColumnRenamed("total_chunk_tokens", "bt")
+    val joined = got.join(batch, Seq("lang", "source"))
+    assert(joined.count() == got.count() && got.count() > 0)
+    assert(joined.filter(col("n_unique_chunks") =!= col("bn")).count() == 0)
+    assert(joined.filter(col("total_chunk_tokens") =!= col("bt")).count() == 0)
+    // the dedup is non-vacuous: fewer admitted chunks than cut chunks
+    val cut = operators.TextAnalysis.docChunk(spark, sf).count()
+    val admitted = got.agg(sum(col("n_unique_chunks"))).head().getLong(0)
+    assert(admitted < cut, s"no duplicate chunk content in the corpus ($admitted vs $cut)")
+  }
+
   test("v07: streaming LSH candidates equal the batch band-collision pair set") {
     val docDir = {
       val d = java.nio.file.Files.createTempDirectory("graft_docstream7").toString
