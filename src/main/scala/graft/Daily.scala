@@ -625,6 +625,37 @@ object Daily {
       .toSeq
   }
 
+  /** Repair a committed window after LATE DATA (a broker backfill, a
+    * partially-failed fetch discovered after the fact): delete every
+    * `run_d >= from` partition across ALL workspace tables — the chain
+    * AND the mode outputs, because the orders/positions/balance
+    * trajectory downstream of a changed day is invalid too — then replay
+    * the trading days through [[run]]. The replay resumes from the last
+    * surviving state partition, so each repaired day's fetch window
+    * re-derives from pre-repair state and picks the amended events up;
+    * determinism then makes the repaired workspace indistinguishable
+    * from one that never missed the data (r41's gate reuses r32's
+    * oracle verbatim for exactly this reason). The daily loop's
+    * watermark would otherwise skip late rows FOREVER — fetch_start
+    * starts after each series' stored max date. */
+  def repair(spark: SparkSession, conn: EventConnector, ws: Workspace,
+      from: LocalDate, to: LocalDate, cfg: GridConfig = GridConfig(),
+      withOrders: Boolean = false, withBalance: Boolean = false): Seq[DayDigest] = {
+    val fromD = java.sql.Date.valueOf(from)
+    val dirs = Seq(ws.barsDir, ws.cciDir, ws.stateDir, ws.ordersDir,
+      ws.positionsDir, ws.sellsDir, ws.balanceDir, ws.digestDir)
+    dirs.foreach { dir =>
+      val p = new Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(c => c.getName.startsWith("run_d=") &&
+            !java.sql.Date.valueOf(c.getName.stripPrefix("run_d=")).before(fromD))
+          .foreach(c => fs.delete(c, true))
+    }
+    run(spark, conn, ws, from, to, cfg, withOrders, withBalance)
+  }
+
   /** Seed the cash-balance dimension (r36): the account's settlement cash
     * before the first run day — the get_stock_balance seam
     * (hankook_api.py:283) with the reference's 1M-won starting budget. */
@@ -695,17 +726,23 @@ object Daily {
       (ws, cutoff, maxLd)
     })
 
-  def dailyRunQuery(spark: SparkSession, dir: String): DataFrame = {
+  /** The six r32-gated digest columns read back off a workspace — the
+    * committed digest partitions ARE the run's return value (run()
+    * re-reads them on resume the same way); bootstrap commits no digest,
+    * so the read-back is exactly the run window's trading days. */
+  private def digestFace(spark: SparkSession, ws: Workspace,
+      cutoff: java.sql.Date): DataFrame = {
     import spark.implicits._
-    val (ws, cutoff, _) = sharedDailyRun(spark, dir, balanceFed = true)
-    // the committed digest partitions ARE the run's return value (run()
-    // re-reads them on resume the same way); bootstrap commits no digest,
-    // so the read-back is exactly the run window's trading days
     spark.read.parquet(ws.digestDir)
       .filter($"d" > lit(cutoff))
       .select($"d", $"n_fetched", $"n_cci_new", $"n_cci_total",
         $"n_series", $"n_buy_signals")
       .orderBy($"d")
+  }
+
+  def dailyRunQuery(spark: SparkSession, dir: String): DataFrame = {
+    val (ws, cutoff, _) = sharedDailyRun(spark, dir, balanceFed = true)
+    digestFace(spark, ws, cutoff)
   }
 
   val dailyRunSql: String = {
@@ -758,6 +795,85 @@ object Daily {
          |LEFT JOIN cstat c ON c.s = sim.s
          |LEFT JOIN sigs g ON g.s = sim.s
          |ORDER BY d""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- r41
+  /** Every [[RepairDropStride]]-th event of the drop day goes missing in
+    * the truncated feed — the partial-outage shape the repair gate and
+    * its spec replay. */
+  val RepairDropStride = 3L
+
+  /** A transport whose `dropDay` fetch loses every
+    * [[RepairDropStride]]-th event (deterministic in-query truncation,
+    * t12's convention). */
+  final class TruncatedConnector(base: EventConnector, dropDay: java.sql.Date)
+      extends EventConnector {
+    override def name: String = s"truncated:${base.name}"
+    override def listKeys(spark: SparkSession, asOf: java.sql.Date): DataFrame =
+      base.listKeys(spark, asOf)
+    override def fetch(spark: SparkSession, requests: DataFrame): DataFrame =
+      base.fetch(spark, requests)
+        .filter(!(to_date(col("ts")) === lit(dropDay) &&
+          pmod(col("event_id"), lit(RepairDropStride)) === 0))
+  }
+
+  /** File-copy the chain partitions strictly before `x` from one
+    * workspace's chain to another's — pure filesystem metadata+bytes, no
+    * Spark jobs; the copied `_SUCCESS` markers make every copied day a
+    * committed-chain resume in the destination. */
+  private def copyChainBefore(spark: SparkSession, from: Workspace,
+      to: Workspace, x: java.sql.Date): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(from.barsDir -> to.barsDir, from.cciDir -> to.cciDir,
+      from.stateDir -> to.stateDir).foreach { case (srcDir, dstDir) =>
+      val sp = new Path(srcDir)
+      val fs = sp.getFileSystem(conf)
+      if (fs.exists(sp)) {
+        fs.mkdirs(new Path(dstDir)): Unit
+        fs.listStatus(sp).toSeq.map(_.getPath)
+          .filter(c => c.getName.startsWith("run_d=") &&
+            java.sql.Date.valueOf(c.getName.stripPrefix("run_d=")).before(x))
+          .foreach { c =>
+            org.apache.hadoop.fs.FileUtil.copy(fs, c,
+              fs, new Path(dstDir, c.getName), false, conf): Unit
+          }
+      }
+    }
+  }
+
+  private val repairedRuns =
+    new java.util.concurrent.ConcurrentHashMap[String, (Workspace, java.sql.Date)]()
+
+  /** The repair path as a driver-gated face: run the last week with the
+    * second-to-last trading day's feed truncated (a partial fetch
+    * outage — a downstream day exists, so the replay proves committed
+    * LATER days recompute too), then the missing rows "arrive" and
+    * [[repair]] replays from the outage day with the full feed. The
+    * output is the same six digest columns as r32 and the oracle IS
+    * r32's (`dailyRunSql`, reused verbatim): a correct repair is
+    * indistinguishable from a run that never lost data. The untouched
+    * prefix days reuse the shared fixed-mode chain (file-copied
+    * partitions + committed-chain resume), so the gate pays only the
+    * fork — the truncated suffix plus the repaired suffix. */
+  def dailyRepairQuery(spark: SparkSession, dir: String): DataFrame = {
+    val (ws, cutoff) = repairedRuns.computeIfAbsent(dir, _ => {
+      val (mainWs, cut, maxLd) = sharedDailyRun(spark, dir, balanceFed = false)
+      val start = cut.toLocalDate.plusDays(1)
+      val days = Iterator.iterate(start)(_.plusDays(1))
+        .takeWhile(!_.isAfter(maxLd))
+        .filter(CciPipeline.isTradingDayLocal).toSeq
+      require(days.length >= 2, "repair gate needs at least two trading days")
+      val x = days(days.length - 2)
+      val xD = java.sql.Date.valueOf(x)
+      val ws = Workspace(graft.operators.Extras.tempDir("graft-daily-repair"),
+        Some(graft.operators.Extras.tempDir("graft-daily-repair-chain")))
+      copyChainBefore(spark, mainWs, ws, xD)
+      val full = new LocalFileEventConnector(dir)
+      run(spark, new TruncatedConnector(full, xD), ws, start, maxLd): Unit
+      repair(spark, full, ws, x, maxLd): Unit
+      (ws, cut)
+    })
+    digestFace(spark, ws, cutoff)
   }
 
   // ---------------------------------------------------------------- r34

@@ -180,6 +180,10 @@ object SparkEntry {
     // workspace; the oracle recomputes every day's digest from the raw
     // events, proving the persisted incremental chain == full recompute
     "r32_daily_run" -> (graft.Daily.dailyRunQuery _),
+    // r41: late-data repair — a truncated day's missing rows arrive, the
+    // affected suffix is invalidated and replayed; the oracle is r32's,
+    // because a correct repair is indistinguishable from never losing data
+    "r41_daily_repair" -> (graft.Daily.dailyRepairQuery _),
     // r33: market-index context series — the index bars' CCI broadcast
     // back per-symbol as relative strength (the last unmodeled reference
     // data surface, hankook get_index_daily_price)
@@ -404,6 +408,7 @@ object SparkEntry {
     "r30_cci_incremental" -> CciPipeline.cciSql,
     "r31_connector_fetch" -> graft.sources.ConnectorFetch.connectorFetchSql,
     "r32_daily_run" -> graft.Daily.dailyRunSql,
+    "r41_daily_repair" -> graft.Daily.dailyRunSql,
     "r33_index_relative" -> CciPipeline.indexRelativeSql,
     "r34_daily_positions" -> graft.Daily.dailyPositionsSql,
     "r35_schedule_plan" -> Scheduler.schedulePlanSql,

@@ -144,6 +144,34 @@ class DailyRunSpec extends AnyFunSuite {
       digs.map(d => (d.d, d.n_fetched, d.n_cci_total)))
   }
 
+  test("r41 repair: late data for a committed day folds in and matches the never-truncated state") {
+    val conn = new LocalFileEventConnector(sf)
+    val start = maxLd.minusDays(6)
+    val cutoff = java.sql.Date.valueOf(start.minusDays(1))
+    val days = Iterator.iterate(start)(_.plusDays(1)).takeWhile(!_.isAfter(maxLd))
+      .filter(CciPipeline.isTradingDayLocal).toSeq
+    assume(days.length >= 2)
+    val x = days(days.length - 2)
+
+    // the outage week: day x's fetch loses every third event
+    val ws = newWs()
+    Daily.bootstrap(spark, conn, ws, cutoff)
+    Daily.run(spark, new Daily.TruncatedConnector(conn, java.sql.Date.valueOf(x)),
+      ws, start, maxLd)
+    val want = cciCols(oneShotCci(java.sql.Date.valueOf(maxLd)))
+    val wrong = cciCols(spark.read.parquet(ws.cciDir).drop("run_d"))
+    assert(wrong.length != want.length ||
+      wrong.zip(want).exists { case (a, b) => a != b },
+      "the truncation must corrupt the state, or the repair test is vacuous")
+
+    // the missing rows arrive; repair replays from the outage day and the
+    // workspace becomes indistinguishable from a run that never lost data
+    Daily.repair(spark, conn, ws, x, maxLd)
+    val got = cciCols(spark.read.parquet(ws.cciDir).drop("run_d"))
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (a, b) => assert(a == b, s"\n$a\n$b") }
+  }
+
   test("shared chain: a second sizing mode replays the week without touching the connector") {
     // sharedDailyRun's cost model: the fetch→bars→CCI→state chain is
     // mode-independent, so a second mode pointed at the first mode's
