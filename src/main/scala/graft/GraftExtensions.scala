@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.catalyst.{AbsDevSumF64, ArraySumF64, DotF64, MinHashSigs, NormalizeText, PolyHash, SimHash32}
+import graft.functions.catalyst.{AbsDevSumF64, ArraySumF64, DotF64, MinHashSigs, NormalizeText, PolyHash, SimHash32, TopKByScore}
 
 /** The one registry of graft's native SQL functions: (identifier, info,
   * builder) triples consumed by BOTH registration paths —
@@ -38,7 +38,13 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => ArraySumF64(exprs.head)),
     (new FunctionIdentifier("graft_abs_dev_sum"),
       new ExpressionInfo(classOf[AbsDevSumF64].getName, "graft_abs_dev_sum"),
-      (exprs: Seq[Expression]) => AbsDevSumF64(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => AbsDevSumF64(exprs.head, exprs(1))),
+    (new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
+      // raw AggregateFunction: the analyzer wraps it in AggregateExpression
+      // (wrapping here would defeat DISTINCT/FILTER resolution)
+      (exprs: Seq[Expression]) => TopKByScore(exprs.head, exprs(1),
+        exprs(2).eval().asInstanceOf[Int])))
 }
 
 /** SparkSessionExtensions entry point: registers graft's native

@@ -241,6 +241,10 @@ object SparkEntry {
     // doubling — the recursive CTE Spark lacks in O(log depth) rounds;
     // oracle is DuckDB's independent WITH RECURSIVE evaluation
     "q45_hierarchy_closure" -> (Hierarchy.hierarchyClosure _),
+    // q46: top-k per group as a partial-aggregable native aggregate
+    // (bounded heap, graft_topk) instead of the shuffle-everything
+    // window-rank plan; the oracle IS the window formulation
+    "q46_topk_pergroup" -> (TopK.q46TopkPergroup _),
     // t15: RAG-ingestion document chunking — overlapping fixed token
     // windows with offsets; entirely row-local, no pre-sort shuffle
     "t15_doc_chunk" -> (TextAnalysis.docChunk _),
@@ -424,6 +428,7 @@ object SparkEntry {
     "p11_corpus_manifest" -> Curation.corpusManifestSql,
     "s08_range_search" -> graft.similarity.Similarity.rangeSearchSql,
     "q45_hierarchy_closure" -> Hierarchy.hierarchyClosureSql,
+    "q46_topk_pergroup" -> TopK.q46Sql,
     "t15_doc_chunk" -> TextAnalysis.docChunkSql,
     "v14b_chunk_ingest" -> graft.streaming.DocStream.chunkIngestBatchSql,
     "p12_manifest_diff" -> Curation.manifestDiffSql,

@@ -261,4 +261,7 @@ object GraftColumns {
     GraftShim.column(ArraySumF64(GraftShim.expression(c)))
   def abs_dev_sum_f64(arr: Column, mean: Column): Column =
     GraftShim.column(AbsDevSumF64(GraftShim.expression(arr), GraftShim.expression(mean)))
+  def topk_by(score: Column, id: Column, k: Int): Column =
+    GraftShim.column(TopKByScore(GraftShim.expression(score),
+      GraftShim.expression(id), k).toAggregateExpression())
 }

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.catalyst.{GraftColumns, TopKBuffer}
+import graft.operators.TopK
+
+/** q46 / graft_topk: the bounded-heap top-k aggregate.
+  *
+  * The gate that matters is agg ≡ window: the native aggregate must be
+  * row-for-row indistinguishable from the row_number() formulation it
+  * replaces — including ties (total order via the id tiebreak), k larger
+  * than the group, and the partial/merge path across many map partitions
+  * (which exercises serialize/deserialize: TypedImperativeAggregate
+  * buffers ship through the exchange in serialized form). */
+class TopKAggSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("q46 equals its window twin row-for-row at sf0.001") {
+    val agg = TopK.q46TopkPergroup(spark, sf).collect().toSeq
+    val win = TopK.windowTwin(spark, sf).collect().toSeq
+    assert(agg.nonEmpty)
+    assert(agg == win)
+  }
+
+  test("agg ≡ window across many partitions, with duplicate scores and tiny groups") {
+    // 3 groups; group g2 has fewer rows than K (k > group size); scores
+    // collide heavily so the id tiebreak decides ranks; 13 partitions
+    // force partial buffers through serialize/merge
+    val rows = (0L until 500L).map { i =>
+      (s"g${i % 3}", i, (i % 7).toDouble)
+    } ++ Seq(("tiny", 9001L, 1.0), ("tiny", 9002L, 1.0))
+    val df = rows.toDF("g", "id", "v").repartition(13)
+
+    val agg = df.groupBy($"g")
+      .agg(GraftColumns.topk_by($"v", $"id", 10).as("top"))
+      .select($"g", posexplode($"top").as(Seq("pos", "t")))
+      .select($"g", ($"pos" + 1).cast("int").as("rank"),
+        $"t.id".as("id"), $"t.score".as("v"))
+      .orderBy($"g", $"rank").collect().toSeq
+
+    val win = df.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"g")
+          .orderBy($"v".desc, $"id")).cast("int"))
+      .filter($"rank" <= 10)
+      .select($"g", $"rank", $"id", $"v")
+      .orderBy($"g", $"rank").collect().toSeq
+
+    assert(agg == win)
+    // the tiny group returns ALL its rows, ranked, when k exceeds its size
+    assert(agg.count(_.getString(0) == "tiny") == 2)
+  }
+
+  test("null score or id rows are skipped like the filtered window form") {
+    val df = Seq[(String, java.lang.Long, java.lang.Double)](
+      ("a", 1L, 5.0), ("a", null, 9.0), ("a", 3L, null), ("a", 4L, 2.0))
+      .toDF("g", "id", "v")
+    val agg = df.groupBy($"g")
+      .agg(GraftColumns.topk_by($"v", $"id", 10).as("top"))
+      .select(explode($"top").as("t"))
+      .select($"t.id", $"t.score").collect().toSeq
+    assert(agg.map(r => (r.getLong(0), r.getDouble(1))) == Seq((1L, 5.0), (4L, 2.0)))
+  }
+
+  test("graft_topk is callable from SQL") {
+    SqlSurface.ensureFunctions(spark)
+    Seq(("a", 1L, 3.0), ("a", 2L, 7.0), ("b", 3L, 1.0))
+      .toDF("g", "id", "v").createOrReplaceTempView("topk_probe")
+    val out = spark.sql(
+      "SELECT g, graft_topk(v, id, 1) AS top FROM topk_probe GROUP BY g")
+      .select($"g", $"top"(0)("id").as("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out == Map("a" -> 2L, "b" -> 3L))
+  }
+
+  test("the q46 plan aggregates — no window, no whole-partition sort before the exchange") {
+    val plan = TopK.q46TopkPergroup(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+    // the twin really is the plan being replaced
+    val twin = TopK.windowTwin(spark, sf).queryExecution.executedPlan.toString
+    assert(twin.contains("Window"))
+  }
+
+  test("buffer: eviction keeps the k best under the (score desc, id asc) order") {
+    val b = new TopKBuffer(3)
+    Seq((1.0, 10L), (5.0, 11L), (3.0, 12L), (5.0, 9L), (0.5, 13L), (3.0, 1L))
+      .foreach { case (s, i) => b.insert(s, i) }
+    // rank order: 5.0 ties broken by id asc; 3.0/id=1 beats 3.0/id=12
+    assert(b.sorted.toSeq == Seq((5.0, 9L), (5.0, 11L), (3.0, 1L)))
+  }
+}
