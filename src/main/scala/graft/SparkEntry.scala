@@ -184,6 +184,10 @@ object SparkEntry {
     // affected suffix is invalidated and replayed; the oracle is r32's,
     // because a correct repair is indistinguishable from never losing data
     "r41_daily_repair" -> (graft.Daily.dailyRepairQuery _),
+    // r42: the paged feed as a first-class DataSourceV2 table — planning
+    // via the symbol-list endpoint, ts-window + key pushdown to the wire,
+    // column pruning, executor-side cursor paging
+    "r42_dsv2_source" -> (graft.sources.Dsv2Fetch.dsv2FetchQuery _),
     // r33: market-index context series — the index bars' CCI broadcast
     // back per-symbol as relative strength (the last unmodeled reference
     // data surface, hankook get_index_daily_price)
@@ -413,6 +417,7 @@ object SparkEntry {
     "r31_connector_fetch" -> graft.sources.ConnectorFetch.connectorFetchSql,
     "r32_daily_run" -> graft.Daily.dailyRunSql,
     "r41_daily_repair" -> graft.Daily.dailyRunSql,
+    "r42_dsv2_source" -> graft.sources.Dsv2Fetch.dsv2FetchSql,
     "r33_index_relative" -> CciPipeline.indexRelativeSql,
     "r34_daily_positions" -> graft.Daily.dailyPositionsSql,
     "r35_schedule_plan" -> Scheduler.schedulePlanSql,
