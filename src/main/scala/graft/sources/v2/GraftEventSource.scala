@@ -74,6 +74,18 @@ object GraftEventSource {
 
   def registerApi(id: String, api: PagedEventApi): Unit = apis.put(id, api)
 
+  /** Driver-side availability clock per api id, in epoch DAYS — the
+    * streaming face's `latestOffset`. The reference's scheduler is
+    * CLOCK-driven (app.py:93 cron fires at fixed times and asks for
+    * "today"), not data-driven: a feed day becomes fetchable when the
+    * clock passes it, so the harness advances this clock and each
+    * micro-batch covers the newly available days. Unset = the whole
+    * option window is available at once (batch-equivalent catch-up). */
+  private val clocks: ConcurrentHashMap[String, java.lang.Long] = new ConcurrentHashMap
+
+  def advanceClock(id: String, epochDay: Long): Unit = clocks.put(id, epochDay)
+  private[v2] def clockDay(id: String): Option[Long] = Option(clocks.get(id)).map(_.longValue)
+
   private[v2] def resolve(id: String): PagedEventApi = {
     val api = apis.get(id)
     require(api != null, s"graft-events: no API registered under '$id' " +
@@ -88,7 +100,8 @@ final class GraftEventTable(apiId: String) extends Table with SupportsRead {
   override def name(): String = s"graft_events($apiId)"
   override def schema(): StructType = GraftEventSource.FullSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftEventScanBuilder(options)
 }
@@ -196,6 +209,70 @@ final class GraftEventScan(apiId: String, fromDay: Long, toDay: Long,
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftEventReaderFactory(GraftEventSource.resolve(apiId),
       maxRetries, backoffMs, readSchema)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftEventMicroBatchStream(apiId, fromDay, toDay, keySet,
+      readSchema, partitionsOpt, maxRetries, backoffMs)
+}
+
+/** Day offset for the streaming face: the last epoch day fully ingested. */
+final case class GraftDayOffset(day: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = day.toString
+}
+
+/** `spark.readStream.format("graft-events")` — the SAME paged feed as a
+  * micro-batch stream. Offsets are epoch DAYS (the feed's natural unit:
+  * the reference ingests day-granular candles); a micro-batch covers the
+  * days between the committed and the latest offset for every listed key,
+  * read by the SAME executor-side paging readers as the batch face.
+  * `latestOffset` is the availability CLOCK ([[GraftEventSource.advanceClock]],
+  * capped at the option window's `to`) — clock-driven like the reference's
+  * scheduler, so a quiet feed simply plans no batch. Exactly-once falls
+  * out of the offset contract: the engine checkpoints the committed day,
+  * and a restart replays only days after it (pages are deterministic
+  * snapshots, so a replayed day cannot duplicate rows downstream of the
+  * checkpoint). */
+final class GraftEventMicroBatchStream(apiId: String, fromDay: Long,
+    toDay: Long, keySet: Option[Set[Long]], schema: StructType,
+    partitionsOpt: Option[Int], maxRetries: Int, backoffMs: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = GraftDayOffset(fromDay - 1)
+
+  override def latestOffset(): Offset = {
+    val avail = GraftEventSource.clockDay(apiId).fold(toDay)(math.min(_, toDay))
+    GraftDayOffset(math.max(avail, fromDay - 1))
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    GraftDayOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[GraftDayOffset].day + 1
+    val hi = end.asInstanceOf[GraftDayOffset].day
+    if (hi < lo) return Array.empty
+    val api = GraftEventSource.resolve(apiId)
+    val asOf = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(hi))
+    val listed = new ApiRetrySession(api, maxRetries, backoffMs)
+      .call(t => api.listKeys(t, asOf))
+    val keys = keySet.fold(listed)(s => listed.filter(s)).sorted
+    val n = math.max(1, partitionsOpt.getOrElse(
+      SparkSession.active.sparkContext.defaultParallelism))
+    keys.zipWithIndex.groupBy(_._2 % n).toSeq.sortBy(_._1)
+      .map { case (_, ks) =>
+        GraftEventInputPartition(ks.map(_._1).toArray, lo, hi): InputPartition
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftEventReaderFactory(GraftEventSource.resolve(apiId),
+      maxRetries, backoffMs, schema)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final case class GraftEventInputPartition(keys: Array[Long],
