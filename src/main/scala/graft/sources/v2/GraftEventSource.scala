@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -35,6 +35,12 @@ import graft.sources.{ApiRetrySession, PagedEventApi}
   *    re-applied post-scan; the parquet row-group-stats pattern).
   *  - **Column pruning** ([[SupportsPushDownRequiredColumns]]): readers
   *    emit only the projected fields.
+  *  - **Limit pushdown** ([[SupportsPushDownLimit]], partial): readers
+  *    stop PAGING at the cut — pages past it are never requested.
+  *  - **Runtime (join-driven) filtering** ([[SupportsRuntimeFiltering]]):
+  *    when this scan probes a broadcast join on `user_id`, the build
+  *    side's key set narrows the page plan before partitions are planned
+  *    — dynamic partition pruning at the wire.
   *  - **Executor-side paging**: each [[PartitionReader]] opens its own
   *    [[ApiRetrySession]] (token + bounded retry/backoff per partition,
   *    a connection pool's shape) and pages through its keys' windows —
@@ -108,7 +114,7 @@ final class GraftEventTable(apiId: String) extends Table with SupportsRead {
 
 final class GraftEventScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
   private val apiId = options.get("api")
   require(apiId != null, "graft-events requires .option(\"api\", <registered id>)")
   private var fromDay: Long = java.time.LocalDate
@@ -171,8 +177,15 @@ final class GraftEventScanBuilder(options: CaseInsensitiveStringMap)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Limit pushdown stops each reader's PAGING once `n` rows are out —
+    * pages never requested beat pages discarded. PARTIAL by nature (the
+    * cut is per partition); Spark re-applies the global limit. */
+  private var limit: Option[Int] = None
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
+
   override def build(): Scan = new GraftEventScan(apiId, fromDay, toDay,
-    keySet, required, pushed.map(_.toString),
+    keySet, required, pushed.map(_.toString), limit,
     Option(options.get("partitions")).map(_.toInt),
     Option(options.get("maxRetries")).map(_.toInt).getOrElse(5),
     Option(options.get("backoffMs")).map(_.toLong).getOrElse(500L))
@@ -180,13 +193,32 @@ final class GraftEventScanBuilder(options: CaseInsensitiveStringMap)
 
 final class GraftEventScan(apiId: String, fromDay: Long, toDay: Long,
     keySet: Option[Set[Long]], override val readSchema: StructType,
-    pushedDesc: Array[String], partitionsOpt: Option[Int],
-    maxRetries: Int, backoffMs: Long) extends Scan with Batch {
+    pushedDesc: Array[String], limit: Option[Int], partitionsOpt: Option[Int],
+    maxRetries: Int, backoffMs: Long)
+    extends Scan with Batch with SupportsRuntimeFiltering {
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-events api=$apiId window=[$fromDay,$toDay] " +
       s"PushedFilters: [${pushedDesc.mkString(", ")}], " +
       s"ReadSchema: ${readSchema.simpleString}"
+
+  /** Join-driven runtime narrowing (SPARK-35779 dynamic filtering): when
+    * this scan probes a broadcast join on `user_id`, Spark evaluates the
+    * build side first and hands the key set here BEFORE partitions are
+    * planned — whole keys drop out of the page plan at runtime, the DSv2
+    * analogue of dynamic partition pruning. */
+  private var runtimeKeys: Option[Set[Long]] = None
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("user_id"))
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("user_id", vs) if vs.nonEmpty =>
+      val s = vs.collect { case l: Long => l; case i: Int => i.toLong }.toSet
+      runtimeKeys = Some(runtimeKeys.fold(s)(_ intersect s))
+    case EqualTo("user_id", v: Long) =>
+      runtimeKeys = Some(runtimeKeys.getOrElse(Set(v)) intersect Set(v))
+    case _ => () // unsupported runtime filter: safely ignored (Spark re-applies)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     if (toDay < fromDay) return Array.empty // pushdown closed the window
@@ -196,7 +228,8 @@ final class GraftEventScan(apiId: String, fromDay: Long, toDay: Long,
     // any other endpoint (it throws the same transient 5xx class)
     val listed = new ApiRetrySession(api, maxRetries, backoffMs)
       .call(t => api.listKeys(t, asOf))
-    val keys = keySet.fold(listed)(s => listed.filter(s)).sorted
+    val statics = keySet.fold(listed)(s => listed.filter(s))
+    val keys = runtimeKeys.fold(statics)(s => statics.filter(s)).sorted
     val n = math.max(1, partitionsOpt.getOrElse(
       SparkSession.active.sparkContext.defaultParallelism))
     keys.zipWithIndex.groupBy(_._2 % n).toSeq.sortBy(_._1)
@@ -208,7 +241,7 @@ final class GraftEventScan(apiId: String, fromDay: Long, toDay: Long,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftEventReaderFactory(GraftEventSource.resolve(apiId),
-      maxRetries, backoffMs, readSchema)
+      maxRetries, backoffMs, readSchema, limit)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -279,11 +312,12 @@ final case class GraftEventInputPartition(keys: Array[Long],
     fromDay: Long, toDay: Long) extends InputPartition
 
 final class GraftEventReaderFactory(api: PagedEventApi, maxRetries: Int,
-    backoffMs: Long, schema: StructType) extends PartitionReaderFactory {
+    backoffMs: Long, schema: StructType, limit: Option[Int] = None)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftEventInputPartition]
     new GraftEventPartitionReader(api, maxRetries, backoffMs, schema,
-      gp.keys, gp.fromDay, gp.toDay)
+      gp.keys, gp.fromDay, gp.toDay, limit)
   }
 }
 
@@ -292,7 +326,8 @@ final class GraftEventReaderFactory(api: PagedEventApi, maxRetries: Int,
   * retries THE PAGE); projects each wire row to the pruned schema. */
 final class GraftEventPartitionReader(api: PagedEventApi, maxRetries: Int,
     backoffMs: Long, schema: StructType, keys: Array[Long],
-    fromDay: Long, toDay: Long) extends PartitionReader[InternalRow] {
+    fromDay: Long, toDay: Long, limit: Option[Int] = None)
+    extends PartitionReader[InternalRow] {
   private val session = new ApiRetrySession(api, maxRetries, backoffMs)
   private val from = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(fromDay))
   private val to = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(toDay))
@@ -319,11 +354,15 @@ final class GraftEventPartitionReader(api: PagedEventApi, maxRetries: Int,
       }.flatten
     }
   private var current: InternalRow = _
+  private var emitted = 0
 
   override def next(): Boolean =
-    if (rows.hasNext) {
+    // pushed limit: stop PAGING, not just emitting — `rows` is lazy, so
+    // pages past the cut are never requested from the server
+    if (limit.forall(emitted < _) && rows.hasNext) {
       val r = rows.next()
       current = new GenericInternalRow(fields.map(_(r)))
+      emitted += 1
       true
     } else false
   override def get(): InternalRow = current

@@ -132,6 +132,36 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(stats.transientFailures.get() > 0, "fault injection never fired")
   }
 
+  test("limit pushdown stops the paging — pages past the cut never requested") {
+    val (id, stats) = freshApi() // 6 keys × 40 rows, pageSize 7 → 36 pages full
+    val got = read(id).limit(3).collect()
+    assert(got.length == 3)
+    // each partition reader stops within its first page; even if Spark
+    // runs every partition, that is ≤ #partitions pages, nowhere near 36
+    assert(stats.pageCalls.get() <= 4,
+      s"limit fetched ${stats.pageCalls.get()} pages")
+  }
+
+  test("runtime (join-driven) filtering prunes keys at the wire") {
+    val (id, stats) = freshApi()
+    // the pruning rule wants a SELECTIVE predicate surviving on the build
+    // side (a bare in-memory dim constant-folds its filter away), so the
+    // dim goes through parquet like a real dimension table would
+    val dimPath = graft.operators.Extras.tempDir("dsv2-dpp-dim")
+    (1L to 6L).map(u => (u, if (u == 3L || u == 6L) "keep" else "drop"))
+      .toDF("user_id", "tag").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter($"tag" === "keep")
+    val joined = read(id).join(broadcast(dim), Seq("user_id"))
+    val n = joined.count()
+    assert(n == 2 * 40) // 2 keys × 10 days × 4 rows
+    val it = stats.pageAttempts.keySet().iterator()
+    var requested = Set.empty[String]
+    while (it.hasNext) requested += it.next().split(":")(0)
+    assert(requested.nonEmpty)
+    assert(requested.subsetOf(Set("3", "6")),
+      s"runtime filter did not reach the wire: keys requested = $requested")
+  }
+
   test("r42 gate face: DSv2 read digest equals the direct-parquet digest") {
     val viaSource = graft.sources.Dsv2Fetch.dsv2FetchQuery(spark, sf).collect().toSeq
     val cutTs = Tables.events(spark, sf)
