@@ -188,6 +188,9 @@ object SparkEntry {
     // via the symbol-list endpoint, ts-window + key pushdown to the wire,
     // column pruning, executor-side cursor paging
     "r42_dsv2_source" -> (graft.sources.Dsv2Fetch.dsv2FetchQuery _),
+    // r43: order placement through the DSv2 SINK (two-phase staged pages,
+    // driver publish, keep-last order_no upsert) and read back
+    "r43_order_sink" -> (graft.sources.OrderSinkRoundtrip.orderSinkQuery _),
     // r33: market-index context series — the index bars' CCI broadcast
     // back per-symbol as relative strength (the last unmodeled reference
     // data surface, hankook get_index_daily_price)
@@ -418,6 +421,7 @@ object SparkEntry {
     "r32_daily_run" -> graft.Daily.dailyRunSql,
     "r41_daily_repair" -> graft.Daily.dailyRunSql,
     "r42_dsv2_source" -> graft.sources.Dsv2Fetch.dsv2FetchSql,
+    "r43_order_sink" -> graft.sources.OrderSinkRoundtrip.orderSinkSql,
     "r33_index_relative" -> CciPipeline.indexRelativeSql,
     "r34_daily_positions" -> graft.Daily.dailyPositionsSql,
     "r35_schedule_plan" -> Scheduler.schedulePlanSql,

@@ -67,6 +67,56 @@ final class LocalFileEventConnector(dir: String) extends EventConnector {
   }
 }
 
+/** The connector seam served BY the DataSourceV2 table: the daily product
+  * consumes `spark.read.format("graft-events")` without knowing it — proof
+  * the v2 source is a drop-in transport, not a parallel surface. The
+  * request batch is dimension-scale by contract, so its keys/window are
+  * collected driver-side (the bounded AnnIndex request pattern) and pushed
+  * into the scan: `user_id IN` prunes keys out of the page plan at the
+  * wire, the global [min(fetch_start), max(fetch_end)] window bounds the
+  * days, and the per-key range trim is a broadcast join back against the
+  * requests (LocalFileEventConnector's shape). DailyRunSpec proves a week
+  * over this transport is bit-identical to the local-file one. */
+final class Dsv2EventConnector(apiId: String) extends EventConnector {
+  import graft.sources.v2.GraftEventSource
+  override def name: String = s"dsv2:$apiId"
+
+  override def listKeys(spark: SparkSession, asOf: java.sql.Date): DataFrame = {
+    import spark.implicits._
+    val api = GraftEventSource.apis.get(apiId)
+    require(api != null, s"no API registered under '$apiId'")
+    new PagedEventConnector(api).listKeys(spark, asOf)
+  }
+
+  override def fetch(spark: SparkSession, requests: DataFrame): DataFrame = {
+    import spark.implicits._
+    val reqRows = requests.select($"user_id", $"fetch_start", $"fetch_end")
+      .as[(Long, java.sql.Date, java.sql.Date)].collect()
+    if (reqRows.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          graft.sources.v2.GraftEventSource.FullSchema.fields :+
+            org.apache.spark.sql.types.StructField("d",
+              org.apache.spark.sql.types.DateType)))
+    } else {
+      val from = reqRows.map(_._2.toLocalDate).min(Ordering.by((_: java.time.LocalDate).toEpochDay))
+      val to = reqRows.map(_._3.toLocalDate).max(Ordering.by((_: java.time.LocalDate).toEpochDay))
+      val ev = spark.read.format("graft-events")
+        .option("api", apiId)
+        .option("from", from.toString)
+        .option("to", to.toString)
+        .load()
+        .filter($"user_id".isin(reqRows.map(_._1): _*)) // → In pushdown
+        .withColumn("d", to_date($"ts"))
+      ev.join(broadcast(requests.select($"user_id", $"fetch_start", $"fetch_end")),
+          ev("user_id") === requests("user_id")
+            && $"d" >= $"fetch_start" && $"d" <= $"fetch_end")
+        .select(ev("event_id"), ev("ts"), ev("user_id"), ev("event_type"),
+          ev("value"), ev("props"), $"d")
+    }
+  }
+}
+
 /** r31: the connector round-trip as a driver-gated query — r21's watermark
   * picks the unsaved suffix per key, the connector fetches it, and the
   * output digests the fetched batch per key. With the local-file transport

@@ -72,6 +72,66 @@ object ParquetBackedPagedApi {
   }
 }
 
+/** r43: order placement THROUGH the DSv2 sink and back. A deterministic
+  * order book derives from the purchase events (order per event, engine's
+  * cents-grid price), is PLACED via `df.write.format("graft-orders")` —
+  * executor-side staged pages, driver publish — then AMENDED with a
+  * second batch (every 7th order's qty bumped) that exercises the
+  * broker's keep-last `order_no` upsert (the reference's order-history
+  * discipline, daily_function.py:1828 + drop_duplicates keep='last').
+  * The query returns the broker's ledger (the order-history endpoint, a
+  * dimension-scale driver read); the DuckDB oracle computes the same
+  * amended book straight from events, so the gate proves the sink's
+  * two-phase placement + upsert preserve content exactly. */
+object OrderSinkRoundtrip {
+  import graft.sources.v2.{GraftOrderSink, InMemoryOrderBroker}
+
+  def orderSinkQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val brokerId = s"broker:$dir"
+    InMemoryOrderBroker.ensure(brokerId): Unit
+    GraftOrderSink.apis.computeIfAbsent(brokerId,
+      _ => new InMemoryOrderBroker(brokerId)): Unit
+
+    def orders(onlyAmended: Boolean): DataFrame = {
+      val ev = Tables.events(spark, dir).filter($"event_type" === "purchase")
+      val picked = if (onlyAmended) ev.filter(pmod($"event_id", lit(7L)) === 0) else ev
+      val bump = if (onlyAmended) 11L else 1L
+      picked.select(
+        concat(lit("ORD-"), $"event_id").as("order_no"),
+        $"user_id", lit("buy").as("side"),
+        (pmod($"event_id", lit(5L)) + bump).as("qty"),
+        (floor($"value" * 100.0 + 0.5).cast("long").cast("double") / 100.0).as("price"),
+        to_date($"ts").as("d"))
+    }
+    orders(onlyAmended = false).write.format("graft-orders")
+      .option("api", brokerId).option("backoffMs", 1).mode("append").save()
+    orders(onlyAmended = true).write.format("graft-orders")
+      .option("api", brokerId).option("backoffMs", 1).mode("append").save()
+
+    val api = GraftOrderSink.apis.get(brokerId)
+    val book = api.ledger(api.issueToken()).map { o =>
+      (o.order_no, o.user_id, o.side, o.qty, o.price,
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(o.d_days.toLong)))
+    }
+    book.toDF("order_no", "user_id", "side", "qty", "price", "d")
+      .orderBy($"order_no")
+  }
+
+  val orderSinkSql: String =
+    Tables.eventsOracleCte + "\n" +
+      """SELECT concat('ORD-', event_id) AS order_no, user_id,
+        |  'buy' AS side,
+        |  CASE WHEN event_id % 7 = 0 THEN event_id % 5 + 11
+        |       ELSE event_id % 5 + 1 END AS qty,
+        |  CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS DOUBLE) / 100.0
+        |    AS price,
+        |  CAST(ts AS DATE) AS d
+        |FROM events_us
+        |WHERE event_type = 'purchase'
+        |ORDER BY order_no""".stripMargin
+}
+
 /** r42: the paged feed read THROUGH the DataSourceV2 table
   * ([[graft.sources.v2.GraftEventSource]]) with live pushdown — the
   * `ts >= (first day + 20)T12:00` cut narrows every key's fetch window at

@@ -172,6 +172,22 @@ class DailyRunSpec extends AnyFunSuite {
     got.zip(want).foreach { case (a, b) => assert(a == b, s"\n$a\n$b") }
   }
 
+  test("the daily product runs over the DSv2 transport bit-identically") {
+    val (apiId, _, _) = graft.sources.ParquetBackedPagedApi.ensure(spark, sf)
+    val start = maxLd.minusDays(4)
+    val cutoff = java.sql.Date.valueOf(start.minusDays(1))
+    def week(conn: graft.sources.EventConnector): Array[org.apache.spark.sql.Row] = {
+      val ws = newWs()
+      Daily.bootstrap(spark, conn, ws, cutoff)
+      Daily.run(spark, conn, ws, start, maxLd)
+      cciCols(spark.read.parquet(ws.cciDir).drop("run_d"))
+    }
+    val viaFile = week(new LocalFileEventConnector(sf))
+    val viaDsv2 = week(new graft.sources.Dsv2EventConnector(apiId))
+    assert(viaFile.nonEmpty && viaDsv2.length == viaFile.length)
+    viaDsv2.zip(viaFile).foreach { case (a, b) => assert(a == b, s"\n$a\n$b") }
+  }
+
   test("shared chain: a second sizing mode replays the week without touching the connector") {
     // sharedDailyRun's cost model: the fetch→bars→CCI→state chain is
     // mode-independent, so a second mode pointed at the first mode's

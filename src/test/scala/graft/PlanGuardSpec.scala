@@ -68,6 +68,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "r34_" -> "the composed daily loop runs end-to-end on construction",
     "r36_" -> "the composed daily loop runs end-to-end on construction",
     "r41_" -> "the truncated run + repair replay execute on construction",
+    "r43_" -> "the sink placement jobs run on construction (the query IS the round-trip)",
     "r38_" -> "the telemetry listener runs the measured action on construction",
     "m05_" -> "binary ingest writes the staged files on construction",
     "t14_" -> "BPE merge loop collects the 1-row argmax each round on construction")
