@@ -146,7 +146,8 @@ final class GraftOrderTable(apiId: String) extends Table with SupportsWrite {
   override def name(): String = s"graft_orders($apiId)"
   override def schema(): StructType = GraftOrderSink.OrderSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // by-name field lookup: Spark resolves AppendData by name, but be
@@ -162,6 +163,12 @@ final class GraftOrderTable(apiId: String) extends Table with SupportsWrite {
           Option(opts.get("pageSize")).map(_.toInt).getOrElse(64),
           Option(opts.get("maxRetries")).map(_.toInt).getOrElse(5),
           Option(opts.get("backoffMs")).map(_.toLong).getOrElse(500L))
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new GraftOrderStreamingWrite(apiId, info.queryId(), info.schema(),
+            Option(opts.get("pageSize")).map(_.toInt).getOrElse(64),
+            Option(opts.get("maxRetries")).map(_.toInt).getOrElse(5),
+            Option(opts.get("backoffMs")).map(_.toLong).getOrElse(500L))
       }
     }
   }
@@ -202,6 +209,42 @@ final class GraftOrderBatchWrite(apiId: String, queryId: String,
         to: java.sql.Date, cursor: Option[String]): graft.sources.ApiPage =
       throw new UnsupportedOperationException
   }
+}
+
+/** The sink's streaming face (`writeStream.format("graft-orders")` — the
+  * scheduler's 09:00/15:22 placement runs as a live feed consumer). Same
+  * two-phase shape per EPOCH: staging ids carry (queryId, epoch,
+  * partition, task), `commit(epochId, …)` publishes the epoch's named
+  * attempts. A micro-batch REPLAY after a sink-commit (restart between
+  * sink commit and offset commit — the classic at-least-once window)
+  * re-stages under fresh ids and re-publishes the same `order_no`s; the
+  * broker's keep-last book makes that replay content-idempotent, which
+  * is exactly the reference's order-history upsert discipline. */
+final class GraftOrderStreamingWrite(apiId: String, queryId: String,
+    schema: StructType, pageSize: Int, maxRetries: Int, backoffMs: Long)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  private def delegate(epochId: Long) = new GraftOrderBatchWrite(apiId,
+    s"$queryId/e$epochId", schema, pageSize, maxRetries, backoffMs)
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new GraftOrderStreamingWriterFactory(GraftOrderSink.resolve(apiId),
+      queryId, schema, pageSize, maxRetries, backoffMs)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    delegate(epochId).commit(messages)
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    delegate(epochId).abort(messages)
+}
+
+/** Top-level (not inner) so only the Serializable api handle ships. */
+final class GraftOrderStreamingWriterFactory(api: OrderApi, queryId: String,
+    schema: StructType, pageSize: Int, maxRetries: Int, backoffMs: Long)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftOrderDataWriter(api, s"$queryId/e$epochId/p$partitionId/t$taskId",
+      schema, pageSize, maxRetries, backoffMs)
 }
 
 final class GraftOrderWriterFactory(api: OrderApi, queryId: String,

@@ -109,6 +109,34 @@ class Dsv2StreamSpec extends AnyFunSuite {
     }
   }
 
+  test("v16: feed in, orders out — streamed placement is content-exact across a restart") {
+    val (feedId, _) = freshApi()
+    val brokerId = s"$feedId-broker"
+    val st = graft.sources.v2.InMemoryOrderBroker.ensure(brokerId)
+    val api = new graft.sources.v2.InMemoryOrderBroker(brokerId)
+    graft.sources.v2.GraftOrderSink.registerApi(brokerId, api)
+    val ckpt = graft.operators.Extras.tempDir("v16-ckpt")
+    def run(): Unit = {
+      val q = readStream(feedId)
+        .select(concat(lit("ORD-"), $"event_id").as("order_no"), $"user_id",
+          lit("buy").as("side"), lit(1L).as("qty"), $"value".as("price"),
+          to_date($"ts").as("d"))
+        .writeStream.format("graft-orders")
+        .option("api", brokerId).option("backoffMs", 1)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    GraftEventSource.advanceClock(feedId, day0.toEpochDay + 4)
+    run()
+    def book = api.ledger(api.issueToken())
+    assert(book.size == 4 * 2 * 5) // every event of days 0..4 placed once
+    GraftEventSource.advanceClock(feedId, day0.toEpochDay + 9)
+    run() // restart from the checkpoint: only days 5..9 replayed
+    assert(book.size == 4 * 2 * 10)
+    assert(book.map(_.order_no).distinct.size == book.size)
+    assert(st.staged.isEmpty, "committed epochs left staged pages behind")
+  }
+
   test("v15: a quiet clock plans no batch and a fresh advance wakes the stream") {
     val (id, stats) = freshApi()
     GraftEventSource.advanceClock(id, day0.toEpochDay - 1) // nothing available
