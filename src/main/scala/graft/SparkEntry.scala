@@ -290,7 +290,10 @@ object SparkEntry {
     // as the Scala twins (q01 / t04 / r04)
     "sql01_pricing_via_sql" -> (SqlSurface.pricingSummaryViaSql _),
     "sql02_fingerprint_via_sql" -> (SqlSurface.fingerprintViaSql _),
-    "sql03_cci_via_view" -> (SqlSurface.cciViaView _)
+    "sql03_cci_via_view" -> (SqlSurface.cciViaView _),
+    // sql04: the DSv2 feed table queried through pure SQL over a temp
+    // view — pushdown survives the view; gated on r42's oracle
+    "sql04_dsv2_via_sql" -> (SqlSurface.dsv2ViaSql _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -453,6 +456,7 @@ object SparkEntry {
     "v11b_session_windows" -> graft.streaming.EventStream.sessionWindowsBatchSql,
     "sql01_pricing_via_sql" -> Relational.q01Sql,
     "sql02_fingerprint_via_sql" -> TextAnalysis.fingerprintSql,
-    "sql03_cci_via_view" -> CciPipeline.cciSql
+    "sql03_cci_via_view" -> CciPipeline.cciSql,
+    "sql04_dsv2_via_sql" -> graft.sources.Dsv2Fetch.dsv2FetchSql
   )
 }

@@ -173,4 +173,33 @@ object SqlSurface {
     registerOperators(spark, dir)
     spark.sql("SELECT * FROM graft_cci ORDER BY user_id, d")
   }
+
+  // ---------------------------------------------------------------- sql04
+  /** r42's paged-feed digest reached purely through SQL over a view of the
+    * DSv2 table — a temp view is just a named plan, so the `WHERE ts >= …`
+    * cut STILL narrows every fetch window at the wire and the projection
+    * still prunes the readers (temp views don't block V2 pushdown). Gated
+    * on r42's oracle: the SQL client sees exactly the DataFrame client's
+    * answer. */
+  def dsv2ViaSql(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (apiId, minDay, maxDay) = graft.sources.ParquetBackedPagedApi.ensure(spark, dir)
+    spark.read.format("graft-events")
+      .option("api", apiId)
+      .option("from", java.time.LocalDate.ofEpochDay(minDay).toString)
+      .option("to", java.time.LocalDate.ofEpochDay(maxDay).toString)
+      .load()
+      .createOrReplaceTempView("graft_feed")
+    val cutoff = java.time.LocalDate.ofEpochDay(minDay + 20)
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n_events,
+         |  count(DISTINCT user_id) AS n_users,
+         |  min(to_date(ts)) AS first_d, max(to_date(ts)) AS last_d,
+         |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         |    AS value_sum
+         |FROM graft_feed
+         |WHERE ts >= TIMESTAMP '$cutoff 12:00:00'
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin)
+  }
 }
