@@ -47,14 +47,40 @@ object GraftFunctions {
         exprs(2).eval().asInstanceOf[Int])))
 }
 
+/** Optimizer rule for graft's native expressions: [[graft.functions.catalyst.NormalizeText]]
+  * is IDEMPOTENT (its output is already lowercase, class-filtered, and
+  * space-collapsed, so a second pass is the identity — the property
+  * PropertySpec asserts data-wise), and canonicalize-then-canonicalize
+  * chains arise naturally when operators compose (a d10-normalized frame
+  * fed to t04's fingerprint normalizes again). Each elision removes a
+  * full per-row string rebuild from the hot path. The same class of
+  * simplification Catalyst ships for its own expressions (e.g.
+  * `Lower(Lower(x))` via the likely-idempotent rules) — extended here to
+  * an engine-native function Catalyst can't know about. */
+object SimplifyGraftExpressions
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import graft.functions.catalyst.NormalizeText
+  override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressions {
+      case NormalizeText(inner @ NormalizeText(_)) => inner
+    }
+}
+
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions so `spark.sql("... graft_poly_hash(x)
   * ...")` works anywhere (including pure-SQL clients over a shared
-  * session). Enable with
+  * session), plus the [[SimplifyGraftExpressions]] optimizer rule.
+  * Enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
   * `.withExtensions(new GraftExtensions)` — GraftSession does the latter.
+  * [[SqlSurface.ensureFunctions]] covers sessions built without
+  * extensions (`spark.experimental.extraOptimizations` for the rule).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(e.injectFunction)
+    e.injectOptimizerRule(_ => SimplifyGraftExpressions)
+  }
 }

@@ -42,12 +42,18 @@ import graft.sources.Tables
   */
 object SqlSurface {
 
-  /** Post-hoc function registration for sessions built without
-    * [[GraftExtensions]]. Safe to call repeatedly. */
-  def ensureFunctions(spark: SparkSession): Unit =
+  /** Post-hoc function + optimizer-rule registration for sessions built
+    * without [[GraftExtensions]]. Safe to call repeatedly. */
+  def ensureFunctions(spark: SparkSession): Unit = {
     GraftFunctions.all.foreach { case (id, info, builder) =>
       GraftShim.registerFunction(spark, id, info, builder)
     }
+    // experimental.extraOptimizations is the one optimizer hook that works
+    // on an ALREADY-BUILT session (extensions only apply at construction)
+    if (!spark.experimental.extraOptimizations.contains(SimplifyGraftExpressions))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SimplifyGraftExpressions
+  }
 
   private val tableLoaders: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "region" -> (Tables.region _), "nation" -> (Tables.nation _),
