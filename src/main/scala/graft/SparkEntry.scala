@@ -252,6 +252,11 @@ object SparkEntry {
     // (bounded heap, graft_topk) instead of the shuffle-everything
     // window-rank plan; the oracle IS the window formulation
     "q46_topk_pergroup" -> (TopK.q46TopkPergroup _),
+    // q47: the NATIVE as-of join (logical node + strategy + sort-merge
+    // physical operator) carrying the matched row's payload — one
+    // co-partitioned merge pass instead of q22's window + join-back;
+    // oracle is DuckDB's own ASOF LEFT JOIN
+    "q47_asof_native" -> (AsOfNative.q47AsofNative _),
     // t15: RAG-ingestion document chunking — overlapping fixed token
     // windows with offsets; entirely row-local, no pre-sort shuffle
     "t15_doc_chunk" -> (TextAnalysis.docChunk _),
@@ -441,6 +446,7 @@ object SparkEntry {
     "s08_range_search" -> graft.similarity.Similarity.rangeSearchSql,
     "q45_hierarchy_closure" -> Hierarchy.hierarchyClosureSql,
     "q46_topk_pergroup" -> TopK.q46Sql,
+    "q47_asof_native" -> AsOfNative.q47Sql,
     "t15_doc_chunk" -> TextAnalysis.docChunkSql,
     "v14b_chunk_ingest" -> graft.streaming.DocStream.chunkIngestBatchSql,
     "p12_manifest_diff" -> Curation.manifestDiffSql,

@@ -53,6 +53,7 @@ object SqlSurface {
     if (!spark.experimental.extraOptimizations.contains(SimplifyGraftExpressions))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SimplifyGraftExpressions
+    graft.plans.AsOf.ensureStrategy(spark)
   }
 
   private val tableLoaders: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(

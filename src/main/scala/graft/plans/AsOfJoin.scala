@@ -1,0 +1,257 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftShim, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Native AS-OF (point-in-time) JOIN — the whole-operator Catalyst
+  * extension: logical node + planner strategy + physical operator,
+  * registered through `SparkSessionExtensions` / `experimental`.
+  *
+  * Semantics: for every left row, attach the single right row with the
+  * same key whose time is the latest `<=` the left time (`backward`,
+  * pandas `merge_asof` default; `forward` flips to earliest `>=`), LEFT
+  * OUTER — unmatched left rows keep nulls on the right. An optional
+  * tolerance bounds how far back/forward the match may reach. The
+  * reference needs exactly this shape whenever it aligns an order event
+  * against the latest fetched state before it (order execution vs the
+  * price row in force, `daily_function.py:1947` update_order_execution
+  * matching each fill against its day's state).
+  *
+  * Why an operator and not a composition: the window trick q22 uses
+  * (`max(when(...)) over (rows unbounded preceding)`) carries ONE scalar
+  * per match — recovering the matched row's payload needs an extra
+  * equi-join back — and it UNIONs both inputs into one shuffle whose
+  * window state spans the combined stream. The native plan is the
+  * minimal one: each side shuffles ONCE on its key (`ClusteredDistribution`
+  * pair — co-partitioned by `EnsureRequirements`, so bucketed/AQE-coalesced
+  * layouts skip or shrink the exchanges), sorts within partitions on
+  * (key, time), and a single O(n+m) merge pass walks both sorted streams
+  * with O(1) carried state (the current candidate row) — no window
+  * buffering, no join-back, whole matched row emitted. That is the plan
+  * that survives 100 TB: partition-local, spill-free, one exchange per
+  * side.
+  *
+  * Right-side contract: at most one row per (key, time) — the engine
+  * keeps whichever sorts last among exact duplicates, which is
+  * nondeterministic under shuffles, so callers dedup first (q47 does, via
+  * keep-max-event-id), exactly the contract DuckDB's ASOF JOIN documents.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    toleranceUs: Option[Long],
+    forward: Boolean) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] onto [[AsOfJoinExec]]. Injected at session build
+  * by [[graft.GraftExtensions]]; [[AsOf.ensureStrategy]] patches
+  * already-built sessions through `experimental.extraStrategies`. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol, fwd) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, fwd, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sort-merge as-of join: children co-partitioned on the keys (one
+  * exchange each at most) and sorted on (keys, time); each partition pair
+  * merges in one pass. Time must be micros-backed (TimestampType or
+  * LongType) — [[AsOf.join]] enforces it.
+  *
+  * Null semantics follow SQL equi-joins: a null key or null time never
+  * matches (nulls sort first under the required Ascending/NullsFirst
+  * ordering, so both sides discard their null prefix in-stream). */
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    toleranceUs: Option[Long],
+    forward: Boolean,
+    left: SparkPlan,
+    right: SparkPlan) extends SparkPlan with BinaryExecNode {
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  // the merge is left-driven and emits left rows in their sorted order
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
+    // capture locals only — the closure must not drag the SparkPlan along
+    val lOut = left.output
+    val rOut = right.output
+    val outAttrs = output
+    val lk = leftKeys; val rk = rightKeys
+    val lt = leftTime; val rt = rightTime
+    val keyTypes = leftKeys.map(_.dataType)
+    val tol = toleranceUs
+    val fwd = forward
+    val rightArity = rOut.size
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lk, lOut)
+      val rKeyProj = UnsafeProjection.create(rk, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lt), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rt), rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      // bind against NULLABLE right attrs: unmatched rows read a null-filled
+      // right row, and a non-nullable BoundReference would skip the null
+      // check and read garbage
+      val outProj = UnsafeProjection.create(outAttrs,
+        lOut ++ rOut.map(_.withNullability(true)))
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightArity)
+      val rBuf = rIter.buffered
+
+      // Backward state: the latest right row (copied — UnsafeRow buffers
+      // are reused by the sort iterator) whose (key, time) <= the current
+      // left (key, time). Forward needs no carried state: the match is
+      // always the right head after discarding everything strictly before.
+      var candKey: InternalRow = null
+      var candRow: InternalRow = null
+      var candTs: Long = 0L
+
+      lIter.map { lRow =>
+        val lKey = lKeyProj(lRow)
+        val lTimeRow = lTimeProj(lRow)
+        val lNull = lKey.anyNull || lTimeRow.isNullAt(0)
+        var matched: InternalRow = null
+        if (!lNull) {
+          val lTs = lTimeRow.getLong(0)
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val rKey = rKeyProj(rBuf.head)
+            val rTimeRow = rTimeProj(rBuf.head)
+            if (rKey.anyNull || rTimeRow.isNullAt(0)) rBuf.next() // null prefix
+            else {
+              val cmp = keyOrd.compare(rKey, lKey)
+              if (cmp < 0) rBuf.next() // key already behind every future left row
+              else if (cmp > 0) advance = false
+              else {
+                val rTs = rTimeRow.getLong(0)
+                if (fwd) {
+                  if (rTs < lTs) rBuf.next() // strictly before: useless forward
+                  else advance = false        // head IS the earliest >= lTs
+                } else {
+                  if (rTs <= lTs) { // newest-so-far candidate; keep scanning
+                    candKey = rKey.copy(); candTs = rTs; candRow = rBuf.next().copy()
+                  } else advance = false
+                }
+              }
+            }
+          }
+          if (fwd) {
+            if (rBuf.hasNext) {
+              val rKey = rKeyProj(rBuf.head)
+              if (!rKey.anyNull && keyOrd.compare(rKey, lKey) == 0) {
+                val rTs = rTimeProj(rBuf.head).getLong(0)
+                if (tol.forall(rTs - lTs <= _)) matched = rBuf.head
+              }
+            }
+          } else if (candRow != null && keyOrd.compare(candKey, lKey) == 0 &&
+              tol.forall(lTs - candTs <= _)) {
+            matched = candRow
+          }
+        }
+        numOutputRows += 1
+        if (matched != null) {
+          numMatched += 1
+          outProj(joined(lRow, matched))
+        } else outProj(joined(lRow, nullRight))
+      }
+    }
+  }
+}
+
+/** DataFrame-level API over the native operator. */
+object AsOf {
+
+  /** Idempotently make an ALREADY-BUILT session able to plan
+    * [[AsOfJoinPlan]] (extensions only apply at construction — the
+    * driver's Verify/Bench sessions arrive plain). */
+  def ensureStrategy(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+
+  /** As-of join `left` to `right`.
+    *
+    * @param on        (leftKeyCol, rightKeyCol) equi-key pairs (types must
+    *                  match pairwise)
+    * @param leftTime  left time column — TimestampType or LongType
+    * @param rightTime right time column — same type family
+    * @param toleranceUs max |leftTime - rightTime| for a match, in the
+    *                  column's own units (micros for timestamps)
+    * @param forward   false = latest right <= left (backward, default);
+    *                  true = earliest right >= left
+    *
+    * Output = left columns ++ right columns (right nullable); name
+    * collisions are the caller's to avoid (rename before joining).
+    */
+  def join(left: DataFrame, right: DataFrame, on: Seq[(String, String)],
+      leftTime: String, rightTime: String,
+      toleranceUs: Option[Long] = None, forward: Boolean = false): DataFrame = {
+    require(on.nonEmpty, "as-of join needs at least one equi-key")
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def resolve(plan: LogicalPlan, name: String, side: String): Attribute =
+      plan.output.find(a => spark.sessionState.conf.resolver(a.name, name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"as-of join: no column '$name' on the $side side " +
+            s"(have ${plan.output.map(_.name).mkString(", ")})"))
+    val lKeys = on.map(p => resolve(lPlan, p._1, "left"))
+    val rKeys = on.map(p => resolve(rPlan, p._2, "right"))
+    lKeys.zip(rKeys).foreach { case (l, r) =>
+      require(l.dataType == r.dataType,
+        s"as-of key type mismatch: ${l.name}: ${l.dataType} vs ${r.name}: ${r.dataType}")
+    }
+    val lTime = resolve(lPlan, leftTime, "left")
+    val rTime = resolve(rPlan, rightTime, "right")
+    Seq(lTime, rTime).foreach { t =>
+      require(t.dataType == TimestampType || t.dataType == LongType,
+        s"as-of time column ${t.name} must be TIMESTAMP or BIGINT, got ${t.dataType}")
+    }
+    require(lTime.dataType == rTime.dataType,
+      s"as-of time type mismatch: ${lTime.dataType} vs ${rTime.dataType}")
+    GraftShim.ofRows(spark,
+      AsOfJoinPlan(lPlan, rPlan, lKeys, rKeys, lTime, rTime, toleranceUs, forward))
+  }
+}

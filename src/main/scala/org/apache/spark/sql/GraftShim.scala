@@ -11,6 +11,14 @@ object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Wrap a logical plan as a DataFrame (`Dataset.ofRows` is sql-private).
+    * The plan runs through the full analyzer/optimizer/planner, so custom
+    * nodes (e.g. graft's as-of join) get planned by whatever strategies the
+    * session has registered. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register a native function into an ALREADY-BUILT session's registry.
     * `SparkSessionExtensions.injectFunction` only works at session
     * construction; harnesses that hand us a plain session (the driver's
