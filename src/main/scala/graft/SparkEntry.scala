@@ -238,6 +238,12 @@ object SparkEntry {
     // t14: distributed BPE tokenizer training — iterative argmax has no
     // single-query SQL form -> rows-only; reference-parity spec'd
     "t14_bpe_train" -> (TextAnalysis.bpeTrain _),
+    // t16: distributed BPE ENCODE — t14's trained merge table applied
+    // row-locally to the whole corpus (vocab broadcast in the closure,
+    // per-task word cache, zero shuffles before the sort); rows-only
+    // like t14 (iterative merges have no SQL form), stream parity vs an
+    // independent in-memory encoder spec'd
+    "t16_bpe_encode" -> (TextAnalysis.bpeEncode _),
     // p11: content-addressed corpus manifest — the versioned-release
     // integrity record; one partial-aggregable scan
     "p11_corpus_manifest" -> (Curation.corpusManifest _),

@@ -900,6 +900,117 @@ object TextAnalysis {
     out.toSeq
   }
 
+  /** t14's trained merge table, memoized per (session, dir): t16 (and any
+    * repeat t14 caller) reuses one training run. The collected table is
+    * dimension-scale by construction ([[BpeNumMerges]] rows; a production
+    * 32k-merge vocab is still a few hundred KB — broadcast territory). */
+  private val bpeMemo = new graft.SessionMemo[String, Seq[(String, String)]]
+  private[graft] def bpeMergesFor(spark: SparkSession, dir: String): Seq[(String, String)] =
+    bpeMemo.getOrElseUpdate(spark, dir) {
+      bpeTrain(spark, dir).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+    }
+
+  // ---------------------------------------------------------------- t16
+  /** t16: distributed BPE ENCODE — the other half of the tokenizer story
+    * (t14 trains the merge table; this applies it to the corpus, the step
+    * a 100 TB training-data pipeline actually runs at full scale).
+    *
+    * The merge table ships to executors inside the udf closure (it is
+    * vocabulary-scale — KBs, never corpus-scale) and every document
+    * encodes ROW-LOCALLY: per word, the merges apply in rank order with
+    * the exact left-to-right non-overlapping rewrite training used, so
+    * encode(word) reproduces the training-time sequence by construction.
+    * A per-task word-TYPE cache (Zipf: a few thousand types cover most
+    * tokens) collapses repeated words to one table walk; the cache is
+    * capped so a pathological vocabulary can't grow task memory
+    * unboundedly. ZERO shuffles before the output sort — the encode
+    * streams at any corpus scale.
+    *
+    * Output: per-doc token accounting (words in, BPE symbols out, chars)
+    * plus a polynomial hash of the encoded stream, so any single-symbol
+    * divergence anywhere in any document flips its row. Iterative merge
+    * application has no single-query SQL form → rows-only in the driver
+    * (t14's precedent); LlmOpsSpec proves stream-level parity against an
+    * independent in-memory encoder on the classic corpus and an sf
+    * sample, and PropertySpec pins encode∘train invariants. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeEncodeTokens(Tables.documents(spark, dir).select($"doc_id", $"text"),
+        bpeMergesFor(spark, dir))
+      .select($"doc_id", $"n_words", size($"toks").as("n_tokens"),
+        length(concat_ws("", $"toks")).as("n_chars"),
+        F.polyHash(concat_ws(" ", $"toks")).as("enc_hash"))
+      .orderBy($"doc_id")
+  }
+
+  /** The encoded token stream itself (doc_id, n_words, toks) — shared by
+    * the gated row and the spec's parity gate. */
+  private[graft] def bpeEncodeTokens(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    import docs.sparkSession.implicits._
+    val enc = bpeEncodeUdf(merges)
+    docs
+      .select($"doc_id", filter(F.tokens($"text"), w => w =!= "").as("tk"))
+      .select($"doc_id", size($"tk").as("n_words"), enc($"tk").as("toks"))
+  }
+
+  /** Encode a token array: each word becomes its character sequence, then
+    * the merges apply in rank order (same rewrite as [[mergeUdf]]). The
+    * word cache is per-task (the closure deserializes empty into each
+    * task) and capped. */
+  private def bpeEncodeUdf(merges: Seq[(String, String)]) = {
+    val CacheCap = 1 << 16
+    // captured OUTSIDE the lambda: the closure serializes the (empty) map
+    // once, each task deserializes its own copy, and the cache then
+    // persists across every row the task encodes — per-task, single-thread
+    val cache = scala.collection.mutable.HashMap.empty[String, Seq[String]]
+    udf { (words: Seq[String]) =>
+      def encode(w: String): Seq[String] = {
+        var seq: Seq[String] = w.split("").toSeq
+        merges.foreach { case (l, r) =>
+          if (seq.length >= 2) {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < seq.length) {
+              if (i + 1 < seq.length && seq(i) == l && seq(i + 1) == r) {
+                out += (l + r); i += 2
+              } else { out += seq(i); i += 1 }
+            }
+            seq = out.toSeq
+          }
+        }
+        seq
+      }
+      words.flatMap { w =>
+        cache.getOrElse(w, {
+          val e = encode(w)
+          if (cache.size < CacheCap) cache.put(w, e)
+          e
+        })
+      }
+    }
+  }
+
+  /** In-memory reference encoder (the spec's independent twin of
+    * [[bpeEncodeTokens]]): same tokenization, same rank-order rewrite. */
+  private[graft] def bpeEncodeReference(text: String,
+      merges: Seq[(String, String)]): Seq[String] =
+    text.split(" ").toSeq.filter(_.nonEmpty).flatMap { w =>
+      var seq: Seq[String] = w.split("").toSeq
+      merges.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < seq.length) {
+          if (i + 1 < seq.length && seq(i) == l && seq(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += seq(i); i += 1 }
+        }
+        seq = out.toSeq
+      }
+      seq
+    }
+
   /** Chunk window / stride in tokens (25% overlap) — the RAG-ingestion
     * convention of overlapping fixed-size windows. */
   val ChunkTokens = 40

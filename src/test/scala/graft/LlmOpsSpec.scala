@@ -1205,6 +1205,53 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.map(_._1).toSeq == (1 to got.length))
   }
 
+  test("t16: distributed encode reproduces the reference stream on the classic corpus") {
+    import TestSpark.spark.implicits._
+    val docs = Seq(
+      (1L, "low low lower lowest"),
+      (2L, "newest news widest"),
+      (3L, "the newest lowest low"),
+      (4L, "low lower newest newest widest widest")).toDF("doc_id", "text")
+    val merges = operators.TextAnalysis.bpeTrainFrom(docs)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.nonEmpty)
+    val got = operators.TextAnalysis.bpeEncodeTokens(docs, merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, text) =>
+      val want = operators.TextAnalysis.bpeEncodeReference(text, merges)
+      assert(got(id) == want, s"doc $id: got=${got(id)} want=$want")
+    }
+    // merged symbols actually appear: the encode is non-vacuous
+    val mergedSyms = merges.map { case (l, r) => l + r }.toSet
+    assert(got.values.flatten.exists(mergedSyms.contains))
+  }
+
+  test("t16: corpus encode parity on an sf sample + conservation laws corpus-wide") {
+    val merges = operators.TextAnalysis.bpeMergesFor(spark, sf)
+    val sample = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).orderBy("doc_id").limit(25).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = operators.TextAnalysis.bpeEncodeTokens(
+        sources.Tables.documents(spark, sf).select(col("doc_id"), col("text")),
+        merges)
+      .filter(col("doc_id").isin(sample.keys.toSeq: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+    sample.foreach { case (id, text) =>
+      assert(got(id) == operators.TextAnalysis.bpeEncodeReference(text, merges),
+        s"doc $id diverged")
+    }
+    // gated row: chars conserve (concatenated symbols == word chars),
+    // every doc present, n_tokens between n_words (full merge) and chars
+    val out = operators.TextAnalysis.bpeEncode(spark, sf).collect()
+    assert(out.length == sources.Tables.documents(spark, sf).count())
+    out.foreach { r =>
+      val (nWords, nTokens, nChars) = (r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(nTokens >= nWords && nTokens <= nChars || (nWords == 0 && nTokens == 0),
+        s"doc ${r.getLong(0)}: words=$nWords tokens=$nTokens chars=$nChars")
+    }
+  }
+
   test("p10: repetition schedule is a gapless sequence with band-correct copy counts") {
     val out = operators.Curation.qualityRepeat(spark, sf).cache()
     try {

@@ -65,7 +65,13 @@ class ShuffleGuardSpec extends AnyFunSuite {
     // broadcasts the stride query side at this SF, leaving only the
     // output sort exchange; a window/rank regression would add its own
     // hash exchange here
-    "s08_range_search" -> 1
+    "s08_range_search" -> 1,
+    // SURVEY §2 q47 claim "each side shuffles ONCE on its key": left
+    // hash(user_id) + right dedup agg hash(user_id, ts) + right
+    // redistribute hash(user_id) + output sort. A 5th exchange means the
+    // operator's required distribution stopped being satisfied in one
+    // hop (e.g. an accidental repartition above the merge)
+    "q47_asof_native" -> 4
   )
 
   test("shuffle guard: audited queries keep their exchange counts") {
