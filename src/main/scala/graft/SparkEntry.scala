@@ -235,6 +235,11 @@ object SparkEntry {
     // p10: quality-weighted repetition schedule — multi-epoch training
     // order with exact global positions (data-constrained scaling knob)
     "p10_quality_repeat" -> (Curation.qualityRepeat _),
+    // p13: weighted sampling without replacement per language — the
+    // min-of-w-hashes form (exactly the successive-draw w_i/Σw law,
+    // pure integer hashing, no libm) ranked through the native
+    // graft_topk aggregate; w from p10's quality bands
+    "p13_weighted_sample" -> (Curation.weightedSample _),
     // t14: distributed BPE tokenizer training — iterative argmax has no
     // single-query SQL form -> rows-only; reference-parity spec'd
     "t14_bpe_train" -> (TextAnalysis.bpeTrain _),
@@ -447,6 +452,7 @@ object SparkEntry {
     "d14_semantic_clusters" -> graft.dedup.Dedup.semanticClustersSql,
     "t13_nb_classifier" -> TextAnalysis.nbClassifierSql,
     "p10_quality_repeat" -> Curation.qualityRepeatSql,
+    "p13_weighted_sample" -> Curation.weightedSampleSql,
     "ml05_frequent_pairs" -> graft.ml.Features.frequentPairsSql,
     "p11_corpus_manifest" -> Curation.corpusManifestSql,
     "s08_range_search" -> graft.similarity.Similarity.rangeSearchSql,

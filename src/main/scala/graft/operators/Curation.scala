@@ -574,6 +574,119 @@ object Curation {
       .orderBy($"seq")
   }
 
+  // ---------------------------------------------------------------- p13
+  /** Sample size per language for [[weightedSample]]. */
+  val WSampleK = 15
+  val WSampleSalt = "p13"
+
+  /** p13: WEIGHTED sampling WITHOUT replacement per language — the
+    * data-mixing primitive (pick K docs per lang with inclusion odds ∝ a
+    * per-doc weight) in an EXACT-INTEGER one-pass form.
+    *
+    * Scheme: each doc materializes `w` candidate hashes (w ∈ {1..3} from
+    * p10's corpus-relative quality bands — "weight the best data") inside
+    * one higher-order `transform` (row-local, fan-out bounded by the max
+    * weight, never an explode shuffle) and keeps their MIN; the K docs
+    * with the smallest min-hash per language are the sample, ranked
+    * through the native bounded-heap aggregate (`graft_topk` — one
+    * partial-aggregable exchange, no window sort).
+    *
+    * Why this is exact weighted sampling without replacement: across a
+    * language's Σw iid-uniform candidates, the GLOBAL minimum belongs to
+    * doc i with probability w_i/Σw; conditioned on i drawn, its
+    * candidates leave the pool and the argument repeats — successive
+    * minima reproduce the successive-draw distribution exactly
+    * (Efraimidis–Spirakis' u^(1/w) keys give the same pairwise law, but
+    * need `ln`/`pow`, whose last-ulp libm differences fork engines; the
+    * min-of-w form is pure integer polynomial hashing, so the DuckDB
+    * oracle is bit-identical). PropertySpec drives the core with
+    * controlled weights over many salts and checks the w_i/Σw law.
+    *
+    * One corpus scan + the 1-row quality-extent broadcast (p10's band
+    * discipline) + one aggregate exchange. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q0 = TextAnalysis.qualityScore(spark, dir)
+      .select($"doc_id", $"lang",
+        coalesce($"quality_score", lit(0.0)).as("quality"))
+    val ext = q0.agg(min($"quality").as("q_lo"), max($"quality").as("q_hi"))
+    val weighted = q0.crossJoin(broadcast(ext))
+      .withColumn("band",
+        when($"q_hi" > $"q_lo",
+          least(floor(($"quality" - $"q_lo") / ($"q_hi" - $"q_lo") * CurriculumBands),
+            lit((CurriculumBands - 1).toDouble)))
+          .otherwise(lit(0.0)).cast("int"))
+      .withColumn("w",
+        when($"band" === CurriculumBands - 1, RepeatTop)
+          .when($"band" === CurriculumBands - 2, RepeatMid).otherwise(1))
+      .select($"doc_id", $"lang", $"w")
+    weightedSampleFrom(weighted, WSampleK, WSampleSalt)
+      .orderBy($"lang", $"rank")
+  }
+
+  /** The sampling core over an explicit (doc_id, lang, w) frame — shared
+    * by the gated row and PropertySpec's distribution gate. */
+  private[graft] def weightedSampleFrom(weights: DataFrame, k: Int,
+      salt: String): DataFrame = {
+    import weights.sparkSession.implicits._
+    import graft.functions.{TextFunctions => F}
+    import graft.functions.catalyst.GraftColumns
+    // Candidate j = (base · q_j) mod P, NOT polyHash(doc#j#salt): the
+    // polynomial hash has no avalanche, so hashes differing only in the
+    // j digit differ by one FIXED constant across every doc — the w
+    // candidate families become overlapping arithmetic progressions and
+    // the effective weight of w>1 docs collapses (the first cut of this
+    // operator failed its own distribution gate exactly this way).
+    // Multiplying by a per-j scrambler mod the prime places each family's
+    // small-value preimages independently, restoring the w_i/Σw law.
+    weights
+      .withColumn("base", F.polyHash(concat($"doc_id".cast("string"), lit("#" + salt))))
+      .withColumn("min_h", array_min(transform(sequence(lit(1), $"w"), j =>
+        pmod($"base" * F.polyHash(concat(lit(salt + "#"), j.cast("string"))),
+          lit(F.HashP)))))
+      .groupBy($"lang")
+      .agg(GraftColumns.topk_by((-$"min_h").cast("double"), $"doc_id", k).as("top"))
+      .select($"lang", posexplode($"top").as(Seq("pos", "t")))
+      .select($"lang", ($"pos" + 1).cast("int").as("rank"),
+        $"t.id".as("doc_id"), (-$"t.score").cast("long").as("min_h"))
+  }
+
+  val weightedSampleSql: String = {
+    import graft.functions.{TextSql => S}
+    val P = graft.functions.TextFunctions.HashP
+    val base = S.polyHash(s"CAST(doc_id AS VARCHAR) || '#$WSampleSalt'")
+    val qj = S.polyHash(s"'$WSampleSalt#' || CAST(j AS VARCHAR)")
+    val cand = s"(($base) * ($qj)) % $P"
+    s"""WITH qs AS (
+       |${TextAnalysis.qualityCoreSql}),
+       |ext AS (
+       |  SELECT min(coalesce(quality_score, 0.0)) AS q_lo,
+       |         max(coalesce(quality_score, 0.0)) AS q_hi
+       |  FROM qs),
+       |b AS (
+       |  SELECT doc_id, lang,
+       |    CAST(CASE WHEN q_hi > q_lo THEN
+       |      least(floor((coalesce(quality_score, 0.0) - q_lo) / (q_hi - q_lo)
+       |        * $CurriculumBands), ${CurriculumBands - 1})
+       |      ELSE 0.0 END AS INTEGER) AS band
+       |  FROM qs CROSS JOIN ext),
+       |h AS (
+       |  SELECT doc_id, lang,
+       |    list_min(list_transform(range(1,
+       |      (CASE WHEN band = ${CurriculumBands - 1} THEN $RepeatTop
+       |            WHEN band = ${CurriculumBands - 2} THEN $RepeatMid
+       |            ELSE 1 END) + 1),
+       |      j -> $cand)) AS min_h
+       |  FROM b),
+       |r AS (
+       |  SELECT lang, doc_id, min_h,
+       |    row_number() OVER (PARTITION BY lang ORDER BY min_h, doc_id) AS rk
+       |  FROM h)
+       |SELECT lang, CAST(rk AS INT) AS rank, doc_id, min_h
+       |FROM r WHERE rk <= $WSampleK
+       |ORDER BY lang, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- p11
   /** p11: corpus MANIFEST — the content-addressed integrity record a
     * versioned dataset release ships (what changed between corpus

@@ -187,4 +187,47 @@ class PropertySpec extends AnyFunSuite {
       assert(merges.forall { case (_, l, r, _) => (l + r).nonEmpty })
     }
   }
+
+  test("p13 core: inclusion follows the w_i/Σw successive-draw law across salts") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 300 docs, one lang, exact weights 1/2/3 by doc_id mod 3; K=30 per
+    // salt. Expected inclusion ratio between weight classes ≈ w ratio
+    // while K ≪ n (30/300); 80 salts give ~2400 inclusions.
+    val weights = (1L to 300L).map(id => (id, "xx", 1 + (id % 3).toInt))
+      .toDF("doc_id", "lang", "w").cache()
+    val byW = weights.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val counts = scala.collection.mutable.Map(1 -> 0, 2 -> 0, 3 -> 0)
+    (1 to 80).foreach { s =>
+      val picked = operators.Curation.weightedSampleFrom(weights, 30, s"salt$s")
+        .select("doc_id").collect().map(_.getLong(0))
+      assert(picked.length == 30 && picked.distinct.length == 30,
+        "sample must be without replacement")
+      picked.foreach(id => counts(byW(id)) += 1)
+    }
+    weights.unpersist()
+    // each weight class has 100 docs, so per-doc rates divide out
+    val r1 = counts(1).toDouble; val r2 = counts(2).toDouble; val r3 = counts(3).toDouble
+    assert(r1 < r2 && r2 < r3, s"not monotone in w: $counts")
+    assert(r2 / r1 > 1.5 && r2 / r1 < 2.6, s"w=2 rate off ${r2 / r1} ($counts)")
+    assert(r3 / r1 > 2.2 && r3 / r1 < 4.0, s"w=3 rate off ${r3 / r1} ($counts)")
+  }
+
+  test("p13 core: same salt is bit-deterministic; ranks are 1..K dense") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val weights = (1L to 120L).map(id => (id, if (id % 2 == 0) "aa" else "bb",
+      1 + (id % 3).toInt)).toDF("doc_id", "lang", "w")
+    val a = operators.Curation.weightedSampleFrom(weights, 10, "fixed")
+      .orderBy("lang", "rank").collect().toSeq
+    val b = operators.Curation.weightedSampleFrom(weights, 10, "fixed")
+      .orderBy("lang", "rank").collect().toSeq
+    assert(a == b)
+    a.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).sorted == (1 to 10))
+      // min_h is nondecreasing in rank (the successive-minima order)
+      val hs = rows.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(hs == hs.sorted)
+    }
+  }
 }
