@@ -223,6 +223,12 @@ object SparkEntry {
     // m06: perceptual-hash (dHash) image near-dup — real raster decode at
     // the boundary, banded Hamming candidates, d08-style per-doc verdicts
     "m06_image_phash" -> (graft.multimodal.Multimodal.imagePhash _),
+    // m07: audio near-dup via a 31-bit energy-envelope gradient hash —
+    // m06's perceptual dedup on the sound side; real PCM envelope at the
+    // decode boundary (container layout can't touch the fingerprint),
+    // SQL-replayable byte fallback on the text corpus, exact 8-bit
+    // banding for Hamming <= 3
+    "m07_audio_fingerprint" -> (graft.multimodal.Multimodal.audioFingerprint _),
     // s07: corpus-wide k-NN graph (every vector, mutual-kNN flag) on the
     // s03 IVF core — the SemDeDup/graph-ANN entry artifact
     "s07_knn_graph" -> (graft.similarity.Similarity.knnGraph _),
@@ -448,6 +454,7 @@ object SparkEntry {
     "r37_export_format" -> Extras.exportFormatSql,
     "r39_notify_feed" -> Notify.notifyFeedSql,
     "m06_image_phash" -> graft.multimodal.Multimodal.imagePhashSql,
+    "m07_audio_fingerprint" -> graft.multimodal.Multimodal.audioFingerprintSql,
     "s07_knn_graph" -> graft.similarity.Similarity.knnGraphSql,
     "d14_semantic_clusters" -> graft.dedup.Dedup.semanticClustersSql,
     "t13_nb_classifier" -> TextAnalysis.nbClassifierSql,

@@ -1054,4 +1054,181 @@ object Multimodal {
        |  d.dup_of, d.hamming
        |FROM ph p LEFT JOIN dup d ON d.doc_id = p.doc_id
        |ORDER BY p.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- m07
+  /** Energy-envelope geometry for the audio fingerprint: [[AfpWindows]]
+    * window byte-means → [[AfpBits]] gradient bits (bit p = window p+1
+    * louder than window p), non-negative in a signed BIGINT. 4 bands × 8
+    * bits cover bits 0..31 (bit 31 is constant zero — a bit that never
+    * differs leaves the pigeonhole intact): any pair within Hamming
+    * [[AfpHammingMax]] = 3 collides on at least one band, m06/d04's
+    * exact-banding argument on the audio side. */
+  private[graft] val AfpWindows = 32
+  private[graft] val AfpBits = AfpWindows - 1
+  private[graft] val AfpBands = 4
+  private[graft] val AfpHammingMax = 3
+
+  /** Gradient bits over the window means. */
+  private[graft] def envelopeBits(means: Array[Long]): Long = {
+    var h = 0L
+    var p = 0
+    while (p < AfpBits) {
+      if (means(p + 1) > means(p)) h |= 1L << p
+      p += 1
+    }
+    h
+  }
+
+  /** Decode-less fallback envelope: window i is the byte range
+    * [i·len/W, (i+1)·len/W), mean = sum of unsigned bytes div width —
+    * SQL-replayable with substr/ascii (the m01/m03/m06 discipline; corpus
+    * payloads are ASCII text bytes). None below [[AfpWindows]] bytes
+    * (some window would be empty) — the oracle applies the same length
+    * filter. */
+  private[graft] def byteEnvelope(b: Array[Byte]): Option[Array[Long]] =
+    if (b.length < AfpWindows) None
+    else Some(Array.tabulate(AfpWindows) { i =>
+      val s = (i.toLong * b.length / AfpWindows).toInt
+      val e = ((i + 1).toLong * b.length / AfpWindows).toInt
+      var sum = 0L
+      var j = s
+      while (j < e) { sum += (b(j) & 0xff); j += 1 }
+      sum / (e - s)
+    })
+
+  /** REAL branch: the envelope over the DECODED PCM byte stream
+    * (`javax.sound.sampled`, the m03 machinery) in one sequential pass —
+    * container layout (chunk order, LIST metadata, padding) cannot touch
+    * the fingerprint, only the audio content can: two WAVs with identical
+    * PCM but different chunk layout hash EQUAL, which the raw-byte
+    * fallback structurally cannot do (LlmOpsSpec pins exactly that).
+    * None for anything AudioSystem rejects, non-PCM encodings, or a
+    * header whose declared length the stream cannot deliver — the decode
+    * boundary's totality contract. */
+  private[graft] def wavEnvelope(payload: Array[Byte]): Option[Array[Long]] =
+    scala.util.Try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED)
+        require(fmt.getFrameSize > 0)
+        val frames = in.getFrameLength
+        require(frames > 0 && frames <= Long.MaxValue / fmt.getFrameSize)
+        val len = frames * fmt.getFrameSize
+        require(len >= AfpWindows)
+        val sums = new Array[Long](AfpWindows)
+        val cnts = new Array[Long](AfpWindows)
+        val buf = new Array[Byte](8192)
+        var pos = 0L
+        var n = in.read(buf)
+        while (n > 0) {
+          var j = 0
+          while (j < n) {
+            val w = ((pos + j) * AfpWindows / len).toInt
+            require(w < AfpWindows) // more PCM than the header declared
+            sums(w) += (buf(j) & 0xff)
+            cnts(w) += 1
+            j += 1
+          }
+          pos += n
+          n = in.read(buf)
+        }
+        require(pos == len) // short stream: the header lied
+        Array.tabulate(AfpWindows)(i => sums(i) / cnts(i))
+      } finally in.close()
+    }.toOption
+
+  /** The audio fingerprint at the decode boundary: real PCM envelope for
+    * anything AudioSystem decodes, the byte fallback otherwise. */
+  private[graft] def audioFp64(payload: Array[Byte]): Option[Long] =
+    (if (isWav(payload)) wavEnvelope(payload) else None)
+      .orElse(byteEnvelope(payload))
+      .map(envelopeBits)
+
+  /** m07: audio near-dup detection over the audio corpus — m06's
+    * perceptual dedup on the sound side (re-encoded / re-containered /
+    * lightly edited audio copies survive exact-hash dedup; an envelope
+    * hash within a small Hamming radius catches them). Same 100 TB shape
+    * as m06: the payload never shuffles (one mapPartitions decode+hash
+    * pass, only the 8-byte fingerprint moves), candidates block on
+    * [[AfpBands]] 8-bit bands (exact for the radius), earliest-near-dup
+    * verdict per doc. */
+  def audioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioFingerprintFrom(withPayload(spark, dir)
+      .filter($"media_type" === "audio" && octet_length($"payload") >= AfpWindows))
+  }
+
+  /** [[audioFingerprint]] over any (doc_id, payload) frame (real-PCM
+    * fixtures in tests enter here). */
+  private[graft] def audioFingerprintFrom(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df.select($"doc_id", $"payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) => audioFp64(p).map((id, _)) })
+      .toDF("doc_id", "afp")
+    val ks = (0 until AfpBands).toDF("k")
+    val bands = hashed.crossJoin(broadcast(ks))
+      .withColumn("blk", expr("shiftright(afp, k * 8) & 255"))
+    val a = bands.select($"doc_id".as("doc_a"), $"afp".as("fp_a"), $"k", $"blk")
+    val b = bands.select($"doc_id".as("doc_b"), $"afp".as("fp_b"), $"k", $"blk")
+    val dups = a.join(b, Seq("k", "blk"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", $"fp_a", $"fp_b").distinct()
+      .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)"))
+      .filter($"hamming" <= AfpHammingMax)
+      .groupBy($"doc_b")
+      .agg(min($"doc_a").as("dup_of"), min_by($"hamming", $"doc_a").as("hamming"))
+    hashed
+      .join(dups.withColumnRenamed("doc_b", "doc_id"), Seq("doc_id"), "left")
+      .select($"doc_id", $"afp", $"dup_of".isNotNull.as("is_dup"),
+        $"dup_of", $"hamming")
+      .orderBy($"doc_id")
+  }
+
+  val audioFingerprintSql: String = {
+    val W = AfpWindows
+    s"""WITH aud AS (
+       |  SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS len
+       |  FROM documents
+       |  WHERE doc_id % 3 = 1 AND octet_length(encode(text)) >= $W),
+       |env AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, $W), i ->
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range((i * len) // $W, ((i + 1) * len) // $W),
+       |          j -> CAST(ascii(substr(text, CAST(j AS INTEGER) + 1, 1)) AS BIGINT))),
+       |        (a, b) -> a + b)
+       |      // (((i + 1) * len) // $W - (i * len) // $W)) AS ms
+       |  FROM aud),
+       |fp AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(${AfpBits - 1}, -1, -1), p ->
+       |        CASE WHEN ms[CAST(p AS INTEGER) + 2] > ms[CAST(p AS INTEGER) + 1]
+       |             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+       |      (a, b) -> a * 2 + b) AS afp
+       |  FROM env),
+       |bands AS (
+       |  SELECT doc_id, afp, k, (afp >> CAST(k * 8 AS INTEGER)) & 255 AS blk
+       |  FROM fp CROSS JOIN (SELECT unnest(range(0, $AfpBands)) AS k) kk),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.afp AS fp_a, b.afp AS fp_b
+       |  FROM bands a JOIN bands b
+       |    ON a.k = b.k AND a.blk = b.blk AND a.doc_id < b.doc_id),
+       |dup AS (
+       |  SELECT doc_b AS doc_id, min(doc_a) AS dup_of,
+       |    arg_min(bit_count(xor(fp_a, fp_b)), doc_a) AS hamming
+       |  FROM cand
+       |  WHERE bit_count(xor(fp_a, fp_b)) <= $AfpHammingMax
+       |  GROUP BY doc_b)
+       |SELECT f.doc_id, f.afp, d.doc_id IS NOT NULL AS is_dup,
+       |  d.dup_of, d.hamming
+       |FROM fp f LEFT JOIN dup d ON d.doc_id = f.doc_id
+       |ORDER BY f.doc_id""".stripMargin
+  }
 }

@@ -1464,4 +1464,92 @@ class LlmOpsSpec extends AnyFunSuite {
       .select(col("doc_id"))
     assert(laterCopies.join(flagged, "doc_id").count() == laterCopies.count())
   }
+
+  test("m07: fallback envelope hash matches a hand computation") {
+    val M = multimodal.Multimodal
+    val bytes = Array.tabulate[Byte](200)(i => ((i * 7) % 251).toByte)
+    val got = M.audioFp64(bytes).get
+    // independent recompute: 32 window means, gradient fold
+    val means = (0 until 32).map { i =>
+      val s = i * 200 / 32; val e = (i + 1) * 200 / 32
+      (s until e).map(j => (bytes(j) & 0xff).toLong).sum / (e - s)
+    }
+    var want = 0L
+    (0 until 31).foreach(p => if (means(p + 1) > means(p)) want |= 1L << p)
+    assert(got == want)
+    assert(got >= 0L)
+    assert(M.audioFp64(Array.tabulate[Byte](31)(_.toByte)).isEmpty,
+      "short payloads must be excluded, same as the oracle's len filter")
+  }
+
+  test("m07: real PCM envelope ignores container layout; the fallback cannot") {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    // rising staircase PCM (data-aligned windows are strictly increasing);
+    // the metadata variant carries a LARGE 0xFF LIST chunk, so the raw
+    // BYTE view's early windows saturate at 255 while the decoded view is
+    // untouched
+    val data = Array.tabulate[Byte](16000)(i => ((i / 500) * 3).toByte)
+    def wav(extra: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes ++ le32(36 + extra.length + data.length) ++ "WAVE".getBytes ++
+        ("fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(8000) ++
+          le32(32000) ++ le16(4) ++ le16(16)) ++
+        extra ++ ("data".getBytes ++ le32(data.length) ++ data)
+    val plain = wav(Array.empty)
+    val withList = wav("LIST".getBytes ++ le32(3000) ++ Array.fill[Byte](3000)(-1))
+    val M = multimodal.Multimodal
+    // same PCM, different container bytes: REAL decode hashes equal
+    assert(M.audioFp64(plain).get == M.audioFp64(withList).get)
+    // ... which the raw-byte view of the same two payloads would not
+    assert(M.byteEnvelope(plain).map(M.envelopeBits) !=
+      M.byteEnvelope(withList).map(M.envelopeBits))
+    // corrupt header falls THROUGH the decode to the byte fallback, total
+    assert(M.audioFp64(plain.take(100)).isDefined)
+  }
+
+  test("m07: near-identical PCM flags within the radius, different content does not") {
+    import TestSpark.spark.implicits._
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def wav(data: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+        ("fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+          le32(16000) ++ le16(2) ++ le16(16)) ++
+        ("data".getBytes ++ le32(data.length) ++ data)
+    // a strong sawtooth envelope (window w is constant (w*17)%97); the
+    // edit drops window 5 (mean 85) below window 4 (mean 68), flipping
+    // exactly the w4<w5 gradient bit
+    val base = Array.tabulate[Byte](3200)(i => ((i / 100) * 17 % 97).toByte)
+    val edited = base.clone()
+    (500 until 600).foreach(i => edited(i) = (edited(i) - 40).toByte)
+    val other = Array.tabulate[Byte](3200)(i => (255 - (i / 100) * 23 % 89).toByte)
+    val docs = Seq((1L, wav(base)), (2L, wav(edited)), (3L, wav(other)))
+      .toDF("doc_id", "payload")
+    val out = multimodal.Multimodal.audioFingerprintFrom(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val M = multimodal.Multimodal
+    val hamming12 = java.lang.Long.bitCount(
+      M.audioFp64(wav(base)).get ^ M.audioFp64(wav(edited)).get)
+    assert(hamming12 >= 1 && hamming12 <= M.AfpHammingMax,
+      s"single-window edit moved $hamming12 bits")
+    assert(out(2L).getBoolean(2) && out(2L).getLong(3) == 1L)
+    assert(!out(3L).getBoolean(2), "unrelated content must not flag")
+  }
+
+  test("m07: gated corpus run - exact text copies hash identically") {
+    val out = multimodal.Multimodal.audioFingerprint(spark, sf)
+    val docs = sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 1 &&
+        length(col("text")) >= multimodal.Multimodal.AfpWindows)
+    assert(out.count() == docs.count())
+    val firstIds = docs.groupBy("text")
+      .agg(min("doc_id").as("first_id"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    val laterCopies = docs.join(firstIds, "text")
+      .filter(col("doc_id") > col("first_id"))
+      .select(col("doc_id"))
+    val flagged = out.filter(col("is_dup") && col("hamming") === 0)
+      .select(col("doc_id"))
+    assert(laterCopies.join(flagged, "doc_id").count() == laterCopies.count())
+  }
 }
