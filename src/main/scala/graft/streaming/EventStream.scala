@@ -372,4 +372,57 @@ object EventStream {
           out.iterator
       }
   }
+
+  final case class AsOfEnriched(user_id: Long, purchase_id: Long, purchase_us: Long,
+      view_id: Option[Long], view_us: Option[Long], matched: Boolean)
+  /** Public: Spark's state encoder codegen needs constructor access. */
+  final case class LatestView(us: Long, id: Long)
+
+  // ---------------------------------------------------------------- v17
+  /** v17: STREAMING as-of enrichment — the q47 native as-of join's
+    * semantics at the stream door: each arriving purchase is emitted
+    * immediately, enriched with the same user's latest prior-or-equal
+    * view. State is O(1) per user (the single latest view — not a window
+    * buffer, not a retained stream side: the as-of "join" needs only the
+    * running maximum, which is what makes it streamable where a general
+    * interval join needs two-sided state).
+    *
+    * Contract: the feed is event-time-ordered ACROSS micro-batches (the
+    * daily discipline v12 models); within a batch any order is fine — the
+    * walk sorts by (us, kind, id), views before purchases at the same
+    * instant (the batch semantics are inclusive) and max event_id winning
+    * among equal-ts views (q47's dedup rule). An out-of-order purchase
+    * behind the state's view emits UNMATCHED rather than matching a
+    * future view — never a wrong answer, the same choice v06's ingest
+    * door makes. StreamingSpec proves end-state parity against the
+    * NATIVE operator ([[graft.plans.AsOf]]) on a chunked feed, so the
+    * oracle-gated q47 anchors this stream transitively. */
+  def streamAsOf(spark: SparkSession, streamDir: String): Dataset[AsOfEnriched] = {
+    import spark.implicits._
+    readEventStream(spark, streamDir)
+      .filter($"event_type" === "view" || $"event_type" === "purchase")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        ($"event_type" === "purchase").as("is_purchase"))
+      .as[(Long, Long, Long, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LatestView, AsOfEnriched](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[LatestView]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._4, r._2))
+          var cand = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsOfEnriched]
+          sorted.foreach { case (_, id, us, isPurchase) =>
+            if (!isPurchase) {
+              if (cand == null || us > cand.us || (us == cand.us && id > cand.id))
+                cand = LatestView(us, id)
+            } else {
+              val m = cand != null && cand.us <= us
+              out += AsOfEnriched(uid, id, us,
+                if (m) Some(cand.id) else None, if (m) Some(cand.us) else None, m)
+            }
+          }
+          if (cand != null) state.update(cand)
+          out.iterator
+      }
+  }
 }

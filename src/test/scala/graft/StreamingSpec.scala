@@ -370,6 +370,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(buckets == expectedBuckets)
   }
 
+  test("v17: streamed as-of enrichment equals the native operator across batches") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_stream").toString
+    // ts written as LONG nanos — the events.parquet shape readEventStream
+    // normalizes; minutes keep the arithmetic readable
+    def write(rows: Seq[(Long, Long, Long, String)]): Unit =
+      rows.toDF("event_id", "m", "user_id", "event_type")
+        .select($"event_id", ($"m" * 60L * 1000000000L).as("ts"), $"user_id",
+          $"event_type", lit(1.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    val batch1 = Seq(
+      (1L, 0L, 7L, "view"), (2L, 5L, 7L, "purchase"),     // in-batch match
+      (3L, 5L, 8L, "purchase"),                            // no view yet
+      (4L, 6L, 8L, "view"),
+      (10L, 7L, 9L, "view"), (11L, 7L, 9L, "view"))        // equal-ts tie
+    val batch2 = Seq(
+      (5L, 10L, 8L, "purchase"),                           // cross-batch match (id 4)
+      (6L, 12L, 7L, "view"), (7L, 12L, 7L, "purchase"),    // inclusive same-instant
+      (12L, 13L, 9L, "purchase"))                          // tie resolved to max id 11
+    write(batch1)
+    val q = streaming.EventStream.streamAsOf(spark, dir)
+      .writeStream.outputMode("append").format("memory").queryName("v17_out").start()
+    try {
+      q.processAllAvailable()
+      write(batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("v17_out")
+      .select("purchase_id", "view_id", "matched")
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)).map(_.asInstanceOf[Long]), r.getBoolean(2))).toMap
+    assert(got == Map(
+      2L -> (Some(1L), true), 3L -> (None, false), 5L -> (Some(4L), true),
+      7L -> (Some(6L), true), 12L -> (Some(11L), true)))
+
+    // parity with the NATIVE as-of operator (q47's oracle-gated machinery)
+    // over the same rows — the stream is anchored transitively
+    val all = (batch1 ++ batch2).toDF("event_id", "m", "user_id", "event_type")
+      .select($"event_id", $"user_id", $"event_type", ($"m" * 60000000L).as("us"))
+    val purchases = all.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"us".as("purchase_us"))
+    val views = all.filter($"event_type" === "view")
+      .groupBy($"user_id", $"us").agg(max($"event_id").as("view_id"))
+      .select($"user_id".as("v_user_id"), $"us".as("view_us"), $"view_id")
+    val native = graft.plans.AsOf.join(purchases, views,
+        Seq("user_id" -> "v_user_id"), "purchase_us", "view_us")
+      .select($"purchase_id", $"view_id")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(got.map { case (k, (v, _)) => k -> v } == native)
+  }
+
   test("v01: sessions never overlap and gaps between sessions exceed the threshold") {
     val s = streaming.EventStream.sessionize(spark, sf)
     val w = org.apache.spark.sql.expressions.Window
