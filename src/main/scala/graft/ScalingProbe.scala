@@ -123,6 +123,27 @@ object ScalingProbe {
         out("m06_uniq") =
           timed(graft.multimodal.Multimodal.imagePhashFrom(payload(uniq)))
     }
+    val asofEntries = Seq("asof_native", "asof_composed")
+    if (probes("asof") || asofEntries.exists(probes)) {
+      // q47's claim measured: the native AsOfJoinExec (one key shuffle per
+      // side + in-partition merge) vs the composed window+join-back form
+      // (both inputs unioned into ONE user-keyed shuffle, window state
+      // over the combined stream, then a second equi-join). Events
+      // replicated mult× user-shifted — series count grows, per-series
+      // history fixed, the axis a 1000-executor feed actually widens on.
+      val asofDir = s"/tmp/graft_scale_asof_$mult"
+      val ev0 = graft.sources.Tables.events(spark, sfDir)
+      land(ev0.crossJoin(broadcast(spark.range(mult).toDF("rep")))
+        .select(($"event_id" + $"rep" * 1000000000L).as("event_id"), $"ts",
+          ($"user_id" + $"rep" * 10000000L).as("user_id"),
+          $"event_type", $"value", $"props"),
+        s"$asofDir/events.parquet")
+      val evRep = graft.sources.Tables.events(spark, asofDir)
+      if (on("asof", "asof_native"))
+        out("asof_native") = timed(graft.operators.AsOfNative.asofNativeFrom(evRep))
+      if (on("asof", "asof_composed"))
+        out("asof_composed") = timed(graft.operators.AsOfNative.asofComposedFrom(evRep))
+    }
     if (probes("trade") || probes("r06_trade")) {
       // The r06 grid-sim chain on mult× replicated series (user_id
       // shifted, condition grid fixed): signals grow ∝ series, the futures

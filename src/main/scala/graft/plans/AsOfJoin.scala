@@ -51,7 +51,8 @@ case class AsOfJoinPlan(
     leftTime: Expression,
     rightTime: Expression,
     toleranceUs: Option[Long],
-    forward: Boolean) extends BinaryNode {
+    forward: Boolean,
+    rightTieBreak: Option[Expression]) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -64,8 +65,8 @@ case class AsOfJoinPlan(
   * already-built sessions through `experimental.extraStrategies`. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol, fwd) =>
-      AsOfJoinExec(lk, rk, lt, rt, tol, fwd, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol, fwd, tie) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, fwd, tie, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -74,6 +75,14 @@ object AsOfJoinStrategy extends SparkStrategy {
   * exchange each at most) and sorted on (keys, time); each partition pair
   * merges in one pass. Time must be micros-backed (TimestampType or
   * LongType) — [[AsOf.join]] enforces it.
+  *
+  * `rightTieBreak` resolves exact right-side (key, time) duplicates
+  * WITHOUT a pre-aggregation: it joins the required right ordering, and
+  * the backward merge's keep-last then deterministically keeps the MAX
+  * tiebreak per instant (forward keeps the MIN — the first the head scan
+  * meets). That folds the "dedup the right side first" step into the
+  * merge itself, deleting a whole groupBy exchange from the caller's
+  * plan; without it, callers must guarantee (key, time) uniqueness.
   *
   * Null semantics follow SQL equi-joins: a null key or null time never
   * matches (nulls sort first under the required Ascending/NullsFirst
@@ -85,6 +94,7 @@ case class AsOfJoinExec(
     rightTime: Expression,
     toleranceUs: Option[Long],
     forward: Boolean,
+    rightTieBreak: Option[Expression],
     left: SparkPlan,
     right: SparkPlan) extends SparkPlan with BinaryExecNode {
 
@@ -100,7 +110,7 @@ case class AsOfJoinExec(
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
-    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+    ((rightKeys :+ rightTime) ++ rightTieBreak).map(SortOrder(_, Ascending)))
 
   // the merge is left-driven and emits left rows in their sorted order
   override def outputPartitioning: Partitioning = left.outputPartitioning
@@ -220,13 +230,18 @@ object AsOf {
     *                  column's own units (micros for timestamps)
     * @param forward   false = latest right <= left (backward, default);
     *                  true = earliest right >= left
+    * @param rightTieBreak right column resolving exact (key, time)
+    *                  duplicates in the merge (backward keeps its max,
+    *                  forward its min) — without it the right side must
+    *                  be unique per (key, time)
     *
     * Output = left columns ++ right columns (right nullable); name
     * collisions are the caller's to avoid (rename before joining).
     */
   def join(left: DataFrame, right: DataFrame, on: Seq[(String, String)],
       leftTime: String, rightTime: String,
-      toleranceUs: Option[Long] = None, forward: Boolean = false): DataFrame = {
+      toleranceUs: Option[Long] = None, forward: Boolean = false,
+      rightTieBreak: Option[String] = None): DataFrame = {
     require(on.nonEmpty, "as-of join needs at least one equi-key")
     val spark = left.sparkSession
     ensureStrategy(spark)
@@ -251,7 +266,20 @@ object AsOf {
     }
     require(lTime.dataType == rTime.dataType,
       s"as-of time type mismatch: ${lTime.dataType} vs ${rTime.dataType}")
+    // The analyzer's self-join attribute dedup only fires for built-in
+    // Join nodes — two sides sharing OUTPUT attributes (both straight off
+    // the same scan, nothing aliased) would give this node duplicate
+    // output exprIds and ambiguous downstream resolution. Fail loudly;
+    // the fix on the caller side is one .as alias (q47 aliases every
+    // right column anyway).
+    val shared = lPlan.outputSet.intersect(rPlan.outputSet)
+    require(shared.isEmpty,
+      s"as-of join sides share output attributes (${shared.toSeq.map(_.name).mkString(", ")}) " +
+        "— alias one side's columns before joining (self-join dedup does not " +
+        "apply to custom nodes)")
+    val tie = rightTieBreak.map(resolve(rPlan, _, "right"))
     GraftShim.ofRows(spark,
-      AsOfJoinPlan(lPlan, rPlan, lKeys, rKeys, lTime, rTime, toleranceUs, forward))
+      AsOfJoinPlan(lPlan, rPlan, lKeys, rKeys, lTime, rTime, toleranceUs,
+        forward, tie))
   }
 }

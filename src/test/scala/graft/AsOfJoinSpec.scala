@@ -60,6 +60,20 @@ class AsOfJoinSpec extends AnyFunSuite {
       Map((1L, 80L) -> Some("r90")))
   }
 
+  test("rightTieBreak: exact (key, time) duplicates keep max backward, min forward") {
+    val l = lDf((1L, 10L, "a"), (1L, 4L, "fwd"))
+    val r = Seq((1L, 8L, 3L, "tie3"), (1L, 8L, 7L, "tie7"), (1L, 8L, 5L, "tie5"))
+      .toDF("rk", "rts", "tid", "rp").repartition(2)
+    val back = AsOf.join(l, r, Seq("k" -> "rk"), "ts", "rts",
+        rightTieBreak = Some("tid"))
+      .collect().map(row => row.getString(2) -> Option(row.getString(6))).toMap
+    assert(back("a") == Some("tie7"), s"backward must keep the MAX tiebreak: $back")
+    val fwd = AsOf.join(l, r, Seq("k" -> "rk"), "ts", "rts",
+        forward = true, rightTieBreak = Some("tid"))
+      .collect().map(row => row.getString(2) -> Option(row.getString(6))).toMap
+    assert(fwd("fwd") == Some("tie3"), s"forward must keep the MIN tiebreak: $fwd")
+  }
+
   test("null keys and null times never match, on either side") {
     val l = Seq((Option(1L), Option(10L), "a"), (None: Option[Long], Option(10L), "b"),
         (Option(1L), None: Option[Long], "c"))
@@ -86,30 +100,7 @@ class AsOfJoinSpec extends AnyFunSuite {
     // on (user_id, ts) recovers the payload — the two-pass plan the native
     // operator replaces.
     val ev = Tables.events(spark, sf)
-    val views = ev.filter($"event_type" === "view")
-      .groupBy($"user_id", $"ts")
-      .agg(max(struct($"event_id", $"value")).as("m"))
-      .select($"user_id".as("v_user_id"), $"ts".as("view_ts"),
-        $"m.event_id".as("view_id"), $"m.value".as("view_value"))
-    // is_view DESC within equal ts: a view at exactly the purchase ts must
-    // fall inside the ROWS frame (the native semantics are inclusive)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"user_id").orderBy($"ts", $"is_view".desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val purchases = ev.filter($"event_type" === "purchase")
-    val viewTimes = views.select($"v_user_id".as("user_id"), $"view_ts".as("ts"))
-      .withColumn("is_view", lit(true))
-    val composed = purchases
-      .select($"user_id", $"event_id".as("purchase_id"), $"ts", $"value".as("purchase_value"))
-      .withColumn("is_view", lit(false))
-      .unionByName(viewTimes.withColumn("purchase_id", lit(null).cast("long"))
-        .withColumn("purchase_value", lit(null).cast("double")))
-      .withColumn("last_view_ts", max(when($"is_view", $"ts")).over(w))
-      .filter(!$"is_view")
-      .join(views, $"user_id" === $"v_user_id" && $"last_view_ts" === $"view_ts", "left")
-      .select($"user_id", $"purchase_id", $"ts".as("purchase_ts"), $"purchase_value",
-        $"view_id", $"view_ts", $"view_value",
-        (unix_micros($"ts") - unix_micros($"view_ts")).as("view_to_purchase_us"))
+    val composed = AsOfNative.asofComposedFrom(ev)
     val native = AsOfNative.q47AsofNative(spark, sf)
     val cols = native.columns.map(col).toSeq
     assert(native.exceptAll(composed.select(cols: _*)).isEmpty &&
@@ -132,14 +123,15 @@ class AsOfJoinSpec extends AnyFunSuite {
     df.collect() // finalize AQE
     assert(countAsOf(df.queryExecution.executedPlan) == 1,
       df.queryExecution.executedPlan.toString)
-    // static plan exchange budget: left hash(user_id) + right dedup agg
-    // hash(user_id, ts) + right redistribute hash(user_id) + output sort
+    // static plan exchange budget: left hash(user_id) + right
+    // hash(user_id) + output sort — NO dedup aggregation anywhere (the
+    // rightTieBreak ordering resolves ties inside the merge)
     val initial = df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.initialPlan
       case p => p
     }
     val nShuffles = initial.collect { case _: ShuffleExchangeLike => 1 }.sum
-    assert(nShuffles <= 4, s"as-of plan grew a new exchange:\n$initial")
+    assert(nShuffles <= 3, s"as-of plan grew a new exchange:\n$initial")
   }
 
   test("a plain session (no extensions) plans the node via self-registration") {

@@ -67,11 +67,10 @@ class ShuffleGuardSpec extends AnyFunSuite {
     // hash exchange here
     "s08_range_search" -> 1,
     // SURVEY §2 q47 claim "each side shuffles ONCE on its key": left
-    // hash(user_id) + right dedup agg hash(user_id, ts) + right
-    // redistribute hash(user_id) + output sort. A 5th exchange means the
-    // operator's required distribution stopped being satisfied in one
-    // hop (e.g. an accidental repartition above the merge)
-    "q47_asof_native" -> 4
+    // hash(user_id) + right hash(user_id) + output sort — the
+    // rightTieBreak merge dedup means NO aggregation exchange exists. A
+    // 4th exchange means a dedup agg or repartition crept back in
+    "q47_asof_native" -> 3
   )
 
   test("shuffle guard: audited queries keep their exchange counts") {
