@@ -106,4 +106,43 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(got.count() == 1)
     assert(got.select("series_id").head.getLong(0) == 3L)
   }
+
+  test("session-7 From-operators tolerate empty and degenerate inputs") {
+    // as-of over empty / one-sided event frames
+    val evEmpty = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val onlyPurchase = Seq((1L, t0, 7L, "purchase", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val onlyView = Seq((1L, t0, 7L, "view", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(operators.AsOfNative.asofNativeFrom(evEmpty).count() == 0)
+    val po = operators.AsOfNative.asofNativeFrom(onlyPurchase).collect()
+    assert(po.length == 1 && po.head.isNullAt(po.head.fieldIndex("view_id")))
+    assert(operators.AsOfNative.asofNativeFrom(onlyView).count() == 0)
+
+    // BPE encode: empty corpus, empty merge table, empty document
+    val emptyMerges = Seq.empty[(String, String)]
+    assert(operators.TextAnalysis.bpeEncodeTokens(emptyDocs, emptyMerges).count() == 0)
+    val noMerge = operators.TextAnalysis.bpeEncodeTokens(oneDoc, emptyMerges).head()
+    assert(noMerge.getSeq[String](2).length > 0) // chars pass through unmerged
+    val blankDoc = Seq((1L, "")).toDF("doc_id", "text")
+    val blank = operators.TextAnalysis
+      .bpeEncodeTokens(blankDoc, Seq(("a", "b"))).head()
+    assert(blank.getInt(1) == 0 && blank.getSeq[String](2).isEmpty)
+
+    // weighted sample: empty weights frame and k larger than the group
+    val noW = Seq.empty[(Long, String, Int)].toDF("doc_id", "lang", "w")
+    assert(operators.Curation.weightedSampleFrom(noW, 5, "s").count() == 0)
+    val tiny = Seq((1L, "xx", 2)).toDF("doc_id", "lang", "w")
+    val tinyOut = operators.Curation.weightedSampleFrom(tiny, 5, "s").collect()
+    assert(tinyOut.length == 1 && tinyOut.head.getInt(1) == 1)
+
+    // audio fingerprint: empty frame; sub-window payloads are excluded
+    val noPay = Seq.empty[(Long, Array[Byte])].toDF("doc_id", "payload")
+    assert(multimodal.Multimodal.audioFingerprintFrom(noPay).count() == 0)
+    val shortPay = Seq((1L, Array.tabulate[Byte](8)(_.toByte)))
+      .toDF("doc_id", "payload")
+    assert(multimodal.Multimodal.audioFingerprintFrom(shortPay).count() == 0)
+  }
 }
