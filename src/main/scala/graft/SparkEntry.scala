@@ -96,6 +96,11 @@ object SparkEntry {
     // detect + redact; pure projection pass (no shuffle before the sort)
     "t12_pii_redact" -> (TextAnalysis.piiRedact _),
     "t07_bigram_lm" -> (TextAnalysis.bigramLm _),
+    // t17: interpolated Kneser-Ney bigram model — discounted observed
+    // mass + continuation-probability backoff, all from three
+    // type-table-scale partial-aggregable passes; spec proves the exact
+    // normalization identity over the continuation vocabulary
+    "t17_kneser_ney" -> (TextAnalysis.knBigram _),
     "p03_curated_corpus" -> (Curation.curatedCorpus _),
     "r22_trading_calendar" -> (CciPipeline.tradingCalendar _),
     "r24_orc_roundtrip" -> (Extras.orcRoundtrip _),
@@ -393,6 +398,7 @@ object SparkEntry {
     "t11_decontaminate_fuzzy" -> TextAnalysis.decontaminateFuzzySql,
     "t12_pii_redact" -> TextAnalysis.piiRedactSql,
     "t07_bigram_lm" -> TextAnalysis.bigramLmSql,
+    "t17_kneser_ney" -> TextAnalysis.knBigramSql,
     "p03_curated_corpus" -> Curation.curatedCorpusSql,
     "r22_trading_calendar" -> CciPipeline.tradingCalendarSql,
     "r24_orc_roundtrip" -> Extras.orcRoundtripSql,

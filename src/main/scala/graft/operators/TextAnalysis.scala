@@ -253,6 +253,88 @@ object TextAnalysis {
        |WHERE c2 >= $BigramMinCount
        |ORDER BY bi.w1, bi.w2""".stripMargin
 
+  // ---------------------------------------------------------------- t17
+  /** Absolute discount for interpolated Kneser–Ney (the standard 0.75). */
+  val KnDiscount = 0.75
+
+  /** t17: interpolated KNESER–NEY bigram model — the smoothing a real LM
+    * pipeline ships where t07's add-nothing MLE assigns unseen
+    * continuations zero mass (Kneser & Ney 1995; Chen & Goodman 1998's
+    * interpolated form):
+    *
+    *   P_KN(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+    *               + λ(w1) · P_cont(w2),
+    *   λ(w1)    = D · N1+(w1·)/c(w1·)          (discount mass reassigned)
+    *   P_cont(w2) = N1+(·w2) / N1+(··)          (how many CONTEXTS w2
+    *                                             follows — "Francisco" is
+    *                                             frequent but follows only
+    *                                             "San", so its continuation
+    *                                             probability is tiny)
+    *
+    * Everything derives from the bigram TYPE table in three
+    * partial-aggregable passes (left totals+fanout, right predecessor
+    * counts, one 1-row type-count broadcast) — each shuffle is
+    * type-table-scale, ≪ corpus at 100 TB. The row carries c1/n_after/
+    * n_before/n_types alongside p_kn so a scorer can reconstruct the
+    * unseen-pair backoff λ(w1)·P_cont(w2) without re-aggregating; the
+    * spec proves the exact normalization identity Σ_w2 P_KN(w2|w1) = 1
+    * over the continuation vocabulary. One rounded float (6dp, the t07
+    * grid), arithmetic written operator-for-operator identical to the
+    * oracle. */
+  def knBigram(spark: SparkSession, dir: String): DataFrame =
+    knBigramFrom(Tables.documents(spark, dir))
+
+  private[graft] def knBigramFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val pairs = docs
+      .select(F.tokens($"text").as("tk"))
+      .filter(size($"tk") >= 2)
+      .select(explode(transform(sequence(lit(1), size($"tk") - 1), i =>
+        struct(element_at($"tk", i).as("w1"), element_at($"tk", i + 1).as("w2")))).as("pr"))
+      .select($"pr.w1".as("w1"), $"pr.w2".as("w2"))
+    val bi = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val left = bi.groupBy($"w1")
+      .agg(sum($"c2").as("c1"), count(lit(1)).as("n_after"))
+    val right = bi.groupBy($"w2").agg(count(lit(1)).as("n_before"))
+    val types = bi.agg(count(lit(1)).as("n_types"))
+    val c1d = $"c1".cast("double")
+    bi.join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .filter($"c2" >= BigramMinCount)
+      .select($"w1", $"w2", $"c2", $"c1", $"n_after", $"n_before", $"n_types",
+        F.fr(
+          greatest($"c2".cast("double") - lit(KnDiscount), lit(0.0)) / c1d +
+            lit(KnDiscount) * $"n_after".cast("double") / c1d *
+              ($"n_before".cast("double") / $"n_types".cast("double")), 6)
+          .as("p_kn"))
+      .orderBy($"w1", $"w2")
+  }
+
+  val knBigramSql: String =
+    s"""WITH toks AS (SELECT string_split(text, ' ') AS tk FROM documents),
+       |pairs AS (
+       |  SELECT unnest(list_transform(range(1, len(tk)),
+       |    i -> {'w1': tk[i], 'w2': tk[i+1]})) AS pr
+       |  FROM toks WHERE len(tk) >= 2),
+       |bi AS (
+       |  SELECT pr.w1 AS w1, pr.w2 AS w2, count(*) AS c2
+       |  FROM pairs GROUP BY 1, 2),
+       |lft AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+       |               count(*) AS n_after FROM bi GROUP BY w1),
+       |rgt AS (SELECT w2, count(*) AS n_before FROM bi GROUP BY w2),
+       |tp AS (SELECT count(*) AS n_types FROM bi)
+       |SELECT bi.w1, bi.w2, CAST(c2 AS BIGINT) AS c2, c1,
+       |  n_after, n_before, n_types,
+       |  ${graft.functions.TextSql.fr(
+             s"greatest(CAST(c2 AS DOUBLE) - $KnDiscount, 0.0) / CAST(c1 AS DOUBLE)" +
+               s" + $KnDiscount * CAST(n_after AS DOUBLE) / CAST(c1 AS DOUBLE)" +
+               s" * (CAST(n_before AS DOUBLE) / CAST(n_types AS DOUBLE))", 6)} AS p_kn
+       |FROM bi JOIN lft ON lft.w1 = bi.w1
+       |        JOIN rgt ON rgt.w2 = bi.w2
+       |        CROSS JOIN tp
+       |WHERE c2 >= $BigramMinCount
+       |ORDER BY bi.w1, bi.w2""".stripMargin
+
   // ---------------------------------------------------------------- t08
   /** Rounded top-token / duplicate-bigram fractions at or above these mark
     * a document repetitive (the Gopher-class repetition gate). */

@@ -1465,6 +1465,51 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(laterCopies.join(flagged, "doc_id").count() == laterCopies.count())
   }
 
+  test("t17: Kneser-Ney distributes to exactly 1 over the continuation vocabulary") {
+    import TestSpark.spark.implicits._
+    // small corpus with shared continuations (the "Francisco" effect:
+    // 'z' frequent but follows only 'y')
+    val docs = Seq(
+      (1L, "a b a b a c b c a b"),
+      (2L, "b a c a b a a y z"),
+      (3L, "c b a b y z y z y z")).toDF("doc_id", "text")
+    val model = operators.TextAnalysis.knBigramFrom(docs)
+      // the gated row filters c2 >= BigramMinCount for corpus-noise
+      // reasons; the identity needs the FULL type table, so recompute the
+      // unfiltered model by lowering nothing — knBigramFrom filters late,
+      // so read all rows by joining the pieces ourselves via the model's
+      // carried counts on an unfiltered twin
+      .collect()
+    // reconstruct the unfiltered model directly (same arithmetic)
+    val toks = docs.collect().flatMap(_.getString(1).split(" ").sliding(2).map(a => (a(0), a(1))))
+    val c2 = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = c2.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nAfter = c2.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nBefore = c2.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nTypes = c2.size.toDouble
+    val D = operators.TextAnalysis.KnDiscount
+    val contVocab = nBefore.keys.toSeq
+    c1.keys.foreach { w1 =>
+      val lambda = D * nAfter(w1) / c1(w1)
+      val total = contVocab.map { w2 =>
+        val disc = math.max(c2.getOrElse((w1, w2), 0L).toDouble - D, 0.0) / c1(w1)
+        disc + lambda * (nBefore(w2) / nTypes)
+      }.sum
+      assert(math.abs(total - 1.0) < 1e-9, s"sum for '$w1' = $total")
+    }
+    // and the engine's carried counts agree with the independent ones on
+    // every emitted row (c2 >= min-count slice)
+    model.foreach { r =>
+      val (w1, w2) = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == c2((w1, w2)) && r.getLong(3) == c1(w1))
+      assert(r.getLong(4) == nAfter(w1) && r.getLong(5) == nBefore(w2))
+      val want = math.floor((math.max(c2((w1, w2)) - D, 0.0) / c1(w1) +
+        D * nAfter(w1) / c1(w1) * (nBefore(w2) / nTypes)) * 1e6 + 0.5) / 1e6
+      assert(math.abs(r.getDouble(7) - want) < 1e-12, s"p_kn($w1,$w2)")
+    }
+    assert(model.nonEmpty)
+  }
+
   test("m07: fallback envelope hash matches a hand computation") {
     val M = multimodal.Multimodal
     val bytes = Array.tabulate[Byte](200)(i => ((i * 7) % 251).toByte)
