@@ -292,7 +292,11 @@ object TextAnalysis {
       .select(explode(transform(sequence(lit(1), size($"tk") - 1), i =>
         struct(element_at($"tk", i).as("w1"), element_at($"tk", i + 1).as("w2")))).as("pr"))
       .select($"pr.w1".as("w1"), $"pr.w2".as("w2"))
-    val bi = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    // four branches (bi itself, left totals, right continuation counts,
+    // the type count) all derive from the bigram TYPE table — cache it so
+    // the corpus pair-explode + groupBy runs once, not once per branch
+    val bi = graft.GraftSession.maybeCache(
+      pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2")))
     val left = bi.groupBy($"w1")
       .agg(sum($"c2").as("c1"), count(lit(1)).as("n_after"))
     val right = bi.groupBy($"w2").agg(count(lit(1)).as("n_before"))

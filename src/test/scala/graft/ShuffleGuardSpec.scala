@@ -66,6 +66,14 @@ class ShuffleGuardSpec extends AnyFunSuite {
     // output sort exchange; a window/rank regression would add its own
     // hash exchange here
     "s08_range_search" -> 1,
+    // SURVEY §2 p13 claim "one partial-aggregable exchange, no window
+    // sort": the topk agg exchange + output sort + the 1-row
+    // quality-extent aggregate. A 4th exchange means a window/rank or a
+    // dedup groupBy crept into the sampler
+    "p13_weighted_sample" -> 3,
+    // SURVEY §2 t16 claim "ZERO shuffles before the output sort": the
+    // encode is row-local; only the ordering exchange exists
+    "t16_bpe_encode" -> 1,
     // SURVEY §2 q47 claim "each side shuffles ONCE on its key": left
     // hash(user_id) + right hash(user_id) + output sort — the
     // rightTieBreak merge dedup means NO aggregation exchange exists. A
