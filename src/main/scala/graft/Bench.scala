@@ -35,6 +35,34 @@ object Bench {
         -1.0
       }
 
+    // Min-of-N protocol (round-11): one run per entry per sweep was below
+    // this host's noise floor — identical code swung single entries 2.9 →
+    // 28.6 s across same-day sweeps, so a bench that runs each entry once
+    // cannot adjudicate its own regressions. Each query entry now runs
+    // `SPARK_GRAFT_REPS` times (default 3; always ≥ 2; reps beyond the
+    // 2nd are skipped once an entry has spent > 30 s so the heavy tail
+    // doesn't triple the sweep) and reports the per-entry MINIMUM — the
+    // protocol BASELINE.md already adopted for the replica/engine pair.
+    // All reps land in BENCH_LOCAL.json ("reps") for spread inspection.
+    // Warm-up entries stay single-run: their 2nd run would measure the
+    // session memo, not the build.
+    val maxReps = math.max(2, sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3))
+    val repBudgetSec = 30.0
+    val allReps = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    def timedMin(name: String)(fn: => Unit): Double = {
+      val ts = scala.collection.mutable.ArrayBuffer[Double]()
+      var cum = 0.0
+      var failed = false
+      var i = 0
+      while (i < maxReps && !failed && (i < 2 || cum <= repBudgetSec)) {
+        val t = timed(name)(fn)
+        if (t < 0) failed = true else { ts += t; cum += t }
+        i += 1
+      }
+      allReps(name) = ts.toSeq
+      if (failed) -1.0 else ts.min
+    }
+
     // SPARK_GRAFT_ONLY=q01,q03 limits the run (profiling); default = all.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // deterministic name order: numbers are comparable across runs (Map
@@ -66,7 +94,7 @@ object Bench {
           })
       else Seq.empty
     val queryResults = selected.map { case (name, fn) =>
-      name -> timed(name)(materialize(fn(spark, sfDir)))
+      name -> timedMin(name)(materialize(fn(spark, sfDir)))
     }
 
     // ---- x01–x03: Zipf-skew join demo (bench-only; correctness of the
@@ -94,12 +122,12 @@ object Bench {
         case n @ "x01_skew_join_naive" =>
           // hot symbol (~15% of rows) lands in ONE reducer of the forced
           // sort-merge join: the un-mitigated straggler baseline
-          n -> timed(n)(withConf(skewOff)(
+          n -> timedMin(n)(withConf(skewOff)(
             materialize(Skew.skewedFeeTotals(trades, stats, salted = false))))
         case n @ "x02_skew_join_aqe" =>
           // AQE skew-split, thresholds sized to the demo corpus (the
           // 256 MB default targets cluster-scale partitions)
-          n -> timed(n)(withConf(
+          n -> timedMin(n)(withConf(
             "spark.sql.adaptive.skewJoin.enabled" -> "true",
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64m",
             "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
@@ -108,7 +136,7 @@ object Bench {
         case n =>
           // static salting: hot key spread over SkewSalts reducers with
           // AQE's skew handling off — the no-AQE mitigation
-          n -> timed(n)(withConf(skewOff)(
+          n -> timedMin(n)(withConf(skewOff)(
             materialize(Skew.skewedFeeTotals(trades, stats, salted = true))))
       }
       trades.unpersist()
@@ -126,7 +154,7 @@ object Bench {
       val cfg = CciPipeline.GridConfig()
       val out = cciSkewNames.map {
         case n @ "x04_cci_window_skew" =>
-          n -> timed(n)(materialize(CciPipeline.cciFromBars(bars, cfg)))
+          n -> timedMin(n)(materialize(CciPipeline.cciFromBars(bars, cfg)))
         case n =>
           // chunkRows sized so the hot series (~3.8M bars) splits into ~40
           // bounded tasks, not 380: at 10k rows/chunk the per-task overhead
@@ -134,7 +162,7 @@ object Bench {
           // demo flickered around the crossover (r6 6.9 s win, r7 12.8 s
           // loss, both sweep-tail noise). 100k rows/task is still far under
           // executor memory at any series length — the BOUND is the point.
-          n -> timed(n)(materialize(
+          n -> timedMin(n)(materialize(
             CciPipeline.cciChunkedFromBars(bars, cfg, chunkRows = 100000)))
       }
       bars.unpersist()
@@ -187,8 +215,11 @@ object Bench {
     }
     def full(qs: Seq[(String, Double)]): String =
       qs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val repsJson = allReps
+      .map { case (k, ts) => "\"" + k + "\":[" + ts.map("%.2f".format(_)).mkString(",") + "]" }
+      .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      s"""{"metric":"total","value":${totalJson(_.toString)},"unit":"sec","failed":$nFailed,"succeeded_total":$total,"queries":${full(headline)},"demos":${full(demos)},"demos_total":$demosTotal,"sf":"$sfDir"}""" + "\n")
+      s"""{"metric":"total","value":${totalJson(_.toString)},"unit":"sec","failed":$nFailed,"succeeded_total":$total,"queries":${full(headline)},"demos":${full(demos)},"demos_total":$demosTotal,"reps":$repsJson,"sf":"$sfDir"}""" + "\n")
     catch { case _: Throwable => () }
     println(out)
     spark.stop()

@@ -718,11 +718,21 @@ object Daily {
         .agg(max(to_date($"ts"))).head().getDate(0).toLocalDate
       val start = maxLd.minusDays(6)
       val cutoff = java.sql.Date.valueOf(start.minusDays(1))
-      bootstrap(spark, conn, ws, cutoff)
-      writeConditions(spark, dir, ws)
-      if (balanceFed) seedBalance(spark, ws, cutoff)
-      run(spark, conn, ws, start, maxLd,
-        withOrders = true, withBalance = balanceFed): Unit
+      // Serialize the orchestration PER DIR, not just per (dir, mode):
+      // computeIfAbsent only locks this map entry, so concurrent first
+      // invocations of the two sizing modes would otherwise both build
+      // the shared chainRoot and could observe (or overwrite) each
+      // other's bars/cci/state partitions mid-commit. The map value
+      // (the interned chainRoot string, one instance per dir) is the
+      // lock; the second mode then always resumes a fully committed
+      // chain, exactly the sequential contract the design assumes.
+      chainRoot.synchronized {
+        bootstrap(spark, conn, ws, cutoff)
+        writeConditions(spark, dir, ws)
+        if (balanceFed) seedBalance(spark, ws, cutoff)
+        run(spark, conn, ws, start, maxLd,
+          withOrders = true, withBalance = balanceFed): Unit
+      }
       (ws, cutoff, maxLd)
     })
 

@@ -44,7 +44,36 @@ object GraftFunctions {
       // raw AggregateFunction: the analyzer wraps it in AggregateExpression
       // (wrapping here would defeat DISTINCT/FILTER resolution)
       (exprs: Seq[Expression]) => TopKByScore(exprs.head, exprs(1),
-        exprs(2).eval().asInstanceOf[Int])))
+        foldableInt(exprs(2), "graft_topk", "k"))))
+
+  /** Evaluate a foldable integral argument with a CLEAR analysis error:
+    * a BIGINT literal (`CAST(5 AS BIGINT)`) must work, a non-foldable
+    * expression must say so instead of failing with an opaque
+    * unbound-attribute eval error deep in the analyzer. */
+  private def foldableInt(e: Expression, fn: String, arg: String): Int = {
+    if (!e.foldable)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "USER_RAISED_EXCEPTION",
+        messageParameters = Map("errorMessage" ->
+          s"$fn: argument '$arg' must be a foldable integer literal, got ${e.sql}"))
+    e.eval() match {
+      case i: Int => i
+      case l: Long =>
+        if (l < Int.MinValue || l > Int.MaxValue)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "USER_RAISED_EXCEPTION",
+            messageParameters = Map("errorMessage" -> s"$fn: '$arg' out of Int range: $l"))
+        l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other =>
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "USER_RAISED_EXCEPTION",
+          messageParameters = Map("errorMessage" ->
+            (s"$fn: argument '$arg' must be an integer literal, got " +
+              s"${if (other == null) "NULL" else other.getClass.getSimpleName} (${e.sql})")))
+    }
+  }
 }
 
 /** Optimizer rule for graft's native expressions: [[graft.functions.catalyst.NormalizeText]]

@@ -251,6 +251,24 @@ object ScalingProbe {
         Daily.run(spark, conn, ws, start, maxLd): Unit
       }
     }
+    if (probes("quantile") || probes("q13_quantile")) {
+      // q13's scale claim measured: the rank-extraction exact quantile on
+      // a HOT-GROUP corpus — ~3 groups REGARDLESS of mult, the exact shape
+      // that puts 1/3 of the corpus into one task under the collected
+      // `percentile` buffer. Orders replicated mult× price-jittered (so
+      // values stay near-distinct and the range partitioner spreads every
+      // group over all partitions); flat growth ≈ scan+sort-bound, no
+      // per-group memory term.
+      val qDir = s"/tmp/graft_scale_quant_$mult"
+      val ord0 = graft.sources.Tables.orders(spark, sfDir)
+        .select($"o_orderstatus", $"o_totalprice")
+      val ordRep = land(ord0
+        .crossJoin(broadcast(spark.range(mult).toDF("rep")))
+        .select($"o_orderstatus",
+          ($"o_totalprice" + $"rep" * 0.001).as("o_totalprice")), qDir)
+      out("q13_quantile") = timed(graft.operators.Quantiles.exactGroupQuantiles(
+        ordRep, "o_orderstatus", "o_totalprice", Seq(0.25, 0.5, 0.75, 0.95)))
+    }
     if (probes("rank") || probes("q43_rank")) {
       // Large-domain PageRank: 125k nodes × mult (mult=8 -> 1M), synthetic
       // power-ish graph with out-degree 4 (dst by multiplicative hashing),

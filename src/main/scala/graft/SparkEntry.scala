@@ -200,6 +200,12 @@ object SparkEntry {
     // back per-symbol as relative strength (the last unmodeled reference
     // data surface, hankook get_index_daily_price)
     "r33_index_relative" -> (CciPipeline.indexRelative _),
+    // r44: the category/sector index axis (hankook_api.py:174) — the r33
+    // CCI fold on the category dimension
+    "r44_index_category" -> (CciPipeline.indexCategory _),
+    // r45: the per-key metadata probe patching the dim build
+    // (hankook_api.py:223 via daily_function.py:252)
+    "r45_stock_info" -> (graft.sources.StockInfo.stockInfoQuery _),
     // r34: the daily product's full buy→hold→sell lifecycle — positions
     // carried across run days, sells fired by target/stop/maturity; the
     // oracle replays every lot one-shot from the raw events
@@ -320,7 +326,10 @@ object SparkEntry {
     "sql03_cci_via_view" -> (SqlSurface.cciViaView _),
     // sql04: the DSv2 feed table queried through pure SQL over a temp
     // view — pushdown survives the view; gated on r42's oracle
-    "sql04_dsv2_via_sql" -> (SqlSurface.dsv2ViaSql _)
+    "sql04_dsv2_via_sql" -> (SqlSurface.dsv2ViaSql _),
+    // sql05: the NATIVE as-of join through pure SQL (view over the
+    // AsOfJoinPlan node); gated on q47's oracle
+    "sql05_asof_via_sql" -> (SqlSurface.asofViaSql _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -454,6 +463,8 @@ object SparkEntry {
     "r42_dsv2_source" -> graft.sources.Dsv2Fetch.dsv2FetchSql,
     "r43_order_sink" -> graft.sources.OrderSinkRoundtrip.orderSinkSql,
     "r33_index_relative" -> CciPipeline.indexRelativeSql,
+    "r44_index_category" -> CciPipeline.indexCategorySql,
+    "r45_stock_info" -> graft.sources.StockInfo.stockInfoSql,
     "r34_daily_positions" -> graft.Daily.dailyPositionsSql,
     "r35_schedule_plan" -> Scheduler.schedulePlanSql,
     "r36_daily_balance" -> graft.Daily.dailyBalanceSql,
@@ -488,6 +499,7 @@ object SparkEntry {
     "sql01_pricing_via_sql" -> Relational.q01Sql,
     "sql02_fingerprint_via_sql" -> TextAnalysis.fingerprintSql,
     "sql03_cci_via_view" -> CciPipeline.cciSql,
-    "sql04_dsv2_via_sql" -> graft.sources.Dsv2Fetch.dsv2FetchSql
+    "sql04_dsv2_via_sql" -> graft.sources.Dsv2Fetch.dsv2FetchSql,
+    "sql05_asof_via_sql" -> AsOfNative.q47Sql
   )
 }

@@ -106,7 +106,15 @@ object SqlSurface {
       "graft_bars" -> (() => CciPipeline.ohlcBars(spark, dir)),
       "graft_cci" -> (() => CciPipeline.cciQuery(spark, dir)),
       "graft_signals" -> (() => CciPipeline.signalsQuery(spark, dir)),
-      "graft_quality" -> (() => TextAnalysis.qualityScore(spark, dir)))
+      "graft_quality" -> (() => TextAnalysis.qualityScore(spark, dir)),
+      // the NATIVE as-of join (q47): the view body is the AsOfJoinPlan
+      // node itself, so a SQL-only client plans AsOfJoinExec — one
+      // exchange per side + in-partition merge — not the window
+      // composition (2.1× slower at 64× scale and growing). AsOf.join
+      // ensureStrategy()s this session on construction, so the view is
+      // plannable wherever it is queryable.
+      "graft_asof" -> (() => operators.AsOfNative.asofNativeFrom(
+        Tables.events(spark, dir))))
     views.foreach { case (n, f) =>
       try f().createOrReplaceTempView(n)
       catch {
@@ -208,5 +216,17 @@ object SqlSurface {
          |WHERE ts >= TIMESTAMP '$cutoff 12:00:00'
          |GROUP BY event_type
          |ORDER BY event_type""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- sql05
+  /** q47's NATIVE as-of join reached purely through SQL — before this
+    * face, `AsOfJoinPlan` was injectable only via the DataFrame path and
+    * a SQL-only client silently fell back to the window composition.
+    * `graft_asof` is a view whose body IS the native operator's plan, so
+    * this statement plans [[graft.plans.AsOfJoinExec]] (SqlSurfaceSpec
+    * pins the physical operator); gated on q47's own DuckDB oracle. */
+  def asofViaSql(spark: SparkSession, dir: String): DataFrame = {
+    registerOperators(spark, dir)
+    spark.sql("SELECT * FROM graft_asof ORDER BY user_id, purchase_id")
   }
 }

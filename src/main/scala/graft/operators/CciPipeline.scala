@@ -1671,6 +1671,82 @@ object CciPipeline {
          |WHERE c.close_cci IS NOT NULL AND i.index_cci_raw IS NOT NULL
          |ORDER BY c.user_id, c.d""".stripMargin
 
+  // ---------------------------------------------------------------- r44
+  /** Sector/category index series (reference get_index_category_price,
+    * hankook_api.py:174 — the same CCI fold r33 runs on the MARKET axis,
+    * here on the CATEGORY dimension): every event aggregated per
+    * (category, day) into category index bars, then the SAME rolling CCI
+    * per category series.
+    *
+    * Scale shape: category bars are a (categories × days)-dimension frame
+    * (ONE partial-aggregable shuffle over the corpus on the (category,
+    * day) key); the CCI windows partition on the category's series id —
+    * `xxhash64(category)`, data-dependent so the partitionSpec survives
+    * the optimizer and collision-free at dimension scale — so
+    * [[cciFromBars]] is reused verbatim and the category fold cannot
+    * fork from the per-symbol fold. The category string rides through
+    * the fold (rollingCci preserves input columns); nothing touches the
+    * corpus a second time. */
+  def indexCategory(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cbars = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(
+        min_by($"value", struct($"ts", $"event_id")).as("open_pr"),
+        max($"value").as("high_pr"),
+        min($"value").as("low_pr"),
+        max_by($"value", struct($"ts", $"event_id")).as("close_pr"),
+        count(lit(1)).as("volume"))
+      .withColumn("user_id", xxhash64($"event_type"))
+    cciFromBars(cbars, GridConfig())
+      .filter($"close_cci".isNotNull)
+      .select($"event_type".as("category"), $"d", $"idx",
+        (floor($"sma_c" * 10000.0 + 0.5) / 10000.0).as("sma_close"),
+        (floor($"mad_c" * 10000.0 + 0.5) / 10000.0).as("mad_close"),
+        (floor($"close_cci" * 10000.0 + 0.5) / 10000.0).as("index_cci"))
+      .orderBy($"category", $"d")
+  }
+
+  val indexCategorySql: String =
+    Tables.eventsOracleCte + ",\n" +
+      s"""cbars AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS d,
+         |    max(CASE WHEN rn_first = 1 THEN value END) AS open_pr,
+         |    max(value) AS high_pr, min(value) AS low_pr,
+         |    max(CASE WHEN rn_last = 1 THEN value END) AS close_pr,
+         |    count(*) AS volume
+         |  FROM (SELECT *,
+         |          row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+         |                             ORDER BY ts, event_id) AS rn_first,
+         |          row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+         |                             ORDER BY ts DESC, event_id DESC) AS rn_last
+         |        FROM events_us) e
+         |  GROUP BY 1, 2),
+         |cwin AS (
+         |  SELECT *, row_number() OVER wo AS idx, list(tp_c) OVER wf AS tps_c
+         |  FROM (SELECT *, (high_pr+low_pr+close_pr)/3.0 AS tp_c FROM cbars) b
+         |  WINDOW wo AS (PARTITION BY event_type ORDER BY d),
+         |         wf AS (PARTITION BY event_type ORDER BY d
+         |                ROWS BETWEEN ${CciN - 1} PRECEDING AND CURRENT ROW)),
+         |cmad AS (
+         |  SELECT *,
+         |    list_reduce(list_prepend(0.0, list_transform(tps_c, x -> abs(x - sma_c))), (a,b) -> a+b) / cnt AS mad_c
+         |  FROM (SELECT *, len(tps_c) AS cnt,
+         |          list_reduce(list_prepend(0.0, tps_c), (a,b) -> a+b) / len(tps_c) AS sma_c
+         |        FROM cwin) z),
+         |ccci AS (
+         |  SELECT event_type, d, idx, sma_c, mad_c,
+         |    CASE WHEN cnt >= $CciN AND mad_c <> 0.0
+         |         THEN (tp_c - sma_c) / (0.015 * mad_c) END AS close_cci
+         |  FROM cmad)
+         |SELECT event_type AS category, d, idx,
+         |  floor(sma_c * 10000.0 + 0.5) / 10000.0 AS sma_close,
+         |  floor(mad_c * 10000.0 + 0.5) / 10000.0 AS mad_close,
+         |  floor(close_cci * 10000.0 + 0.5) / 10000.0 AS index_cci
+         |FROM ccci
+         |WHERE close_cci IS NOT NULL
+         |ORDER BY category, d""".stripMargin
+
   val netRevenueSql: String =
     tradesCtes + "\n" +
       s"""SELECT *,

@@ -261,19 +261,26 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
-  /** Exact interpolated percentiles of order value per status. */
+  /** Exact interpolated percentiles of order value per status.
+    *
+    * o_orderstatus has ~3 distinct values, so the built-in `percentile`
+    * aggregate would collect ~1/3 of the corpus into one task's buffer at
+    * any scale. [[Quantiles.exactGroupQuantiles]] computes the identical
+    * answer through a range-partitioned distributed sort + rank
+    * extraction — task memory O(1), parallelism ∝ corpus, not groups. */
   def q13Quantiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.orders(spark, dir)
-      .groupBy($"o_orderstatus")
-      // one percentile buffer/sort per group, not four: the array form
-      // computes all quantiles from a single collected-values buffer
-      .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.95D))").as("ps"))
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    Quantiles.exactGroupQuantiles(
+        Tables.orders(spark, dir), "o_orderstatus", "o_totalprice", qs)
+      .groupBy($"g".as("o_orderstatus"))
+      .pivot("q", qs)
+      .agg(first($"value"))
       .select($"o_orderstatus",
-        round(element_at($"ps", 1), 2).as("p25"),
-        round(element_at($"ps", 2), 2).as("p50"),
-        round(element_at($"ps", 3), 2).as("p75"),
-        round(element_at($"ps", 4), 2).as("p95"))
+        round(col("`0.25`"), 2).as("p25"),
+        round(col("`0.5`"), 2).as("p50"),
+        round(col("`0.75`"), 2).as("p75"),
+        round(col("`0.95`"), 2).as("p95"))
       .orderBy($"o_orderstatus")
   }
 

@@ -69,14 +69,20 @@ final class LocalFileEventConnector(dir: String) extends EventConnector {
 
 /** The connector seam served BY the DataSourceV2 table: the daily product
   * consumes `spark.read.format("graft-events")` without knowing it — proof
-  * the v2 source is a drop-in transport, not a parallel surface. The
-  * request batch is dimension-scale by contract, so its keys/window are
-  * collected driver-side (the bounded AnnIndex request pattern) and pushed
-  * into the scan: `user_id IN` prunes keys out of the page plan at the
-  * wire, the global [min(fetch_start), max(fetch_end)] window bounds the
-  * days, and the per-key range trim is a broadcast join back against the
-  * requests (LocalFileEventConnector's shape). DailyRunSpec proves a week
-  * over this transport is bit-identical to the local-file one. */
+  * the v2 source is a drop-in transport, not a parallel surface. NO key
+  * ever crosses the driver: the key restriction IS the broadcast join
+  * against the request frame, which [[v2.GraftEventScan]]'s
+  * `SupportsRuntimeFiltering` turns into wire-level key pruning BEFORE
+  * partitions are planned (the DSv2 analogue of dynamic partition
+  * pruning — Dsv2SourceSpec pins that the pruned keys are never paged).
+  * The only driver action is ONE dimension-scale aggregate deriving the
+  * global [min(fetch_start), max(fetch_end)] option window (the scan
+  * plans page windows per day up front); the per-key range trim rides
+  * the same broadcast join (LocalFileEventConnector's shape). At a large
+  * key domain this keeps the plan constant-size where an `isin` literal
+  * would inline every key into the plan tree AND bypass the runtime
+  * pruning machinery the source itself implements. DailyRunSpec proves a
+  * week over this transport is bit-identical to the local-file one. */
 final class Dsv2EventConnector(apiId: String) extends EventConnector {
   import graft.sources.v2.GraftEventSource
   override def name: String = s"dsv2:$apiId"
@@ -90,26 +96,33 @@ final class Dsv2EventConnector(apiId: String) extends EventConnector {
 
   override def fetch(spark: SparkSession, requests: DataFrame): DataFrame = {
     import spark.implicits._
-    val reqRows = requests.select($"user_id", $"fetch_start", $"fetch_end")
-      .as[(Long, java.sql.Date, java.sql.Date)].collect()
-    if (reqRows.isEmpty) {
+    // the request contract (start ≤ end) enforced in-plan; doubling as
+    // the SELECTIVE build-side predicate Spark's runtime-pruning rule
+    // requires before it will hand the key set to the scan (a bare
+    // boolean filter like `fetch_needed` is not "likely selective" to
+    // the optimizer, a comparison is)
+    val req = requests.select($"user_id", $"fetch_start", $"fetch_end")
+      .filter($"fetch_start" <= $"fetch_end")
+    // one dimension-scale aggregate (1 row to the driver), not a
+    // collected key array
+    val bounds = req.agg(min($"fetch_start"), max($"fetch_end")).head()
+    if (bounds.isNullAt(0)) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(
           graft.sources.v2.GraftEventSource.FullSchema.fields :+
             org.apache.spark.sql.types.StructField("d",
               org.apache.spark.sql.types.DateType)))
     } else {
-      val from = reqRows.map(_._2.toLocalDate).min(Ordering.by((_: java.time.LocalDate).toEpochDay))
-      val to = reqRows.map(_._3.toLocalDate).max(Ordering.by((_: java.time.LocalDate).toEpochDay))
       val ev = spark.read.format("graft-events")
         .option("api", apiId)
-        .option("from", from.toString)
-        .option("to", to.toString)
+        .option("from", bounds.getDate(0).toLocalDate.toString)
+        .option("to", bounds.getDate(1).toLocalDate.toString)
         .load()
-        .filter($"user_id".isin(reqRows.map(_._1): _*)) // → In pushdown
         .withColumn("d", to_date($"ts"))
-      ev.join(broadcast(requests.select($"user_id", $"fetch_start", $"fetch_end")),
-          ev("user_id") === requests("user_id")
+      // key restriction = the join itself; runtime filtering hands the
+      // build side's key set to the scan so pruned keys are never paged
+      ev.join(broadcast(req),
+          ev("user_id") === req("user_id")
             && $"d" >= $"fetch_start" && $"d" <= $"fetch_end")
         .select(ev("event_id"), ev("ts"), ev("user_id"), ev("event_type"),
           ev("value"), ev("props"), $"d")
@@ -165,4 +178,99 @@ object ConnectorFetch {
          |WHERE wm.fetch_needed
          |GROUP BY e.user_id
          |ORDER BY e.user_id""".stripMargin
+}
+
+/** Per-key metadata probe seam (reference search_stock_info,
+  * hankook_api.py:223): given a DIMENSION-scale key frame, return one
+  * metadata row per key the remote side can resolve — `symbol,
+  * lstg_qty, ref_price`. The reference probes this endpoint for ETF
+  * symbols whose listing row lacks a share count (daily_function.py:252)
+  * and patches the dim; keys the probe cannot resolve stay missing and
+  * fall to the dim's `total_stock > 0` filter (the reference's
+  * `except: pass`). Executor-side contract as [[EventConnector.fetch]]:
+  * the key frame is #probe-keys rows, the lookup is a plan, never a
+  * driver loop. */
+trait InfoConnector {
+  def name: String
+  def lookupInfo(spark: SparkSession, keys: DataFrame): DataFrame
+}
+
+/** Local-parquet stand-in: "the metadata endpoint" is the lineitem
+  * corpus — a symbol's listed quantity is its traded quantity sum, its
+  * reference price the mean extended price. The probe-key frame is
+  * dimension-scale by contract, so it broadcasts into a semi-join that
+  * prunes the corpus scan BEFORE the aggregate: the aggregation input
+  * is only the probed symbols' rows, one partial-aggregable shuffle on
+  * the symbol key. */
+final class LocalFileInfoConnector(dir: String) extends InfoConnector {
+  override def name: String = s"local-info:$dir"
+  override def lookupInfo(spark: SparkSession, keys: DataFrame): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    li.join(broadcast(keys.select($"symbol")),
+        li("l_partkey") === $"symbol", "left_semi")
+      .groupBy($"l_partkey".as("symbol"))
+      .agg(sum($"l_quantity").cast("long").as("lstg_qty"),
+        round(avg($"l_extendedprice"), 2).as("ref_price"))
+  }
+}
+
+/** r45: the dim build's metadata-probe patching as a driver-gated query
+  * (reference daily_function.py:245-258): the listing knows complete
+  * rows for the 'stock' class; the 'etf' class arrives with
+  * `total_stock = 0` and NULL marcap, exactly as `fdr.StockListing
+  * ('ETF/KR')` does, and each etf symbol is patched from the
+  * [[InfoConnector]] probe (`total_stock := lstg_qty`, `marcap :=
+  * round(lstg_qty · ref_price, 2)`). Rows the probe cannot resolve are
+  * dropped by the final `total_stock > 0` filter. Probe keys and the
+  * patch join are both dimension-scale (broadcast); the only
+  * corpus-scale work is the probe's own pruned aggregate. */
+object StockInfo {
+  import Tables.part
+
+  private val isEtf = "p_type LIKE 'ECONOMY%'"
+
+  def stockInfoQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val etf = expr(isEtf)
+    val listing = part(spark, dir).select(
+      $"p_partkey".as("symbol"), $"p_name".as("name"),
+      when(etf, lit("etf")).otherwise(lit("stock")).as("type"),
+      when(etf, lit(0L)).otherwise($"p_size".cast("long")).as("total_stock"),
+      when(etf, lit(null).cast("double")).otherwise($"p_retailprice").as("marcap"))
+    val probeKeys = listing.filter($"type" === "etf").select($"symbol")
+    val info = new LocalFileInfoConnector(dir).lookupInfo(spark, probeKeys)
+    listing.join(broadcast(info), Seq("symbol"), "left")
+      .select($"symbol", $"name", $"type",
+        when($"type" === "etf", coalesce($"lstg_qty", lit(0L)))
+          .otherwise($"total_stock").as("total_stock"),
+        when($"type" === "etf", round($"lstg_qty" * $"ref_price", 2))
+          .otherwise($"marcap").as("marcap"))
+      .filter($"total_stock" > 0)
+      .orderBy($"symbol")
+  }
+
+  val stockInfoSql: String =
+    s"""WITH listing AS (
+       |  SELECT p_partkey AS symbol, p_name AS name,
+       |    CASE WHEN $isEtf THEN 'etf' ELSE 'stock' END AS type,
+       |    CAST(CASE WHEN $isEtf THEN 0 ELSE p_size END AS BIGINT) AS total_stock,
+       |    CASE WHEN $isEtf THEN NULL ELSE p_retailprice END AS marcap
+       |  FROM part),
+       |info AS (
+       |  SELECT l_partkey AS symbol,
+       |    CAST(sum(l_quantity) AS BIGINT) AS lstg_qty,
+       |    round(avg(l_extendedprice), 2) AS ref_price
+       |  FROM lineitem
+       |  WHERE l_partkey IN (SELECT symbol FROM listing WHERE type = 'etf')
+       |  GROUP BY 1)
+       |SELECT l.symbol, l.name, l.type,
+       |  CAST(CASE WHEN l.type = 'etf' THEN coalesce(i.lstg_qty, 0)
+       |       ELSE l.total_stock END AS BIGINT) AS total_stock,
+       |  CASE WHEN l.type = 'etf' THEN round(i.lstg_qty * i.ref_price, 2)
+       |       ELSE l.marcap END AS marcap
+       |FROM listing l LEFT JOIN info i USING (symbol)
+       |WHERE (CASE WHEN l.type = 'etf' THEN coalesce(i.lstg_qty, 0)
+       |       ELSE l.total_stock END) > 0
+       |ORDER BY l.symbol""".stripMargin
 }

@@ -213,8 +213,23 @@ final class GraftEventScan(apiId: String, fromDay: Long, toDay: Long,
     Array(org.apache.spark.sql.connector.expressions.Expressions.column("user_id"))
   override def filter(filters: Array[Filter]): Unit = filters.foreach {
     case In("user_id", vs) if vs.nonEmpty =>
-      val s = vs.collect { case l: Long => l; case i: Int => i.toLong }.toSet
-      runtimeKeys = Some(runtimeKeys.fold(s)(_ intersect s))
+      // ALL-or-nothing: a partially-converted value list would shrink the
+      // key set below the join's true domain and wrongly prune live keys
+      // out of the page plan (lost rows, not a missed optimization). If
+      // any value arrives in a box we don't recognize, ignore the whole
+      // filter — the safe direction for a runtime filter (Spark still
+      // applies the join).
+      val converted = vs.flatMap {
+        case l: Long => Some(l)
+        case i: Int => Some(i.toLong)
+        case s: Short => Some(s.toLong)
+        case b: Byte => Some(b.toLong)
+        case _ => None
+      }
+      if (converted.length == vs.length) {
+        val s = converted.toSet
+        runtimeKeys = Some(runtimeKeys.fold(s)(_ intersect s))
+      }
     case EqualTo("user_id", v: Long) =>
       runtimeKeys = Some(runtimeKeys.getOrElse(Set(v)) intersect Set(v))
     case _ => () // unsupported runtime filter: safely ignored (Spark re-applies)

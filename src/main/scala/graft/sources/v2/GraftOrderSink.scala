@@ -28,7 +28,14 @@ final case class ApiOrder(order_no: String, user_id: Long, side: String,
   * drop_duplicates(subset=[order_no], keep='last')). */
 trait OrderApi extends Serializable {
   def issueToken(): String
-  def stagePage(token: String, stagingId: String, page: Seq[ApiOrder]): Unit
+
+  /** Stage one page under (stagingId, pageSeq). IDEMPOTENT per page:
+    * a retried page whose first attempt succeeded server-side but whose
+    * ack was lost (the exact failure mode the retry session exists for)
+    * REPLACES its previous content instead of appending — without the
+    * sequence key, that retry double-stages the page and breaks the
+    * documented exactly-once placement. */
+  def stagePage(token: String, stagingId: String, pageSeq: Int, page: Seq[ApiOrder]): Unit
   def publish(token: String, stagingIds: Seq[String]): Long
   def discard(token: String, stagingIds: Seq[String]): Unit
   /** The order-history endpoint: current accepted state, keep-last. */
@@ -38,18 +45,30 @@ trait OrderApi extends Serializable {
 /** In-process broker (registry pattern — [[ParquetBackedPagedApi]]'s
   * caveat applies): deterministic transient faults on staging for the
   * retry specs, call accounting the specs pin. */
-final class InMemoryOrderBroker(id: String, failEveryNthStage: Int = 0)
-    extends OrderApi {
+final class InMemoryOrderBroker(id: String, failEveryNthStage: Int = 0,
+    ackLossEveryNthStage: Int = 0) extends OrderApi {
   private def st = InMemoryOrderBroker.registry.get(id)
 
   override def issueToken(): String = s"$id-token"
 
-  override def stagePage(token: String, stagingId: String, page: Seq[ApiOrder]): Unit = {
+  override def stagePage(token: String, stagingId: String, pageSeq: Int,
+      page: Seq[ApiOrder]): Unit = {
     val s = st
     val n = s.stageCalls.incrementAndGet()
+    // fault BEFORE the store: the page never reached the broker
     if (failEveryNthStage > 0 && n % failEveryNthStage == 0)
       throw new TransientApiError(s"staging endpoint 5xx (call $n)")
-    s.staged.merge(stagingId, Vector(page: _*), (a, b) => a ++ b): Unit
+    // replace-by-seq: a retried page overwrites its own previous attempt
+    s.staged.compute(stagingId, (_, old) =>
+      (if (old == null) Map.empty[Int, Vector[ApiOrder]] else old)
+        + (pageSeq -> Vector(page: _*))): Unit
+    // fault AFTER the store: the broker accepted the page but the ACK was
+    // lost — the client MUST retry, and the seq key makes that retry a
+    // no-op instead of a duplicate (the scenario the append form missed)
+    if (ackLossEveryNthStage > 0 && n % ackLossEveryNthStage == 0) {
+      s.ackLosses.incrementAndGet()
+      throw new TransientApiError(s"staging ack lost (call $n)")
+    }
   }
 
   override def publish(token: String, stagingIds: Seq[String]): Long = {
@@ -60,13 +79,15 @@ final class InMemoryOrderBroker(id: String, failEveryNthStage: Int = 0)
       stagingIds.foreach { sid =>
         if (!s.publishedStagings.contains(sid)) { // idempotent re-publish
           s.publishedStagings += sid
-          s.staged.getOrDefault(sid, Vector.empty).foreach { o =>
-            s.book.put(o.order_no, o) // keep-last per order_no
-            accepted += 1
-          }
+          s.staged.getOrDefault(sid, Map.empty[Int, Vector[ApiOrder]])
+            .toSeq.sortBy(_._1).flatMap(_._2).foreach { o =>
+              s.book.put(o.order_no, o) // keep-last per order_no
+              accepted += 1
+            }
           s.staged.remove(sid): Unit
         }
       }
+      s.acceptedTotal.addAndGet(accepted)
       accepted
     }
   }
@@ -86,12 +107,14 @@ final class InMemoryOrderBroker(id: String, failEveryNthStage: Int = 0)
 
 object InMemoryOrderBroker {
   final class State {
-    val staged: ConcurrentHashMap[String, Vector[ApiOrder]] = new ConcurrentHashMap
+    val staged: ConcurrentHashMap[String, Map[Int, Vector[ApiOrder]]] = new ConcurrentHashMap
     var publishedStagings: Set[String] = Set.empty
     val book: java.util.LinkedHashMap[String, ApiOrder] = new java.util.LinkedHashMap
     val stageCalls = new AtomicLong
     val publishCalls = new AtomicLong
     val discardCalls = new AtomicLong
+    val ackLosses = new AtomicLong
+    val acceptedTotal = new AtomicLong
   }
   val registry: ConcurrentHashMap[String, State] = new ConcurrentHashMap
   def ensure(id: String): State =
@@ -272,9 +295,15 @@ final class GraftOrderDataWriter(api: OrderApi, stagingId: String,
       throw new UnsupportedOperationException
   }, maxRetries, backoffMs)
 
+  // monotonic page sequence: the retry closure captures ITS page's seq,
+  // so a lost-ack retry re-stages the SAME (stagingId, seq) and the
+  // broker's replace-by-seq keeps placement exactly-once
+  private var nextSeq = 0
   private def flush(): Unit = if (buf.nonEmpty) {
     val page = buf.toVector
-    session.call(t => api.stagePage(t, stagingId, page))
+    val seq = nextSeq
+    session.call(t => api.stagePage(t, stagingId, seq, page))
+    nextSeq += 1
     buf.clear()
   }
 

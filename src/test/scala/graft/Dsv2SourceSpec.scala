@@ -178,4 +178,56 @@ class Dsv2SourceSpec extends AnyFunSuite {
       .orderBy($"event_type").collect().toSeq
     assert(viaSource.nonEmpty && viaSource == direct)
   }
+
+  test("Dsv2EventConnector.fetch: large key domain, zero driver-collected keys, " +
+      "pruned keys never paged") {
+    // 400-key domain — the regime where an `isin` literal would inline
+    // every key into the plan; the connector must instead let the
+    // broadcast join's runtime filter prune the page plan at the wire
+    n += 1
+    val id = s"dsv2-spec-$n"
+    val bigData: Map[Long, Vector[graft.sources.ApiEventRow]] =
+      (1L to 400L).map { uid =>
+        uid -> (for (d <- 0 until 10) yield
+          graft.sources.ApiEventRow(uid * 100 + d, us(d, 9), uid,
+            s"t${d % 3}", d.toDouble, s"p$uid")).toVector
+      }.toMap
+    val stats = FakePagedApi.register(id, bigData)
+    GraftEventSource.registerApi(id, new FakePagedApi(id, pageSize = 7))
+
+    // request frame through parquet with a surviving selective predicate
+    // (the runtime-pruning rule's benefit test), exactly how the daily
+    // product's watermark frame arrives: keyed rows + fetch_needed filter
+    val reqPath = graft.operators.Extras.tempDir("dsv2-conn-req")
+    (1L to 400L).map { u =>
+      val needed = u == 5L || u == 250L || u == 399L
+      (u, java.sql.Date.valueOf(day0.plusDays(2)),
+        java.sql.Date.valueOf(day0.plusDays(6)), needed)
+    }.toDF("user_id", "fetch_start", "fetch_end", "fetch_needed")
+      .write.mode("overwrite").parquet(reqPath)
+    val requests = spark.read.parquet(reqPath).filter($"fetch_needed")
+
+    val got = new graft.sources.Dsv2EventConnector(id).fetch(spark, requests)
+      .select($"user_id", $"d", $"value").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2))).sorted.toSeq
+    val want = (for (u <- Seq(5L, 250L, 399L); d <- 2 to 6) yield
+      (u, day0.plusDays(d).toString, d.toDouble)).sorted
+    assert(got == want)
+    assert(stats.driverPageCalls.get() == 0, "a page was fetched on the driver")
+    val it = stats.pageAttempts.keySet().iterator()
+    var requested = Set.empty[String]
+    while (it.hasNext) requested += it.next().split(":")(0)
+    assert(requested.nonEmpty)
+    assert(requested.subsetOf(Set("5", "250", "399")),
+      s"runtime filter did not prune the page plan: keys requested = $requested")
+    // the window option derived from the request frame also reached the
+    // wire: no page asked for days outside [day0+2, day0+6]
+    val it2 = stats.pageAttempts.keySet().iterator()
+    while (it2.hasNext) {
+      val parts = it2.next().split(":")
+      assert(parts(1) == day0.plusDays(2).toString &&
+        parts(2) == day0.plusDays(6).toString,
+        s"page window not narrowed: ${parts.mkString(":")}")
+    }
+  }
 }

@@ -19,12 +19,12 @@ class OrderSinkSpec extends AnyFunSuite {
   import TestSpark.spark.implicits._
 
   private var n = 0
-  private def freshBroker(failEveryNthStage: Int = 0)
+  private def freshBroker(failEveryNthStage: Int = 0, ackLossEveryNthStage: Int = 0)
       : (String, InMemoryOrderBroker.State, InMemoryOrderBroker) = {
     n += 1
     val id = s"order-spec-$n"
     val st = InMemoryOrderBroker.ensure(id)
-    val api = new InMemoryOrderBroker(id, failEveryNthStage)
+    val api = new InMemoryOrderBroker(id, failEveryNthStage, ackLossEveryNthStage)
     GraftOrderSink.registerApi(id, api)
     (id, st, api)
   }
@@ -55,6 +55,25 @@ class OrderSinkSpec extends AnyFunSuite {
       .mode("append").save()
     assert(book(api).size == 20)
     assert(st.stageCalls.get() > 10, "fault injection never fired") // 10 pages + retries
+  }
+
+  test("lost staging ACK: the retried page replaces, never double-stages") {
+    // the broker ACCEPTS every 3rd page, then drops the ack — the writer
+    // must retry, and the (stagingId, pageSeq) key must make that retry
+    // idempotent: 20 orders exactly once in the book, zero duplicates
+    val (id, st, api) = freshBroker(ackLossEveryNthStage = 3)
+    ordersDf(10L).repartition(2).write.format("graft-orders")
+      .option("api", id).option("pageSize", 2).option("backoffMs", 1)
+      .mode("append").save()
+    assert(st.ackLosses.get() > 0, "ack-loss injection never fired")
+    val all = api.ledger(api.issueToken())
+    assert(all.size == 20, s"expected 20 placed orders, got ${all.size}")
+    // the book's keep-last would MASK a double-staged page (same
+    // order_no overwrites) — the accepted count would not: append-form
+    // staging re-publishes the duplicated rows and counts past 20
+    assert(st.acceptedTotal.get() == 20,
+      s"double-staged rows published: accepted = ${st.acceptedTotal.get()}")
+    assert(book(api)("ORD-7").qty == 10L + 7 % 3)
   }
 
   test("re-placing amended orders keeps the LAST values per order_no") {

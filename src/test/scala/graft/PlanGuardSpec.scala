@@ -45,6 +45,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "ml03_" -> "MLlib fit executes on construction",
     "ml04_" -> "MLlib fit executes on construction",
     "ml05_" -> "FPGrowth fit + basket count execute on construction",
+    "q13_" -> "two-pass exact quantile runs the size/offset/extract jobs on construction",
     "t06_" -> "driver-collected eval-vocabulary broadcast on construction",
     "t07_" -> "driver-collected bigram table broadcast on construction",
     "t09_" -> "driver-collected LM table broadcast on construction",

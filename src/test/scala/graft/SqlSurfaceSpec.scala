@@ -28,6 +28,21 @@ class SqlSurfaceSpec extends AnyFunSuite {
       rows(operators.CciPipeline.cciQuery(spark, sf)))
   }
 
+  test("sql05: pure SQL over graft_asof plans the NATIVE AsOfJoinExec and equals q47") {
+    val df = SqlSurface.asofViaSql(spark, sf)
+    def countAsOf(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        countAsOf(a.executedPlan)
+      case other =>
+        (other match { case _: graft.plans.AsOfJoinExec => 1; case _ => 0 }) +
+          other.children.map(countAsOf).sum
+    }
+    assert(countAsOf(df.queryExecution.executedPlan) > 0,
+      "sql05 fell back to a non-native plan — the SQL client lost AsOfJoinExec:\n" +
+        df.queryExecution.executedPlan.toString)
+    assert(rows(df) == rows(operators.AsOfNative.q47AsofNative(spark, sf)))
+  }
+
   test("ensureFunctions registers graft functions into a PLAIN session (Verify's path)") {
     // Build a genuinely extension-less session over the same SparkContext:
     // clear the session singletons so getOrCreate cannot hand back the

@@ -75,6 +75,33 @@ class TopKAggSpec extends AnyFunSuite {
     assert(out == Map("a" -> 2L, "b" -> 3L))
   }
 
+  test("graft_topk: BIGINT-literal k works; non-foldable / non-integer k fail clearly") {
+    SqlSurface.ensureFunctions(spark)
+    Seq(("a", 1L, 3.0), ("a", 2L, 7.0))
+      .toDF("g", "id", "v").createOrReplaceTempView("topk_probe_k")
+    // CAST(1 AS BIGINT) folds to a Long — must be accepted, not CCE
+    val out = spark.sql(
+      "SELECT g, graft_topk(v, id, CAST(1 AS BIGINT)) AS top FROM topk_probe_k GROUP BY g")
+      .select($"g", $"top"(0)("id").as("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out == Map("a" -> 2L))
+    // the registry may wrap the builder's error — the requirement is the
+    // MESSAGE: descriptive, not an opaque unbound-attribute eval error
+    def fullMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    // non-foldable k: a descriptive analysis error
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT g, graft_topk(v, id, id) FROM topk_probe_k GROUP BY g")
+    }
+    assert(fullMsg(e1).contains("foldable integer literal"), fullMsg(e1))
+    // non-integer literal k: same clear error shape
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT g, graft_topk(v, id, 'one') FROM topk_probe_k GROUP BY g")
+    }
+    assert(fullMsg(e2).contains("must be an integer literal"), fullMsg(e2))
+  }
+
   test("the q46 plan aggregates — no window, no whole-partition sort before the exchange") {
     val plan = TopK.q46TopkPergroup(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
