@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.catalyst.{AbsDevSumF64, ArraySumF64, DotF64, MinHashSigs, NormalizeText, PolyHash, SimHash32, TopKByScore}
+import graft.functions.catalyst.{AbsDevSumF64, ArraySumF64, DotF64, MinHashSigs, NormalizeText, PolyHash, SimHash32, TopKByOrdering, TopKByScore}
 
 /** The one registry of graft's native SQL functions: (identifier, info,
   * builder) triples consumed by BOTH registration paths —
@@ -44,7 +44,11 @@ object GraftFunctions {
       // raw AggregateFunction: the analyzer wraps it in AggregateExpression
       // (wrapping here would defeat DISTINCT/FILTER resolution)
       (exprs: Seq[Expression]) => TopKByScore(exprs.head, exprs(1),
-        foldableInt(exprs(2), "graft_topk", "k"))))
+        foldableInt(exprs(2), "graft_topk", "k"))),
+    (new FunctionIdentifier("graft_topk_ord"),
+      new ExpressionInfo(classOf[TopKByOrdering].getName, "graft_topk_ord"),
+      (exprs: Seq[Expression]) => TopKByOrdering(exprs.head, exprs(1),
+        foldableInt(exprs(2), "graft_topk_ord", "k"))))
 
   /** Evaluate a foldable integral argument with a CLEAR analysis error:
     * a BIGINT literal (`CAST(5 AS BIGINT)`) must work, a non-foldable

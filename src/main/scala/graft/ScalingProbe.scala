@@ -123,7 +123,7 @@ object ScalingProbe {
         out("m06_uniq") =
           timed(graft.multimodal.Multimodal.imagePhashFrom(payload(uniq)))
     }
-    val asofEntries = Seq("asof_native", "asof_composed")
+    val asofEntries = Seq("asof_native", "asof_composed", "asof_skew")
     if (probes("asof") || asofEntries.exists(probes)) {
       // q47's claim measured: the native AsOfJoinExec (one key shuffle per
       // side + in-partition merge) vs the composed window+join-back form
@@ -143,6 +143,32 @@ object ScalingProbe {
         out("asof_native") = timed(graft.operators.AsOfNative.asofNativeFrom(evRep))
       if (on("asof", "asof_composed"))
         out("asof_composed") = timed(graft.operators.AsOfNative.asofComposedFrom(evRep))
+      if (on("asof", "asof_skew")) {
+        // ZIPF-keyed variant: the uniform replication above widens the
+        // series axis but never stresses a hot key. Here user ranks
+        // follow 1/r over 40 users (rank 1 ≈ 15% of mult×1M events — the
+        // KOSPI-large-cap shape), so the merge's per-key ordered state
+        // and the per-partition sort meet one giant key. The exact
+        // per-key ordered merge REQUIRES that key's history in one sorted
+        // run, so the probe's question is whether the hot task stays
+        // n·log n scan+sort-bound (flat-ish per-row growth in mult) —
+        // not whether AQE can split it (it can't, and shouldn't).
+        val nEv = mult.toLong * 1000000L
+        val s = 40
+        val u = (pmod(xxhash64($"id", lit("asofz")), lit(1000000L))
+          .cast("double") + 0.5) / 1000000.0
+        val evZ = land(spark.range(nEv).select(
+          $"id".as("event_id"),
+          expr("timestampadd(SECOND, CAST(id % 31536000 AS INT), TIMESTAMP'2024-01-01 00:00:00')").as("ts"),
+          least(floor(pow(lit(s.toDouble), u)), lit(s.toLong))
+            .cast("long").as("user_id"),
+          when(pmod(xxhash64($"id", lit("asoft")), lit(10L)) === 0, "purchase")
+            .otherwise("view").as("event_type"),
+          (pmod(xxhash64($"id", lit("asofv")), lit(10000L)).cast("double") / 100.0)
+            .as("value")),
+          s"/tmp/graft_scale_asofskew_$mult")
+        out("asof_skew") = timed(graft.operators.AsOfNative.asofNativeFrom(evZ))
+      }
     }
     if (probes("trade") || probes("r06_trade")) {
       // The r06 grid-sim chain on mult× replicated series (user_id

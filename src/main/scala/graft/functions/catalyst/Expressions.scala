@@ -264,4 +264,10 @@ object GraftColumns {
   def topk_by(score: Column, id: Column, k: Int): Column =
     GraftShim.column(TopKByScore(GraftShim.expression(score),
       GraftShim.expression(id), k).toAggregateExpression())
+  /** Generic top-k: k smallest `ord` values (any orderable type; struct
+    * keys give multi-column orders, negate a component for DESC),
+    * payloads returned rank-ordered. */
+  def topk_by_ord(ord: Column, payload: Column, k: Int): Column =
+    GraftShim.column(TopKByOrdering(GraftShim.expression(ord),
+      GraftShim.expression(payload), k).toAggregateExpression())
 }

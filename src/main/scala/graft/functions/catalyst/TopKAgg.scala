@@ -154,3 +154,178 @@ case class TopKByScore(score: Expression, id: Expression, k: Int,
     copy(score = cs(0), id = cs(1))
   override def prettyName: String = "graft_topk"
 }
+
+/** Bounded heap over ARBITRARY orderable keys: ≤k (key, payload) pairs
+  * with the LARGEST key at the root, so the k smallest keys survive.
+  * Values are catalyst values already copied by the caller. */
+final class OrdHeap(val k: Int, ord: Ordering[Any]) {
+  val keys = new Array[Any](k)
+  val vals = new Array[Any](k)
+  var size = 0
+
+  /** true iff a ranks AFTER b (larger key = worse under keep-smallest). */
+  @inline private def worse(a: Any, b: Any): Boolean = ord.compare(a, b) > 0
+
+  private def swap(i: Int, j: Int): Unit = {
+    val tk = keys(i); keys(i) = keys(j); keys(j) = tk
+    val tv = vals(i); vals(i) = vals(j); vals(j) = tv
+  }
+
+  private def siftUp(start: Int): Unit = {
+    var i = start
+    while (i > 0) {
+      val p = (i - 1) >> 1
+      if (worse(keys(i), keys(p))) { swap(i, p); i = p } else return
+    }
+  }
+
+  private def siftDown(): Unit = {
+    var i = 0
+    while (true) {
+      val l = 2 * i + 1
+      val r = l + 1
+      var w = i
+      if (l < size && worse(keys(l), keys(w))) w = l
+      if (r < size && worse(keys(r), keys(w))) w = r
+      if (w == i) return
+      swap(i, w)
+      i = w
+    }
+  }
+
+  /** Caller passes OWNED (copied) values — the heap stores them as-is. */
+  def insert(key: Any, v: Any): Unit =
+    if (size < k) {
+      keys(size) = key; vals(size) = v; size += 1
+      siftUp(size - 1)
+    } else if (k > 0 && worse(keys(0), key)) {
+      keys(0) = key; vals(0) = v
+      siftDown()
+    }
+
+  def mergeFrom(other: OrdHeap): Unit = {
+    var i = 0
+    while (i < other.size) { insert(other.keys(i), other.vals(i)); i += 1 }
+  }
+
+  /** Payloads in rank order (smallest key first). */
+  def sortedPayloads: Array[Any] = {
+    val idx = Array.tabulate(size)(identity)
+    val out = new Array[Any](size)
+    val sorted = idx.sortWith((a, b) => ord.compare(keys(a), keys(b)) < 0)
+    var i = 0
+    while (i < size) { out(i) = vals(sorted(i)); i += 1 }
+    out
+  }
+}
+
+/** Generic bounded top-k aggregate: `graft_topk_ord(ord, payload, k)`
+  * keeps the k rows with the SMALLEST `ord` values (any orderable type —
+  * struct keys give multi-column rank orders; encode DESC by negating the
+  * component) and returns their `payload`s rank-ordered as
+  * `array<payload-type>`.
+  *
+  * This generalizes [[TopKByScore]] beyond (double, long) pairs — the
+  * per-group argmax/top-k shapes whose ranking key mixes types (t10's
+  * `(tf DESC, df ASC, term ASC)` with a STRING tiebreak) get the same
+  * O(n log k) bounded-memory partial aggregation the scored form has:
+  * each map task ships ≤k rows per group through the exchange and no
+  * partition-wide sort ever runs. Comparison is Spark's interpreted
+  * ordering for the key type — identical to ORDER BY on the same struct
+  * (strings compare bytewise, matching DuckDB's binary varchar collation,
+  * so a row_number oracle agrees).
+  *
+  * The caller must make `ord` unique per group (include the tiebreak
+  * column in the key) — equal keys rank in arrival order, which is
+  * nondeterministic under parallel merge. Null-skip: rows whose ord or
+  * payload evaluates to null are ignored, matching aggregate convention;
+  * null COMPONENTS inside a struct key order nulls-first per Spark's
+  * interpreted struct ordering. */
+case class TopKByOrdering(ordKey: Expression, payload: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[OrdHeap] {
+  require(k > 0, s"graft_topk_ord needs k > 0, got $k")
+
+  override def children: Seq[Expression] = Seq(ordKey, payload)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    ArrayType(payload.dataType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    org.apache.spark.sql.catalyst.util.TypeUtils.checkForOrderingExpr(
+      ordKey.dataType, prettyName)
+
+  @transient private lazy val ordering: Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(ordKey.dataType)
+
+  override def createAggregationBuffer(): OrdHeap = new OrdHeap(k, ordering)
+
+  override def update(buf: OrdHeap, input: InternalRow): OrdHeap = {
+    val kv = ordKey.eval(input)
+    val pv = payload.eval(input)
+    if (kv != null && pv != null)
+      // copy BOTH: eval may return views into reused row buffers
+      buf.insert(InternalRow.copyValue(kv), InternalRow.copyValue(pv))
+    buf
+  }
+
+  override def merge(buf: OrdHeap, other: OrdHeap): OrdHeap = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: OrdHeap): Any =
+    new GenericArrayData(buf.sortedPayloads)
+
+  // (key, payload) pairs ride the shuffle as length-prefixed UnsafeRows
+  @transient private lazy val serProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(Array(ordKey.dataType, payload.dataType))
+  @transient private lazy val pairRow = new GenericInternalRow(2)
+
+  override def serialize(buf: OrdHeap): Array[Byte] = {
+    val chunks = new Array[Array[Byte]](buf.size)
+    var total = 4
+    var i = 0
+    while (i < buf.size) {
+      pairRow.update(0, buf.keys(i))
+      pairRow.update(1, buf.vals(i))
+      chunks(i) = serProj.apply(pairRow).getBytes()
+      total += 4 + chunks(i).length
+      i += 1
+    }
+    val bb = java.nio.ByteBuffer.allocate(total)
+    bb.putInt(buf.size)
+    i = 0
+    while (i < buf.size) { bb.putInt(chunks(i).length); bb.put(chunks(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): OrdHeap = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val buf = new OrdHeap(k, ordering)
+    val row = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(2)
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt()
+      val chunk = new Array[Byte](len)
+      bb.get(chunk)
+      row.pointTo(chunk, len)
+      // copy out of the chunk-backed row before the next iteration reuses it
+      buf.insert(
+        InternalRow.copyValue(row.get(0, ordKey.dataType)),
+        InternalRow.copyValue(row.get(1, payload.dataType)))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKByOrdering =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKByOrdering =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): TopKByOrdering =
+    copy(ordKey = cs(0), payload = cs(1))
+  override def prettyName: String = "graft_topk_ord"
+}

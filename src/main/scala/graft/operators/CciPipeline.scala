@@ -780,25 +780,44 @@ object CciPipeline {
   // ---------------------------------------------------------------- r08
   /** Per-series best condition by each investment target — argmax keeping
     * the first row in condition order (pandas idxmax,
-    * daily_function.py:1078-1080), via row_number. */
+    * daily_function.py:1078-1080). */
   private val bestMetrics: Seq[(String, String)] = Seq(
     "win_rate" -> "win_rate",
     "revenue_rate" -> "revenue_rate",
     "revenue_per_days_held" -> "avg_revenue_per_days_held")
 
+  /** The three per-user argmaxes as ONE partial-aggregable exchange.
+    *
+    * row_number's `metric DESC NULLS LAST, conditions ASC` total order is
+    * exactly a MIN over the struct (negated metric with nulls mapped to
+    * +Inf, condition tiebreaks): the struct is unique per user because the
+    * conditions are the grid key, so `min_by` is deterministic. Three
+    * `min_by`s share a single `groupBy(user_id)` — one map-side-combining
+    * shuffle and NO partition sort, where the former three
+    * `row_number` windows each re-shuffled and fully sorted the (cached)
+    * strategy table. Metrics are floors of finite ratios with positive
+    * denominators, so no NaN can disturb the ordering; `revenue_rate` is
+    * the one nullable metric and nulls-last is preserved by the +Inf
+    * mapping. */
   def bestOf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val strat = strategyAgg(spark, dir) // already cached inside strategyAgg
-    val parts = bestMetrics.map { case (target, metric) =>
-      val w = Window.partitionBy($"user_id").orderBy(
-        col(metric).desc, $"condition_holding_days", $"condition_target_return",
-        $"condition_buy_cci_threshold", $"condition_stop_loss_cci_threshold")
-      strat.withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .drop("rn")
-        .withColumn("investment_target", lit(target))
+    val cols = strat.columns.toSeq
+    val full = struct(cols.map(col): _*)
+    def ordKey(metric: String) = struct(
+      when(col(metric).isNotNull, -col(metric))
+        .otherwise(lit(Double.PositiveInfinity)).as("neg_metric"),
+      $"condition_holding_days", $"condition_target_return",
+      $"condition_buy_cci_threshold", $"condition_stop_loss_cci_threshold")
+    val aggs = bestMetrics.map { case (target, metric) =>
+      min_by(full, ordKey(metric)).as(s"best_$target")
     }
-    parts.reduce(_ unionByName _)
+    val best = strat.groupBy($"user_id").agg(aggs.head, aggs.tail: _*)
+    val rows = explode(array(bestMetrics.map { case (target, _) =>
+      struct(col(s"best_$target").as("r"), lit(target).as("investment_target"))
+    }: _*))
+    best.select(rows.as("e"))
+      .select(cols.map(c => col(s"e.r.$c").as(c)) :+ $"e.investment_target".as("investment_target"): _*)
       .orderBy($"investment_target", $"user_id")
   }
 

@@ -645,12 +645,22 @@ object TextAnalysis {
         .filter($"term" =!= "")
         .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf")))
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"tf".desc, $"df".asc, $"term")
+    // per-doc top-k through the GENERIC bounded-heap aggregate
+    // (graft_topk_ord) rather than a doc-keyed row_number window: the
+    // ranking key (tf DESC, df ASC, term ASC) becomes the struct
+    // (-tf, df, term) under keep-smallest — longs negate exactly, the
+    // string tiebreak compares bytewise on both engines, and the key is
+    // unique per doc (term is in it). One partial-aggregable exchange,
+    // ≤k rows per doc per map task, no partition sort — the window form
+    // shuffled and sorted the full doc×term join output.
     tf.join(df, Seq("term"))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= TfidfTopK)
-      .select($"doc_id", $"term", $"tf", $"df", $"rk")
+      .groupBy($"doc_id")
+      .agg(graft.functions.catalyst.GraftColumns.topk_by_ord(
+        struct((-$"tf").as("ntf"), $"df", $"term"),
+        struct($"term", $"tf", $"df"), TfidfTopK).as("top"))
+      .select($"doc_id", posexplode($"top").as(Seq("pos", "t")))
+      .select($"doc_id", $"t.term".as("term"), $"t.tf".as("tf"),
+        $"t.df".as("df"), ($"pos" + 1).cast("int").as("rk"))
       .orderBy($"doc_id", $"rk")
   }
 
@@ -804,8 +814,14 @@ object TextAnalysis {
       .groupBy($"doc_id", $"cls", $"lprior")
       .agg(sum(coalesce($"lp", $"lp0")).as("sum_lp"))
       .select($"doc_id", $"cls", ($"lprior" + $"sum_lp").as("score6"))
-    val rkw = Window.partitionBy($"doc_id").orderBy($"score6".desc, $"cls")
-    val pred = scored.withColumn("rk", row_number().over(rkw)).filter($"rk" === 1)
+    // argmax per doc as a partial-aggregable min_by over the window's
+    // exact total order (score6 DESC, cls ASC) — one map-side-combining
+    // exchange instead of a doc_id re-shuffle + full partition sort.
+    // score6 is a non-null quantized-integer log score, so negation is
+    // exact and no null/NaN can disturb the struct ordering.
+    val pred = scored.groupBy($"doc_id")
+      .agg(min_by(struct($"cls", $"score6"), struct((-$"score6").as("neg"), $"cls")).as("b"))
+      .select($"doc_id", $"b.cls".as("cls"), $"b.score6".as("score6"))
     ev.select($"doc_id", $"lang").distinct()
       .join(pred, Seq("doc_id"))
       .select($"doc_id", $"lang", $"cls".as("pred_lang"),

@@ -53,13 +53,24 @@ object Similarity {
     val q = e.filter($"vec_id" % QueryStride === 0)
       .select($"vec_id".as("query_id"), $"v".as("vq"), $"norm".as("nq"))
     val c = e.select($"vec_id".as("neighbor_id"), $"v".as("vn"), $"norm".as("nn"))
-    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    // top-k through the bounded-heap aggregate, not a window: the cross
+    // join emits |queries|×|corpus| scored rows, and the row_number form
+    // shuffled ALL of them on query_id then fully sorted each partition.
+    // graft_topk's partial aggregation cuts each map task's output to ≤k
+    // rows per query BEFORE the exchange — at corpus scale the shuffle
+    // volume drops from |q|×|corpus| to |q|×k×tasks. The heap's
+    // (score DESC, id ASC) order is exactly the window's
+    // (cosine DESC, neighbor_id) total order; cosine is rounded before
+    // ranking so the oracle agrees bit-for-bit.
     q.crossJoin(c)
       .filter($"query_id" =!= $"neighbor_id")
       .withColumn("cosine", F.fr(cosine($"vq", $"vn", $"nq", $"nn"), 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= TopK)
-      .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
+      .groupBy($"query_id")
+      .agg(graft.functions.catalyst.GraftColumns
+        .topk_by($"cosine", $"neighbor_id", TopK).as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("pos", "t")))
+      .select($"query_id", ($"pos" + 1).cast("int").as("rnk"),
+        $"t.id".as("neighbor_id"), $"t.score".as("cosine"))
       .orderBy($"query_id", $"rnk")
   }
 
@@ -116,24 +127,43 @@ object Similarity {
         count(lit(1)) / 1e6).as("cv"))
     val qdims = e.filter(isQuery($"vec_id"))
       .select($"vec_id".as("query_id"), posexplode($"v").as(Seq("dim", "qv")))
-    val probeW = Window.partitionBy($"query_id").orderBy($"score".desc, $"label")
+    // Both rank stages run through the bounded-heap aggregate, not
+    // windows. The quantized probe score (≤ ~32·1e9 in magnitude) is an
+    // exact double, so (score DESC, label ASC) survives the cast; the
+    // heap replaces the cell-rank window's re-shuffle + full sort with a
+    // partial-aggregable exchange.
+    val tk = graft.functions.catalyst.GraftColumns.topk_by _
     val probes = qdims.join(centroids, Seq("dim"))
       .groupBy($"query_id", $"label")
       .agg(sum(floor($"qv" * $"cv" * 1e9).cast("long")).as("score"))
-      .withColumn("cell_rank", row_number().over(probeW))
-      .filter($"cell_rank" <= IvfProbes)
-      .select($"query_id", $"label")
+      .groupBy($"query_id")
+      .agg(tk($"score".cast("double"), $"label".cast("long"), IvfProbes).as("cells"))
+      .select($"query_id", explode($"cells.id").as("lbl"))
+      .select($"query_id", $"lbl".cast("int").as("label"))
     val q = e.filter(isQuery($"vec_id"))
       .select($"vec_id".as("query_id"), $"v".as("vq"), $"norm".as("nq"))
     val c = e.select($"vec_id".as("neighbor_id"), $"v".as("vn"), $"norm".as("nn"), $"label")
-    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    // Final top-k: the window form shuffled EVERY probed-cell candidate
+    // on query_id and sorted each partition — with a corpus-scale query
+    // side (s07/d09 run this core with every vector as a query) that is
+    // the whole candidate volume, |q| × probed-cell size. The heap cuts
+    // each map task to ≤k rows per query before the exchange. A vector
+    // has exactly ONE label, so the post-rank label fetch is a 1:1
+    // equi-join back to the (cached) corpus frame — |q|·k vs |corpus|
+    // rows, broadcast at serving strides, a plain hash join when the
+    // query side is the corpus itself; either way it moves k rows per
+    // query, never the candidate fan-out the window form shuffled.
     probes
       .join(c, Seq("label"))
       .join(q, Seq("query_id"))
       .filter($"query_id" =!= $"neighbor_id")
       .withColumn("cosine", F.fr(cosine($"vq", $"vn", $"nq", $"nn"), 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= TopK)
+      .groupBy($"query_id")
+      .agg(tk($"cosine", $"neighbor_id", TopK).as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("pos", "t")))
+      .select($"query_id", ($"pos" + 1).cast("int").as("rnk"),
+        $"t.id".as("neighbor_id"), $"t.score".as("cosine"))
+      .join(e.select($"vec_id".as("neighbor_id"), $"label"), Seq("neighbor_id"))
       .select($"query_id", $"rnk", $"neighbor_id", $"label", $"cosine")
   }
 

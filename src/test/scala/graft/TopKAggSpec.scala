@@ -111,6 +111,66 @@ class TopKAggSpec extends AnyFunSuite {
     assert(twin.contains("Window"))
   }
 
+  // ------------------------------------------------------- graft_topk_ord
+  test("topk_ord ≡ window on a mixed-type (long DESC, long ASC, string ASC) key") {
+    // the t10 shape: rank by (tf DESC, df ASC, term ASC) with a STRING
+    // tiebreak; 13 partitions force the serialize/merge path for the
+    // generic UnsafeRow-shipped buffers; heavy score collisions make the
+    // string tiebreak decide ranks
+    val rows = (0L until 600L).map { i =>
+      (s"d${i % 5}", s"t${i % 11}x${i % 3}", i % 4 + 1, i % 6 + 1)
+    }
+    val df = rows.toDF("doc", "term", "tf", "dfreq")
+      .groupBy($"doc", $"term")
+      .agg(max($"tf").as("tf"), max($"dfreq").as("dfreq"))
+      .repartition(13)
+
+    val agg = df.groupBy($"doc")
+      .agg(GraftColumns.topk_by_ord(
+        struct((-$"tf").as("ntf"), $"dfreq", $"term"),
+        struct($"term", $"tf", $"dfreq"), 7).as("top"))
+      .select($"doc", posexplode($"top").as(Seq("pos", "t")))
+      .select($"doc", ($"pos" + 1).cast("int").as("rk"),
+        $"t.term".as("term"), $"t.tf".as("tf"), $"t.dfreq".as("dfreq"))
+      .orderBy($"doc", $"rk").collect().toSeq
+
+    val win = df.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc")
+          .orderBy($"tf".desc, $"dfreq".asc, $"term")).cast("int"))
+      .filter($"rk" <= 7)
+      .select($"doc", $"rk", $"term", $"tf", $"dfreq")
+      .orderBy($"doc", $"rk").collect().toSeq
+
+    assert(agg.nonEmpty)
+    assert(agg == win)
+  }
+
+  test("topk_ord skips null keys/payloads and handles k > group size") {
+    val df = Seq[(String, java.lang.Long, String)](
+      ("a", 3L, "x"), ("a", null, "y"), ("a", 1L, null), ("a", 2L, "z"))
+      .toDF("g", "ord", "p")
+    val out = df.groupBy($"g")
+      .agg(GraftColumns.topk_by_ord($"ord", $"p", 10).as("top"))
+      .select(explode($"top").as("p")).collect().map(_.getString(0)).toSeq
+    assert(out == Seq("z", "x")) // ord 2 < 3; null ord and null payload skipped
+  }
+
+  test("graft_topk_ord is callable from SQL and rejects unorderable keys") {
+    SqlSurface.ensureFunctions(spark)
+    Seq(("a", "p1", 2.0), ("a", "p2", 1.0), ("b", "p3", 5.0))
+      .toDF("g", "p", "v").createOrReplaceTempView("topk_ord_probe")
+    val out = spark.sql(
+      "SELECT g, graft_topk_ord(v, p, 1) AS top FROM topk_ord_probe GROUP BY g")
+      .select($"g", $"top"(0).as("p"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(out == Map("a" -> "p2", "b" -> "p3")) // smallest v survives
+    val e = intercept[Exception] {
+      spark.sql("SELECT g, graft_topk_ord(map('k', v), p, 1) FROM topk_ord_probe GROUP BY g")
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("buffer: eviction keeps the k best under the (score desc, id asc) order") {
     val b = new TopKBuffer(3)
     Seq((1.0, 10L), (5.0, 11L), (3.0, 12L), (5.0, 9L), (0.5, 13L), (3.0, 1L))
