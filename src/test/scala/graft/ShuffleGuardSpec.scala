@@ -86,7 +86,22 @@ class ShuffleGuardSpec extends AnyFunSuite {
     // shuffles + the single argmax agg exchange + the output sort. At the
     // test SF the upstream joins all broadcast, leaving exactly those
     // two; a regression back to per-metric windows shows up as +2 here.
-    "r08_best_of" -> 2
+    "r08_best_of" -> 2,
+    // round-11 rank-window → heap/min_by swaps: each budget is the count
+    // a window regression would break (+1 window hash exchange and a
+    // whole-partition sort each).
+    // s01: heap agg exchange + output sort — the q×corpus cross join
+    // feeds the heap map-side, nothing else shuffles
+    "s01_ann_bruteforce" -> 2,
+    // t10: tf agg + df agg riding tf's term partitioning + the heap's
+    // doc exchange/sort path — a 4th data exchange means the per-doc
+    // rank regressed to a window
+    "t10_tfidf" -> 3,
+    // t13: the NB train/score chain (tokenize aggs, model joins kept as
+    // SHUFFLE joins by design — 100 TB vocab must not broadcast — plus
+    // distinct/eval splits); the per-doc argmax is the min_by agg, so a
+    // 19th exchange means the argmax window came back
+    "t13_nb_classifier" -> 18
   )
 
   test("shuffle guard: audited queries keep their exchange counts") {
