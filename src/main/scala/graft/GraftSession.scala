@@ -22,6 +22,17 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ObjectHashAggregate (the physical home of graft_topk /
+      // graft_topk_ord / the sketch aggregates) spills to SORT-based
+      // aggregation after this many distinct keys per task — the 128
+      // default assumes unbounded per-group state, but every typed
+      // aggregate this engine plans there is k-bounded (heaps) or
+      // constant-size (sketches), so the hash path is safe far beyond
+      // it. 64k entries × a k≤25 heap of ~100 B payloads ≈ 160 MB
+      // worst-case per task; the sort fallback past that is still the
+      // correct memory backstop, this just stops it from engaging on
+      // every corpus-keyed (doc_id, query_id) aggregation at key 129.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(): SparkSession = {

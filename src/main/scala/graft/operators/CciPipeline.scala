@@ -94,18 +94,33 @@ object CciPipeline {
     * daily connector-fetch path ([[graft.Daily]]), so the two cannot fork. */
   def barsFromEvents(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
-    // Single-pass bars: open/close via min_by/max_by on the (ts, event_id)
-    // struct (unique per event, so deterministic) — one shuffle + hash agg.
-    // The prior formulation ranked with TWO window sorts (asc + desc
-    // row_number) before aggregating; the oracle keeps that row_number
-    // formulation, so the hash gate proves the two agree bit-for-bit.
+    // Single-pass bars: open/close ordered by the (ts, event_id) event key
+    // (unique per event, so deterministic) — one shuffle. The prior
+    // formulation ranked with TWO window sorts (asc + desc row_number)
+    // before aggregating; the oracle keeps that row_number formulation, so
+    // the hash gate proves the two agree bit-for-bit.
+    //
+    // k=1 graft_topk_ord heaps rather than struct-ordered min_by/max_by:
+    // the struct ordering makes MaxMinBy's buffer non-mutable, which
+    // forces the WHOLE aggregation (this is the flagship bars exchange —
+    // every event row passes through it) to plan as SortAggregate,
+    // re-sorting each partition by (user_id, d) on both sides of the
+    // shuffle. The typed heaps plan as ObjectHashAggregate — pure hash
+    // path up to the raised fallback threshold, sort only as the memory
+    // backstop beyond it. The ordering key is (unix_micros(ts), event_id)
+    // as exact longs — identical total order to the (ts, event_id) struct
+    // — negated for the close side (keep-smallest heap ⇒ max = min of
+    // negation; both fields are far inside Long range).
+    val tk = graft.functions.catalyst.GraftColumns.topk_by_ord _
     events
       .groupBy($"user_id", to_date($"ts").as("d"))
       .agg(
-        min_by($"value", struct($"ts", $"event_id")).as("open_pr"),
+        tk(struct(unix_micros($"ts").as("t"), $"event_id"), $"value", 1)(0)
+          .as("open_pr"),
         max($"value").as("high_pr"),
         min($"value").as("low_pr"),
-        max_by($"value", struct($"ts", $"event_id")).as("close_pr"),
+        tk(struct((-unix_micros($"ts")).as("t"), (-$"event_id").as("e")), $"value", 1)(0)
+          .as("close_pr"),
         count(lit(1)).as("volume"))
   }
 
@@ -791,11 +806,16 @@ object CciPipeline {
     * row_number's `metric DESC NULLS LAST, conditions ASC` total order is
     * exactly a MIN over the struct (negated metric with nulls mapped to
     * +Inf, condition tiebreaks): the struct is unique per user because the
-    * conditions are the grid key, so `min_by` is deterministic. Three
-    * `min_by`s share a single `groupBy(user_id)` — one map-side-combining
-    * shuffle and NO partition sort, where the former three
-    * `row_number` windows each re-shuffled and fully sorted the (cached)
-    * strategy table. Metrics are floors of finite ratios with positive
+    * conditions are the grid key, so the argmin is deterministic. Three
+    * k=1 `graft_topk_ord` heaps share a single `groupBy(user_id)` — one
+    * map-side-combining shuffle, where the former three `row_number`
+    * windows each re-shuffled and fully sorted the (cached) strategy
+    * table. The heap aggregate (TypedImperativeAggregate) matters over
+    * the equivalent `min_by`: a struct-ordered min_by is a
+    * DeclarativeAggregate with a non-mutable buffer, which Spark can only
+    * plan as SortAggregate — re-sorting every partition by user_id on
+    * both sides of the exchange; the heap plans as ObjectHashAggregate,
+    * no sort anywhere. Metrics are floors of finite ratios with positive
     * denominators, so no NaN can disturb the ordering; `revenue_rate` is
     * the one nullable metric and nulls-last is preserved by the +Inf
     * mapping. */
@@ -810,11 +830,12 @@ object CciPipeline {
       $"condition_holding_days", $"condition_target_return",
       $"condition_buy_cci_threshold", $"condition_stop_loss_cci_threshold")
     val aggs = bestMetrics.map { case (target, metric) =>
-      min_by(full, ordKey(metric)).as(s"best_$target")
+      graft.functions.catalyst.GraftColumns
+        .topk_by_ord(ordKey(metric), full, 1).as(s"best_$target")
     }
     val best = strat.groupBy($"user_id").agg(aggs.head, aggs.tail: _*)
     val rows = explode(array(bestMetrics.map { case (target, _) =>
-      struct(col(s"best_$target").as("r"), lit(target).as("investment_target"))
+      struct(col(s"best_$target")(0).as("r"), lit(target).as("investment_target"))
     }: _*))
     best.select(rows.as("e"))
       .select(cols.map(c => col(s"e.r.$c").as(c)) :+ $"e.investment_target".as("investment_target"): _*)

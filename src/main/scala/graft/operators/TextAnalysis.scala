@@ -814,14 +814,19 @@ object TextAnalysis {
       .groupBy($"doc_id", $"cls", $"lprior")
       .agg(sum(coalesce($"lp", $"lp0")).as("sum_lp"))
       .select($"doc_id", $"cls", ($"lprior" + $"sum_lp").as("score6"))
-    // argmax per doc as a partial-aggregable min_by over the window's
+    // argmax per doc as a partial-aggregable k=1 heap over the window's
     // exact total order (score6 DESC, cls ASC) — one map-side-combining
     // exchange instead of a doc_id re-shuffle + full partition sort.
+    // graft_topk_ord, not min_by: the struct-ordered min_by only plans
+    // as SortAggregate (non-mutable buffer), which re-sorts every
+    // partition by doc_id; the heap plans as ObjectHashAggregate.
     // score6 is a non-null quantized-integer log score, so negation is
     // exact and no null/NaN can disturb the struct ordering.
     val pred = scored.groupBy($"doc_id")
-      .agg(min_by(struct($"cls", $"score6"), struct((-$"score6").as("neg"), $"cls")).as("b"))
-      .select($"doc_id", $"b.cls".as("cls"), $"b.score6".as("score6"))
+      .agg(graft.functions.catalyst.GraftColumns.topk_by_ord(
+        struct((-$"score6").as("neg"), $"cls"),
+        struct($"cls", $"score6"), 1).as("b"))
+      .select($"doc_id", $"b"(0)("cls").as("cls"), $"b"(0)("score6").as("score6"))
     ev.select($"doc_id", $"lang").distinct()
       .join(pred, Seq("doc_id"))
       .select($"doc_id", $"lang", $"cls".as("pred_lang"),
