@@ -100,28 +100,37 @@ object CciPipeline {
     // before aggregating; the oracle keeps that row_number formulation, so
     // the hash gate proves the two agree bit-for-bit.
     //
-    // k=1 graft_topk_ord heaps rather than struct-ordered min_by/max_by:
-    // the struct ordering makes MaxMinBy's buffer non-mutable, which
-    // forces the WHOLE aggregation (this is the flagship bars exchange —
-    // every event row passes through it) to plan as SortAggregate,
-    // re-sorting each partition by (user_id, d) on both sides of the
-    // shuffle. The typed heaps plan as ObjectHashAggregate — pure hash
-    // path up to the raised fallback threshold, sort only as the memory
-    // backstop beyond it. The ordering key is (unix_micros(ts), event_id)
-    // as exact longs — identical total order to the (ts, event_id) struct
-    // — negated for the close side (keep-smallest heap ⇒ max = min of
-    // negation; both fields are far inside Long range).
-    val tk = graft.functions.catalyst.GraftColumns.topk_by_ord _
     events
       .groupBy($"user_id", to_date($"ts").as("d"))
-      .agg(
-        tk(struct(unix_micros($"ts").as("t"), $"event_id"), $"value", 1)(0)
-          .as("open_pr"),
-        max($"value").as("high_pr"),
-        min($"value").as("low_pr"),
-        tk(struct((-unix_micros($"ts")).as("t"), (-$"event_id").as("e")), $"value", 1)(0)
-          .as("close_pr"),
-        count(lit(1)).as("volume"))
+      .agg(barAggs.head, barAggs.tail: _*)
+  }
+
+  /** The OHLCV aggregate list shared by every bar-building groupBy (the
+    * corpus/daily path above, r33's market-index day axis, r44's category
+    * axis) — the three folds cannot diverge.
+    *
+    * open/close are k=1 `graft_topk_ord` heaps rather than struct-ordered
+    * min_by/max_by: the struct ordering makes MaxMinBy's buffer
+    * non-mutable, which forces the WHOLE aggregation (the flagship bars
+    * exchange — every event row passes through it) to plan as
+    * SortAggregate, re-sorting each partition by the group key on both
+    * sides of the shuffle. The typed heaps plan as ObjectHashAggregate —
+    * pure hash path up to the raised fallback threshold, sort only as
+    * the memory backstop beyond it. The ordering key is
+    * (unix_micros(ts), event_id) as exact longs — identical total order
+    * to the (ts, event_id) struct — negated for the close side
+    * (keep-smallest heap ⇒ max = min of negation; both fields are far
+    * inside Long range). */
+  private def barAggs: Seq[Column] = {
+    import org.apache.spark.sql.functions.col
+    val tk = graft.functions.catalyst.GraftColumns.topk_by_ord _
+    val ts = col("ts"); val eid = col("event_id"); val v = col("value")
+    Seq(
+      tk(struct(unix_micros(ts).as("t"), eid.as("e")), v, 1)(0).as("open_pr"),
+      max(v).as("high_pr"),
+      min(v).as("low_pr"),
+      tk(struct((-unix_micros(ts)).as("t"), (-eid).as("e")), v, 1)(0).as("close_pr"),
+      count(lit(1)).as("volume"))
   }
 
   private val barsCte: String =
@@ -157,16 +166,21 @@ object CciPipeline {
     * unionByName first). */
   def upsertKeepLast(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // Keep-last as one max_by hash aggregation on the unique (ts, event_id)
-    // struct — one shuffle, no per-partition sort, and (unlike the window
-    // rank) map-side partial aggregation halves what shuffles. The oracle
-    // keeps the row_number formulation; the hash gate proves equality.
+    // Keep-last as ONE k=1 heap aggregation on the unique (ts, event_id)
+    // key — one shuffle, no per-partition sort, map-side partial
+    // aggregation halves what shuffles. graft_topk_ord (ObjectHash path)
+    // rather than struct-ordered max_by (whose non-mutable buffer planned
+    // this as SortAggregate — see barsFromEvents); one heap carries BOTH
+    // kept fields, where the max_by form evaluated two aggregates over
+    // the same ordering. The oracle keeps the row_number formulation; the
+    // hash gate proves equality.
     Tables.events(spark, dir)
       .groupBy($"user_id", to_date($"ts").as("d"), $"event_type")
-      .agg(
-        max_by($"event_id", struct($"ts", $"event_id")).as("event_id"),
-        max_by($"value", struct($"ts", $"event_id")).as("value"))
-      .select($"user_id", $"d", $"event_type", $"event_id", $"value")
+      .agg(graft.functions.catalyst.GraftColumns.topk_by_ord(
+        struct((-unix_micros($"ts")).as("t"), (-$"event_id").as("e")),
+        struct($"event_id", $"value"), 1)(0).as("last"))
+      .select($"user_id", $"d", $"event_type",
+        $"last.event_id".as("event_id"), $"last.value".as("value"))
       .orderBy($"user_id", $"d", $"event_type")
   }
 
@@ -1118,13 +1132,25 @@ object CciPipeline {
     // be TOTAL: the feed can repeat a (order, line) report key, so
     // qty/price break the tie — otherwise keep-last is
     // engine-nondeterministic under ties.
+    // k=1 heap per leg (ObjectHash path; the struct-ordered max_by form
+    // planned the whole keep-last as SortAggregate — see barAggs). The
+    // DESC order negates every component (dates via exact unix_date
+    // days); rows of the other leg contribute a null ordering key and
+    // are skipped by the heap exactly as max_by skipped them. `get`
+    // (null past the end), not `(0)`: an order with reports on only one
+    // leg leaves the other heap EMPTY, and ANSI GetArrayItem would throw
+    // where max_by returned null.
     def legLast(legMod: Int) = {
       val isLeg = $"l_linenumber" % 2 === legMod
-      max_by(
+      get(graft.functions.catalyst.GraftColumns.topk_by_ord(
+        when(isLeg, struct(
+          (-unix_date(to_date($"l_shipdate"))).as("d"),
+          (-$"l_linenumber").as("ln"),
+          (-$"l_quantity").as("q"),
+          (-$"l_extendedprice").as("p"))),
         when(isLeg, struct(to_date($"l_shipdate").as("exec_date"),
           $"l_quantity", $"l_extendedprice")),
-        when(isLeg, struct(to_date($"l_shipdate"), $"l_linenumber",
-          $"l_quantity", $"l_extendedprice")))
+        1), lit(0))
     }
     def fills(s: org.apache.spark.sql.Column) = Seq(
       s.getField("exec_date"),
@@ -1648,12 +1674,7 @@ object CciPipeline {
     import spark.implicits._
     val ibars = Tables.events(spark, dir)
       .groupBy(to_date($"ts").as("d"))
-      .agg(
-        min_by($"value", struct($"ts", $"event_id")).as("open_pr"),
-        max($"value").as("high_pr"),
-        min($"value").as("low_pr"),
-        max_by($"value", struct($"ts", $"event_id")).as("close_pr"),
-        count(lit(1)).as("volume"))
+      .agg(barAggs.head, barAggs.tail: _*)
       // Deliberate single index series, spelled NON-FOLDABLY (SURVEY §5
       // convention): a bare lit(-1L) constant-folds out of cciFromBars's
       // window partitionSpec, leaving `WindowExec: No Partition Defined` —
@@ -1731,12 +1752,7 @@ object CciPipeline {
     import spark.implicits._
     val cbars = Tables.events(spark, dir)
       .groupBy($"event_type", to_date($"ts").as("d"))
-      .agg(
-        min_by($"value", struct($"ts", $"event_id")).as("open_pr"),
-        max($"value").as("high_pr"),
-        min($"value").as("low_pr"),
-        max_by($"value", struct($"ts", $"event_id")).as("close_pr"),
-        count(lit(1)).as("volume"))
+      .agg(barAggs.head, barAggs.tail: _*)
       .withColumn("user_id", xxhash64($"event_type"))
     cciFromBars(cbars, GridConfig())
       .filter($"close_cci".isNotNull)

@@ -360,9 +360,13 @@ object Relational {
     val ps = Tables.lineitem(spark, dir)
       .groupBy($"l_partkey", $"l_suppkey")
       .agg(min(F.fr($"l_extendedprice" / $"l_quantity", 2)).as("unit_price"))
+    // k=1 heap, not struct-ordered min_by: the struct ordering would plan
+    // this as SortAggregate (see CciPipeline.barAggs); the heap keeps the
+    // ObjectHash path with the identical (price, suppkey) total order
     val best = ps.groupBy($"l_partkey")
-      .agg(min_by(struct($"l_suppkey", $"unit_price"),
-        struct($"unit_price", $"l_suppkey")).as("b"))
+      .agg(graft.functions.catalyst.GraftColumns.topk_by_ord(
+        struct($"unit_price", $"l_suppkey"),
+        struct($"l_suppkey", $"unit_price"), 1)(0).as("b"))
       .select($"l_partkey", $"b.l_suppkey".as("best_suppkey"),
         $"b.unit_price".as("best_unit_price"))
     best
