@@ -125,7 +125,7 @@ object ScalingProbe {
         out("m06_uniq") =
           timed(graft.multimodal.Multimodal.imagePhashFrom(payload(uniq)))
     }
-    val asofEntries = Seq("asof_native", "asof_composed", "asof_skew")
+    val asofEntries = Seq("asof_native", "asof_composed", "asof_skew", "r02_bars")
     if (probes("asof") || asofEntries.exists(probes)) {
       // q47's claim measured: the native AsOfJoinExec (one key shuffle per
       // side + in-partition merge) vs the composed window+join-back form
@@ -141,6 +141,13 @@ object ScalingProbe {
           $"event_type", $"value", $"props"),
         s"$asofDir/events.parquet")
       val evRep = graft.sources.Tables.events(spark, asofDir)
+      if (on("asof", "r02_bars"))
+        // the flagship bars aggregation on the user-shifted corpus: group
+        // count (users × days) grows ∝ mult, so per-task distinct groups
+        // cross the ObjectHashAggregate hash/sort fallback boundary at
+        // high multiples — the probe shows the k=1 heap form stays
+        // scan-bound on BOTH sides of the 65536-entry threshold
+        out("r02_bars") = timed(graft.operators.CciPipeline.barsFromEvents(evRep))
       if (on("asof", "asof_native"))
         out("asof_native") = timed(graft.operators.AsOfNative.asofNativeFrom(evRep))
       if (on("asof", "asof_composed"))
