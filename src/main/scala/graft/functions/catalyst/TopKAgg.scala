@@ -290,7 +290,12 @@ case class TopKByOrdering(ordKey: Expression, payload: Expression, k: Int,
     while (i < buf.size) {
       pairRow.update(0, buf.keys(i))
       pairRow.update(1, buf.vals(i))
-      chunks(i) = serProj.apply(pairRow).getBytes()
+      // UnsafeRow.getBytes returns the projection's REUSED backing buffer
+      // (no copy) whenever sizeInBytes equals the buffer length exactly —
+      // e.g. fixed-size struct payloads. Copy per pair or later apply()
+      // calls overwrite earlier chunks.
+      val ur = serProj.apply(pairRow)
+      chunks(i) = java.util.Arrays.copyOf(ur.getBytes(), ur.getSizeInBytes())
       total += 4 + chunks(i).length
       i += 1
     }

@@ -155,6 +155,37 @@ class TopKAggSpec extends AnyFunSuite {
     assert(out == Seq("z", "x")) // ord 2 < 3; null ord and null payload skipped
   }
 
+  test("topk_ord serialize copies exact-fit UnsafeRows (fixed-size struct payload, k>1)") {
+    // A payload struct of 3 longs serializes to exactly the writer's
+    // initial varlen reservation, so UnsafeRow.getBytes returns the
+    // projection's REUSED buffer without copying. With k>1 a serialize()
+    // that aliases that buffer ships k copies of the LAST pair; 13
+    // partitions force every partial heap through serialize/merge.
+    val rows = (0L until 400L).map(i => (s"g${i % 4}", i, i * 2, i * 3))
+    val df = rows.toDF("g", "a", "b", "c").repartition(13)
+
+    val agg = df.groupBy($"g")
+      .agg(GraftColumns.topk_by_ord(
+        $"a", struct($"a", $"b", $"c"), 5).as("top"))
+      .select($"g", posexplode($"top").as(Seq("pos", "t")))
+      .select($"g", ($"pos" + 1).cast("int").as("rk"),
+        $"t.a".as("a"), $"t.b".as("b"), $"t.c".as("c"))
+      .orderBy($"g", $"rk").collect().toSeq
+
+    val win = df.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"g")
+          .orderBy($"a".asc)).cast("int"))
+      .filter($"rk" <= 5)
+      .select($"g", $"rk", $"a", $"b", $"c")
+      .orderBy($"g", $"rk").collect().toSeq
+
+    assert(agg.nonEmpty)
+    assert(agg == win)
+    // every payload in a group must be distinct — the aliasing bug makes
+    // all k entries clones of the last inserted pair
+    assert(agg.map(r => (r.getString(0), r.getLong(2))).distinct.size == agg.size)
+  }
+
   test("graft_topk_ord is callable from SQL and rejects unorderable keys") {
     SqlSurface.ensureFunctions(spark)
     Seq(("a", "p1", 2.0), ("a", "p2", 1.0), ("b", "p3", 5.0))
