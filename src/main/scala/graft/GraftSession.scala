@@ -32,6 +32,17 @@ object GraftSession {
       // worst-case per task; the sort fallback past that is still the
       // correct memory backstop, this just stops it from engaging on
       // every corpus-keyed (doc_id, query_id) aggregation at key 129.
+      //
+      // INVARIANT (session-global, so it binds every typed aggregate):
+      // per-group buffer state must be BOUNDED — k-heaps, fixed-size
+      // sketches, or groups bounded upstream. The raise weakens the
+      // sort-fallback memory backstop 512x for anything unbounded.
+      // Current collect_list/collect_set sites comply because their
+      // groups are bounded before the collect (Dedup span groups are
+      // per-document n-gram windows; Daily reco lists are per-user and
+      // dimension-scale); a NEW operator collecting unbounded lists over
+      // corpus-scale groups must scope this config back down around its
+      // own execution (withSQLConf) rather than rely on the session value.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.ui.enabled", "false")
 

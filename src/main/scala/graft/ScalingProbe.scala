@@ -75,7 +75,7 @@ object ScalingProbe {
     val out = scala.collection.mutable.LinkedHashMap[String, Double]()
     // group key or the entry's own name selects it; entry-name selection
     // is the per-entry fresh-JVM mode
-    def on(group: String, name: String) = probes(group) || probes(name)
+    def on(group: String, names: String*) = probes(group) || names.exists(probes)
     if (on("linear", "d10"))
       out("d10") = timed(graft.dedup.Dedup.normalizedDedupFrom(hot))
     if (on("linear", "d11"))
@@ -125,7 +125,7 @@ object ScalingProbe {
         out("m06_uniq") =
           timed(graft.multimodal.Multimodal.imagePhashFrom(payload(uniq)))
     }
-    val asofEntries = Seq("asof_native", "asof_composed", "asof_skew", "r02_bars")
+    val asofEntries = Seq("asof_native", "asof_composed", "asof_skew", "asof_skew_split", "r02_bars")
     if (probes("asof") || asofEntries.exists(probes)) {
       // q47's claim measured: the native AsOfJoinExec (one key shuffle per
       // side + in-partition merge) vs the composed window+join-back form
@@ -152,7 +152,7 @@ object ScalingProbe {
         out("asof_native") = timed(graft.operators.AsOfNative.asofNativeFrom(evRep))
       if (on("asof", "asof_composed"))
         out("asof_composed") = timed(graft.operators.AsOfNative.asofComposedFrom(evRep))
-      if (on("asof", "asof_skew")) {
+      if (on("asof", "asof_skew", "asof_skew_split")) {
         // ZIPF-keyed variant: the uniform replication above widens the
         // series axis but never stresses a hot key. Here user ranks
         // follow 1/r over 40 users (rank 1 ≈ 15% of mult×1M events — the
@@ -176,7 +176,23 @@ object ScalingProbe {
           (pmod(xxhash64($"id", lit("asofv")), lit(10000L)).cast("double") / 100.0)
             .as("value")),
           s"/tmp/graft_scale_asofskew_$mult")
-        out("asof_skew") = timed(graft.operators.AsOfNative.asofNativeFrom(evZ))
+        // both variants on the SAME corpus: plain (split forced off) shows
+        // the one-task hot key; split (thresholds forced on) must bound
+        // the max task at chunk- not key-scale and match plain's rows
+        import graft.plans.AsOf
+        if (on("asof", "asof_skew")) {
+          spark.conf.set(AsOf.SplitChunksConf, "0")
+          out("asof_skew") = timed(graft.operators.AsOfNative.asofNativeFrom(evZ))
+        }
+        if (on("asof", "asof_skew_split")) {
+          spark.conf.set(AsOf.SplitChunksConf, "16")
+          spark.conf.set(AsOf.SplitMinBuildBytesConf, "1")
+          spark.conf.set(AsOf.SplitHotKeyRowsConf, "1000000")
+          out("asof_skew_split") =
+            timed(graft.operators.AsOfNative.asofNativeFrom(evZ))
+        }
+        Seq(AsOf.SplitChunksConf, AsOf.SplitMinBuildBytesConf,
+          AsOf.SplitHotKeyRowsConf).foreach(spark.conf.unset)
       }
     }
     if (probes("trade") || probes("r06_trade")) {

@@ -126,10 +126,13 @@ object CciPipeline {
     val tk = graft.functions.catalyst.GraftColumns.topk_by_ord _
     val ts = col("ts"); val eid = col("event_id"); val v = col("value")
     Seq(
-      tk(struct(unix_micros(ts).as("t"), eid.as("e")), v, 1)(0).as("open_pr"),
+      // get(·, 0) not (0): the heap skips null payloads, so an all-null
+      // group yields an EMPTY array — ANSI GetArrayItem would throw where
+      // the replaced min_by returned null
+      get(tk(struct(unix_micros(ts).as("t"), eid.as("e")), v, 1), lit(0)).as("open_pr"),
       max(v).as("high_pr"),
       min(v).as("low_pr"),
-      tk(struct((-unix_micros(ts)).as("t"), (-eid).as("e")), v, 1)(0).as("close_pr"),
+      get(tk(struct((-unix_micros(ts)).as("t"), (-eid).as("e")), v, 1), lit(0)).as("close_pr"),
       count(lit(1)).as("volume"))
   }
 
@@ -176,9 +179,9 @@ object CciPipeline {
     // hash gate proves equality.
     Tables.events(spark, dir)
       .groupBy($"user_id", to_date($"ts").as("d"), $"event_type")
-      .agg(graft.functions.catalyst.GraftColumns.topk_by_ord(
+      .agg(get(graft.functions.catalyst.GraftColumns.topk_by_ord(
         struct((-unix_micros($"ts")).as("t"), (-$"event_id").as("e")),
-        struct($"event_id", $"value"), 1)(0).as("last"))
+        struct($"event_id", $"value"), 1), lit(0)).as("last"))
       .select($"user_id", $"d", $"event_type",
         $"last.event_id".as("event_id"), $"last.value".as("value"))
       .orderBy($"user_id", $"d", $"event_type")
@@ -849,7 +852,7 @@ object CciPipeline {
     }
     val best = strat.groupBy($"user_id").agg(aggs.head, aggs.tail: _*)
     val rows = explode(array(bestMetrics.map { case (target, _) =>
-      struct(col(s"best_$target")(0).as("r"), lit(target).as("investment_target"))
+      struct(get(col(s"best_$target"), lit(0)).as("r"), lit(target).as("investment_target"))
     }: _*))
     best.select(rows.as("e"))
       .select(cols.map(c => col(s"e.r.$c").as(c)) :+ $"e.investment_target".as("investment_target"): _*)

@@ -243,22 +243,55 @@ object Relational {
       |FROM events_us
       |ORDER BY user_id, event_id""".stripMargin
 
-  /** Distinct-count profile per return flag. */
+  /** Distinct-count profile per return flag, plus the top-3 most-lined
+    * parts per flag. The top-k runs through a k=3 `graft_topk_ord` heap
+    * over the exact-integer (line count DESC, partkey ASC) order — the
+    * per-(flag, part) counts aggregate map-side on their own shuffle,
+    * then the 3-row-per-flag result broadcasts back onto the 3-row
+    * distinct-count frame; no window, no corpus re-shuffle. */
   def q12DistinctTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.lineitem(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val dc = li
       .groupBy($"l_returnflag")
       .agg(countDistinct($"l_partkey").as("n_parts"),
         countDistinct($"l_suppkey").as("n_supps"),
         countDistinct($"l_orderkey").as("n_orders"))
+    val tk = graft.functions.catalyst.GraftColumns.topk_by_ord _
+    val top = li
+      .groupBy($"l_returnflag", $"l_partkey")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"l_returnflag")
+      .agg(tk(struct((-$"cnt").as("nc"), $"l_partkey"), $"l_partkey", 3).as("tp"))
+      .select($"l_returnflag",
+        get($"tp", lit(0)).as("top_part1"),
+        get($"tp", lit(1)).as("top_part2"),
+        get($"tp", lit(2)).as("top_part3"))
+    dc.join(broadcast(top), Seq("l_returnflag"))
       .orderBy($"l_returnflag")
   }
 
   val q12Sql: String =
-    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
-      |  count(DISTINCT l_suppkey) AS n_supps, count(DISTINCT l_orderkey) AS n_orders
-      |FROM lineitem
-      |GROUP BY l_returnflag
+    """WITH dc AS (
+      |  SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      |    count(DISTINCT l_suppkey) AS n_supps, count(DISTINCT l_orderkey) AS n_orders
+      |  FROM lineitem GROUP BY l_returnflag),
+      |pc AS (
+      |  SELECT l_returnflag, l_partkey, count(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT l_returnflag, l_partkey,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY cnt DESC, l_partkey) AS rn
+      |  FROM pc),
+      |tp AS (
+      |  SELECT l_returnflag,
+      |    max(CASE WHEN rn = 1 THEN l_partkey END) AS top_part1,
+      |    max(CASE WHEN rn = 2 THEN l_partkey END) AS top_part2,
+      |    max(CASE WHEN rn = 3 THEN l_partkey END) AS top_part3
+      |  FROM rk WHERE rn <= 3 GROUP BY l_returnflag)
+      |SELECT dc.l_returnflag, n_parts, n_supps, n_orders,
+      |  top_part1, top_part2, top_part3
+      |FROM dc JOIN tp USING (l_returnflag)
       |ORDER BY l_returnflag""".stripMargin
 
   /** Exact interpolated percentiles of order value per status.
@@ -364,9 +397,9 @@ object Relational {
     // this as SortAggregate (see CciPipeline.barAggs); the heap keeps the
     // ObjectHash path with the identical (price, suppkey) total order
     val best = ps.groupBy($"l_partkey")
-      .agg(graft.functions.catalyst.GraftColumns.topk_by_ord(
+      .agg(get(graft.functions.catalyst.GraftColumns.topk_by_ord(
         struct($"unit_price", $"l_suppkey"),
-        struct($"l_suppkey", $"unit_price"), 1)(0).as("b"))
+        struct($"l_suppkey", $"unit_price"), 1), lit(0)).as("b"))
       .select($"l_partkey", $"b.l_suppkey".as("best_suppkey"),
         $"b.unit_price".as("best_unit_price"))
     best

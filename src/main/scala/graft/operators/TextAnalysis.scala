@@ -826,7 +826,8 @@ object TextAnalysis {
       .agg(graft.functions.catalyst.GraftColumns.topk_by_ord(
         struct((-$"score6").as("neg"), $"cls"),
         struct($"cls", $"score6"), 1).as("b"))
-      .select($"doc_id", $"b"(0)("cls").as("cls"), $"b"(0)("score6").as("score6"))
+      .select($"doc_id", get($"b", lit(0))("cls").as("cls"),
+        get($"b", lit(0))("score6").as("score6"))
     ev.select($"doc_id", $"lang").distinct()
       .join(pred, Seq("doc_id"))
       .select($"doc_id", $"lang", $"cls".as("pred_lang"),

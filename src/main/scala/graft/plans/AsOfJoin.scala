@@ -220,6 +220,34 @@ object AsOf {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
 
+  // ------------------------------------------------- hot-key time-split
+  // The exact per-key merge requires each key's FULL history in one
+  // sorted task. Under a Zipf head (the reference's large-cap symbols)
+  // the rank-1 key is ~15% of the corpus — at 100 TB that is one ~15 TB
+  // task by construction. Mitigation: range-split hot keys on TIME into
+  // `chunks` buckets (the shuffle key becomes (key, chunk)), and carry
+  // each chunk's final-instant right row into every LATER chunk so the
+  // backward merge's boundary candidate is present locally — the stitch
+  // is exact, proven by AsOfSplitSpec's row-for-row equality against the
+  // unsplit plan. Engages automatically when the build (right) side's
+  // plan-stat size exceeds [[SplitMinBuildBytesConf]] AND a runtime
+  // per-key count pass finds keys above [[SplitHotKeyRowsConf]] rows.
+
+  /** Time chunks per hot key; <= 1 disables splitting entirely. */
+  val SplitChunksConf = "spark.graft.asof.split.chunks"
+  /** Build-side plan-stat bytes below which the split never engages (the
+    * per-key count pass is an extra scan — don't pay it on small builds). */
+  val SplitMinBuildBytesConf = "spark.graft.asof.split.minBuildBytes"
+  /** Right-side rows per key above which the key counts as hot. */
+  val SplitHotKeyRowsConf = "spark.graft.asof.split.hotKeyRows"
+
+  private val DefaultChunks = 16
+  private val DefaultMinBuildBytes: Long = 1L << 30 // 1 GiB
+  private val DefaultHotKeyRows: Long = 2000000L
+  /** Hot keys are collected into a broadcast bounds table; by construction
+    * |hot| <= buildRows / hotKeyRows, but guard the broadcast anyway. */
+  private val MaxHotKeys: Long = 100000L
+
   /** As-of join `left` to `right`.
     *
     * @param on        (leftKeyCol, rightKeyCol) equi-key pairs (types must
@@ -240,6 +268,32 @@ object AsOf {
     */
   def join(left: DataFrame, right: DataFrame, on: Seq[(String, String)],
       leftTime: String, rightTime: String,
+      toleranceUs: Option[Long] = None, forward: Boolean = false,
+      rightTieBreak: Option[String] = None): DataFrame = {
+    require(on.nonEmpty, "as-of join needs at least one equi-key")
+    val spark = left.sparkSession
+    val chunks = spark.conf.get(SplitChunksConf, DefaultChunks.toString).toInt
+    val minBytes =
+      spark.conf.get(SplitMinBuildBytesConf, DefaultMinBuildBytes.toString).toLong
+    // streaming frames can't run the hot-key count action; tie types the
+    // heap can't order descending fall back too (see joinTimeSplit)
+    val splittable = chunks > 1 && !left.isStreaming && !right.isStreaming &&
+      rightTieBreak.forall(t => right.schema.find(f =>
+        spark.sessionState.conf.resolver(f.name, t))
+        .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])) &&
+      right.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes
+    if (splittable) {
+      val hotRows =
+        spark.conf.get(SplitHotKeyRowsConf, DefaultHotKeyRows.toString).toLong
+      joinTimeSplit(left, right, on, leftTime, rightTime, toleranceUs,
+        forward, rightTieBreak, chunks, hotRows)
+    } else joinPlain(left, right, on, leftTime, rightTime, toleranceUs,
+      forward, rightTieBreak)
+  }
+
+  /** The unsplit native join — one exchange per side on the raw keys. */
+  private[graft] def joinPlain(left: DataFrame, right: DataFrame,
+      on: Seq[(String, String)], leftTime: String, rightTime: String,
       toleranceUs: Option[Long] = None, forward: Boolean = false,
       rightTieBreak: Option[String] = None): DataFrame = {
     require(on.nonEmpty, "as-of join needs at least one equi-key")
@@ -281,5 +335,130 @@ object AsOf {
     GraftShim.ofRows(spark,
       AsOfJoinPlan(lPlan, rPlan, lKeys, rKeys, lTime, rTime, toleranceUs,
         forward, tie))
+  }
+
+  /** The hot-key time-split. Exactness argument (backward; forward is the
+    * mirror): a left row at time t in chunk c matches the globally-latest
+    * right row <= t. That row is either (a) in chunk c — present in c's
+    * partition; or (b) the final-instant row of the LAST non-empty chunk
+    * c' < c — carried into c (every chunk's final-instant winner is
+    * replicated to all later chunks, and any carried row from a chunk
+    * before c' has a strictly earlier time, so the merge's keep-latest
+    * picks the true match). Carried times are < chunk-c's start <= t, so
+    * no carried row can overshoot; tolerance is applied by the merge
+    * itself, unchanged. Exact (key, time) duplicates share a chunk, so
+    * the tiebreak semantics are untouched in-chunk, and the carried
+    * winner per chunk is chosen by the SAME (time, tie) order the merge's
+    * keep-last would apply.
+    *
+    * Cost when engaged: one count/min/max pass over the build side (the
+    * hot-key table, broadcast), one k=1-heap aggregation over the hot
+    * subset (map-side partial, ObjectHash path) for the carried rows, and
+    * the join's own two exchanges now keyed (key, chunk) — max task input
+    * ∝ chunk, not key. Non-hot keys ride chunk 0: their partitioning is
+    * what it was. Hotness is judged on the BUILD side (the verdict's
+    * contract); a probe-side-only hot key still sorts in one task — if
+    * that shape ever dominates, extend the hot set with a left-side count
+    * pass (the chunk/carry machinery is side-agnostic given right-side
+    * time bounds). */
+  private[graft] def joinTimeSplit(lhs: DataFrame, rhs: DataFrame,
+      on: Seq[(String, String)], leftTime: String, rightTime: String,
+      toleranceUs: Option[Long], forward: Boolean,
+      rightTieBreak: Option[String], chunks: Int, hotRows: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType => LongT, ShortType, TimestampType => TsT}
+    val spark = lhs.sparkSession
+    val lKeyNames = on.map(_._1)
+    val rKeyNames = on.map(_._2)
+    def usCol(df: DataFrame, name: String): org.apache.spark.sql.Column = {
+      val dt = df.schema.find(f => spark.sessionState.conf.resolver(f.name, name))
+        .map(_.dataType)
+      if (dt.contains(TsT)) unix_micros(col(name)) else col(name)
+    }
+
+    // pass 1: per-key row counts + time bounds on the build side; keys
+    // above the threshold are hot. Partial-aggregable — the shuffle
+    // carries one row per key per task.
+    val hot = rhs.groupBy(rKeyNames.map(col): _*)
+      .agg(count(lit(1)).as("__asof_cnt"),
+        min(usCol(rhs, rightTime)).as("__asof_tmin"),
+        max(usCol(rhs, rightTime)).as("__asof_tmax"))
+      .filter(col("__asof_cnt") >= hotRows && col("__asof_tmin").isNotNull)
+      .select(rKeyNames.map(col) :+ col("__asof_tmin") :+ col("__asof_tmax"): _*)
+    val nHot = hot.count()
+    if (nHot == 0)
+      return joinPlain(lhs, rhs, on, leftTime, rightTime, toleranceUs,
+        forward, rightTieBreak)
+    require(nHot <= MaxHotKeys,
+      s"as-of time-split found $nHot hot keys (> $MaxHotKeys broadcast bound) " +
+        s"— raise $SplitHotKeyRowsConf or repartition the build side upstream")
+
+    // chunk(t): non-hot keys (null bounds) ride chunk 0; hot keys bucket
+    // uniformly over the build side's [tmin, tmax], clamped so lhs times
+    // outside the range land in the edge chunks. All-longs arithmetic:
+    // micros spans (~3e15) × chunks stay far inside Long.
+    def chunkOf(t: org.apache.spark.sql.Column) =
+      when(col("__asof_tmin").isNull, lit(0))
+        .otherwise(least(lit(chunks - 1), greatest(lit(0),
+          floor((t - col("__asof_tmin")) * chunks /
+            (col("__asof_tmax") - col("__asof_tmin") + 1L)).cast("int"))))
+
+    val hotL = hot.toDF(lKeyNames ++ Seq("__asof_tmin", "__asof_tmax"): _*)
+    val lC = lhs.join(broadcast(hotL), lKeyNames, "left")
+      .withColumn("__asof_chunk_l", chunkOf(usCol(lhs, leftTime)))
+      .select(lhs.columns.map(col) :+ col("__asof_chunk_l"): _*)
+    val rAug = rhs.join(broadcast(hot), rKeyNames, "left")
+    val rC = rAug
+      .withColumn("__asof_chunk_r", chunkOf(usCol(rhs, rightTime)))
+      .select(rhs.columns.map(col) :+ col("__asof_chunk_r"): _*)
+
+    // carried rows: per (hot key, chunk) the boundary winner — backward
+    // carries the final instant's keep-last row to all LATER chunks,
+    // forward the first instant's keep-first row to all EARLIER chunks.
+    // One k=1 heap per (key, chunk): map-side partial, ObjectHash path.
+    // Descending integral components negate via bitwise NOT (order-
+    // reversing for ALL longs — no MinValue overflow); null ties map to
+    // the losing end, matching the merge's nulls-first keep-last.
+    val rtUs = usCol(rhs, rightTime)
+    // The merge sorts (time asc, tie asc, NULLS FIRST) and keeps the last
+    // duplicate backward (max tie — nulls lose) / the first forward (min
+    // tie — nulls WIN). Mirror that exactly in the heap's keep-min order.
+    val tieOrd = rightTieBreak.map { tname =>
+      val t = col(tname)
+      val dt = rhs.schema.find(f =>
+        spark.sessionState.conf.resolver(f.name, tname)).get.dataType
+      val integral = dt == LongT || dt == IntegerType || dt == ShortType || dt == ByteType
+      (forward, integral) match {
+        case (true, true) =>
+          when(t.isNull, lit(Long.MinValue)).otherwise(t.cast("long"))
+        case (true, false) =>
+          when(t.isNull, lit(Double.NegativeInfinity)).otherwise(t.cast("double"))
+        case (false, true) =>
+          when(t.isNull, lit(Long.MaxValue)).otherwise(bitwise_not(t.cast("long")))
+        case (false, false) =>
+          when(t.isNull, lit(Double.PositiveInfinity)).otherwise(-t.cast("double"))
+      }
+    }
+    val ordKey = struct(
+      (if (forward) rtUs else bitwise_not(rtUs)).as("t") +: tieOrd.map(_.as("tb")).toSeq: _*)
+    val payload = struct(rhs.columns.map(col): _*)
+    val rHot = rAug.filter(col("__asof_tmin").isNotNull && rtUs.isNotNull)
+      .withColumn("__c", chunkOf(rtUs))
+    val winners = rHot
+      .groupBy(rKeyNames.map(col) :+ col("__c"): _*)
+      .agg(get(graft.functions.catalyst.GraftColumns.topk_by_ord(
+        ordKey, payload, 1), lit(0)).as("__w"))
+    val carried =
+      (if (forward) winners.filter(col("__c") > 0)
+        .withColumn("__asof_chunk_r", explode(sequence(lit(0), col("__c") - 1)))
+      else winners.filter(col("__c") < chunks - 1)
+        .withColumn("__asof_chunk_r", explode(sequence(col("__c") + 1, lit(chunks - 1)))))
+        .select(rhs.columns.map(c => col(s"__w.`$c`").as(c)) :+ col("__asof_chunk_r"): _*)
+    val rAll = rC.unionByName(carried)
+
+    joinPlain(lC, rAll,
+      on :+ ("__asof_chunk_l" -> "__asof_chunk_r"),
+      leftTime, rightTime, toleranceUs, forward, rightTieBreak)
+      .select((lhs.columns ++ rhs.columns).map(col): _*)
   }
 }

@@ -65,6 +65,10 @@ object Similarity {
     q.crossJoin(c)
       .filter($"query_id" =!= $"neighbor_id")
       .withColumn("cosine", F.fr(cosine($"vq", $"vn", $"nq", $"nn"), 6))
+      // zero-norm vectors score null; the heap would skip them anyway,
+      // but filter explicitly so agg ≡ window holds even when a query
+      // has fewer than TopK non-null candidates (oracle filters too)
+      .filter($"cosine".isNotNull)
       .groupBy($"query_id")
       .agg(graft.functions.catalyst.GraftColumns
         .topk_by($"cosine", $"neighbor_id", TopK).as("top"))
@@ -89,7 +93,7 @@ object Similarity {
        |ranked AS (
        |  SELECT query_id, neighbor_id, cosine,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
-       |  FROM scored)
+       |  FROM scored WHERE cosine IS NOT NULL)
        |SELECT query_id, rnk, neighbor_id, cosine
        |FROM ranked WHERE rnk <= $TopK
        |ORDER BY query_id, rnk""".stripMargin
@@ -158,6 +162,8 @@ object Similarity {
       .join(q, Seq("query_id"))
       .filter($"query_id" =!= $"neighbor_id")
       .withColumn("cosine", F.fr(cosine($"vq", $"vn", $"nq", $"nn"), 6))
+      // explicit, like s01: null (zero-norm) cosines out of BOTH forms
+      .filter($"cosine".isNotNull)
       .groupBy($"query_id")
       .agg(tk($"cosine", $"neighbor_id", TopK).as("top"))
       .select($"query_id", posexplode($"top").as(Seq("pos", "t")))
@@ -205,7 +211,7 @@ object Similarity {
        |ranked AS (
        |  SELECT query_id, neighbor_id, label, cosine,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
-       |  FROM scored)
+       |  FROM scored WHERE cosine IS NOT NULL)
        |SELECT query_id, rnk, neighbor_id, label, cosine
        |FROM ranked WHERE rnk <= $TopK
        |ORDER BY query_id, rnk""".stripMargin
@@ -262,6 +268,7 @@ object Similarity {
       .join(q, Seq("query_id"))
       .join(c, Seq("neighbor_id"))
       .withColumn("cosine", F.fr(cosine($"vq", $"vn", $"nq", $"nn"), 6))
+      .filter($"cosine".isNotNull) // zero-norm vectors, as in s01/s03
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= TopK)
       .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
@@ -310,7 +317,7 @@ object Similarity {
        |ranked AS (
        |  SELECT query_id, neighbor_id, cosine,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
-       |  FROM scored)
+       |  FROM scored WHERE cosine IS NOT NULL)
        |SELECT query_id, rnk, neighbor_id, cosine
        |FROM ranked WHERE rnk <= $TopK
        |ORDER BY query_id, rnk""".stripMargin

@@ -81,7 +81,8 @@ class ShuffleGuardSpec extends AnyFunSuite {
     "q47_asof_native" -> 3,
     // VERDICT r10 task 7: r08's three per-metric row_number windows (3
     // exchanges + 3 full partition sorts over the strategy table) are now
-    // ONE groupBy(user_id) with three min_by ordering-structs. The pinned
+    // ONE groupBy(user_id) with three k=1 graft_topk_ord heaps (NOT
+    // min_by: struct-ordered min_by plans as SortAggregate). The pinned
     // count covers the whole uncached chain: bars/cci/trades upstream
     // shuffles + the single argmax agg exchange + the output sort. At the
     // test SF the upstream joins all broadcast, leaving exactly those
