@@ -736,6 +736,34 @@ object Daily {
       (ws, cutoff, maxLd)
     })
 
+  /** The REPEATABLE portion of the daily product for the bench's min-of-N
+    * protocol: a fresh-workspace fixed-sizing orchestration that resumes
+    * the already-committed shared chain. The memoized [[sharedDailyRun]]
+    * builds can only run once per JVM (a second call returns the memo,
+    * not a rebuild), which left the bench's biggest entry outside its own
+    * reproducibility protocol — this re-runs the bootstrap + day-loop +
+    * orders branch against a new temp workspace every call, with the
+    * mode-independent chain resolving to committed resumes, so successive
+    * reps time identical work. */
+  def rebuildDailyRun(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    sharedDailyRun(spark, dir, balanceFed = false): Unit // chain committed
+    val chainRoot = sharedChains.get(dir)
+    val ws = Workspace(
+      graft.operators.Extras.tempDir("graft-daily-rebuild"), Some(chainRoot))
+    val conn = new LocalFileEventConnector(dir)
+    val maxLd = Tables.events(spark, dir)
+      .agg(max(to_date($"ts"))).head().getDate(0).toLocalDate
+    val start = maxLd.minusDays(6)
+    val cutoff = java.sql.Date.valueOf(start.minusDays(1))
+    chainRoot.synchronized {
+      bootstrap(spark, conn, ws, cutoff)
+      writeConditions(spark, dir, ws)
+      run(spark, conn, ws, start, maxLd,
+        withOrders = true, withBalance = false): Unit
+    }
+  }
+
   /** The six r32-gated digest columns read back off a workspace — the
     * committed digest partitions ARE the run's return value (run()
     * re-reads them on resume the same way); bootstrap commits no digest,

@@ -88,9 +88,9 @@ object AnnIndex {
     import spark.implicits._
     val (coarse, books) = loadQuantizers(spark, indexDir)
     val qv = withNorm(queries).filter($"norm" > 0)
-    val queryBatch = qv
+    val queryBatch = Similarity.collectServeBatch(qv
       .select($"vec_id", transform($"v", x => x / $"norm").as("vn"))
-      .as[(Long, Seq[Double])].collect().map { case (id, vn) => (id, vn.toArray) }
+      .as[(Long, Seq[Double])], "s06 topK")
     val dim = coarse(0).length
     queryBatch.find(_._2.length != dim).foreach { case (id, vn) =>
       throw new IllegalArgumentException(

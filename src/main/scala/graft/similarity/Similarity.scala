@@ -29,6 +29,30 @@ object Similarity {
   val NumPlanes = 8
   val LshTables = 2
 
+  /** Serving-path contract: the PQ/index topK entry points collect the
+    * QUERY batch to the driver (the per-query LUT build wants the batch
+    * in one broadcast; the corpus never collects). That is only safe for
+    * bounded request strides — cap it so a caller handing a corpus-sized
+    * frame to the serving API fails loudly instead of OOM-ing the driver.
+    * Corpus-scale query sets belong on the cell-keyed shuffle path
+    * (s07 / [[Similarity.knnGraph]]). */
+  val MaxServeBatch = 10000
+
+  /** Collect `queries` (vec_id, unit-vector) under the [[MaxServeBatch]]
+    * contract: the limit is pushed into the collect itself, so an
+    * oversized batch costs one extra row, not a driver OOM. */
+  private[similarity] def collectServeBatch(
+      qv: org.apache.spark.sql.Dataset[(Long, Seq[Double])],
+      caller: String): Array[(Long, Array[Double])] = {
+    val batch = qv.limit(MaxServeBatch + 1).collect()
+    require(batch.length <= MaxServeBatch,
+      s"$caller: query batch exceeds MaxServeBatch=$MaxServeBatch — the " +
+        "serving path collects queries to the driver by design; run " +
+        "corpus-scale query sets through the cell-keyed shuffle path " +
+        "(s07 knnGraph) instead")
+    batch.map { case (id, vn) => (id, vn.toArray) }
+  }
+
   private[similarity] def vecs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.embeddings(spark, dir)
@@ -631,10 +655,9 @@ object Similarity {
           (id, codes.toSeq)
         }
       }
-    val queryBatch = qv.filter($"norm" > 0)
+    val queryBatch = collectServeBatch(qv.filter($"norm" > 0)
       .select($"vec_id", transform($"v", x => x / $"norm").as("vn"))
-      .as[(Long, Seq[Double])].collect()
-      .map { case (id, vn) => (id, vn.toArray) }
+      .as[(Long, Seq[Double])], "pqTopKWith")
     // Dimension guard on the collected batch: an external request table is
     // untrusted — a short vector would throw AIOOBE inside executor tasks
     // mid-job building the LUTs, and a long one would silently ignore its

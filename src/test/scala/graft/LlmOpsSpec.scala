@@ -973,6 +973,19 @@ class LlmOpsSpec extends AnyFunSuite {
       "vectors scan must carry a cell partition filter")
   }
 
+  test("serving paths refuse a query batch over MaxServeBatch, naming the s07 path") {
+    import TestSpark.spark.implicits._
+    // a corpus-sized "request" frame: the driver-collect contract must
+    // fail loudly BEFORE collecting it (the limit bounds the collect)
+    val oversized = spark.range(0, similarity.Similarity.MaxServeBatch + 1L)
+      .select($"id".as("vec_id"),
+        array(lit(1.0), lit(0.0), lit(0.0), lit(0.0)).as("v"))
+    val e1 = intercept[IllegalArgumentException] {
+      similarity.Similarity.pqTopKWith(spark, sf, oversized).collect()
+    }
+    assert(e1.getMessage.contains("MaxServeBatch") && e1.getMessage.contains("s07"))
+  }
+
   test("s05: an explicit bounded query table drives the serving path") {
     import TestSpark.spark.implicits._
     val ids = Seq(0L, 200L, 400L)
