@@ -712,6 +712,107 @@ def replica_daily_balance(events, cci, best):
 
 # ------------------------------------------------------------ comparison
 
+# ------------------------------------- LLM dedup chain (VERDICT r11 task 6)
+# The C-section rows rested on single-transcription DuckDB gates alone;
+# this replays the d01 -> d10 -> d03 dedup chain in independent pure
+# pandas/stdlib code (hashlib md5, re canonicalizer, the documented
+# 31-poly rolling hash and (a*x+b) % p minhash family) and compares the
+# verdict sets to the parquet graft.Verify wrote. Constants mirror
+# dedup/Dedup.scala (MinHashK/BandRows/JaccardThreshold) and
+# functions/TextFunctions.scala (HashP, 3-gram shingles over a literal
+# single-space split); the canonicalizer uses re.ASCII so \s matches the
+# Java regex class, not Unicode whitespace.
+
+import hashlib
+import re
+
+MINHASH_K = 32
+BAND_ROWS = 4
+NUM_BANDS = MINHASH_K // BAND_ROWS
+HASH_P = 1000000007
+JACCARD_THRESHOLD = 0.5
+
+
+def load_documents(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+
+
+def replica_dedup_exact(docs):
+    d = docs.assign(content_hash=docs["text"].map(
+        lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()))
+    g = (d.groupby("content_hash", as_index=False)
+         .agg(doc_id=("doc_id", "min"), dup_count=("doc_id", "size")))
+    return g[["doc_id", "content_hash", "dup_count"]]
+
+
+_norm_strip = re.compile(r"[^a-z0-9\s]", re.ASCII)
+_norm_ws = re.compile(r"\s+", re.ASCII)
+
+
+def _canon(t):
+    return _norm_ws.sub(" ", _norm_strip.sub("", t.lower())).strip()
+
+
+def replica_dedup_normalized(docs):
+    d = docs.assign(
+        raw_hash=docs["text"].map(
+            lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()),
+        norm_hash=docs["text"].map(
+            lambda t: hashlib.md5(_canon(t).encode("utf-8")).hexdigest()))
+    l1 = (d.groupby(["norm_hash", "raw_hash"], as_index=False)
+          .agg(min_id=("doc_id", "min"), n=("doc_id", "size")))
+    g = (l1.groupby("norm_hash", as_index=False)
+         .agg(doc_id=("min_id", "min"), dup_count=("n", "sum"),
+              n_variants=("min_id", "size")))
+    return g[["doc_id", "norm_hash", "dup_count", "n_variants"]]
+
+
+def _shingle_set(text):
+    tk = text.split(" ")  # literal single-space split, empties kept
+    if len(tk) < 3:
+        return set()
+    return {tk[i] + " " + tk[i + 1] + " " + tk[i + 2]
+            for i in range(len(tk) - 2)}
+
+
+def _poly_hash(s):
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % HASH_P
+    return h
+
+
+def replica_dedup_minhash(docs):
+    shs = {r.doc_id: _shingle_set(r.text) for r in docs.itertuples()}
+    a = [2 * i + 3 for i in range(MINHASH_K)]
+    b = [97 + 31 * i for i in range(MINHASH_K)]
+    buckets = {}
+    for did in sorted(shs):
+        ss = shs[did]
+        if not ss:
+            continue  # sub-3-token docs carry no signature (engine parity)
+        xs = [_poly_hash(s) for s in ss]
+        sig = [min((x * a[i] + b[i]) % HASH_P for x in xs)
+               for i in range(MINHASH_K)]
+        for band in range(NUM_BANDS):
+            key = "-".join(str(sig[band * BAND_ROWS + r])
+                           for r in range(BAND_ROWS))
+            buckets.setdefault((band, key), []).append(did)
+    cand = set()
+    for ids in buckets.values():
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    rows = []
+    for da, db in sorted(cand):
+        sa, sb = shs[da], shs[db]
+        common = len(sa & sb)
+        jac = common / (len(sa) + len(sb) - common)
+        if jac >= JACCARD_THRESHOLD:  # filter on the UNROUNDED value
+            rows.append((da, db, math.floor(jac * 10000 + 0.5) / 10000))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+
 def norm_key(v):
     if v is None or v is pd.NaT or (
             isinstance(v, (float, np.floating)) and np.isnan(v)):
@@ -918,6 +1019,17 @@ def main():
             # one 1-dp grid cell (0.2 > 0.1): a last-ulp CCI difference may
             # flip the rendered digit at a .05 boundary, never by two cells
             {"y_cci": 0.2, "c_cci": 0.2, "thr": 1e-9})
+
+    docs = timed("load_docs", load_documents, sf_dir)
+    d01 = timed("d01_dedup_exact", replica_dedup_exact, docs)
+    compare("d01_dedup_exact", load_spark(out_dir, "d01_dedup_exact"), d01,
+            ["content_hash"], ["doc_id", "dup_count"], {})
+    d10 = timed("d10_dedup_normalized", replica_dedup_normalized, docs)
+    compare("d10_dedup_normalized", load_spark(out_dir, "d10_dedup_normalized"),
+            d10, ["norm_hash"], ["doc_id", "dup_count", "n_variants"], {})
+    d03 = timed("d03_dedup_minhash_lsh", replica_dedup_minhash, docs)
+    compare("d03_dedup_minhash_lsh", load_spark(out_dir, "d03_dedup_minhash_lsh"),
+            d03, ["doc_a", "doc_b"], [], {"jaccard": 1e-9})
 
     n = len(CHECKED)
     print(f"\n{n - len(FAILS)} pass, {len(FAILS)} fail"
