@@ -302,7 +302,7 @@ object ScalingProbe {
         Daily.run(spark, conn, ws, start, maxLd): Unit
       }
     }
-    if (probes("quantile") || probes("q13_quantile")) {
+    if (probes("quantile") || probes("q13_quantile") || probes("q13_quantile_groups")) {
       // q13's scale claim measured: the rank-extraction exact quantile on
       // a HOT-GROUP corpus — ~3 groups REGARDLESS of mult, the exact shape
       // that puts 1/3 of the corpus into one task under the collected
@@ -317,8 +317,25 @@ object ScalingProbe {
         .crossJoin(broadcast(spark.range(mult).toDF("rep")))
         .select($"o_orderstatus",
           ($"o_totalprice" + $"rep" * 0.001).as("o_totalprice")), qDir)
-      out("q13_quantile") = timed(graft.operators.Quantiles.exactGroupQuantiles(
-        ordRep, "o_orderstatus", "o_totalprice", Seq(0.25, 0.5, 0.75, 0.95)))
+      if (on("quantile", "q13_quantile"))
+        out("q13_quantile") = timed(graft.operators.Quantiles.exactGroupQuantiles(
+          ordRep, "o_orderstatus", "o_totalprice", Seq(0.25, 0.5, 0.75, 0.95)))
+      if (on("quantile", "q13_quantile_groups")) {
+        // VERDICT r11 task 7: the r11 probe held groups at ~3 while the
+        // corpus grew — it never stressed the operator's two driver
+        // collects (G sizes + ≤ G+2P offsets). Here group COUNT grows
+        // with the corpus (1000·mult synthetic clerks per status), so
+        // the dimension-scale-collect claim is measured on its own axis;
+        // growth must stay scan+sort-bound with no driver blowup. The
+        // cardinality contract itself (MaxGroups) is spec-gated.
+        val grouped = ordRep.select(
+          concat($"o_orderstatus", lit("_"),
+            pmod(xxhash64($"o_totalprice"), lit(mult * 1000L))).as("gk"),
+          $"o_totalprice")
+        out("q13_quantile_groups") =
+          timed(graft.operators.Quantiles.exactGroupQuantiles(
+            grouped, "gk", "o_totalprice", Seq(0.25, 0.5, 0.75, 0.95)))
+      }
     }
     if (probes("rank") || probes("q43_rank")) {
       // Large-domain PageRank: 125k nodes × mult (mult=8 -> 1M), synthetic

@@ -43,6 +43,17 @@ import org.apache.spark.storage.StorageLevel
   */
 object Quantiles {
 
+  /** Group-cardinality contract. Both driver collects are dimension-scale
+    * in the GROUP count G, not the corpus: sizes is G rows, and the
+    * offsets collect is ≤ G + 2P rows (range partitioning gives each task
+    * a contiguous (g, v) slice, so a partition adds at most two boundary
+    * groups beyond the ones wholly inside it — NOT P×G). 1M groups ≈ a
+    * few tens of MB on the driver; beyond that this operator is the wrong
+    * shape (per-group data is small enough that a plain groupBy +
+    * percentile buffer is no longer the corpus-fraction hazard this form
+    * exists to avoid). Guarded, not silent. */
+  val MaxGroups = 1000000L
+
   /** Exact quantiles of `valueCol` (numeric) per `groupCol` (string).
     * Returns `(g, q, value)` — dimension-scale. */
   def exactGroupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
@@ -56,9 +67,17 @@ object Quantiles {
         col(valueCol).cast("double").as("v"))
       .filter($"g".isNotNull && $"v".isNotNull)
 
-    // pass 1: group sizes (partial-aggregable; dimension-scale result)
-    val sizes: Map[String, Long] = vals.groupBy($"g").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // pass 1: group sizes (partial-aggregable; dimension-scale result).
+    // The limit bounds the collect itself — an over-cardinality group
+    // column costs one extra row, not a driver OOM.
+    val sizesRows = vals.groupBy($"g").count().limit(MaxGroups.toInt + 1).collect()
+    require(sizesRows.length <= MaxGroups,
+      s"exactGroupQuantiles: group cardinality exceeds MaxGroups=$MaxGroups " +
+        "— the rank-extraction form collects per-group sizes/offsets to the " +
+        "driver (dimension-scale by contract); corpus-scale group columns " +
+        "have small per-group data and belong on a plain groupBy percentile")
+    val sizes: Map[String, Long] =
+      sizesRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     if (sizes.isEmpty)
       return spark.emptyDataset[(String, Double, Double)].toDF("g", "q", "value")
 

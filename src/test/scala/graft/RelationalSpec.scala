@@ -15,6 +15,19 @@ object TestSpark {
 class RelationalSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("q13 quantiles refuse a group column beyond MaxGroups with the contract error") {
+    import spark.implicits._
+    // the rank-extraction form's two driver collects are dimension-scale
+    // in the GROUP count by contract — a corpus-scale group column must
+    // fail loudly (and the limit bounds the probe collect itself)
+    val wide = spark.range(0, operators.Quantiles.MaxGroups + 1)
+      .select($"id".cast("string").as("g"), ($"id" % 7).cast("double").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      operators.Quantiles.exactGroupQuantiles(wide, "g", "v", Seq(0.5))
+    }
+    assert(e.getMessage.contains("MaxGroups"))
+  }
+
   test("every registered query returns rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
