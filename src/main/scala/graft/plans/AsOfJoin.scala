@@ -276,12 +276,15 @@ object AsOf {
     val minBytes =
       spark.conf.get(SplitMinBuildBytesConf, DefaultMinBuildBytes.toString).toLong
     // streaming frames can't run the hot-key count action; tie types the
-    // heap can't order descending fall back too (see joinTimeSplit)
+    // heap can't order descending fall back too (see joinTimeSplit).
+    // EITHER side's size can arm the gate: a probe-side hot key stalls
+    // the merge's sorted task just as surely as a build-side one.
     val splittable = chunks > 1 && !left.isStreaming && !right.isStreaming &&
       rightTieBreak.forall(t => right.schema.find(f =>
         spark.sessionState.conf.resolver(f.name, t))
         .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])) &&
-      right.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes
+      (right.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes ||
+        left.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes)
     if (splittable) {
       val hotRows =
         spark.conf.get(SplitHotKeyRowsConf, DefaultHotKeyRows.toString).toLong
@@ -351,16 +354,17 @@ object AsOf {
     * winner per chunk is chosen by the SAME (time, tie) order the merge's
     * keep-last would apply.
     *
-    * Cost when engaged: one count/min/max pass over the build side (the
-    * hot-key table, broadcast), one k=1-heap aggregation over the hot
-    * subset (map-side partial, ObjectHash path) for the carried rows, and
-    * the join's own two exchanges now keyed (key, chunk) — max task input
-    * ∝ chunk, not key. Non-hot keys ride chunk 0: their partitioning is
-    * what it was. Hotness is judged on the BUILD side (the verdict's
-    * contract); a probe-side-only hot key still sorts in one task — if
-    * that shape ever dominates, extend the hot set with a left-side count
-    * pass (the chunk/carry machinery is side-agnostic given right-side
-    * time bounds). */
+    * Cost when engaged: one count/min/max pass over EACH side (the
+    * hot-key bounds table, broadcast), one k=1-heap aggregation over the
+    * hot subset (map-side partial, ObjectHash path) for the carried rows,
+    * and the join's own two exchanges now keyed (key, chunk) — max task
+    * input ∝ chunk, not key. Non-hot keys ride chunk 0: their
+    * partitioning is what it was. Hotness is judged on BOTH sides — a
+    * probe-side hot key stalls the merge's sorted task exactly like a
+    * build-side one, and the exactness argument never uses where the
+    * bounds came from, only that both sides bucket through the SAME
+    * monotone function (rows outside the bounds clamp to the edge chunks,
+    * which stay correctly ordered in-chunk). */
   private[graft] def joinTimeSplit(lhs: DataFrame, rhs: DataFrame,
       on: Seq[(String, String)], leftTime: String, rightTime: String,
       toleranceUs: Option[Long], forward: Boolean,
@@ -376,15 +380,27 @@ object AsOf {
       if (dt.contains(TsT)) unix_micros(col(name)) else col(name)
     }
 
-    // pass 1: per-key row counts + time bounds on the build side; keys
-    // above the threshold are hot. Partial-aggregable — the shuffle
-    // carries one row per key per task.
-    val hot = rhs.groupBy(rKeyNames.map(col): _*)
-      .agg(count(lit(1)).as("__asof_cnt"),
-        min(usCol(rhs, rightTime)).as("__asof_tmin"),
-        max(usCol(rhs, rightTime)).as("__asof_tmax"))
-      .filter(col("__asof_cnt") >= hotRows && col("__asof_tmin").isNotNull)
-      .select(rKeyNames.map(col) :+ col("__asof_tmin") :+ col("__asof_tmax"): _*)
+    // pass 1: per-key row counts + time bounds on BOTH sides; a key is
+    // hot when either side exceeds the threshold. Partial-aggregable —
+    // each shuffle carries one row per key per task, and the filtered
+    // outputs are bounded (≤ rows/hotRows keys each) by construction.
+    val rStats = rhs.groupBy(rKeyNames.map(col): _*)
+      .agg(count(lit(1)).as("__rc"),
+        min(usCol(rhs, rightTime)).as("__rmin"),
+        max(usCol(rhs, rightTime)).as("__rmax"))
+      .filter(col("__rc") >= hotRows && col("__rmin").isNotNull)
+    val lStats = lhs.groupBy(lKeyNames.map(col): _*)
+      .agg(count(lit(1)).as("__lc"),
+        min(usCol(lhs, leftTime)).as("__lmin"),
+        max(usCol(lhs, leftTime)).as("__lmax"))
+      .filter(col("__lc") >= hotRows && col("__lmin").isNotNull)
+      .toDF(rKeyNames ++ Seq("__lc", "__lmin", "__lmax"): _*)
+    // least/greatest skip nulls, so a one-sided key gets that side's
+    // bounds; both sides bucket through the same values either way
+    val hot = rStats.join(lStats, rKeyNames, "outer")
+      .select(rKeyNames.map(col)
+        :+ least(col("__rmin"), col("__lmin")).as("__asof_tmin")
+        :+ greatest(col("__rmax"), col("__lmax")).as("__asof_tmax"): _*)
     val nHot = hot.count()
     if (nHot == 0)
       return joinPlain(lhs, rhs, on, leftTime, rightTime, toleranceUs,
@@ -394,9 +410,9 @@ object AsOf {
         s"— raise $SplitHotKeyRowsConf or repartition the build side upstream")
 
     // chunk(t): non-hot keys (null bounds) ride chunk 0; hot keys bucket
-    // uniformly over the build side's [tmin, tmax], clamped so lhs times
-    // outside the range land in the edge chunks. All-longs arithmetic:
-    // micros spans (~3e15) × chunks stay far inside Long.
+    // uniformly over the combined [tmin, tmax], clamped so times outside
+    // the range land in the edge chunks. All-longs arithmetic: micros
+    // spans (~3e15) × chunks stay far inside Long.
     def chunkOf(t: org.apache.spark.sql.Column) =
       when(col("__asof_tmin").isNull, lit(0))
         .otherwise(least(lit(chunks - 1), greatest(lit(0),

@@ -95,6 +95,25 @@ class AsOfSplitSpec extends AnyFunSuite {
     splitVs(plain, split)
   }
 
+  test("probe-side hot key (left-heavy, right cold) splits and ≡ plain") {
+    // user 7: 6000 purchases (left-hot) but only 60 views — build-side
+    // detection alone would leave its whole left history in one sorted
+    // task; both-side detection must chunk it, and the stitch must hold
+    // with bounds drawn from the union of the two sides' time ranges
+    val lp = (0L until 6000L).map(i => (7L, 700000L + i, i * 17L, i * 1.0))
+      .toDF("user_id", "purchase_id", "purchase_ts", "purchase_value")
+    val rv = (0L until 60L).map(i => (7L, 800000L + i, i * 1500L, i * 2.0))
+      .toDF("v_user_id", "view_id", "view_ts", "view_value")
+    val on = Seq("user_id" -> "v_user_id")
+    val plain = AsOf.joinPlain(lp, rv, on, "purchase_ts", "view_ts",
+      rightTieBreak = Some("view_id"))
+    val split = AsOf.joinTimeSplit(lp, rv, on, "purchase_ts", "view_ts",
+      None, forward = false, Some("view_id"), Chunks, HotRows)
+    assert(split.queryExecution.executedPlan.toString.contains("__asof_chunk_l"),
+      "a probe-side hot key must arm the split")
+    splitVs(plain, split)
+  }
+
   test("no hot keys -> identical to plain and NOT chunked") {
     val on = Seq("user_id" -> "v_user_id")
     val split = AsOf.joinTimeSplit(purchases, views, on, "purchase_ts", "view_ts",
