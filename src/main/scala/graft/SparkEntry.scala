@@ -160,6 +160,9 @@ object SparkEntry {
     // over a range-clustered layout (Delta/Iceberg data skipping with
     // plain parquet + a metadata table); oracle is the full-scan filter
     "r40_zonemap_skip" -> (ZoneMap.zonemapSkip _),
+    // r46: 2-D Z-ORDER layout (Morton-interleaved rank buckets) + a
+    // two-column zone map, so a conjunctive band prunes on BOTH columns
+    "r46_zorder_skip" -> (ZoneMap.zorderSkip _),
     "r28_schema_evolution" -> (Extras.schemaEvolution _),
     // s05: approximate by construction (PQ codes) -> rows-only; recall
     // vs the exact s01 baseline asserted in LlmOpsSpec
@@ -452,6 +455,7 @@ object SparkEntry {
     "q43b_trade_rank_part" -> GraphRank.tradeRankSql,
     "q44_interval_concurrency" -> Intervals.intervalConcurrencySql,
     "r40_zonemap_skip" -> ZoneMap.zonemapSkipSql,
+    "r46_zorder_skip" -> ZoneMap.zorderSkipSql,
     "r28_schema_evolution" -> Extras.schemaEvolutionSql,
     "p08_curriculum" -> Curation.curriculumSql,
     "p09_temperature_sample" -> Curation.temperatureSampleSql,

@@ -301,15 +301,21 @@ object Features {
       loadOrFit(spark, modelPath(spark, dir, Seq("lineitem"), "fp"),
         org.apache.spark.ml.fpm.FPGrowthModel.load) {
         import spark.implicits._
+        // persist across the two actions (count for the support ratio,
+        // then the fit's own scans) so the distinct+collect_set chain
+        // over lineitem runs once, not once per action
         val baskets = Tables.lineitem(spark, dir)
           .select($"l_orderkey", $"l_partkey").distinct()
           .groupBy($"l_orderkey").agg(collect_set($"l_partkey").as("items"))
-        val n = baskets.count()
-        new org.apache.spark.ml.fpm.FPGrowth()
-          .setItemsCol("items")
-          .setMinSupport((FpMinCount - 0.5) / n)
-          .setMinConfidence(0.5)
-          .fit(baskets)
+          .persist()
+        try {
+          val n = baskets.count()
+          new org.apache.spark.ml.fpm.FPGrowth()
+            .setItemsCol("items")
+            .setMinSupport((FpMinCount - 0.5) / n)
+            .setMinConfidence(0.5)
+            .fit(baskets)
+        } finally baskets.unpersist()
       }
     }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -114,5 +114,126 @@ object ZoneMap {
        |  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
        |FROM lineitem
        |WHERE l_extendedprice BETWEEN $PriceLo AND $PriceHi
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- r46
+  // 2-D Z-ORDER layout (Delta/Iceberg `OPTIMIZE ZORDER BY`, expressed with
+  // plain parquet): r40's 1-D clustering only serves predicates on THE
+  // clustered column — a conjunctive 2-column band still reads every file
+  // the price band admits, however selective the second band is. Morton-
+  // interleaving the two columns' rank buckets gives every file a small
+  // RECTANGLE-ish region of the (price, quantity) plane, so per-file
+  // [min, max] zones on BOTH columns prune on BOTH predicates. The curve
+  // math is layout-only: zones are honest per-file stats over real values,
+  // the residual filter stays on the pruned scans, and the oracle runs the
+  // same predicate over the original unclustered table.
+
+  /** Files in the z-ordered layout. 64 contiguous z-ranges ≈ level-3
+    * quadtree cells of the 256×256 bucket grid, so a band pair spanning
+    * ~6% × ~6% of the two domains touches a handful of files. */
+  val ZFiles = 64
+  /** The conjunctive band: [[PriceLo]]..[[PriceHi]] AND this quantity
+    * band (~6% of the 1..50 domain). */
+  val QtyLo = 10.0
+  val QtyHi = 12.0
+  private val ZBits = 8 // buckets per dimension = 2^ZBits = 256
+
+  /** Spread the low 8 bits of `c` to even bit positions (Morton spread,
+    * the classic mask-shift cascade) — pure int arithmetic, codegen'd. */
+  private def spread8(c: Column): Column = {
+    val m = c.bitwiseAND(lit(0xFF))
+    val a = m.bitwiseOR(shiftleft(m, 4)).bitwiseAND(lit(0x0F0F))
+    val b = a.bitwiseOR(shiftleft(a, 2)).bitwiseAND(lit(0x3333))
+    b.bitwiseOR(shiftleft(b, 1)).bitwiseAND(lit(0x5555))
+  }
+
+  /** Uniform rank bucket of `c` over [mn, mx] in [0, 2^ZBits). Bucketing
+    * shapes the LAYOUT only — an off-range or skewed value merely lands
+    * in an edge bucket and costs skip ratio, never correctness. */
+  private def bucket(c: Column, mn: Double, mx: Double): Column =
+    least(lit((1 << ZBits) - 1), greatest(lit(0),
+      floor((c - mn) / (mx - mn + 1e-9) * (1 << ZBits)).cast("int")))
+
+  /** Morton code of (price, quantity) rank buckets. */
+  private def zCode(price: Column, qty: Column,
+      pMin: Double, pMax: Double, qMin: Double, qMax: Double): Column =
+    spread8(bucket(price, pMin, pMax))
+      .bitwiseOR(shiftleft(spread8(bucket(qty, qMin, qMax)), 1))
+
+  private[graft] val zLayouts = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The z-ordered layout per source dir, built once per JVM: one
+    * dimension-scale min/max pass for the bucket bounds, then ONE
+    * repartitionByRange on the Morton expression (each file = a
+    * contiguous z-range by row count). The z-code is a partitioning
+    * expression only — nothing extra is stored. */
+  private def zorderLayout(spark: SparkSession, dir: String): String =
+    zLayouts.getOrElseUpdate(dir, {
+      val out = Extras.tempDir("graft_zorder")
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+      val b = li.agg(min(col("l_extendedprice")), max(col("l_extendedprice")),
+        min(col("l_quantity")), max(col("l_quantity"))).head()
+      li.repartitionByRange(ZFiles, zCode(col("l_extendedprice"), col("l_quantity"),
+          b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3)))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** Two-column zone map: one partial-aggregable file-grouped scan →
+    * (file, price [min,max], qty [min,max], rows) — metadata-scale. */
+  def zoneMap2(spark: SparkSession, layout: String): DataFrame =
+    spark.read.parquet(layout)
+      .select(col("_metadata.file_path").as("file"),
+        col("l_extendedprice"), col("l_quantity"))
+      .groupBy(col("file"))
+      .agg(min(col("l_extendedprice")).as("pmin"),
+        max(col("l_extendedprice")).as("pmax"),
+        min(col("l_quantity")).as("qmin"),
+        max(col("l_quantity")).as("qmax"),
+        count(lit(1)).as("n_rows"))
+
+  /** Files whose zones intersect BOTH bands, plus the total file count. */
+  private[graft] def planSkip2(spark: SparkSession, layout: String,
+      pLo: Double, pHi: Double, qLo: Double, qHi: Double): (Seq[String], Int) = {
+    val zones = zoneMap2(spark, layout).collect()
+    val matched = zones.filter { r =>
+      r.getAs[Double]("pmax") >= pLo && r.getAs[Double]("pmin") <= pHi &&
+        r.getAs[Double]("qmax") >= qLo && r.getAs[Double]("qmin") <= qHi
+    }.map(_.getAs[String]("file")).toSeq.sorted
+    (matched, zones.length)
+  }
+
+  /** r46: the conjunctive band summary answered through the 2-D zone map —
+    * read only files whose zones intersect BOTH bands, residual filter
+    * pushed to the pruned scans, exact-cent aggregation per return flag. */
+  def zorderSkip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val layout = zorderLayout(spark, dir)
+    val (files, total) = planSkip2(spark, layout, PriceLo, PriceHi, QtyLo, QtyHi)
+    require(files.nonEmpty, "z-order zone map matched no file for a non-empty band")
+    require(files.length < total,
+      s"z-order zone map failed to skip: ${files.length} of $total files " +
+        s"matched [$PriceLo,$PriceHi]×[$QtyLo,$QtyHi] — layout not clustered?")
+    spark.read.parquet(files: _*)
+      .filter($"l_extendedprice" >= PriceLo && $"l_extendedprice" <= PriceHi &&
+        $"l_quantity" >= QtyLo && $"l_quantity" <= QtyHi)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(graft.functions.Money.cents($"l_quantity")).cast("double") / 100.0)
+          .as("sum_qty"),
+        (sum(graft.functions.Money.cents($"l_extendedprice")).cast("double") / 100.0)
+          .as("sum_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  val zorderSkipSql: String =
+    s"""SELECT l_returnflag, count(*) AS n_lines,
+       |  CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+       |  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+       |FROM lineitem
+       |WHERE l_extendedprice BETWEEN $PriceLo AND $PriceHi
+       |  AND l_quantity BETWEEN $QtyLo AND $QtyHi
        |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -354,8 +354,10 @@ object AsOf {
     * winner per chunk is chosen by the SAME (time, tie) order the merge's
     * keep-last would apply.
     *
-    * Cost when engaged: one count/min/max pass over EACH side (the
-    * hot-key bounds table, broadcast), one k=1-heap aggregation over the
+    * Cost when engaged: one count/min/max pass over EACH side — executed
+    * exactly once (the bounded hot table is collected and re-broadcast as
+    * a local relation, so neither broadcast re-runs the scans) — one
+    * k=1-heap aggregation over the
     * hot subset (map-side partial, ObjectHash path) for the carried rows,
     * and the join's own two exchanges now keyed (key, chunk) — max task
     * input ∝ chunk, not key. Non-hot keys ride chunk 0: their
@@ -397,17 +399,26 @@ object AsOf {
       .toDF(rKeyNames ++ Seq("__lc", "__lmin", "__lmax"): _*)
     // least/greatest skip nulls, so a one-sided key gets that side's
     // bounds; both sides bucket through the same values either way
-    val hot = rStats.join(lStats, rKeyNames, "outer")
+    val hotDist = rStats.join(lStats, rKeyNames, "outer")
       .select(rKeyNames.map(col)
         :+ least(col("__rmin"), col("__lmin")).as("__asof_tmin")
         :+ greatest(col("__rmax"), col("__lmax")).as("__asof_tmax"): _*)
-    val nHot = hot.count()
-    if (nHot == 0)
+    // Execute the detection subtree exactly ONCE: collect the bounded hot
+    // table (limit-guarded so the collect itself can't OOM; |hot| <=
+    // rows/hotRows by construction) and rebuild it as a LOCAL relation.
+    // Without this, the count job plus each downstream broadcast re-ran
+    // the two corpus-scan aggregations — the left/right projections
+    // differ, so ReuseExchange can't fire across them — i.e. up to six
+    // corpus scans for detection instead of one per side.
+    val hotCollected = hotDist.limit(MaxHotKeys.toInt + 1).collect()
+    if (hotCollected.isEmpty)
       return joinPlain(lhs, rhs, on, leftTime, rightTime, toleranceUs,
         forward, rightTieBreak)
-    require(nHot <= MaxHotKeys,
-      s"as-of time-split found $nHot hot keys (> $MaxHotKeys broadcast bound) " +
+    require(hotCollected.length <= MaxHotKeys,
+      s"as-of time-split found > $MaxHotKeys hot keys (broadcast bound) " +
         s"— raise $SplitHotKeyRowsConf or repartition the build side upstream")
+    val hot = spark.createDataFrame(
+      java.util.Arrays.asList(hotCollected: _*), hotDist.schema)
 
     // chunk(t): non-hot keys (null bounds) ride chunk 0; hot keys bucket
     // uniformly over the combined [tmin, tmax], clamped so times outside

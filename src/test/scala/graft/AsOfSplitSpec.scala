@@ -114,6 +114,22 @@ class AsOfSplitSpec extends AnyFunSuite {
     splitVs(plain, split)
   }
 
+  test("detection runs once: the joined plan broadcasts a LOCAL hot table, no re-scan") {
+    // The hot-key bounds table is collected (bounded) and rebuilt as a
+    // local relation, so the join query must broadcast a LocalTableScan
+    // and must NOT contain the detection aggregation (its __rc/__lc
+    // columns) anywhere — otherwise each broadcast re-runs the two
+    // corpus-scan aggregations (the left/right projections differ, so
+    // ReuseExchange can't deduplicate them).
+    val on = Seq("user_id" -> "v_user_id")
+    val split = AsOf.joinTimeSplit(purchases, views, on, "purchase_ts", "view_ts",
+      None, forward = false, Some("view_id"), Chunks, HotRows)
+    val phys = split.queryExecution.executedPlan.toString
+    assert(phys.contains("LocalTableScan"), phys.take(2000))
+    assert(!phys.contains("__rc") && !phys.contains("__lc"),
+      "detection aggregation re-planned inside the join query:\n" + phys.take(2000))
+  }
+
   test("no hot keys -> identical to plain and NOT chunked") {
     val on = Seq("user_id" -> "v_user_id")
     val split = AsOf.joinTimeSplit(purchases, views, on, "purchase_ts", "view_ts",

@@ -96,4 +96,72 @@ class ZoneMapIntervalSpec extends AnyFunSuite {
       assert(n == 0L, s"skipped file $file holds $n in-band rows")
     }
   }
+
+  // ---------------------------------------------------------------- r46
+
+  test("r46: z-order pruned read matches the full 2-D band scan") {
+    import spark.implicits._
+    val result = operators.ZoneMap.zorderSkip(spark, sf).collect()
+    val full = sources.Tables.lineitem(spark, sf)
+      .filter($"l_extendedprice" >= operators.ZoneMap.PriceLo &&
+        $"l_extendedprice" <= operators.ZoneMap.PriceHi &&
+        $"l_quantity" >= operators.ZoneMap.QtyLo &&
+        $"l_quantity" <= operators.ZoneMap.QtyHi)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(floor($"l_quantity" * 100.0 + 0.5).cast("long")).cast("double") / 100.0)
+          .as("sum_qty"),
+        (sum(floor($"l_extendedprice" * 100.0 + 0.5).cast("long")).cast("double") / 100.0)
+          .as("sum_price"))
+      .orderBy($"l_returnflag").collect()
+    assert(result.nonEmpty)
+    assert(result.map(_.toString).sameElements(full.map(_.toString)))
+  }
+
+  test("r46: excluded z-order files hold no row satisfying BOTH bands") {
+    import spark.implicits._
+    operators.ZoneMap.zorderSkip(spark, sf).count() // memoized layout
+    val layout = operators.ZoneMap.zLayouts(sf)
+    val zm = operators.ZoneMap.zoneMap2(spark, layout).collect()
+    // empty range partitions write no file, so small corpora may land
+    // under the target; the skip contract needs many files, not exactly 64
+    assert(zm.length <= operators.ZoneMap.ZFiles && zm.length >= operators.ZoneMap.ZFiles / 2,
+      s"z-order layout produced ${zm.length} files (target ${operators.ZoneMap.ZFiles})")
+    val (files, total) = operators.ZoneMap.planSkip2(spark, layout,
+      operators.ZoneMap.PriceLo, operators.ZoneMap.PriceHi,
+      operators.ZoneMap.QtyLo, operators.ZoneMap.QtyHi)
+    assert(total == zm.length)
+    assert(files.nonEmpty && files.length < total,
+      s"expected real 2-D skipping, got ${files.length}/$total")
+    val excluded = zm.map(_.getAs[String]("file")).filterNot(files.contains)
+    excluded.foreach { file =>
+      val n = spark.read.parquet(file)
+        .filter($"l_extendedprice" >= operators.ZoneMap.PriceLo &&
+          $"l_extendedprice" <= operators.ZoneMap.PriceHi &&
+          $"l_quantity" >= operators.ZoneMap.QtyLo &&
+          $"l_quantity" <= operators.ZoneMap.QtyHi).count()
+      assert(n == 0L, s"skipped z-order file $file holds $n in-band rows")
+    }
+  }
+
+  test("r46: 2-D z-order prunes a strictly smaller file FRACTION than the 1-D layout") {
+    // The point of the z-order layout: on the conjunctive predicate the
+    // 1-D price-clustered layout can only prune on price (its quantity
+    // zones all span the domain), so the z-layout's matched fraction must
+    // be strictly smaller. Fractions, not counts — the layouts hold a
+    // different number of files.
+    operators.ZoneMap.zonemapSkip(spark, sf).count()
+    operators.ZoneMap.zorderSkip(spark, sf).count()
+    val (f1, t1) = operators.ZoneMap.planSkip(spark,
+      operators.ZoneMap.layouts(sf),
+      operators.ZoneMap.PriceLo, operators.ZoneMap.PriceHi)
+    val (f2, t2) = operators.ZoneMap.planSkip2(spark,
+      operators.ZoneMap.zLayouts(sf),
+      operators.ZoneMap.PriceLo, operators.ZoneMap.PriceHi,
+      operators.ZoneMap.QtyLo, operators.ZoneMap.QtyHi)
+    val frac1 = f1.length.toDouble / t1
+    val frac2 = f2.length.toDouble / t2
+    assert(frac2 < frac1,
+      s"z-order read ${f2.length}/$t2 = $frac2 vs 1-D ${f1.length}/$t1 = $frac1")
+  }
 }
