@@ -195,6 +195,43 @@ object ScalingProbe {
           AsOf.SplitHotKeyRowsConf).foreach(spark.conf.unset)
       }
     }
+    val zorderEntries = Seq("zorder_build", "zorder_read", "zorder_full")
+    if (probes("zorder") || zorderEntries.exists(probes)) {
+      // r46's scale claim measured: the z-order layout build is ONE
+      // range-shuffle write (∝ corpus), while the pruned band read costs
+      // ∝ the matched file FRACTION — so read/full-scan should hold
+      // roughly constant (≪ 1) as the corpus grows. lineitem replicated
+      // mult× orderkey-shifted: value distributions (and hence the band's
+      // selectivity) are preserved exactly.
+      import graft.operators.ZoneMap
+      val zDir = s"/tmp/graft_scale_zorder_$mult"
+      val li0 = graft.sources.Tables.lineitem(spark, sfDir)
+      land(li0.crossJoin(broadcast(spark.range(mult).toDF("rep")))
+        .withColumn("l_orderkey", $"l_orderkey" + $"rep" * 1000000000L)
+        .drop("rep"), s"$zDir/lineitem.parquet")
+      if (on("zorder", "zorder_build")) {
+        val t0 = System.nanoTime()
+        ZoneMap.zorderLayout(spark, zDir)
+        out("zorder_build") = (System.nanoTime() - t0) / 1e9
+      }
+      if (on("zorder", "zorder_read")) {
+        // warm the zone-map metadata first: in production it is a
+        // write-time-maintained catalog table, not a per-query scan
+        ZoneMap.zoneRows(spark, ZoneMap.zorderLayout(spark, zDir))
+        out("zorder_read") = timed(ZoneMap.zorderSkip(spark, zDir))
+      }
+      if (on("zorder", "zorder_full"))
+        out("zorder_full") = timed(graft.sources.Tables.lineitem(spark, zDir)
+          .filter($"l_extendedprice" >= ZoneMap.PriceLo &&
+            $"l_extendedprice" <= ZoneMap.PriceHi &&
+            $"l_quantity" >= ZoneMap.QtyLo && $"l_quantity" <= ZoneMap.QtyHi)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_lines"),
+            (sum(graft.functions.Money.cents($"l_quantity")).cast("double") / 100.0)
+              .as("sum_qty"),
+            (sum(graft.functions.Money.cents($"l_extendedprice")).cast("double") / 100.0)
+              .as("sum_price")))
+    }
     if (probes("trade") || probes("r06_trade")) {
       // The r06 grid-sim chain on mult× replicated series (user_id
       // shifted, condition grid fixed): signals grow ∝ series, the futures

@@ -167,17 +167,22 @@ object ZoneMap {
     * repartitionByRange on the Morton expression (each file = a
     * contiguous z-range by row count). The z-code is a partitioning
     * expression only — nothing extra is stored. */
-  private def zorderLayout(spark: SparkSession, dir: String): String =
+  /** Bounds pass + one range-shuffle z-ordered write of `df` into `out`. */
+  private[graft] def writeZorder(df: DataFrame, out: String, files: Int,
+      mode: String = "overwrite"): Unit = {
+    val b = df.agg(min(col("l_extendedprice")), max(col("l_extendedprice")),
+      min(col("l_quantity")), max(col("l_quantity"))).head()
+    df.repartitionByRange(files, zCode(col("l_extendedprice"), col("l_quantity"),
+        b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3)))
+      .write.mode(mode).parquet(out)
+  }
+
+  private[graft] def zorderLayout(spark: SparkSession, dir: String): String =
     zLayouts.getOrElseUpdate(dir, {
       val out = Extras.tempDir("graft_zorder")
-      val li = Tables.lineitem(spark, dir)
+      writeZorder(Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
-          col("l_extendedprice"), col("l_discount"))
-      val b = li.agg(min(col("l_extendedprice")), max(col("l_extendedprice")),
-        min(col("l_quantity")), max(col("l_quantity"))).head()
-      li.repartitionByRange(ZFiles, zCode(col("l_extendedprice"), col("l_quantity"),
-          b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3)))
-        .write.mode("overwrite").parquet(out)
+          col("l_extendedprice"), col("l_discount")), out, ZFiles)
       out
     })
 
@@ -194,10 +199,19 @@ object ZoneMap {
         max(col("l_quantity")).as("qmax"),
         count(lit(1)).as("n_rows"))
 
+  /** The zone rows as maintained METADATA: computed once per (JVM,
+    * layout) and updated incrementally by [[appendZorder]] — the
+    * production shape, where the zone map lives in a catalog and a query
+    * never re-scans the corpus for it. File-count-scale memory. */
+  private val zmMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Array[org.apache.spark.sql.Row]]
+  private[graft] def zoneRows(spark: SparkSession, layout: String): Array[org.apache.spark.sql.Row] =
+    zmMemo.getOrElseUpdate(layout, zoneMap2(spark, layout).collect())
+
   /** Files whose zones intersect BOTH bands, plus the total file count. */
   private[graft] def planSkip2(spark: SparkSession, layout: String,
       pLo: Double, pHi: Double, qLo: Double, qHi: Double): (Seq[String], Int) = {
-    val zones = zoneMap2(spark, layout).collect()
+    val zones = zoneRows(spark, layout)
     val matched = zones.filter { r =>
       r.getAs[Double]("pmax") >= pLo && r.getAs[Double]("pmin") <= pHi &&
         r.getAs[Double]("qmax") >= qLo && r.getAs[Double]("qmin") <= qHi
@@ -226,6 +240,42 @@ object ZoneMap {
         (sum(graft.functions.Money.cents($"l_extendedprice")).cast("double") / 100.0)
           .as("sum_price"))
       .orderBy($"l_returnflag")
+  }
+
+  /** Incremental layout maintenance: append `delta` (same column set) as
+    * NEW z-ordered files without touching existing ones, and return the
+    * new files' zone rows computed from a scan of ONLY those files — the
+    * write-time metadata update both zone-map rows promise. At 100 TB the
+    * full rebuild is a corpus scan; this path costs ∝ delta: the append
+    * is one range-shuffle write of the delta, and the zone-map increment
+    * reads back just the files the write produced. Bucket bounds are
+    * recomputed from the delta — bounds shape the LAYOUT of the new files
+    * only; zones stay honest per-file stats over real values either way
+    * (a delta clustered on its own range merely overlaps the base files'
+    * zones, costing skip ratio, never correctness). */
+  private[graft] def appendZorder(spark: SparkSession, layout: String,
+      delta: DataFrame): Array[org.apache.spark.sql.Row] = {
+    def files(): Set[String] =
+      new java.io.File(layout).listFiles.toSeq
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val before = files()
+    writeZorder(delta, layout, math.max(1, ZFiles / 8), mode = "append")
+    val fresh = (files() -- before).toSeq.sorted.map(n => s"$layout/$n")
+    require(fresh.nonEmpty, "append produced no new files")
+    val newRows = spark.read.parquet(fresh: _*)
+      .select(col("_metadata.file_path").as("file"),
+        col("l_extendedprice"), col("l_quantity"))
+      .groupBy(col("file"))
+      .agg(min(col("l_extendedprice")).as("pmin"),
+        max(col("l_extendedprice")).as("pmax"),
+        min(col("l_quantity")).as("qmin"),
+        max(col("l_quantity")).as("qmax"),
+        count(lit(1)).as("n_rows"))
+      .collect()
+    // maintain the in-memory metadata incrementally — existing files are
+    // immutable under append, so their zone rows stand verbatim
+    zmMemo.updateWith(layout)(prev => prev.map(_ ++ newRows))
+    newRows
   }
 
   val zorderSkipSql: String =

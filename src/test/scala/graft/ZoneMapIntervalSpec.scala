@@ -144,6 +144,55 @@ class ZoneMapIntervalSpec extends AnyFunSuite {
     }
   }
 
+  test("r46: incremental append — delta-only zone rows union to the full rebuild") {
+    import spark.implicits._
+    // own layout dir: appending to the memoized one would pollute every
+    // other r46 assertion in this JVM
+    val cols = Seq(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+      col("l_extendedprice"), col("l_discount"))
+    val base = sources.Tables.lineitem(spark, sf).select(cols: _*)
+      .filter($"l_partkey" % 3 =!= 0)
+    val delta = sources.Tables.lineitem(spark, sf).select(cols: _*)
+      .filter($"l_partkey" % 3 === 0)
+    val layout = operators.Extras.tempDir("graft_zorder_append")
+    operators.ZoneMap.writeZorder(base, layout, 16)
+    val prior = operators.ZoneMap.zoneMap2(spark, layout).collect()
+    // seed the metadata memo pre-append so the incremental memo update
+    // (not a lazy rebuild) is what the post-append plan reads
+    operators.ZoneMap.zoneRows(spark, layout)
+    // the incremental path: append + zone rows from ONLY the new files
+    val newRows = operators.ZoneMap.appendZorder(spark, layout, delta)
+    assert(newRows.nonEmpty)
+    // the maintained memo must now equal prior ∪ newRows (file-keyed)
+    val memoRows = operators.ZoneMap.zoneRows(spark, layout)
+    assert(memoRows.length == prior.length + newRows.length)
+    // prior zones are untouched by the append (existing files immutable)
+    // and prior ∪ delta-rows must equal a full zone-map rebuild
+    val rebuilt = operators.ZoneMap.zoneMap2(spark, layout).collect()
+    val key = (r: org.apache.spark.sql.Row) => r.getAs[String]("file")
+    val union = (prior ++ newRows).map(r => key(r) -> r.toString).toMap
+    val full = rebuilt.map(r => key(r) -> r.toString).toMap
+    assert(union == full,
+      s"incremental zone map diverged from rebuild: ${union.size} vs ${full.size}")
+    // and the band query over the appended layout still matches the
+    // full scan over base+delta (2-D pruning through the merged map)
+    val (files, total) = operators.ZoneMap.planSkip2(spark, layout,
+      operators.ZoneMap.PriceLo, operators.ZoneMap.PriceHi,
+      operators.ZoneMap.QtyLo, operators.ZoneMap.QtyHi)
+    assert(files.nonEmpty && files.length < total)
+    val pruned = spark.read.parquet(files: _*)
+      .filter($"l_extendedprice" >= operators.ZoneMap.PriceLo &&
+        $"l_extendedprice" <= operators.ZoneMap.PriceHi &&
+        $"l_quantity" >= operators.ZoneMap.QtyLo &&
+        $"l_quantity" <= operators.ZoneMap.QtyHi).count()
+    val fullScan = base.unionByName(delta)
+      .filter($"l_extendedprice" >= operators.ZoneMap.PriceLo &&
+        $"l_extendedprice" <= operators.ZoneMap.PriceHi &&
+        $"l_quantity" >= operators.ZoneMap.QtyLo &&
+        $"l_quantity" <= operators.ZoneMap.QtyHi).count()
+    assert(pruned == fullScan, s"pruned $pruned vs full $fullScan")
+  }
+
   test("r46: 2-D z-order prunes a strictly smaller file FRACTION than the 1-D layout") {
     // The point of the z-order layout: on the conjunctive predicate the
     // 1-D price-clustered layout can only prune on price (its quantity
