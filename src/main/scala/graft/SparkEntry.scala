@@ -156,6 +156,10 @@ object SparkEntry {
     // join Spark lacks, answered with one groupBy(day) + a dimension-scale
     // cumsum; oracle is the independent naive non-equi join
     "q44_interval_concurrency" -> (Intervals.intervalConcurrency _),
+    // q48: general pairwise range join (bin bucketing + point-side salt);
+    // q44's sweep-line covers the decomposable aggregate family, q48 the
+    // pair-payload family (argmax over covering intervals)
+    "q48_range_join" -> (Intervals.rangeJoin _),
     // r40: file-level min/max zone-map skipping on a non-partition column
     // over a range-clustered layout (Delta/Iceberg data skipping with
     // plain parquet + a metadata table); oracle is the full-scan filter
@@ -454,6 +458,7 @@ object SparkEntry {
     "q43_trade_rank" -> GraphRank.tradeRankSql,
     "q43b_trade_rank_part" -> GraphRank.tradeRankSql,
     "q44_interval_concurrency" -> Intervals.intervalConcurrencySql,
+    "q48_range_join" -> Intervals.rangeJoinSql,
     "r40_zonemap_skip" -> ZoneMap.zonemapSkipSql,
     "r46_zorder_skip" -> ZoneMap.zorderSkipSql,
     "r28_schema_evolution" -> Extras.schemaEvolutionSql,

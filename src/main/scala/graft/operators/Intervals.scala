@@ -60,6 +60,113 @@ object Intervals {
     dayDelta.select($"d", sum($"dd").over(w).as("n_active")).orderBy($"d")
   }
 
+  // ---------------------------------------------------------------- q48
+  /** General PAIRWISE range join via BIN BUCKETING + point-side salting —
+    * the complement to q44: the sweep-line answers decomposable
+    * per-axis-point aggregates, but a payload that needs the actual
+    * (point, interval) PAIRS — here the single most expensive order
+    * window covering each order's date (argmax with an exact tiebreak) —
+    * requires the join itself, which Spark would otherwise plan as
+    * BroadcastNestedLoopJoin (per-probe-row scans of the whole fact).
+    *
+    * The scalable spelling: bins of [[RangeBinDays]] days partition the
+    * time axis; each interval replicates into its ≤ span/B+1 covering
+    * bins, each point lands in exactly ONE bin, and an EQUI-join on the
+    * bin key carries the residual `s <= p < e` predicate — every
+    * qualifying pair meets exactly once (bins partition days), so no
+    * dedup pass. Shuffle volume is N·(span/B+1) + N instead of N²; the
+    * bin-key cardinality is days/B — it grows with the TIME RANGE, not
+    * the corpus, so per-bin volume grows with data density. Two knobs
+    * bound the task size: B itself (smaller B = more bins = less data
+    * per bin, at the cost of more interval replication), and point-side
+    * SALTING — points spread over [[RangeSaltBuckets]] sub-keys of their
+    * bin by key-hash while intervals replicate into every sub-key, so a
+    * task's input is ivPerBin + ptsPerBin/S. Aggregation (count, exact-
+    * cent price mass, k=1 heap argmax) is partial-aggregable and
+    * pipelines straight off the sort-merge join — the pair stream is
+    * never materialized.
+    *
+    * Output per order: how many order windows cover its date, their
+    * exact-cent price mass, and the covering order with the highest
+    * totalprice (ties to the higher key — mirrored in the oracle). */
+  private val RangeBinDays = 16
+  private val RangeSaltBuckets = 8
+  /** Probe every 10th order: the row demonstrates the pairwise JOIN plan;
+    * an all-points probe at sf0.1 is ~154M matched pairs of plain
+    * arithmetic (measured ~7.5 s at 32 cores, ~20M pairs/s — honest but
+    * uninformative sweep weight). The interval side stays the FULL
+    * corpus, so the bin/salt/residual machinery is exercised unreduced. */
+  private val RangeProbeMod = 10L
+
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val iv = orders.select(
+      $"o_orderkey".as("ikey"),
+      unix_date(to_date($"o_orderdate")).cast("long").as("sd"),
+      (unix_date(to_date($"o_orderdate")).cast("long") + lit(HoldBaseDays.toLong)
+        + pmod($"o_orderkey", lit(HoldModDays.toLong))).as("ed"),
+      graft.functions.Money.cents($"o_totalprice").as("pc"))
+    val ivBinned = iv
+      .withColumn("bin", explode(sequence(
+        floor($"sd" / RangeBinDays), floor(($"ed" - 1) / RangeBinDays))))
+      .withColumn("salt", explode(sequence(lit(0), lit(RangeSaltBuckets - 1))))
+      // the (bin, salt) hash exchange IS the operator's distribution: the
+      // pair-streaming join+aggregate stage must fan out over it — a
+      // dense corpus read from few splits would otherwise stream EVERY
+      // matched pair through the input's own handful of tasks (measured:
+      // 190 s single-task vs seconds distributed at sf0.1). The partition
+      // count is EXPLICIT: AQE sizes coalescing by the shuffle's own
+      // bytes, which are tiny relative to the ~70× join fan-out behind
+      // them, so an unpinned repartition gets coalesced right back into
+      // the straggler (measured: 34 s coalesced vs explicit). At cluster
+      // scale a shuffle join on (bin, salt) needs this exchange anyway,
+      // so ENSURE_REQUIREMENTS reuses rather than duplicates it.
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("bin"), col("salt"))
+    val pt = orders.filter(pmod($"o_orderkey", lit(RangeProbeMod)) === 0)
+      .select($"o_orderkey",
+        unix_date(to_date($"o_orderdate")).cast("long").as("pd"))
+      .withColumn("bin", floor($"pd" / RangeBinDays))
+      .withColumn("salt",
+        pmod(xxhash64($"o_orderkey"), lit(RangeSaltBuckets.toLong)).cast("int"))
+    val tk = graft.functions.catalyst.GraftColumns.topk_by_ord _
+    pt.join(ivBinned,
+        pt("bin") === ivBinned("bin") && pt("salt") === ivBinned("salt") &&
+          $"sd" <= $"pd" && $"pd" < $"ed")
+      .groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n_cover"),
+        (sum($"pc").cast("double") / 100.0).as("cover_price"),
+        get(tk(struct(bitwise_not($"pc").as("np"), bitwise_not($"ikey").as("nk")),
+          $"ikey", 1), lit(0)).as("top_order"))
+      .orderBy($"o_orderkey")
+  }
+
+  val rangeJoinSql: String =
+    s"""WITH iv AS (
+       |  SELECT o_orderkey AS ikey,
+       |         CAST(o_orderdate AS DATE) AS s,
+       |         CAST(o_orderdate AS DATE)
+       |           + CAST($HoldBaseDays + o_orderkey % $HoldModDays AS INTEGER) AS e,
+       |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS pc
+       |  FROM orders),
+       |pt AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS pd
+       |       FROM orders WHERE o_orderkey % $RangeProbeMod = 0),
+       |j AS (
+       |  SELECT pt.o_orderkey AS k, iv.ikey, iv.pc
+       |  FROM pt JOIN iv ON iv.s <= pt.pd AND pt.pd < iv.e),
+       |ag AS (
+       |  SELECT k, count(*) AS n_cover, CAST(sum(pc) AS DOUBLE) / 100.0 AS cover_price
+       |  FROM j GROUP BY k),
+       |tp AS (
+       |  SELECT k, ikey AS top_order FROM (
+       |    SELECT k, ikey,
+       |      row_number() OVER (PARTITION BY k ORDER BY pc DESC, ikey DESC) AS rn
+       |    FROM j) WHERE rn = 1)
+       |SELECT ag.k AS o_orderkey, n_cover, cover_price, top_order
+       |FROM ag JOIN tp ON ag.k = tp.k
+       |ORDER BY 1""".stripMargin
+
   val intervalConcurrencySql: String =
     s"""WITH iv AS (
        |  SELECT CAST(o_orderdate AS DATE) AS s,

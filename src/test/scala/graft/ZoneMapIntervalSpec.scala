@@ -48,6 +48,44 @@ class ZoneMapIntervalSpec extends AnyFunSuite {
       "the deliberate single partition must survive constant folding")
   }
 
+  // ---------------------------------------------------------------- q48
+
+  test("q48: bin-bucketed range join equals the naive all-pairs recompute") {
+    import spark.implicits._
+    val got = operators.Intervals.rangeJoin(spark, sf).collect()
+    // independent naive recompute at sf0.001 scale: driver-side O(N^2)
+    val os = sources.Tables.orders(spark, sf)
+      .select($"o_orderkey", to_date($"o_orderdate").as("d"), $"o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    val naive = os.filter(_._1 % 10 == 0).map { case (k, pd, _) =>
+      val covering = os.filter { case (ik, s, _) =>
+        val e = s.plusDays(3 + ik % 28)
+        !s.isAfter(pd) && pd.isBefore(e)
+      }
+      val top = covering.maxBy { case (ik, _, pc) => (pc, ik) }
+      (k, covering.length.toLong,
+        covering.map(_._3).sum.toDouble / 100.0, top._1)
+    }.sortBy(_._1)
+    assert(got.length == naive.length)
+    got.zip(naive).foreach { case (r, (k, n, pr, tp)) =>
+      assert(r.getLong(0) == k)
+      assert(r.getLong(1) == n, s"n_cover mismatch at order $k")
+      assert(math.abs(r.getDouble(2) - pr) < 1e-9, s"cover_price mismatch at $k")
+      assert(r.getLong(3) == tp, s"top_order mismatch at $k")
+    }
+  }
+
+  test("q48: plans as an EQUI join on (bin, salt) — never a nested-loop scan") {
+    val plan = operators.Intervals.rangeJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "range join fell back to a per-probe-row scan:\n" + plan.take(1500))
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin"), plan.take(1500))
+  }
+
   // ---------------------------------------------------------------- r40
 
   test("r40: zone map skips files and the pruned read matches the full scan") {
