@@ -232,6 +232,22 @@ object ScalingProbe {
             (sum(graft.functions.Money.cents($"l_extendedprice")).cast("double") / 100.0)
               .as("sum_price")))
     }
+    if (probes("rangejoin") || probes("q48_rangejoin")) {
+      // q48's scale shape is QUADRATIC in data density by semantics:
+      // mult× orders over the SAME date range means mult× points each
+      // covered by mult× intervals — pair volume ∝ mult². The operator
+      // cannot beat its own output size; the probe's claim is that the
+      // bin join stays PAIR-THROUGHPUT-BOUND (wall ∝ pairs, ~constant
+      // pairs/s), i.e. no superlinear term beyond the semantics. The key
+      // shift is a multiple of 280 so both o_orderkey % 28 (span) and
+      // % 10 (probe subset) are replica-invariant.
+      val rjDir = s"/tmp/graft_scale_rj_$mult"
+      land(graft.sources.Tables.orders(spark, sfDir)
+        .crossJoin(broadcast(spark.range(mult).toDF("rep")))
+        .withColumn("o_orderkey", $"o_orderkey" + $"rep" * 980000000L)
+        .drop("rep"), s"$rjDir/orders.parquet")
+      out("q48_rangejoin") = timed(graft.operators.Intervals.rangeJoin(spark, rjDir))
+    }
     if (probes("trade") || probes("r06_trade")) {
       // The r06 grid-sim chain on mult× replicated series (user_id
       // shifted, condition grid fixed): signals grow ∝ series, the futures
