@@ -160,6 +160,9 @@ object SparkEntry {
     // q44's sweep-line covers the decomposable aggregate family, q48 the
     // pair-payload family (argmax over covering intervals)
     "q48_range_join" -> (Intervals.rangeJoin _),
+    // q49: interval×interval overlap join — meet-once bin assignment
+    // (pair credited only in the bin of max(s1,s2)) replaces a dedup pass
+    "q49_interval_join" -> (Intervals.intervalJoin _),
     // r40: file-level min/max zone-map skipping on a non-partition column
     // over a range-clustered layout (Delta/Iceberg data skipping with
     // plain parquet + a metadata table); oracle is the full-scan filter
@@ -459,6 +462,7 @@ object SparkEntry {
     "q43b_trade_rank_part" -> GraphRank.tradeRankSql,
     "q44_interval_concurrency" -> Intervals.intervalConcurrencySql,
     "q48_range_join" -> Intervals.rangeJoinSql,
+    "q49_interval_join" -> Intervals.intervalJoinSql,
     "r40_zonemap_skip" -> ZoneMap.zonemapSkipSql,
     "r46_zorder_skip" -> ZoneMap.zorderSkipSql,
     "r28_schema_evolution" -> Extras.schemaEvolutionSql,

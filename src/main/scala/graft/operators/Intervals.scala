@@ -167,6 +167,95 @@ object Intervals {
        |FROM ag JOIN tp ON ag.k = tp.k
        |ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q49
+  /** INTERVAL × INTERVAL overlap join via MEET-ONCE bin assignment — the
+    * third member of the family (q44: decomposable aggregate by sweep-
+    * line; q48: point×interval pairs; q49: interval×interval pairs).
+    * Overlap([s1,e1), [s2,e2)) ⇔ s1 < e2 AND s2 < e1. Both sides explode
+    * into their covering bins, so an overlapping pair shares every bin
+    * their intersection touches — naively that double-counts. The
+    * meet-once rule: credit the pair ONLY in the bin containing
+    * max(s1, s2). That day lies inside BOTH intervals (it is ≥ both
+    * starts, and < min(e1,e2) because the overlap is non-empty), so the
+    * bin is present in both explosions, and it is unique — one extra
+    * equi-residual conjunct replaces a whole dedup shuffle. Salting:
+    * the SMALLER side (order windows) replicates into every salt bucket
+    * while the bigger side (ship windows) hash-salts, so per-task input
+    * is owPerBin·1 + swPerBin/S.
+    *
+    * Semantics on the sf tables: for every 10th order window, the
+    * deterministic ship-transit windows ([l_shipdate, +1 + lkey mod 14)
+    * over every 10th part's lineitems) that overlap it — count, exact-
+    * cent price mass, and the single most expensive overlapping line
+    * (k=1 heap argmax, exact (price, lkey) tiebreak). */
+  private val ShipBaseDays = 1
+  private val ShipModDays = 14
+
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ow = Tables.orders(spark, dir)
+      .filter(pmod($"o_orderkey", lit(RangeProbeMod)) === 0)
+      .select($"o_orderkey",
+        unix_date(to_date($"o_orderdate")).cast("long").as("s1"),
+        (unix_date(to_date($"o_orderdate")).cast("long") + lit(HoldBaseDays.toLong)
+          + pmod($"o_orderkey", lit(HoldModDays.toLong))).as("e1"))
+    val owB = ow
+      .withColumn("bin", explode(sequence(
+        floor($"s1" / RangeBinDays), floor(($"e1" - 1) / RangeBinDays))))
+      .withColumn("salt", explode(sequence(lit(0), lit(RangeSaltBuckets - 1))))
+    val sw = Tables.lineitem(spark, dir)
+      .filter(pmod($"l_partkey", lit(RangeProbeMod)) === 0)
+      .select(($"l_orderkey" * 10 + $"l_linenumber").cast("long").as("lkey"),
+        graft.functions.Money.cents($"l_extendedprice").as("lpc"),
+        unix_date(to_date($"l_shipdate")).cast("long").as("s2"))
+      .withColumn("e2", $"s2" + lit(ShipBaseDays.toLong) + pmod($"lkey", lit(ShipModDays.toLong)))
+    val swB = sw
+      .withColumn("bin", explode(sequence(
+        floor($"s2" / RangeBinDays), floor(($"e2" - 1) / RangeBinDays))))
+      .withColumn("salt", pmod(xxhash64($"lkey"), lit(RangeSaltBuckets.toLong)).cast("int"))
+      // same pinned fan-out exchange as q48 (AQE would coalesce it away)
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("bin"), col("salt"))
+    val tk = graft.functions.catalyst.GraftColumns.topk_by_ord _
+    owB.join(swB, owB("bin") === swB("bin") && owB("salt") === swB("salt") &&
+        $"s1" < $"e2" && $"s2" < $"e1" &&
+        swB("bin") === floor(greatest($"s1", $"s2") / RangeBinDays))
+      .groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n_overlap"),
+        (sum($"lpc").cast("double") / 100.0).as("overlap_price"),
+        get(tk(struct(bitwise_not($"lpc").as("np"), bitwise_not($"lkey").as("nk")),
+          $"lkey", 1), lit(0)).as("top_line"))
+      .orderBy($"o_orderkey")
+  }
+
+  val intervalJoinSql: String =
+    s"""WITH ow AS (
+       |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS s1,
+       |         CAST(o_orderdate AS DATE)
+       |           + CAST($HoldBaseDays + o_orderkey % $HoldModDays AS INTEGER) AS e1
+       |  FROM orders WHERE o_orderkey % $RangeProbeMod = 0),
+       |sw AS (
+       |  SELECT l_orderkey * 10 + l_linenumber AS lkey,
+       |         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS lpc,
+       |         CAST(l_shipdate AS DATE) AS s2,
+       |         CAST(l_shipdate AS DATE)
+       |           + CAST($ShipBaseDays + (l_orderkey * 10 + l_linenumber) % $ShipModDays AS INTEGER) AS e2
+       |  FROM lineitem WHERE l_partkey % $RangeProbeMod = 0),
+       |j AS (
+       |  SELECT ow.o_orderkey AS k, sw.lkey, sw.lpc
+       |  FROM ow JOIN sw ON ow.s1 < sw.e2 AND sw.s2 < ow.e1),
+       |ag AS (
+       |  SELECT k, count(*) AS n_overlap, CAST(sum(lpc) AS DOUBLE) / 100.0 AS overlap_price
+       |  FROM j GROUP BY k),
+       |tp AS (
+       |  SELECT k, lkey AS top_line FROM (
+       |    SELECT k, lkey,
+       |      row_number() OVER (PARTITION BY k ORDER BY lpc DESC, lkey DESC) AS rn
+       |    FROM j) WHERE rn = 1)
+       |SELECT ag.k AS o_orderkey, n_overlap, overlap_price, top_line
+       |FROM ag JOIN tp ON ag.k = tp.k
+       |ORDER BY 1""".stripMargin
+
   val intervalConcurrencySql: String =
     s"""WITH iv AS (
        |  SELECT CAST(o_orderdate AS DATE) AS s,

@@ -255,9 +255,13 @@ object ZoneMap {
     * zones, costing skip ratio, never correctness). */
   private[graft] def appendZorder(spark: SparkSession, layout: String,
       delta: DataFrame): Array[org.apache.spark.sql.Row] = {
+    // Hadoop FS listing, not java.io — the layout lives on HDFS/S3 in
+    // production, and a listing is a metadata op either way
+    val hPath = new org.apache.hadoop.fs.Path(layout)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def files(): Set[String] =
-      new java.io.File(layout).listFiles.toSeq
-        .map(_.getName).filter(_.endsWith(".parquet")).toSet
+      fs.listStatus(hPath).toSeq.map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).toSet
     val before = files()
     writeZorder(delta, layout, math.max(1, ZFiles / 8), mode = "append")
     val fresh = (files() -- before).toSeq.sorted.map(n => s"$layout/$n")

@@ -76,14 +76,53 @@ class ZoneMapIntervalSpec extends AnyFunSuite {
     }
   }
 
-  test("q48: plans as an EQUI join on (bin, salt) — never a nested-loop scan") {
-    val plan = operators.Intervals.rangeJoin(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoin") &&
-      !plan.contains("CartesianProduct"),
-      "range join fell back to a per-probe-row scan:\n" + plan.take(1500))
-    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
-      plan.contains("ShuffledHashJoin"), plan.take(1500))
+  test("q49: meet-once interval×interval join equals the naive all-pairs recompute") {
+    import spark.implicits._
+    // double-counting is THE failure mode of bin-exploded overlap joins:
+    // a pair sharing k bins must still be credited once — the naive
+    // recompute enumerates each pair exactly once by construction
+    val got = operators.Intervals.intervalJoin(spark, sf).collect()
+    val ows = sources.Tables.orders(spark, sf)
+      .filter($"o_orderkey" % 10 === 0)
+      .select($"o_orderkey", to_date($"o_orderdate").as("d"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .map { case (k, s) => (k, s, s.plusDays(3 + k % 28)) }
+    val sws = sources.Tables.lineitem(spark, sf)
+      .filter($"l_partkey" % 10 === 0)
+      .select(($"l_orderkey" * 10 + $"l_linenumber").cast("long").as("lkey"),
+        $"l_extendedprice", to_date($"l_shipdate").as("d"))
+      .collect().map(r => (r.getLong(0),
+        math.floor(r.getDouble(1) * 100 + 0.5).toLong, r.getDate(2).toLocalDate))
+      .map { case (lk, pc, s) => (lk, pc, s, s.plusDays(1 + lk % 14)) }
+    val naive = ows.flatMap { case (k, s1, e1) =>
+      val over = sws.filter { case (_, _, s2, e2) =>
+        s1.isBefore(e2) && s2.isBefore(e1) }
+      if (over.isEmpty) None
+      else {
+        val top = over.maxBy { case (lk, pc, _, _) => (pc, lk) }
+        Some((k, over.length.toLong,
+          over.map(_._2).sum.toDouble / 100.0, top._1))
+      }
+    }.sortBy(_._1)
+    assert(got.length == naive.length)
+    got.zip(naive).foreach { case (r, (k, n, pr, tl)) =>
+      assert(r.getLong(0) == k)
+      assert(r.getLong(1) == n, s"n_overlap mismatch at order $k (double count?)")
+      assert(math.abs(r.getDouble(2) - pr) < 1e-9, s"overlap_price mismatch at $k")
+      assert(r.getLong(3) == tl, s"top_line mismatch at $k")
+    }
+  }
+
+  test("q48/q49: plan as EQUI joins on (bin, salt) — never a nested-loop scan") {
+    for (q <- Seq("q48_range_join", "q49_interval_join")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$q fell back to a per-probe-row scan:\n" + plan.take(1500))
+      assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
+        plan.contains("ShuffledHashJoin"), s"$q:\n" + plan.take(1500))
+    }
   }
 
   // ---------------------------------------------------------------- r40
