@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Expression, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.Cross
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LocalRelation, LogicalPlan, OneRowRelation, UnaryNode, Window => LWindow}
 import org.scalatest.funsuite.AnyFunSuite
@@ -21,7 +22,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * being BUILT (jobs, fits, filesystem round-trips, driver collects);
   * re-running their actions here would double the suite's runtime for
   * no added coverage — each is audited by its own spec/PlanCheck. */
-class PlanGuardSpec extends AnyFunSuite {
+class PlanGuardSpec extends AnyFunSuite with PredicateHelper {
   import TestSpark._
 
   /** prefix -> why its construction is eager (the written exemption). */
@@ -64,6 +65,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "r28_" -> "schema-evolution round-trip writes files on construction",
     "r31_" -> "paged-transport fetch runs the fake API on construction",
     "r40_" -> "zone-map layout write + file-list metadata collect on construction",
+    "r46_" -> "z-order layout write + zone-map metadata collect on construction",
     "q45_" -> "pointer-doubling fixpoint loop runs count actions on construction",
     "r32_" -> "the composed daily loop runs end-to-end on construction",
     "r34_" -> "the composed daily loop runs end-to-end on construction",
@@ -138,5 +140,41 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(seen > 0, "guard went vacuous: no cross joins matched at all")
     assert(offenders.isEmpty,
       s"unbounded cross joins found in:\n  ${offenders.mkString("\n  ")}")
+  }
+
+  /** Does the join carry at least one equi predicate spanning both
+    * sides? Without one, Spark can only plan BroadcastNestedLoopJoin /
+    * Cartesian — acceptable ONLY against a construction-bounded side. */
+  private def spansBoth(j: Join, a: Expression, b: Expression): Boolean =
+    (a.references.subsetOf(j.left.outputSet) && b.references.subsetOf(j.right.outputSet)) ||
+      (a.references.subsetOf(j.right.outputSet) && b.references.subsetOf(j.left.outputSet))
+  private def hasEquiPair(j: Join): Boolean =
+    j.condition.toSeq.flatMap(splitConjunctivePredicates).exists {
+      case EqualTo(a, b) => spansBoth(j, a, b)
+      case EqualNullSafe(a, b) => spansBoth(j, a, b)
+      case _ => false
+    }
+
+  test("plan guard: every NON-EQUI join has a bounded side (no unbounded nested-loop)") {
+    // the class the cross-join guard does not reach: a condition-bearing
+    // join with no equi conjunct physically plans as a per-probe-row
+    // BroadcastNestedLoopJoin — the NljAudit sweep this test pins
+    // same allowlist as the cross-join guard: s01's all-pairs join IS
+    // the declared brute-force baseline, condition or no condition
+    var seen = 0
+    val offenders = lazyQueries.filterNot(crossJoinBaselines).flatMap { name =>
+      spark.catalog.clearCache()
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      val nonEqui = plan.collect {
+        case j: Join if j.condition.nonEmpty && !hasEquiPair(j) => j
+      }
+      seen += nonEqui.size
+      val bad = nonEqui.filterNot(j => boundedSide(j.left) || boundedSide(j.right))
+      if (bad.nonEmpty) Some(s"$name (${bad.size} unbounded non-equi join(s))")
+      else None
+    }
+    assert(seen > 0, "guard went vacuous: no non-equi joins matched at all")
+    assert(offenders.isEmpty,
+      s"unbounded non-equi joins found in:\n  ${offenders.mkString("\n  ")}")
   }
 }
