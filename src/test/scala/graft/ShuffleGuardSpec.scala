@@ -102,7 +102,14 @@ class ShuffleGuardSpec extends AnyFunSuite {
     // SHUFFLE joins by design — 100 TB vocab must not broadcast — plus
     // distinct/eval splits); the per-doc argmax is the min_by agg, so a
     // 19th exchange means the argmax window came back
-    "t13_nb_classifier" -> 18
+    "t13_nb_classifier" -> 18,
+    // q48/q49 bin joins: the PINNED (bin, salt) fan-out exchange (AQE
+    // must not coalesce it — it sizes by shuffle bytes, blind to the
+    // ~70× join fan-out behind them) + the per-key agg exchange + the
+    // output sort. Losing the pin (or a dedup shuffle sneaking into
+    // q49's meet-once form) shows up as ±1 here.
+    "q48_range_join" -> 3,
+    "q49_interval_join" -> 3
   )
 
   test("shuffle guard: audited queries keep their exchange counts") {
