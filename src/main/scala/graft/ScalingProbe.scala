@@ -180,18 +180,22 @@ object ScalingProbe {
         // the one-task hot key; split (thresholds forced on) must bound
         // the max task at chunk- not key-scale and match plain's rows
         import graft.plans.AsOf
-        if (on("asof", "asof_skew")) {
-          spark.conf.set(AsOf.SplitChunksConf, "0")
-          out("asof_skew") = timed(graft.operators.AsOfNative.asofNativeFrom(evZ))
-        }
-        if (on("asof", "asof_skew_split")) {
-          spark.conf.set(AsOf.SplitChunksConf, "16")
-          spark.conf.set(AsOf.SplitMinBuildBytesConf, "1")
-          spark.conf.set(AsOf.SplitHotKeyRowsConf, "1000000")
-          out("asof_skew_split") =
-            timed(graft.operators.AsOfNative.asofNativeFrom(evZ))
-        }
-        Seq(AsOf.SplitChunksConf, AsOf.SplitMinBuildBytesConf,
+        // try/finally: a throwing timed run must not leak the three
+        // spark.graft.asof.split.* overrides into later entries (they
+        // would silently change what subsequent as-of probes measure)
+        try {
+          if (on("asof", "asof_skew")) {
+            spark.conf.set(AsOf.SplitChunksConf, "0")
+            out("asof_skew") = timed(graft.operators.AsOfNative.asofNativeFrom(evZ))
+          }
+          if (on("asof", "asof_skew_split")) {
+            spark.conf.set(AsOf.SplitChunksConf, "16")
+            spark.conf.set(AsOf.SplitMinBuildBytesConf, "1")
+            spark.conf.set(AsOf.SplitHotKeyRowsConf, "1000000")
+            out("asof_skew_split") =
+              timed(graft.operators.AsOfNative.asofNativeFrom(evZ))
+          }
+        } finally Seq(AsOf.SplitChunksConf, AsOf.SplitMinBuildBytesConf,
           AsOf.SplitHotKeyRowsConf).foreach(spark.conf.unset)
       }
     }

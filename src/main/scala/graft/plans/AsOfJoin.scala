@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, TimestampType}
 
 /** Native AS-OF (point-in-time) JOIN — the whole-operator Catalyst
   * extension: logical node + planner strategy + physical operator,
@@ -248,6 +248,28 @@ object AsOf {
     * |hot| <= buildRows / hotKeyRows, but guard the broadcast anyway. */
   private val MaxHotKeys: Long = 100000L
 
+  /** Tie types the split's carried-winner heap can order EXACTLY: the heap
+    * maps the tiebreak onto a long via bitwise NOT (order-reversing for all
+    * longs, no sentinel collisions). Decimal/Float/Double would collapse
+    * through a double cast — >53-bit Decimal ties become equal, NaN ties
+    * map to the wrong end of the merge's nulls-first keep-last order, and
+    * real ±Inf collides with the null sentinels — so non-integral ties
+    * fall back to [[joinPlain]] (the gate below), keeping the operator's
+    * row-for-row exactness contract unconditional. */
+  private def integralTie(dt: DataType): Boolean =
+    dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
+
+  /** Hot-key detection memo: the collected bounds table per (canonicalized
+    * child plans, keys, times, chunks, hotRows). `join` is EAGER when the
+    * split arms — detection (two corpus-scan aggregations + a bounded
+    * collect) runs at DataFrame-construction time — so callers that build
+    * the same join repeatedly must not pay the scans each time. Bounded:
+    * cleared wholesale past 64 entries (a session building >64 distinct
+    * large as-of joins re-detects; it never grows without bound). */
+  private val detectMemo = scala.collection.concurrent.TrieMap.empty[
+    (LogicalPlan, LogicalPlan, Seq[(String, String)], String, String, Int, Long),
+    Array[org.apache.spark.sql.Row]]
+
   /** As-of join `left` to `right`.
     *
     * @param on        (leftKeyCol, rightKeyCol) equi-key pairs (types must
@@ -265,6 +287,17 @@ object AsOf {
     *
     * Output = left columns ++ right columns (right nullable); name
     * collisions are the caller's to avoid (rename before joining).
+    *
+    * EAGERNESS: when the hot-key time-split arms (either side's plan-stat
+    * size >= [[SplitMinBuildBytesConf]] and splitting is enabled), hot-key
+    * DETECTION — two corpus-scan aggregations plus a bounded collect —
+    * executes HERE, at DataFrame-construction time, not at the first
+    * action. The detection result is memoized per (canonicalized child
+    * plans, keys, times, chunks, hotRows), so repeated construction of the
+    * same join pays the scans once per session; distinct inputs or changed
+    * split confs re-detect. Callers that only want the plan (explain,
+    * plan-shape tests) on large inputs can set [[SplitChunksConf]] <= 1 to
+    * keep construction lazy.
     */
   def join(left: DataFrame, right: DataFrame, on: Seq[(String, String)],
       leftTime: String, rightTime: String,
@@ -276,13 +309,13 @@ object AsOf {
     val minBytes =
       spark.conf.get(SplitMinBuildBytesConf, DefaultMinBuildBytes.toString).toLong
     // streaming frames can't run the hot-key count action; tie types the
-    // heap can't order descending fall back too (see joinTimeSplit).
-    // EITHER side's size can arm the gate: a probe-side hot key stalls
-    // the merge's sorted task just as surely as a build-side one.
+    // heap can't order EXACTLY (anything non-integral — see [[integralTie]])
+    // fall back too. EITHER side's size can arm the gate: a probe-side hot
+    // key stalls the merge's sorted task just as surely as a build-side one.
     val splittable = chunks > 1 && !left.isStreaming && !right.isStreaming &&
       rightTieBreak.forall(t => right.schema.find(f =>
         spark.sessionState.conf.resolver(f.name, t))
-        .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])) &&
+        .exists(f => integralTie(f.dataType))) &&
       (right.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes ||
         left.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes)
     if (splittable) {
@@ -372,7 +405,7 @@ object AsOf {
       toleranceUs: Option[Long], forward: Boolean,
       rightTieBreak: Option[String], chunks: Int, hotRows: Long): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType => LongT, ShortType, TimestampType => TsT}
+    import org.apache.spark.sql.types.{TimestampType => TsT}
     val spark = lhs.sparkSession
     val lKeyNames = on.map(_._1)
     val rKeyNames = on.map(_._2)
@@ -409,8 +442,16 @@ object AsOf {
     // Without this, the count job plus each downstream broadcast re-ran
     // the two corpus-scan aggregations — the left/right projections
     // differ, so ReuseExchange can't fire across them — i.e. up to six
-    // corpus scans for detection instead of one per side.
-    val hotCollected = hotDist.limit(MaxHotKeys.toInt + 1).collect()
+    // corpus scans for detection instead of one per side. Memoized per
+    // (canonicalized inputs, keys, times, chunks, hotRows): construction
+    // is eager when the split arms (see join()), so repeated construction
+    // of the same join must not re-pay the detection scans.
+    if (detectMemo.size > 64) detectMemo.clear()
+    val hotCollected = detectMemo.getOrElseUpdate(
+      (lhs.queryExecution.analyzed.canonicalized,
+        rhs.queryExecution.analyzed.canonicalized,
+        on, leftTime, rightTime, chunks, hotRows),
+      hotDist.limit(MaxHotKeys.toInt + 1).collect())
     if (hotCollected.isEmpty)
       return joinPlain(lhs, rhs, on, leftTime, rightTime, toleranceUs,
         forward, rightTieBreak)
@@ -443,31 +484,27 @@ object AsOf {
     // carries the final instant's keep-last row to all LATER chunks,
     // forward the first instant's keep-first row to all EARLIER chunks.
     // One k=1 heap per (key, chunk): map-side partial, ObjectHash path.
-    // Descending integral components negate via bitwise NOT (order-
-    // reversing for ALL longs — no MinValue overflow); null ties map to
-    // the losing end, matching the merge's nulls-first keep-last.
     val rtUs = usCol(rhs, rightTime)
     // The merge sorts (time asc, tie asc, NULLS FIRST) and keeps the last
     // duplicate backward (max tie — nulls lose) / the first forward (min
-    // tie — nulls WIN). Mirror that exactly in the heap's keep-min order.
-    val tieOrd = rightTieBreak.map { tname =>
-      val t = col(tname)
-      val dt = rhs.schema.find(f =>
-        spark.sessionState.conf.resolver(f.name, tname)).get.dataType
-      val integral = dt == LongT || dt == IntegerType || dt == ShortType || dt == ByteType
-      (forward, integral) match {
-        case (true, true) =>
-          when(t.isNull, lit(Long.MinValue)).otherwise(t.cast("long"))
-        case (true, false) =>
-          when(t.isNull, lit(Double.NegativeInfinity)).otherwise(t.cast("double"))
-        case (false, true) =>
-          when(t.isNull, lit(Long.MaxValue)).otherwise(bitwise_not(t.cast("long")))
-        case (false, false) =>
-          when(t.isNull, lit(Double.PositiveInfinity)).otherwise(-t.cast("double"))
+    // tie — nulls WIN). Mirror that exactly in the heap's keep-min order:
+    // the join() gate admits only INTEGRAL ties here ([[integralTie]] —
+    // bitwise NOT is order-reversing for ALL longs, no MinValue overflow,
+    // and anything a double cast would collapse fell back to joinPlain),
+    // and nulls get their own leading flag component instead of a value
+    // sentinel, so no real tie value can collide with the null ordering.
+    val tieCols: Seq[org.apache.spark.sql.Column] =
+      rightTieBreak.toSeq.flatMap { tname =>
+        val t = col(tname)
+        if (forward) // keep-min: nulls first (win), then tie asc
+          Seq(when(t.isNull, 0L).otherwise(1L).as("tn"),
+            coalesce(t.cast("long"), lit(0L)).as("tb"))
+        else // keep-min on NOT: nulls last (lose), then tie desc
+          Seq(when(t.isNull, 1L).otherwise(0L).as("tn"),
+            bitwise_not(coalesce(t.cast("long"), lit(0L))).as("tb"))
       }
-    }
     val ordKey = struct(
-      (if (forward) rtUs else bitwise_not(rtUs)).as("t") +: tieOrd.map(_.as("tb")).toSeq: _*)
+      (if (forward) rtUs else bitwise_not(rtUs)).as("t") +: tieCols: _*)
     val payload = struct(rhs.columns.map(col): _*)
     val rHot = rAug.filter(col("__asof_tmin").isNotNull && rtUs.isNotNull)
       .withColumn("__c", chunkOf(rtUs))

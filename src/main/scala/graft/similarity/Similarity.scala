@@ -578,14 +578,24 @@ object Similarity {
     * distributed. At 100 TB this composes with the s04 coarse quantizer
     * (probe cells first, ADC within probed cells); approximate by
     * construction → rows-only, recall vs s01 asserted in the spec. */
-  /** Default serving batch for the registered s05 query: every
-    * [[QueryStride]]-th corpus vector — a harness convenience so the
-    * driver-checked entry needs no external request table. NOT the
-    * production contract: this derivation grows with the corpus. */
+  /** Default serving batch for the registered s05/s06 queries: every
+    * Nth corpus vector — a harness convenience so the driver-checked
+    * entries need no external request table. NOT the production contract
+    * (real callers pass their own bounded request batch), so the stride
+    * must not let the DEFAULT batch outgrow [[MaxServeBatch]] as the
+    * corpus grows: it widens from [[QueryStride]] just enough to keep the
+    * batch under half the cap (vec_ids are dense, so batch ≈ n/stride).
+    * One footer-scale count() per call — the embeddings table is
+    * dimension-sized next to the corpus the serving path scores. */
+  private[similarity] def serveStride(spark: SparkSession, dir: String): Long = {
+    val n = Tables.embeddings(spark, dir).count()
+    math.max(QueryStride.toLong, n / (MaxServeBatch / 2) + 1L)
+  }
+
   def pqQueryDefault(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.embeddings(spark, dir)
-      .filter($"vec_id" % QueryStride === 0)
+      .filter($"vec_id" % serveStride(spark, dir) === 0)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
   }
 
@@ -604,7 +614,7 @@ object Similarity {
   def pqServe(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val requests = Tables.embeddings(spark, dir)
-      .filter($"vec_id" % (QueryStride * 2) === 0)
+      .filter($"vec_id" % (serveStride(spark, dir) * 2) === 0)
       .select(($"vec_id" + ServeIdOffset).as("vec_id"),
         $"embedding".cast("array<double>").as("v"))
     pqTopKWith(spark, dir, requests)

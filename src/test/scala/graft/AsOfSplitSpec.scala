@@ -139,6 +139,32 @@ class AsOfSplitSpec extends AnyFunSuite {
       rightTieBreak = Some("view_id")), split)
   }
 
+  test("non-integral tiebreak falls back to joinPlain (heap can't order it exactly)") {
+    // A double tie would collapse through the carried-winner heap's long
+    // order (NaN / ±Inf / >53-bit ties); the gate must keep such joins on
+    // the unsplit plan even with every threshold armed.
+    val on = Seq("user_id" -> "v_user_id")
+    val keys = Seq(AsOf.SplitChunksConf, AsOf.SplitMinBuildBytesConf, AsOf.SplitHotKeyRowsConf)
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(AsOf.SplitChunksConf, Chunks.toString)
+      spark.conf.set(AsOf.SplitMinBuildBytesConf, "1")
+      spark.conf.set(AsOf.SplitHotKeyRowsConf, HotRows.toString)
+      val dblTie = AsOf.join(purchases, views, on, "purchase_ts", "view_ts",
+        rightTieBreak = Some("view_value")) // double column
+      assert(!dblTie.queryExecution.executedPlan.toString.contains("__asof_chunk_l"),
+        "a non-integral tiebreak must not arm the time-split")
+      // same inputs with the integral tie DO split — the fallback is the
+      // tie type, not something else about this corpus
+      val intTie = AsOf.join(purchases, views, on, "purchase_ts", "view_ts",
+        rightTieBreak = Some("view_id"))
+      assert(intTie.queryExecution.executedPlan.toString.contains("__asof_chunk_l"))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("plan guard: AsOf.join auto-splits past the build-size threshold, stays plain under it") {
     val on = Seq("user_id" -> "v_user_id")
     val keys = Seq(AsOf.SplitChunksConf, AsOf.SplitMinBuildBytesConf, AsOf.SplitHotKeyRowsConf)
