@@ -64,6 +64,24 @@ object Bench {
       allReps(name) = ts.toSeq
       if (failed) -1.0 else ts.min
     }
+    // Cold-entry reps (round-13): rep 1 is the memoized COLD build (the
+    // entry's meaning, and the reported value — comparable across
+    // rounds); reps 2+ run `rep`, the fresh-workspace re-orchestration of
+    // the same mode, so the reps array makes the cold number's swing
+    // adjudicable against a repeatable twin instead of standing alone.
+    def timedColdReps(name: String)(cold: => Unit)(rep: => Unit): Double = {
+      val ts = scala.collection.mutable.ArrayBuffer[Double]()
+      ts += timed(name)(cold)
+      var cum = math.max(0.0, ts.head)
+      var i = 1
+      while (i < maxReps && ts.forall(_ >= 0) && (i < 2 || cum <= repBudgetSec)) {
+        val t = timed(name)(rep)
+        ts += t; cum += math.max(0.0, t)
+        i += 1
+      }
+      allReps(name) = ts.toSeq
+      if (ts.exists(_ < 0)) -1.0 else ts.head
+    }
 
     // SPARK_GRAFT_ONLY=q01,q03 limits the run (profiling); default = all.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -96,10 +114,12 @@ object Bench {
           // the memo), but daily_rebuild re-runs the fresh-workspace
           // fixed-mode orchestration under the min-of-N protocol, so the
           // orchestration cost that actually swung is now adjudicable.
-          "daily_build_fix" -> timed("daily_build_fix")(
-            Daily.sharedDailyRun(spark, sfDir, balanceFed = false): Unit),
-          "daily_build_bal" -> timed("daily_build_bal")(
-            Daily.sharedDailyRun(spark, sfDir, balanceFed = true): Unit),
+          "daily_build_fix" -> timedColdReps("daily_build_fix")(
+            Daily.sharedDailyRun(spark, sfDir, balanceFed = false): Unit)(
+            Daily.rebuildDailyRun(spark, sfDir, balanceFed = false)),
+          "daily_build_bal" -> timedColdReps("daily_build_bal")(
+            Daily.sharedDailyRun(spark, sfDir, balanceFed = true): Unit)(
+            Daily.rebuildDailyRun(spark, sfDir, balanceFed = true)),
           "daily_rebuild" -> timedMin("daily_rebuild")(
             Daily.rebuildDailyRun(spark, sfDir)))
       else Seq.empty

@@ -745,12 +745,23 @@ object Daily {
     * orders branch against a new temp workspace every call, with the
     * mode-independent chain resolving to committed resumes, so successive
     * reps time identical work. */
-  def rebuildDailyRun(spark: SparkSession, dir: String): Unit = {
+  def rebuildDailyRun(spark: SparkSession, dir: String): Unit =
+    rebuildDailyRun(spark, dir, balanceFed = false)
+
+  /** Mode-parameterized rebuild (round-13): the bench's daily_build_fix /
+    * daily_build_bal cold entries get rep 2+ from this — a fresh-
+    * workspace re-orchestration of the SAME mode over the committed
+    * chain — so both cold entries carry a reps array instead of being
+    * single-run unadjudicable numbers. */
+  def rebuildDailyRun(spark: SparkSession, dir: String,
+      balanceFed: Boolean): Unit = {
     import spark.implicits._
-    sharedDailyRun(spark, dir, balanceFed = false): Unit // chain committed
+    sharedDailyRun(spark, dir, balanceFed): Unit // chain committed
     val chainRoot = sharedChains.get(dir)
     val ws = Workspace(
-      graft.operators.Extras.tempDir("graft-daily-rebuild"), Some(chainRoot))
+      graft.operators.Extras.tempDir(
+        if (balanceFed) "graft-daily-rebuild-bal" else "graft-daily-rebuild"),
+      Some(chainRoot))
     val conn = new LocalFileEventConnector(dir)
     val maxLd = Tables.events(spark, dir)
       .agg(max(to_date($"ts"))).head().getDate(0).toLocalDate
@@ -759,8 +770,9 @@ object Daily {
     chainRoot.synchronized {
       bootstrap(spark, conn, ws, cutoff)
       writeConditions(spark, dir, ws)
+      if (balanceFed) seedBalance(spark, ws, cutoff)
       run(spark, conn, ws, start, maxLd,
-        withOrders = true, withBalance = false): Unit
+        withOrders = true, withBalance = balanceFed): Unit
     }
   }
 

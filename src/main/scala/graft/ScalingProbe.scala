@@ -236,6 +236,100 @@ object ScalingProbe {
             (sum(graft.functions.Money.cents($"l_extendedprice")).cast("double") / 100.0)
               .as("sum_price")))
     }
+    val rangeZipfEntries = Seq("q48_zipf_plain", "q48_zipf_split")
+    if (probes("rangezipf") || rangeZipfEntries.exists(probes)) {
+      // Zipf-DATE corpus (VERDICT r12 task 1): 20% of all orders land on
+      // ONE day — the earnings-day clustering the round-12 verdict called
+      // the un-splittable production shape. The hot day's intervals all
+      // cover the same handful of bins, so point-side salting alone caps
+      // the join's parallelism at bins×salts and the hot bin's tasks each
+      // carry the WHOLE replicated interval side. The split run arms the
+      // hot-bin sub-salt (spark.graft.range.hotBinRows): max-task input
+      // records must fall to ≈ hotBinRows + ptsPerBin/S — bounded by the
+      // KNOBS, not the skew — while RangeHotBinSpec pins row-for-row
+      // exactness of the same rewrite. Both runs share one landed corpus.
+      // (Pair volume is quadratic in the hot-day density by SEMANTICS —
+      // hotPts × hotIvs ≈ (0.02n)·(0.2n) — so the corpus is sized at
+      // 125k·mult: the probe's claim is the max-task DISTRIBUTION bound,
+      // which needs the skew shape, not a billion-pair wall.)
+      import java.util.concurrent.atomic.AtomicLong
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+      import graft.operators.Intervals
+      val nOrd = mult.toLong * 125000L
+      val ordZ = land(spark.range(nOrd).select(
+        $"id".as("o_orderkey"),
+        when(pmod(xxhash64($"id", lit("rzh")), lit(10L)) < 2, lit("2024-03-15"))
+          .otherwise(date_format(date_add(
+            lit("1992-01-01").cast("date"),
+            pmod(xxhash64($"id", lit("rzd")), lit(2400L)).cast("int")),
+            "yyyy-MM-dd")).as("o_orderdate"),
+        (pmod(xxhash64($"id", lit("rzp")), lit(100000L)).cast("double") / 100.0)
+          .as("o_totalprice")),
+        s"/tmp/graft_scale_rangezipf_$mult")
+      // Per-stage (task count, max task records). The reported bound is
+      // the max over MULTI-task stages: a 1-task stage is an exchange AQE
+      // already coalesced for being small (the dimension-scale aggregate
+      // reads), not a straggler — the knobs' claim is about the stages
+      // AQE cannot split, the pinned corpus-scale join.
+      val stageStats =
+        new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+      val maxTaskRecs = new AtomicLong // all stages, for reference
+      val taskListener = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            val recs = m.inputMetrics.recordsRead +
+              m.shuffleReadMetrics.recordsRead
+            maxTaskRecs.updateAndGet(p => math.max(p, recs)): Unit
+            stageStats.merge(t.stageId, (1L, recs),
+              (a, b) => (a._1 + b._1, math.max(a._2, b._2))): Unit
+          }
+        }
+      }
+      def multiTaskMax(label: String): Long = {
+        import scala.jdk.CollectionConverters._
+        val stats = stageStats.asScala.toSeq
+        if (sys.env.contains("SPARK_GRAFT_RZ_DEBUG"))
+          System.err.println(s"[$label] stage (tasks, max-task records): " +
+            stats.sortBy(-_._2._2).take(8)
+              .map { case (s, (n, r)) => s"stage$s=($n,$r)" }.mkString(", "))
+        val m = stats.collect { case (_, (n, r)) if n > 1 => r }
+        stageStats.clear()
+        if (m.isEmpty) 0L else m.max
+      }
+      spark.sparkContext.addSparkListener(taskListener)
+      val geomKeys = Seq(Intervals.HotBinMinDetectBytesConf, Intervals.HotBinRowsConf)
+      // 512 shuffle partitions for these two entries: at the default 32,
+      // ~37 (bin, salt) cells co-hash per partition and every join task
+      // carries ~8.6× a cell's volume — collisions, not the hot cell,
+      // set the max task and the split's effect is invisible. With cells
+      // spread thin (cluster-scale partitioning, the regime the knobs
+      // exist for) the hot bin IS the straggler: plain's max task must
+      // sit at ~ivPerHotBin while split's drops to ~ivPerHotBin/subI.
+      val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "512")
+      try {
+        if (on("rangezipf", "q48_zipf_plain")) {
+          spark.conf.set(Intervals.HotBinMinDetectBytesConf, Long.MaxValue.toString)
+          maxTaskRecs.set(0L)
+          out("q48_zipf_plain") = timed(Intervals.rangeJoinFromOrders(ordZ))
+          Thread.sleep(600) // drain the async listener bus
+          out("q48_zipf_plain_maxtask") = multiTaskMax("plain").toDouble
+        }
+        if (on("rangezipf", "q48_zipf_split")) {
+          spark.conf.set(Intervals.HotBinMinDetectBytesConf, "0")
+          spark.conf.set(Intervals.HotBinRowsConf, "25000")
+          maxTaskRecs.set(0L)
+          out("q48_zipf_split") = timed(Intervals.rangeJoinFromOrders(ordZ))
+          Thread.sleep(600)
+          out("q48_zipf_split_maxtask") = multiTaskMax("split").toDouble
+        }
+      } finally {
+        geomKeys.foreach(spark.conf.unset)
+        spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+        spark.sparkContext.removeSparkListener(taskListener)
+      }
+    }
     if (probes("rangejoin") || probes("q48_rangejoin")) {
       // q48's scale shape is QUADRATIC in data density by semantics:
       // mult× orders over the SAME date range means mult× points each

@@ -339,7 +339,14 @@ object SparkEntry {
     "sql04_dsv2_via_sql" -> (SqlSurface.dsv2ViaSql _),
     // sql05: the NATIVE as-of join through pure SQL (view over the
     // AsOfJoinPlan node); gated on q47's oracle
-    "sql05_asof_via_sql" -> (SqlSurface.asofViaSql _)
+    "sql05_asof_via_sql" -> (SqlSurface.asofViaSql _),
+    // sql06-sql08: the interval family through pure SQL — views over the
+    // sweep-line / bin-join plans, so SQL-only clients inherit the
+    // pinned-exchange geometry (never a nested-loop); gated on the
+    // q44/q48/q49 naive-join oracles
+    "sql06_intervals_via_sql" -> (SqlSurface.intervalConcurrencyViaSql _),
+    "sql07_rangejoin_via_sql" -> (SqlSurface.rangeJoinViaSql _),
+    "sql08_intervaljoin_via_sql" -> (SqlSurface.intervalJoinViaSql _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -513,6 +520,9 @@ object SparkEntry {
     "sql02_fingerprint_via_sql" -> TextAnalysis.fingerprintSql,
     "sql03_cci_via_view" -> CciPipeline.cciSql,
     "sql04_dsv2_via_sql" -> graft.sources.Dsv2Fetch.dsv2FetchSql,
-    "sql05_asof_via_sql" -> AsOfNative.q47Sql
+    "sql05_asof_via_sql" -> AsOfNative.q47Sql,
+    "sql06_intervals_via_sql" -> Intervals.intervalConcurrencySql,
+    "sql07_rangejoin_via_sql" -> Intervals.rangeJoinSql,
+    "sql08_intervaljoin_via_sql" -> Intervals.intervalJoinSql
   )
 }

@@ -114,7 +114,18 @@ object SqlSurface {
       // ensureStrategy()s this session on construction, so the view is
       // plannable wherever it is queryable.
       "graft_asof" -> (() => operators.AsOfNative.asofNativeFrom(
-        Tables.events(spark, dir))))
+        Tables.events(spark, dir))),
+      // the interval family (q44/q48/q49) as views: a SQL-only client
+      // writing the naive non-equi spelling would get a nested-loop
+      // per-probe scan; the view bodies are the operators' own plans —
+      // the sweep-line delta aggregation and the pinned (bin, salt)
+      // fan-out equi-joins with their runtime geometry confs — so SQL
+      // inherits the 100-TB plan verbatim (SqlSurfaceSpec pins it).
+      "graft_interval_concurrency" -> (() =>
+        operators.Intervals.intervalConcurrency(spark, dir)),
+      "graft_range_join" -> (() => operators.Intervals.rangeJoin(spark, dir)),
+      "graft_interval_join" -> (() =>
+        operators.Intervals.intervalJoin(spark, dir)))
     views.foreach { case (n, f) =>
       try f().createOrReplaceTempView(n)
       catch {
@@ -228,5 +239,30 @@ object SqlSurface {
   def asofViaSql(spark: SparkSession, dir: String): DataFrame = {
     registerOperators(spark, dir)
     spark.sql("SELECT * FROM graft_asof ORDER BY user_id, purchase_id")
+  }
+
+  // ------------------------------------------------------- sql06..sql08
+  /** q44's sweep-line interval concurrency through pure SQL over its
+    * view — gated on q44's own independent naive range-join oracle. */
+  def intervalConcurrencyViaSql(spark: SparkSession, dir: String): DataFrame = {
+    registerOperators(spark, dir)
+    spark.sql("SELECT * FROM graft_interval_concurrency ORDER BY d")
+  }
+
+  /** q48's bin-bucketed pairwise range join through pure SQL — the view
+    * body carries the pinned (bin, salt) fan-out exchange and the
+    * hot-bin sub-salt machinery, so the SQL client never sees the
+    * BroadcastNestedLoopJoin the naive non-equi spelling would plan.
+    * Gated on q48's naive all-pairs oracle. */
+  def rangeJoinViaSql(spark: SparkSession, dir: String): DataFrame = {
+    registerOperators(spark, dir)
+    spark.sql("SELECT * FROM graft_range_join ORDER BY o_orderkey")
+  }
+
+  /** q49's meet-once interval×interval overlap join through pure SQL —
+    * gated on q49's naive all-pairs oracle. */
+  def intervalJoinViaSql(spark: SparkSession, dir: String): DataFrame = {
+    registerOperators(spark, dir)
+    spark.sql("SELECT * FROM graft_interval_join ORDER BY o_orderkey")
   }
 }

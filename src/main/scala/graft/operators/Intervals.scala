@@ -69,28 +69,104 @@ object Intervals {
     * requires the join itself, which Spark would otherwise plan as
     * BroadcastNestedLoopJoin (per-probe-row scans of the whole fact).
     *
-    * The scalable spelling: bins of [[RangeBinDays]] days partition the
+    * The scalable spelling: bins of [[BinDaysConf]] days partition the
     * time axis; each interval replicates into its ≤ span/B+1 covering
     * bins, each point lands in exactly ONE bin, and an EQUI-join on the
     * bin key carries the residual `s <= p < e` predicate — every
     * qualifying pair meets exactly once (bins partition days), so no
     * dedup pass. Shuffle volume is N·(span/B+1) + N instead of N²; the
     * bin-key cardinality is days/B — it grows with the TIME RANGE, not
-    * the corpus, so per-bin volume grows with data density. Two knobs
-    * bound the task size: B itself (smaller B = more bins = less data
-    * per bin, at the cost of more interval replication), and point-side
-    * SALTING — points spread over [[RangeSaltBuckets]] sub-keys of their
-    * bin by key-hash while intervals replicate into every sub-key, so a
-    * task's input is ivPerBin + ptsPerBin/S. Aggregation (count, exact-
-    * cent price mass, k=1 heap argmax) is partial-aggregable and
-    * pipelines straight off the sort-merge join — the pair stream is
-    * never materialized.
+    * the corpus, so per-bin volume grows with data density. Three
+    * RUNTIME knobs bound the task size: B itself (smaller B = more bins
+    * = less data per bin, at the cost of more interval replication),
+    * point-side SALTING — points spread over [[SaltBucketsConf]]
+    * sub-keys of their bin by key-hash while intervals replicate into
+    * every sub-key, so a task's input is ivPerBin + ptsPerBin/S — and
+    * the HOT-BIN sub-salt ([[HotBinRowsConf]]): a bin whose interval
+    * count crosses the threshold hashes its intervals into subI
+    * sub-salts while its points replicate across them, bounding the
+    * task at ivPerBin/subI + ptsPerBin/S even when one DAY concentrates
+    * the corpus. Aggregation (count, exact-cent price mass, k=1 heap
+    * argmax) is partial-aggregable and pipelines straight off the
+    * sort-merge join — the pair stream is never materialized.
     *
     * Output per order: how many order windows cover its date, their
     * exact-cent price mass, and the covering order with the highest
     * totalprice (ties to the higher key — mirrored in the oracle). */
-  private val RangeBinDays = 16
-  private val RangeSaltBuckets = 8
+  // ---- runtime geometry (round-13): the bin width, salt fan-out and
+  // hot-bin handling are SESSION CONFS, not compile-time constants — at
+  // 100× the data (or a different date density) the operator re-tunes
+  // without a recompile, the same discipline as the as-of split's
+  // spark.graft.asof.split.* knobs. Defaults equal the former constants.
+  /** Days per bin: smaller = more bins = less data per bin, at the cost
+    * of more interval replication (≤ span/B+1 bins per interval). */
+  val BinDaysConf = "spark.graft.range.binDays"
+  /** Hash-salt buckets on the point/hashing side: per-task share of that
+    * side is 1/S of its bin. */
+  val SaltBucketsConf = "spark.graft.range.saltBuckets"
+  /** REPLICATING-side rows per bin above which the bin is HOT and that
+    * side sub-salts (see [[hotBins]]); the other side replicates across
+    * the sub-salts. Bounds per-task pair volume by
+    * hotBinRows·(otherPerBin/S) however dense one DAY gets. */
+  val HotBinRowsConf = "spark.graft.range.hotBinRows"
+  /** Replicating-side plan-stat bytes below which hot-bin detection is
+    * skipped entirely (detection is one bin-grouped aggregation scan —
+    * don't pay it on small inputs; the sf gates run un-detected). */
+  val HotBinMinDetectBytesConf = "spark.graft.range.minDetectBytes"
+
+  private val DefaultBinDays = 16
+  private val DefaultSaltBuckets = 8
+  private val DefaultHotBinRows = 4000000L
+  private val DefaultMinDetectBytes: Long = 1L << 30 // 1 GiB
+  /** Broadcast bound on the hot-bin table (bins above it stay unsplit —
+    * graceful degradation, never an abort) and on one bin's sub-salt
+    * fan-out (the other side replicates subI×). */
+  private val MaxHotBins = 10000
+  private val MaxSubSalts = 1024
+
+  private def binDays(spark: SparkSession): Int = {
+    val b = spark.conf.get(BinDaysConf, DefaultBinDays.toString).toInt
+    require(b > 0, s"$BinDaysConf must be positive, got $b"); b
+  }
+  private def saltBuckets(spark: SparkSession): Int = {
+    val s = spark.conf.get(SaltBucketsConf, DefaultSaltBuckets.toString).toInt
+    require(s > 0, s"$SaltBucketsConf must be positive, got $s"); s
+  }
+
+  /** Hot bins of the REPLICATING side: (bin, subSalts) for every bin whose
+    * row count crosses [[HotBinRowsConf]], subSalts = ceil(count/hotRows)
+    * capped at [[MaxSubSalts]]. One partial-aggregable scan collapsed to
+    * the bin dimension (bins grow with the TIME SPAN, not the corpus), a
+    * bounded top-[[MaxHotBins]] collect. Gated on `gate`'s plan-stat size
+    * (the un-exploded side) so small inputs never pay the scan; EAGER at
+    * construction time when it runs, like the as-of split's detection. */
+  private[graft] def hotBins(spark: SparkSession, binned: DataFrame,
+      gate: DataFrame): Seq[(Long, Int)] = {
+    val minBytes = spark.conf
+      .get(HotBinMinDetectBytesConf, DefaultMinDetectBytes.toString).toLong
+    if (gate.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes)
+      return Seq.empty
+    val hotRows = spark.conf.get(HotBinRowsConf, DefaultHotBinRows.toString).toLong
+    require(hotRows > 0, s"$HotBinRowsConf must be positive, got $hotRows")
+    binned.groupBy(col("bin")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotRows)
+      .orderBy(col("__n").desc, col("bin"))
+      .limit(MaxHotBins)
+      .collect()
+      .map(r => (r.getLong(0),
+        math.min(MaxSubSalts.toLong, (r.getLong(1) + hotRows - 1) / hotRows).toInt))
+      .filter(_._2 > 1).toSeq
+  }
+
+  /** Attach each row's sub-salt count (`subi`, default 1) from the tiny
+    * broadcast hot-bin table. */
+  private def withSubi(spark: SparkSession, df: DataFrame,
+      hot: Seq[(Long, Int)]): DataFrame = {
+    import spark.implicits._
+    df.join(broadcast(hot.toDF("bin", "subi")), Seq("bin"), "left")
+      .withColumn("subi", coalesce(col("subi"), lit(1)))
+  }
+
   /** Probe every 10th order: the row demonstrates the pairwise JOIN plan;
     * an all-points probe at sf0.1 is ~154M matched pairs of plain
     * arithmetic (measured ~7.5 s at 32 cores, ~20M pairs/s — honest but
@@ -98,42 +174,70 @@ object Intervals {
     * corpus, so the bin/salt/residual machinery is exercised unreduced. */
   private val RangeProbeMod = 10L
 
-  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame =
+    rangeJoinFromOrders(Tables.orders(spark, dir))
+
+  /** q48 core, input-parameterized (specs and the scaling probe feed
+    * synthetic/skewed orders frames). */
+  private[graft] def rangeJoinFromOrders(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
     import spark.implicits._
-    val orders = Tables.orders(spark, dir)
+    val B = binDays(spark)
+    val S = saltBuckets(spark)
     val iv = orders.select(
       $"o_orderkey".as("ikey"),
       unix_date(to_date($"o_orderdate")).cast("long").as("sd"),
       (unix_date(to_date($"o_orderdate")).cast("long") + lit(HoldBaseDays.toLong)
         + pmod($"o_orderkey", lit(HoldModDays.toLong))).as("ed"),
       graft.functions.Money.cents($"o_totalprice").as("pc"))
-    val ivBinned = iv
-      .withColumn("bin", explode(sequence(
-        floor($"sd" / RangeBinDays), floor(($"ed" - 1) / RangeBinDays))))
-      .withColumn("salt", explode(sequence(lit(0), lit(RangeSaltBuckets - 1))))
-      // the (bin, salt) hash exchange IS the operator's distribution: the
-      // pair-streaming join+aggregate stage must fan out over it — a
-      // dense corpus read from few splits would otherwise stream EVERY
-      // matched pair through the input's own handful of tasks (measured:
-      // 190 s single-task vs seconds distributed at sf0.1). The partition
-      // count is EXPLICIT: AQE sizes coalescing by the shuffle's own
-      // bytes, which are tiny relative to the ~70× join fan-out behind
-      // them, so an unpinned repartition gets coalesced right back into
-      // the straggler (measured: 34 s coalesced vs explicit). At cluster
-      // scale a shuffle join on (bin, salt) needs this exchange anyway,
-      // so ENSURE_REQUIREMENTS reuses rather than duplicates it.
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        col("bin"), col("salt"))
-    val pt = orders.filter(pmod($"o_orderkey", lit(RangeProbeMod)) === 0)
+    val ivBins = iv.withColumn("bin", explode(sequence(
+      floor($"sd" / B), floor(($"ed" - 1) / B))))
+    // hot-DAY defense: when one bin's INTERVAL count crosses the hot
+    // threshold, salting alone no longer bounds the task — every salt
+    // task still carries that bin's whole (replicated) interval side. A
+    // hot bin's intervals therefore hash into subI sub-salts while its
+    // points replicate across them: per-task input falls to
+    // ivPerBin/subI + ptsPerBin/S, pairs to ivPerBin·ptsPerBin/(S·subI),
+    // and the non-empty partition count grows with density instead of
+    // being structurally capped at bins×salts.
+    val hot = hotBins(spark, ivBins, iv)
+    val pt0 = orders.filter(pmod($"o_orderkey", lit(RangeProbeMod)) === 0)
       .select($"o_orderkey",
         unix_date(to_date($"o_orderdate")).cast("long").as("pd"))
-      .withColumn("bin", floor($"pd" / RangeBinDays))
-      .withColumn("salt",
-        pmod(xxhash64($"o_orderkey"), lit(RangeSaltBuckets.toLong)).cast("int"))
+      .withColumn("bin", floor($"pd" / B))
+      .withColumn("salt", pmod(xxhash64($"o_orderkey"), lit(S.toLong)).cast("int"))
+    // the (bin, salt[, isalt]) hash exchange IS the operator's
+    // distribution: the pair-streaming join+aggregate stage must fan out
+    // over it — a dense corpus read from few splits would otherwise
+    // stream EVERY matched pair through the input's own handful of tasks
+    // (measured: 190 s single-task vs seconds distributed at sf0.1). The
+    // partition count is EXPLICIT: AQE sizes coalescing by the shuffle's
+    // own bytes, which are tiny relative to the ~70× join fan-out behind
+    // them, so an unpinned repartition gets coalesced right back into
+    // the straggler (measured: 34 s coalesced vs explicit). At cluster
+    // scale a shuffle join on these keys needs this exchange anyway,
+    // so ENSURE_REQUIREMENTS reuses rather than duplicates it.
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val (ivBinned, pt, extraKey) = if (hot.isEmpty) {
+      (ivBins.withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+        .repartition(nPart, col("bin"), col("salt")),
+        pt0, lit(true))
+    } else {
+      val ivB = withSubi(spark, ivBins, hot)
+        .withColumn("isalt",
+          pmod(xxhash64($"ikey"), $"subi".cast("long")).cast("int"))
+        .drop("subi")
+        .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+        .repartition(nPart, col("bin"), col("salt"), col("isalt"))
+      val ptB = withSubi(spark, pt0, hot)
+        .withColumn("isalt", explode(sequence(lit(0), $"subi" - 1)))
+        .drop("subi")
+      (ivB, ptB, ptB("isalt") === ivB("isalt"))
+    }
     val tk = graft.functions.catalyst.GraftColumns.topk_by_ord _
     pt.join(ivBinned,
         pt("bin") === ivBinned("bin") && pt("salt") === ivBinned("salt") &&
-          $"sd" <= $"pd" && $"pd" < $"ed")
+          extraKey && $"sd" <= $"pd" && $"pd" < $"ed")
       .groupBy($"o_orderkey")
       .agg(count(lit(1)).as("n_cover"),
         (sum($"pc").cast("double") / 100.0).as("cover_price"),
@@ -191,35 +295,62 @@ object Intervals {
   private val ShipBaseDays = 1
   private val ShipModDays = 14
 
-  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame =
+    intervalJoinFrom(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+
+  /** q49 core, input-parameterized (specs and the scaling probe feed
+    * synthetic/skewed frames). The REPLICATING side here is the order
+    * windows (they fan out across the ship side's salts), so hot-bin
+    * detection watches THAT side: a hot ow bin hashes into sub-salts and
+    * the ship side replicates across them — per-task input falls to
+    * owPerBin/subI + swPerBin/S, same bound family as q48. */
+  private[graft] def intervalJoinFrom(orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
     import spark.implicits._
-    val ow = Tables.orders(spark, dir)
+    val B = binDays(spark)
+    val S = saltBuckets(spark)
+    val ow = orders
       .filter(pmod($"o_orderkey", lit(RangeProbeMod)) === 0)
       .select($"o_orderkey",
         unix_date(to_date($"o_orderdate")).cast("long").as("s1"),
         (unix_date(to_date($"o_orderdate")).cast("long") + lit(HoldBaseDays.toLong)
           + pmod($"o_orderkey", lit(HoldModDays.toLong))).as("e1"))
-    val owB = ow
-      .withColumn("bin", explode(sequence(
-        floor($"s1" / RangeBinDays), floor(($"e1" - 1) / RangeBinDays))))
-      .withColumn("salt", explode(sequence(lit(0), lit(RangeSaltBuckets - 1))))
-    val sw = Tables.lineitem(spark, dir)
+    val owBins = ow.withColumn("bin", explode(sequence(
+      floor($"s1" / B), floor(($"e1" - 1) / B))))
+    val hot = hotBins(spark, owBins, ow)
+    val sw = lineitem
       .filter(pmod($"l_partkey", lit(RangeProbeMod)) === 0)
       .select(($"l_orderkey" * 10 + $"l_linenumber").cast("long").as("lkey"),
         graft.functions.Money.cents($"l_extendedprice").as("lpc"),
         unix_date(to_date($"l_shipdate")).cast("long").as("s2"))
       .withColumn("e2", $"s2" + lit(ShipBaseDays.toLong) + pmod($"lkey", lit(ShipModDays.toLong)))
-    val swB = sw
+    val swBins = sw
       .withColumn("bin", explode(sequence(
-        floor($"s2" / RangeBinDays), floor(($"e2" - 1) / RangeBinDays))))
-      .withColumn("salt", pmod(xxhash64($"lkey"), lit(RangeSaltBuckets.toLong)).cast("int"))
-      // same pinned fan-out exchange as q48 (AQE would coalesce it away)
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        col("bin"), col("salt"))
+        floor($"s2" / B), floor(($"e2" - 1) / B))))
+      .withColumn("salt", pmod(xxhash64($"lkey"), lit(S.toLong)).cast("int"))
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val (owB, swB, extraKey) = if (hot.isEmpty) {
+      (owBins.withColumn("salt", explode(sequence(lit(0), lit(S - 1)))),
+        // same pinned fan-out exchange as q48 (AQE would coalesce it away)
+        swBins.repartition(nPart, col("bin"), col("salt")),
+        lit(true))
+    } else {
+      val owH = withSubi(spark, owBins, hot)
+        .withColumn("isalt",
+          pmod(xxhash64($"o_orderkey"), $"subi".cast("long")).cast("int"))
+        .drop("subi")
+        .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+      val swH = withSubi(spark, swBins, hot)
+        .withColumn("isalt", explode(sequence(lit(0), $"subi" - 1)))
+        .drop("subi")
+        .repartition(nPart, col("bin"), col("salt"), col("isalt"))
+      (owH, swH, owH("isalt") === swH("isalt"))
+    }
     val tk = graft.functions.catalyst.GraftColumns.topk_by_ord _
     owB.join(swB, owB("bin") === swB("bin") && owB("salt") === swB("salt") &&
-        $"s1" < $"e2" && $"s2" < $"e1" &&
-        swB("bin") === floor(greatest($"s1", $"s2") / RangeBinDays))
+        extraKey && $"s1" < $"e2" && $"s2" < $"e1" &&
+        swB("bin") === floor(greatest($"s1", $"s2") / B))
       .groupBy($"o_orderkey")
       .agg(count(lit(1)).as("n_overlap"),
         (sum($"lpc").cast("double") / 100.0).as("overlap_price"),

@@ -20,12 +20,15 @@ import graft.sources.Tables
   *      range (the 1-D special case of Z-ordering). Skipping only bites
   *      when values are clustered — a random layout's zones all span the
   *      full domain.
-  *   2. The zone map itself is ONE partial-aggregable scan grouped on
-  *      `_metadata.file_path` → (file, min, max, rows): a metadata-scale
-  *      table (one row per FILE — at 100 TB with 1 GiB files that is
-  *      ~10^5 rows, a dimension). In production it is maintained
-  *      incrementally at write time (each new file appends its own row);
-  *      rebuilding here keeps the operator self-contained.
+  *   2. The zone map itself is READ FROM PARQUET FOOTERS — the write
+  *      already persisted per-file column statistics, so recovering
+  *      (file, min, max, rows) is file-count-scale driver metadata I/O
+  *      (one row per FILE — at 100 TB with 1 GiB files that is ~10^5
+  *      rows, a dimension), ZERO Spark jobs and zero data-column reads
+  *      even in a fresh session. [[appendZorder]] maintains the memoized
+  *      map incrementally from the new files' footers; the scan-based
+  *      [[zoneMap]]/[[zoneMap2]] remain as the derivation spec that the
+  *      footer rows are tested against.
   *
   * A range query then: (a) filters the zone map on the driver (a
   * file-count-scale metadata op, the same class as r19's max-partition
@@ -73,13 +76,82 @@ object ZoneMap {
         max(col("l_extendedprice")).as("zmax"),
         count(lit(1)).as("n_rows"))
 
+  // ---- persisted zone-map metadata (round-13): the per-file [min, max]
+  // the query planner needs is ALREADY persisted — parquet writes it into
+  // every file's FOOTER as column-chunk statistics. zoneRows therefore
+  // reads footers (file-count-scale driver I/O, a few KB each — the same
+  // metadata read Delta/Iceberg pay from their catalogs), NEVER the data
+  // columns: a FRESH session's first zone-mapped query plans with ZERO
+  // Spark jobs (ZoneMapIntervalSpec pins this), where it previously paid
+  // a corpus-scale 2-column scan per JVM. The scan-based zoneMap/zoneMap2
+  // remain as the DERIVATION SPEC — tests prove footer ≡ scan per file.
+
+  /** One file's zones over the two skip columns; a column with absent
+    * footer statistics gets an UNBOUNDED zone (±∞ — it matches every
+    * band, so pruning stays sound and only skip ratio is lost). */
+  private[graft] def footerZones(spark: SparkSession,
+      files: Seq[org.apache.hadoop.fs.Path]): Array[org.apache.spark.sql.Row] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.sortBy(_.toString).map { p =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val nRows = blocks.map(_.getRowCount).sum
+        def bounds(colName: String): (Double, Double) = {
+          val perBlock = blocks.map { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == colName)
+              .map(_.getStatistics)
+              .filter(s => s != null && s.hasNonNullValue)
+              .map(s => (s.genericGetMin.asInstanceOf[Number].doubleValue,
+                s.genericGetMax.asInstanceOf[Number].doubleValue))
+          }
+          if (perBlock.isEmpty || perBlock.exists(_.isEmpty))
+            (Double.NegativeInfinity, Double.PositiveInfinity)
+          else (perBlock.map(_.get._1).min, perBlock.map(_.get._2).max)
+        }
+        val (pmin, pmax) = bounds("l_extendedprice")
+        val (qmin, qmax) = bounds("l_quantity")
+        // Hadoop Path.toString renders exactly as `_metadata.file_path`
+        // does (file:/tmp/...), so footer- and scan-derived rows are
+        // interchangeable keys — the parity spec pins this
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          Array[Any](p.toString, pmin, pmax, qmin, qmax, nRows), zoneSchema)
+      } finally reader.close()
+    }.toArray
+  }
+
+  /** Shared shape of footer- and scan-derived zone rows. */
+  private val zoneSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("file",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("pmin",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("pmax",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("qmin",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("qmax",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("n_rows",
+      org.apache.spark.sql.types.LongType)))
+
+  private def listParquet(spark: SparkSession,
+      layout: String): Seq[org.apache.hadoop.fs.Path] = {
+    val hPath = new org.apache.hadoop.fs.Path(layout)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(hPath).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+  }
+
   /** The files whose zones intersect [lo, hi], and the layout's total file
-    * count — a driver-side metadata op over the file-scale zone map. */
+    * count — a driver-side metadata op over the footer-backed zone map. */
   private[graft] def planSkip(spark: SparkSession, layout: String,
       lo: Double, hi: Double): (Seq[String], Int) = {
-    val zones = zoneMap(spark, layout).collect()
+    val zones = zoneRows(spark, layout)
     val matched = zones.filter { r =>
-      r.getAs[Double]("zmax") >= lo && r.getAs[Double]("zmin") <= hi
+      r.getAs[Double]("pmax") >= lo && r.getAs[Double]("pmin") <= hi
     }.map(_.getAs[String]("file")).toSeq.sorted
     (matched, zones.length)
   }
@@ -199,14 +271,22 @@ object ZoneMap {
         max(col("l_quantity")).as("qmax"),
         count(lit(1)).as("n_rows"))
 
-  /** The zone rows as maintained METADATA: computed once per (JVM,
-    * layout) and updated incrementally by [[appendZorder]] — the
-    * production shape, where the zone map lives in a catalog and a query
-    * never re-scans the corpus for it. File-count-scale memory. */
+  /** The zone rows as maintained METADATA: read from the layout's parquet
+    * FOOTERS (file-count-scale driver I/O, zero Spark jobs, zero data-
+    * column reads — the write itself persisted the statistics), memoized
+    * per (JVM, layout) and updated incrementally by [[appendZorder]].
+    * This is the production shape: a cold session pays a metadata read,
+    * never a corpus scan. */
   private val zmMemo =
     scala.collection.concurrent.TrieMap.empty[String, Array[org.apache.spark.sql.Row]]
   private[graft] def zoneRows(spark: SparkSession, layout: String): Array[org.apache.spark.sql.Row] =
-    zmMemo.getOrElseUpdate(layout, zoneMap2(spark, layout).collect())
+    zmMemo.getOrElseUpdate(layout, footerZones(spark, listParquet(spark, layout)))
+
+  /** Test hook: forget a layout's memoized metadata (simulates a fresh
+    * session over an existing layout). */
+  private[graft] def dropZoneMemo(layout: String): Unit = {
+    zmMemo.remove(layout): Unit
+  }
 
   /** Files whose zones intersect BOTH bands, plus the total file count. */
   private[graft] def planSkip2(spark: SparkSession, layout: String,
@@ -248,7 +328,8 @@ object ZoneMap {
     * write-time metadata update both zone-map rows promise. At 100 TB the
     * full rebuild is a corpus scan; this path costs ∝ delta: the append
     * is one range-shuffle write of the delta, and the zone-map increment
-    * reads back just the files the write produced. Bucket bounds are
+    * reads back just the FOOTERS of the files the write produced (a
+    * per-new-file metadata read, no data columns). Bucket bounds are
     * recomputed from the delta — bounds shape the LAYOUT of the new files
     * only; zones stay honest per-file stats over real values either way
     * (a delta clustered on its own range merely overlaps the base files'
@@ -264,18 +345,10 @@ object ZoneMap {
         .filter(_.endsWith(".parquet")).toSet
     val before = files()
     writeZorder(delta, layout, math.max(1, ZFiles / 8), mode = "append")
-    val fresh = (files() -- before).toSeq.sorted.map(n => s"$layout/$n")
+    val fresh = (files() -- before).toSeq.sorted
+      .map(n => new org.apache.hadoop.fs.Path(hPath, n))
     require(fresh.nonEmpty, "append produced no new files")
-    val newRows = spark.read.parquet(fresh: _*)
-      .select(col("_metadata.file_path").as("file"),
-        col("l_extendedprice"), col("l_quantity"))
-      .groupBy(col("file"))
-      .agg(min(col("l_extendedprice")).as("pmin"),
-        max(col("l_extendedprice")).as("pmax"),
-        min(col("l_quantity")).as("qmin"),
-        max(col("l_quantity")).as("qmax"),
-        count(lit(1)).as("n_rows"))
-      .collect()
+    val newRows = footerZones(spark, fresh)
     // maintain the in-memory metadata incrementally — existing files are
     // immutable under append, so their zone rows stand verbatim
     zmMemo.updateWith(layout)(prev => prev.map(_ ++ newRows))

@@ -43,6 +43,27 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rows(df) == rows(operators.AsOfNative.q47AsofNative(spark, sf)))
   }
 
+  test("sql06-sql08: the interval views serve the operators' plans — equi bin joins, no nested loop") {
+    val c = SqlSurface.intervalConcurrencyViaSql(spark, sf)
+    assert(rows(c) == rows(operators.Intervals.intervalConcurrency(spark, sf)))
+    val rj = SqlSurface.rangeJoinViaSql(spark, sf)
+    val ij = SqlSurface.intervalJoinViaSql(spark, sf)
+    Seq("sql07" -> rj, "sql08" -> ij).foreach { case (n, df) =>
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin"),
+        s"$n lost the bin-join plan to a nested loop:\n" + phys.take(1500))
+      // the (bin, salt) EQUI join survives the view; at sf0.001 the tiny
+      // probe side may legitimately broadcast — the guarded property is
+      // equi-keyed, never per-probe-row scans (ShuffleGuardSpec pins the
+      // exact exchange budget on the operator itself at sf0.01)
+      assert(phys.contains("SortMergeJoin") || phys.contains("ShuffledHashJoin")
+          || phys.contains("BroadcastHashJoin"),
+        s"$n must plan the (bin, salt) equi join:\n" + phys.take(1500))
+    }
+    assert(rows(rj) == rows(operators.Intervals.rangeJoin(spark, sf)))
+    assert(rows(ij) == rows(operators.Intervals.intervalJoin(spark, sf)))
+  }
+
   test("ensureFunctions registers graft functions into a PLAIN session (Verify's path)") {
     // Build a genuinely extension-less session over the same SparkContext:
     // clear the session singletons so getOrCreate cannot hand back the

@@ -7,6 +7,15 @@ import org.scalatest.funsuite.AnyFunSuite
 class ZoneMapIntervalSpec extends AnyFunSuite {
   import TestSpark._
 
+  /** `_metadata.file_path`'s scheme prefix varies between reads of the
+    * same layout ("/tmp/…" vs "file:/tmp/…" depending on FileIndex
+    * construction), so cross-source file comparisons normalize it away.
+    * The operator never mixes sources (footer rows throughout). */
+  private def normFile(s: String): String = s.replaceFirst("^file:", "")
+  private def zstats(r: org.apache.spark.sql.Row) =
+    (r.getAs[Double]("pmin"), r.getAs[Double]("pmax"),
+      r.getAs[Double]("qmin"), r.getAs[Double]("qmax"), r.getAs[Long]("n_rows"))
+
   // ---------------------------------------------------------------- q44
 
   test("q44: sweep-line equals the naive interval-overlap count") {
@@ -165,7 +174,10 @@ class ZoneMapIntervalSpec extends AnyFunSuite {
     assert(files.nonEmpty && files.length < total,
       s"expected real skipping, got ${files.length}/$total")
     // soundness: no excluded file may contain an in-band value
-    val excluded = zm.map(_.getAs[String]("file")).filterNot(files.contains)
+    val matched = files.map(normFile).toSet
+    val excluded = zm.map(r => normFile(r.getAs[String]("file")))
+      .filterNot(matched.contains)
+    assert(excluded.nonEmpty)
     excluded.foreach { file =>
       val n = spark.read.parquet(file)
         .filter($"l_extendedprice" >= operators.ZoneMap.PriceLo &&
@@ -210,7 +222,10 @@ class ZoneMapIntervalSpec extends AnyFunSuite {
     assert(total == zm.length)
     assert(files.nonEmpty && files.length < total,
       s"expected real 2-D skipping, got ${files.length}/$total")
-    val excluded = zm.map(_.getAs[String]("file")).filterNot(files.contains)
+    val matched = files.map(normFile).toSet
+    val excluded = zm.map(r => normFile(r.getAs[String]("file")))
+      .filterNot(matched.contains)
+    assert(excluded.nonEmpty)
     excluded.foreach { file =>
       val n = spark.read.parquet(file)
         .filter($"l_extendedprice" >= operators.ZoneMap.PriceLo &&
@@ -246,9 +261,9 @@ class ZoneMapIntervalSpec extends AnyFunSuite {
     // prior zones are untouched by the append (existing files immutable)
     // and prior ∪ delta-rows must equal a full zone-map rebuild
     val rebuilt = operators.ZoneMap.zoneMap2(spark, layout).collect()
-    val key = (r: org.apache.spark.sql.Row) => r.getAs[String]("file")
-    val union = (prior ++ newRows).map(r => key(r) -> r.toString).toMap
-    val full = rebuilt.map(r => key(r) -> r.toString).toMap
+    val key = (r: org.apache.spark.sql.Row) => normFile(r.getAs[String]("file"))
+    val union = (prior ++ newRows).map(r => key(r) -> zstats(r)).toMap
+    val full = rebuilt.map(r => key(r) -> zstats(r)).toMap
     assert(union == full,
       s"incremental zone map diverged from rebuild: ${union.size} vs ${full.size}")
     // and the band query over the appended layout still matches the
@@ -268,6 +283,54 @@ class ZoneMapIntervalSpec extends AnyFunSuite {
         $"l_quantity" >= operators.ZoneMap.QtyLo &&
         $"l_quantity" <= operators.ZoneMap.QtyHi).count()
     assert(pruned == fullScan, s"pruned $pruned vs full $fullScan")
+  }
+
+  test("r40/r46: footer-derived zone rows ≡ the scan-derived derivation spec, per file") {
+    operators.ZoneMap.zorderSkip(spark, sf).count() // memoized layout
+    val layout = operators.ZoneMap.zLayouts(sf)
+    val scanned = operators.ZoneMap.zoneMap2(spark, layout).collect()
+      .map(r => normFile(r.getAs[String]("file")) -> zstats(r)).toMap
+    // force a cold rebuild so this compares FOOTERS, not a memo that may
+    // predate them
+    operators.ZoneMap.dropZoneMemo(layout)
+    val cold = operators.ZoneMap.zoneRows(spark, layout)
+      .map(r => normFile(r.getAs[String]("file")) -> zstats(r)).toMap
+    assert(cold.nonEmpty && cold == scanned,
+      s"footer zones diverge from the scan spec:\n${cold.take(2)}\nvs\n${scanned.take(2)}")
+  }
+
+  test("r40/r46: a FRESH session plans the pruned read with ZERO Spark jobs") {
+    import java.util.concurrent.atomic.AtomicInteger
+    // layouts exist (memoized builds); drop the zone-map memos to
+    // simulate a cold session over an existing layout
+    operators.ZoneMap.zonemapSkip(spark, sf).count()
+    operators.ZoneMap.zorderSkip(spark, sf).count()
+    val l1 = operators.ZoneMap.layouts(sf)
+    val l2 = operators.ZoneMap.zLayouts(sf)
+    operators.ZoneMap.dropZoneMemo(l1)
+    operators.ZoneMap.dropZoneMemo(l2)
+    val jobs = new AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (f1, t1) = operators.ZoneMap.planSkip(spark, l1,
+        operators.ZoneMap.PriceLo, operators.ZoneMap.PriceHi)
+      val (f2, t2) = operators.ZoneMap.planSkip2(spark, l2,
+        operators.ZoneMap.PriceLo, operators.ZoneMap.PriceHi,
+        operators.ZoneMap.QtyLo, operators.ZoneMap.QtyHi)
+      assert(f1.nonEmpty && f1.length < t1)
+      assert(f2.nonEmpty && f2.length < t2)
+      // listener bus is async: give any stray job event time to land
+      Thread.sleep(500)
+      assert(jobs.get() == 0,
+        s"cold zone-map planning ran ${jobs.get()} Spark job(s) — " +
+          "metadata must come from footers, never a corpus scan")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("r46: 2-D z-order prunes a strictly smaller file FRACTION than the 1-D layout") {

@@ -893,6 +893,66 @@ def compare(name, spark_df, rep_df, keys, exact_cols, tol_cols):
 
 # ------------------------------------------------------------------ main
 
+# --------------------------------- LLM text-LM chain (VERDICT r12 task 5)
+# t07 (bigram LM) and t09 (per-doc LM scoring) re-derived in independent
+# pure-python/pandas code from the DECLARED semantics: a literal
+# single-space split (empties kept, matching java split(" ", -1) and
+# duckdb string_split), bigram type counts, conditional probability
+# fr(c2/c1, 6), and t09's exact-integer-millionths per-doc averaging
+# (floor(p*1e6+0.5) summed as ints, mean via the fixed sum/1e6/n_matched
+# division chain) — the same float discipline the Scala and SQL share, so
+# comparisons are exact-grade (1e-9), not toleranced.
+
+BIGRAM_MIN_COUNT = 5
+
+
+def _bigrams(text):
+    tk = text.split(" ")  # literal single-space split, empties kept
+    return list(zip(tk[:-1], tk[1:])) if len(tk) >= 2 else []
+
+
+def _fr(x, n):
+    return math.floor(x * (10 ** n) + 0.5) / (10 ** n)
+
+
+def _lm_tables(docs):
+    from collections import Counter
+    c2 = Counter()
+    per_doc = []
+    for doc_id, t in zip(docs["doc_id"], docs["text"]):
+        bg = _bigrams(t)
+        if bg:
+            per_doc.append((doc_id, bg))
+            c2.update(bg)
+    c1 = Counter()
+    for (w1, _), c in c2.items():
+        c1[w1] += c
+    return c2, c1, per_doc
+
+
+def replica_bigram_lm(docs):
+    c2, c1, _ = _lm_tables(docs)
+    rows = [(w1, w2, c, c1[w1], _fr(c / c1[w1], 6))
+            for (w1, w2), c in c2.items() if c >= BIGRAM_MIN_COUNT]
+    return pd.DataFrame(rows, columns=["w1", "w2", "c2", "c1", "p_cond"])
+
+
+def replica_lm_score(docs):
+    c2, c1, per_doc = _lm_tables(docs)
+    lm = {bg: _fr(c / c1[bg[0]], 6)
+          for bg, c in c2.items() if c >= BIGRAM_MIN_COUNT}
+    rows = []
+    for doc_id, bg in per_doc:
+        matched = [lm[b] for b in bg if b in lm]
+        n_m = len(matched)
+        sum_p6 = sum(int(math.floor(p * 1e6 + 0.5)) for p in matched)
+        rows.append((doc_id, len(bg), n_m,
+                     _fr(n_m / len(bg), 4),
+                     _fr(sum_p6 / 1e6 / n_m, 6) if n_m > 0 else float("nan")))
+    return pd.DataFrame(rows, columns=[
+        "doc_id", "n_pairs", "n_matched", "lm_coverage", "avg_p_cond"])
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     do_time = "--time" in sys.argv
@@ -1030,6 +1090,14 @@ def main():
     d03 = timed("d03_dedup_minhash_lsh", replica_dedup_minhash, docs)
     compare("d03_dedup_minhash_lsh", load_spark(out_dir, "d03_dedup_minhash_lsh"),
             d03, ["doc_a", "doc_b"], [], {"jaccard": 1e-9})
+
+    t07 = timed("t07_bigram_lm", replica_bigram_lm, docs)
+    compare("t07_bigram_lm", load_spark(out_dir, "t07_bigram_lm"), t07,
+            ["w1", "w2"], ["c2", "c1"], {"p_cond": 1e-9})
+    t09 = timed("t09_lm_score", replica_lm_score, docs)
+    compare("t09_lm_score", load_spark(out_dir, "t09_lm_score"), t09,
+            ["doc_id"], ["n_pairs", "n_matched"],
+            {"lm_coverage": 1e-9, "avg_p_cond": 1e-9})
 
     n = len(CHECKED)
     print(f"\n{n - len(FAILS)} pass, {len(FAILS)} fail"
