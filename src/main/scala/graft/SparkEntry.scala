@@ -170,6 +170,10 @@ object SparkEntry {
     // r46: 2-D Z-ORDER layout (Morton-interleaved rank buckets) + a
     // two-column zone map, so a conjunctive band prunes on BOTH columns
     "r46_zorder_skip" -> (ZoneMap.zorderSkip _),
+    // r47: the same 2-D band answered through the PLANNER-integrated
+    // zone-map FileIndex — the query is the naive filter spelling and
+    // the skip happens in listFiles at planning time; same oracle as r46
+    "r47_zonemap_planner" -> (ZoneMap.zorderPlanned _),
     "r28_schema_evolution" -> (Extras.schemaEvolution _),
     // s05: approximate by construction (PQ codes) -> rows-only; recall
     // vs the exact s01 baseline asserted in LlmOpsSpec
@@ -472,6 +476,7 @@ object SparkEntry {
     "q49_interval_join" -> Intervals.intervalJoinSql,
     "r40_zonemap_skip" -> ZoneMap.zonemapSkipSql,
     "r46_zorder_skip" -> ZoneMap.zorderSkipSql,
+    "r47_zonemap_planner" -> ZoneMap.zorderSkipSql,
     "r28_schema_evolution" -> Extras.schemaEvolutionSql,
     "p08_curriculum" -> Curation.curriculumSql,
     "p09_temperature_sample" -> Curation.temperatureSampleSql,

@@ -322,6 +322,46 @@ object ZoneMap {
       .orderBy($"l_returnflag")
   }
 
+  // --------------------------------------------------------------- r47
+  /** The z-ordered layout as a PLANNER-INTEGRATED table: the scan's file
+    * listing itself applies the footer zone map to the query's own pushed
+    * data filters ([[graft.plans.ZoneMapFileIndex]]) — the partition-
+    * pruning analogue for non-partition columns. Unlike [[zorderSkip]]'s
+    * driver-side `spark.read.parquet(matched: _*)` assembly, the pruning
+    * here lives INSIDE the plan: any predicate composed on top prunes
+    * automatically, joins/DPP over the table see the pruned relation, and
+    * the residual predicate still reaches the parquet reader as
+    * PushedFilters (spec-pinned). */
+  def zorderTable(spark: SparkSession, dir: String): DataFrame = {
+    val layout = zorderLayout(spark, dir)
+    // schema from one footer — a driver metadata read, not a scan
+    val schema = spark.read.parquet(layout).schema
+      .filterNot(_.name.startsWith("_"))
+    graft.plans.ZoneMapFileIndex.table(spark, layout,
+      zoneRows(spark, layout),
+      org.apache.spark.sql.types.StructType(schema),
+      Map("l_extendedprice" -> ("pmin", "pmax"),
+        "l_quantity" -> ("qmin", "qmax")))
+  }
+
+  /** r47: r46's conjunctive band summary, answered through the planner-
+    * integrated index — the query is the NAIVE spelling (filter over the
+    * table, no file-list plumbing) and the zone-map skip happens at
+    * planning time. Same DuckDB oracle as r46. */
+  def zorderPlanned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    zorderTable(spark, dir)
+      .filter($"l_extendedprice" >= PriceLo && $"l_extendedprice" <= PriceHi &&
+        $"l_quantity" >= QtyLo && $"l_quantity" <= QtyHi)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(graft.functions.Money.cents($"l_quantity")).cast("double") / 100.0)
+          .as("sum_qty"),
+        (sum(graft.functions.Money.cents($"l_extendedprice")).cast("double") / 100.0)
+          .as("sum_price"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Incremental layout maintenance: append `delta` (same column set) as
     * NEW z-ordered files without touching existing ones, and return the
     * new files' zone rows computed from a scan of ONLY those files — the

@@ -333,6 +333,51 @@ class ZoneMapIntervalSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("r47: the planner-integrated index prunes in listFiles with PushedFilters intact") {
+    import spark.implicits._
+    val planned = operators.ZoneMap.zorderPlanned(spark, sf)
+    // parity with the operator-assembled r46 path (both share the oracle)
+    assert(planned.collect().map(_.toString).toSeq ==
+      operators.ZoneMap.zorderSkip(spark, sf).collect().map(_.toString).toSeq)
+    // the scan really goes through ZoneMapFileIndex, and the residual
+    // predicate still reaches the parquet reader
+    // pre-AQE physical plan: AdaptiveSparkPlanExec hides its tree from
+    // collect(), and the scan node is identical either way
+    val scans = planned.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, planned.queryExecution.sparkPlan.toString.take(1500))
+    val scan = scans.head
+    assert(scan.relation.location.isInstanceOf[graft.plans.ZoneMapFileIndex],
+      s"scan uses ${scan.relation.location.getClass}")
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("l_extendedprice") && pushed.contains("l_quantity"),
+      s"residual predicate lost from PushedFilters: $pushed")
+    // listFiles with the scan's own data filters returns strictly fewer
+    // files than the layout holds — the pruning happens IN the listing
+    val idx = scan.relation.location
+    val total = idx.inputFiles.length
+    val listed = idx.listFiles(Nil, scan.dataFilters).flatMap(_.files).size
+    assert(listed > 0 && listed < total, s"listed $listed of $total files")
+    // no filters -> full listing (soundness: pruning only under bounds)
+    assert(idx.listFiles(Nil, Nil).flatMap(_.files).size == total)
+    // an unfiltered count over the table sees every row
+    assert(operators.ZoneMap.zorderTable(spark, sf).count() ==
+      sources.Tables.lineitem(spark, sf).count())
+    // composition: a DIFFERENT predicate on the same table prunes too,
+    // without any operator-side plumbing
+    val other = operators.ZoneMap.zorderTable(spark, sf)
+      .filter($"l_quantity" === 10.0)
+    val oScan = other.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val oListed = oScan.relation.location
+      .listFiles(Nil, oScan.dataFilters).flatMap(_.files).size
+    assert(oListed < total, s"composed predicate did not prune: $oListed/$total")
+    assert(other.count() ==
+      sources.Tables.lineitem(spark, sf).filter($"l_quantity" === 10.0).count())
+  }
+
   test("r46: 2-D z-order prunes a strictly smaller file FRACTION than the 1-D layout") {
     // The point of the z-order layout: on the conjunctive predicate the
     // 1-D price-clustered layout can only prune on price (its quantity
