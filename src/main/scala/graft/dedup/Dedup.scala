@@ -545,6 +545,16 @@ object Dedup {
     // like the oracle's exploded-shingle CTE does (their all-MaxValue
     // signatures would otherwise band every short doc together and divide
     // 0/0 in verify)
+    // Register the shared shingle cache BEFORE the eager checkpoint: the
+    // checkpoint's materialization job then computes the shingle subtree
+    // THROUGH the cache (populating it for the exact-Jaccard verify
+    // branches the d03/d08 callers join below) instead of deriving it
+    // once for the checkpoint and again per verify branch. Measured at
+    // sf1 (D03Probe, BENCH_SF1's d03 rep-1 gap): cold-first d03 45.5 s →
+    // the staged-cache 14 s shape, warm unchanged. Registration alone is
+    // lazy — a bands-only caller that never verifies pays only the
+    // storage of what its own job computed anyway.
+    graft.GraftSession.maybeCache(docShinglesFrom(docs)): Unit
     val sig = graft.GraftSession.maybeEagerCheckpoint(minhashSignatures(docs))
     val bands = sig
       .select($"doc_id", explode(bandArray($"sigs")).as("bb"))

@@ -27,12 +27,21 @@ object D03Probe {
       println(f"$label: $s%.2f s")
       s
     }
-    val a = timed("dedup_build (sharedShingles)")(
-      graft.dedup.Dedup.sharedShingles(spark, dir))
-    val b = timed("d03 cold-after-cache")(
-      graft.dedup.Dedup.minhashLsh(spark, dir))
-    val c = timed("d03 warm")(graft.dedup.Dedup.minhashLsh(spark, dir))
-    println(f"attribution: cache=$a%.2f s, d03 post-cache=$b%.2f/$c%.2f s")
+    if (args.lift(1).contains("--cold-first")) {
+      // the BENCH_SF1 ONLY-mode shape: d03 is the first query to touch
+      // the shingle subtree, nothing pre-warmed
+      val a = timed("d03 COLD-FIRST (no staged cache)")(
+        graft.dedup.Dedup.minhashLsh(spark, dir))
+      val b = timed("d03 warm")(graft.dedup.Dedup.minhashLsh(spark, dir))
+      println(f"attribution: cold-first=$a%.2f s, warm=$b%.2f s")
+    } else {
+      val a = timed("dedup_build (sharedShingles)")(
+        graft.dedup.Dedup.sharedShingles(spark, dir))
+      val b = timed("d03 cold-after-cache")(
+        graft.dedup.Dedup.minhashLsh(spark, dir))
+      val c = timed("d03 warm")(graft.dedup.Dedup.minhashLsh(spark, dir))
+      println(f"attribution: cache=$a%.2f s, d03 post-cache=$b%.2f/$c%.2f s")
+    }
     spark.stop()
   }
 }
