@@ -953,6 +953,56 @@ def replica_lm_score(docs):
         "doc_id", "n_pairs", "n_matched", "lm_coverage", "avg_p_cond"])
 
 
+# ------------------------------- ANN brute-force (round-13, missing #4)
+# s01 re-derived in pure python: float32 embeddings widened to float64
+# (the engine's array<double> cast, exact), norms and dots as ASCENDING-
+# INDEX left folds (DotF64Expr / foldSum's declared order, so every IEEE
+# op matches bit-for-bit), cosine rounded fr(·, 6) BEFORE ranking, rank
+# by (cosine desc, neighbor_id asc), top ANN_TOPK per every
+# ANN_QUERY_STRIDE-th vector, self and zero-norm pairs excluded.
+
+ANN_TOPK = 5
+ANN_QUERY_STRIDE = 100
+
+
+def load_embeddings(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/embeddings.parquet")[["vec_id", "embedding"]]
+
+
+def replica_ann_bruteforce(emb):
+    vecs = [(int(vid), [float(x) for x in v])
+            for vid, v in zip(emb["vec_id"], emb["embedding"])]
+
+    def fold_norm(v):
+        s = 0.0
+        for x in v:
+            s += x * x
+        return math.sqrt(s)
+
+    norms = {vid: fold_norm(v) for vid, v in vecs}
+    rows = []
+    for qid, vq in vecs:
+        if qid % ANN_QUERY_STRIDE != 0:
+            continue
+        nq = norms[qid]
+        scored = []
+        for nid, vn in vecs:
+            if nid == qid:
+                continue
+            nn = norms[nid]
+            if nq * nn == 0.0:
+                continue
+            s = 0.0
+            for a, b in zip(vq, vn):
+                s += a * b
+            scored.append((-_fr(s / (nq * nn), 6), nid))
+        scored.sort()
+        for rnk, (negc, nid) in enumerate(scored[:ANN_TOPK], start=1):
+            rows.append((qid, rnk, nid, -negc))
+    return pd.DataFrame(rows, columns=[
+        "query_id", "rnk", "neighbor_id", "cosine"])
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     do_time = "--time" in sys.argv
@@ -1098,6 +1148,11 @@ def main():
     compare("t09_lm_score", load_spark(out_dir, "t09_lm_score"), t09,
             ["doc_id"], ["n_pairs", "n_matched"],
             {"lm_coverage": 1e-9, "avg_p_cond": 1e-9})
+
+    emb = timed("load_emb", load_embeddings, sf_dir)
+    s01 = timed("s01_ann_bruteforce", replica_ann_bruteforce, emb)
+    compare("s01_ann_bruteforce", load_spark(out_dir, "s01_ann_bruteforce"),
+            s01, ["query_id", "rnk"], ["neighbor_id"], {"cosine": 1e-9})
 
     n = len(CHECKED)
     print(f"\n{n - len(FAILS)} pass, {len(FAILS)} fail"
