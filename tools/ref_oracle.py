@@ -953,6 +953,33 @@ def replica_lm_score(docs):
         "doc_id", "n_pairs", "n_matched", "lm_coverage", "avg_p_cond"])
 
 
+# ------------------------------------ t10 tf-idf top terms (round-13)
+# Integer-only chain: per-doc term counts over the literal single-space
+# split (empties dropped), corpus document frequency, per-doc top-k by
+# (tf desc, df asc, term asc) — the string tiebreak is UTF-8 byte order,
+# which equals codepoint order, so python's str compare matches the
+# engine's bytewise UTF8String compare.
+
+TFIDF_TOPK = 3
+
+
+def replica_tfidf(docs):
+    from collections import Counter
+    doc_tf = []
+    df = Counter()
+    for doc_id, t in zip(docs["doc_id"], docs["text"]):
+        tf = Counter(w for w in t.split(" ") if w != "")
+        if tf:
+            doc_tf.append((doc_id, tf))
+            df.update(tf.keys())
+    rows = []
+    for doc_id, tf in doc_tf:
+        ranked = sorted(((-c, df[w], w) for w, c in tf.items()))[:TFIDF_TOPK]
+        for rk, (nc, d, w) in enumerate(ranked, start=1):
+            rows.append((doc_id, w, -nc, d, rk))
+    return pd.DataFrame(rows, columns=["doc_id", "term", "tf", "df", "rk"])
+
+
 # ------------------------------- ANN brute-force (round-13, missing #4)
 # s01 re-derived in pure python: float32 embeddings widened to float64
 # (the engine's array<double> cast, exact), norms and dots as ASCENDING-
@@ -1148,6 +1175,10 @@ def main():
     compare("t09_lm_score", load_spark(out_dir, "t09_lm_score"), t09,
             ["doc_id"], ["n_pairs", "n_matched"],
             {"lm_coverage": 1e-9, "avg_p_cond": 1e-9})
+
+    t10 = timed("t10_tfidf", replica_tfidf, docs)
+    compare("t10_tfidf", load_spark(out_dir, "t10_tfidf"), t10,
+            ["doc_id", "rk"], ["term", "tf", "df"], {})
 
     emb = timed("load_emb", load_embeddings, sf_dir)
     s01 = timed("s01_ann_bruteforce", replica_ann_bruteforce, emb)
