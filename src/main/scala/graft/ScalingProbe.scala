@@ -236,7 +236,8 @@ object ScalingProbe {
             (sum(graft.functions.Money.cents($"l_extendedprice")).cast("double") / 100.0)
               .as("sum_price")))
     }
-    val rangeZipfEntries = Seq("q48_zipf_plain", "q48_zipf_split")
+    val rangeZipfEntries = Seq("q48_zipf_plain", "q48_zipf_split",
+      "q49_zipf_plain", "q49_zipf_split")
     if (probes("rangezipf") || rangeZipfEntries.exists(probes)) {
       // Zipf-DATE corpus (VERDICT r12 task 1): 20% of all orders land on
       // ONE day — the earnings-day clustering the round-12 verdict called
@@ -298,6 +299,23 @@ object ScalingProbe {
         if (m.isEmpty) 0L else m.max
       }
       spark.sparkContext.addSparkListener(taskListener)
+      // q49's twin on the same Zipf day: ship windows clustered on the
+      // hot date too, so the replicating order-window side concentrates
+      // in one bin. Variants share the orders corpus; lineitem is
+      // derived with l_partkey ≡ 0 mod 10 for every row so the probe
+      // subset filter keeps the full clustered corpus.
+      lazy val liZ = land(spark.range(nOrd / 2).select(
+        ($"id" / 4).cast("long").as("l_orderkey"),
+        ($"id" % 4 + 1).cast("int").as("l_linenumber"),
+        ($"id" * 10).cast("long").as("l_partkey"),
+        (pmod(xxhash64($"id", lit("rzl")), lit(10000L)).cast("double") / 100.0)
+          .as("l_extendedprice"),
+        when(pmod(xxhash64($"id", lit("rzs")), lit(10L)) < 2, lit("2024-03-15"))
+          .otherwise(date_format(date_add(
+            lit("1992-01-01").cast("date"),
+            pmod(xxhash64($"id", lit("rzt")), lit(2400L)).cast("int")),
+            "yyyy-MM-dd")).as("l_shipdate")),
+        s"/tmp/graft_scale_rangezipf_li_$mult")
       val geomKeys = Seq(Intervals.HotBinMinDetectBytesConf, Intervals.HotBinRowsConf)
       // 512 shuffle partitions for these two entries: at the default 32,
       // ~37 (bin, salt) cells co-hash per partition and every join task
@@ -323,6 +341,23 @@ object ScalingProbe {
           out("q48_zipf_split") = timed(Intervals.rangeJoinFromOrders(ordZ))
           Thread.sleep(600)
           out("q48_zipf_split_maxtask") = multiTaskMax("split").toDouble
+        }
+        if (on("rangezipf", "q49_zipf_plain")) {
+          spark.conf.set(Intervals.HotBinMinDetectBytesConf, Long.MaxValue.toString)
+          maxTaskRecs.set(0L)
+          out("q49_zipf_plain") = timed(Intervals.intervalJoinFrom(ordZ, liZ))
+          Thread.sleep(600)
+          out("q49_zipf_plain_maxtask") = multiTaskMax("q49_plain").toDouble
+        }
+        if (on("rangezipf", "q49_zipf_split")) {
+          spark.conf.set(Intervals.HotBinMinDetectBytesConf, "0")
+          // the replicating side here is the every-10th order-window
+          // subset, ~1/10 of the interval volume q48's threshold bounds
+          spark.conf.set(Intervals.HotBinRowsConf, "2000")
+          maxTaskRecs.set(0L)
+          out("q49_zipf_split") = timed(Intervals.intervalJoinFrom(ordZ, liZ))
+          Thread.sleep(600)
+          out("q49_zipf_split_maxtask") = multiTaskMax("q49_split").toDouble
         }
       } finally {
         geomKeys.foreach(spark.conf.unset)

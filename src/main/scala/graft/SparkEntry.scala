@@ -350,7 +350,10 @@ object SparkEntry {
     // q44/q48/q49 naive-join oracles
     "sql06_intervals_via_sql" -> (SqlSurface.intervalConcurrencyViaSql _),
     "sql07_rangejoin_via_sql" -> (SqlSurface.rangeJoinViaSql _),
-    "sql08_intervaljoin_via_sql" -> (SqlSurface.intervalJoinViaSql _)
+    "sql08_intervaljoin_via_sql" -> (SqlSurface.intervalJoinViaSql _),
+    // sql09: r47's planner-side zone-map skipping from pure SQL — the
+    // WHERE clause itself prunes the file listing; gated on r46's oracle
+    "sql09_zorder_via_sql" -> (SqlSurface.zorderViaSql _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -528,6 +531,7 @@ object SparkEntry {
     "sql05_asof_via_sql" -> AsOfNative.q47Sql,
     "sql06_intervals_via_sql" -> Intervals.intervalConcurrencySql,
     "sql07_rangejoin_via_sql" -> Intervals.rangeJoinSql,
-    "sql08_intervaljoin_via_sql" -> Intervals.intervalJoinSql
+    "sql08_intervaljoin_via_sql" -> Intervals.intervalJoinSql,
+    "sql09_zorder_via_sql" -> ZoneMap.zorderSkipSql
   )
 }

@@ -125,7 +125,12 @@ object SqlSurface {
         operators.Intervals.intervalConcurrency(spark, dir)),
       "graft_range_join" -> (() => operators.Intervals.rangeJoin(spark, dir)),
       "graft_interval_join" -> (() =>
-        operators.Intervals.intervalJoin(spark, dir)))
+        operators.Intervals.intervalJoin(spark, dir)),
+      // the z-ordered lineitem behind the r47 planner-integrated zone
+      // map: a SQL client's own WHERE clause prunes the file listing
+      // (ZoneMapFileIndex sees the pushed data filters) — data skipping
+      // with zero operator-side plumbing, reachable from pure SQL
+      "graft_zorder" -> (() => operators.ZoneMap.zorderTable(spark, dir)))
     views.foreach { case (n, f) =>
       try f().createOrReplaceTempView(n)
       catch {
@@ -264,5 +269,23 @@ object SqlSurface {
   def intervalJoinViaSql(spark: SparkSession, dir: String): DataFrame = {
     registerOperators(spark, dir)
     spark.sql("SELECT * FROM graft_interval_join ORDER BY o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- sql09
+  /** r47 through pure SQL: the band summary is written as an ORDINARY
+    * WHERE clause over the `graft_zorder` view — the client never names a
+    * file, and [[graft.plans.ZoneMapFileIndex]] prunes the listing from
+    * the pushed filters at planning time (SqlSurfaceSpec pins the index
+    * in the scan and the strict pruning). Gated on r46's oracle. */
+  def zorderViaSql(spark: SparkSession, dir: String): DataFrame = {
+    registerOperators(spark, dir)
+    spark.sql(
+      s"""SELECT l_returnflag, count(*) AS n_lines,
+         |  CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+         |  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+         |FROM graft_zorder
+         |WHERE l_extendedprice BETWEEN ${operators.ZoneMap.PriceLo} AND ${operators.ZoneMap.PriceHi}
+         |  AND l_quantity BETWEEN ${operators.ZoneMap.QtyLo} AND ${operators.ZoneMap.QtyHi}
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 }

@@ -64,6 +64,22 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rows(ij) == rows(operators.Intervals.intervalJoin(spark, sf)))
   }
 
+  test("sql09: a pure-SQL WHERE clause prunes the zone-mapped listing via ZoneMapFileIndex") {
+    val df = SqlSurface.zorderViaSql(spark, sf)
+    assert(rows(df) == rows(operators.ZoneMap.zorderSkip(spark, sf)))
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.relation.location.isInstanceOf[graft.plans.ZoneMapFileIndex])
+    val total = scan.relation.location.inputFiles.length
+    val listed = scan.relation.location
+      .listFiles(Nil, scan.dataFilters).flatMap(_.files).size
+    assert(listed > 0 && listed < total,
+      s"SQL-pushed filters listed $listed of $total files — no pruning")
+  }
+
   test("ensureFunctions registers graft functions into a PLAIN session (Verify's path)") {
     // Build a genuinely extension-less session over the same SparkContext:
     // clear the session singletons so getOrCreate cannot hand back the
