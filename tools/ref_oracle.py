@@ -953,6 +953,25 @@ def replica_lm_score(docs):
         "doc_id", "n_pairs", "n_matched", "lm_coverage", "avg_p_cond"])
 
 
+# --------------------------------- t04 document fingerprint (round-13)
+# Reuses the dedup replica's independently-derived 31-poly rolling hash:
+# whole-text fingerprint + min over the distinct 3-gram shingle hashes,
+# docs under 3 tokens dropped (no shingles — the oracle's join drops
+# them too).
+
+
+def replica_fingerprint(docs):
+    rows = []
+    for doc_id, t in zip(docs["doc_id"], docs["text"]):
+        if len(t.split(" ")) < 3:
+            continue
+        shs = _shingle_set(t)
+        rows.append((doc_id, _poly_hash(t),
+                     min(_poly_hash(s) for s in shs)))
+    return pd.DataFrame(rows, columns=[
+        "doc_id", "fingerprint", "min_shingle_hash"])
+
+
 # ------------------------------------ t10 tf-idf top terms (round-13)
 # Integer-only chain: per-doc term counts over the literal single-space
 # split (empties dropped), corpus document frequency, per-doc top-k by
@@ -1175,6 +1194,10 @@ def main():
     compare("t09_lm_score", load_spark(out_dir, "t09_lm_score"), t09,
             ["doc_id"], ["n_pairs", "n_matched"],
             {"lm_coverage": 1e-9, "avg_p_cond": 1e-9})
+
+    t04 = timed("t04_fingerprint", replica_fingerprint, docs)
+    compare("t04_fingerprint", load_spark(out_dir, "t04_fingerprint"), t04,
+            ["doc_id"], ["fingerprint", "min_shingle_hash"], {})
 
     t10 = timed("t10_tfidf", replica_tfidf, docs)
     compare("t10_tfidf", load_spark(out_dir, "t10_tfidf"), t10,
