@@ -953,6 +953,41 @@ def replica_lm_score(docs):
         "doc_id", "n_pairs", "n_matched", "lm_coverage", "avg_p_cond"])
 
 
+# ------------------------------------ t02 quality score (round-13)
+# Rule-based ratios over the literal single-space split, every division
+# and the 0.4/0.4/0.2 blend in the engine's declared order, rounded
+# fr(·, 4). len() counts codepoints on both sides; the punct class is
+# the shared literal [.,!?;:].
+
+T02_STOPWORDS = {"the", "a", "of", "and", "to", "in", "is", "it",
+                 "that", "for"}
+_t02_punct = re.compile(r"[.,!?;:]")
+
+
+def replica_quality(docs):
+    rows = []
+    for doc_id, lang, source, t in zip(
+            docs["doc_id"], docs["lang"], docs["source"], docs["text"]):
+        tk = t.split(" ")
+        n = len(tk)
+        stop = sum(1 for w in tk if w in T02_STOPWORDS)
+        punct = len(_t02_punct.findall(t))
+        s = 0.0
+        for w in tk:
+            s += float(len(w))
+        avg_tok = s / n
+        ln = len(t)
+        punct_ratio = _fr(punct / ln, 4) if ln > 0 else float("nan")
+        quality = (_fr(0.4 * (stop / n) + 0.4 * min(avg_tok / 10.0, 1.0)
+                       + 0.2 * (1.0 - punct / ln), 4)
+                   if ln > 0 else float("nan"))
+        rows.append((doc_id, lang, source, n, _fr(stop / n, 4),
+                     punct_ratio, _fr(avg_tok, 4), quality))
+    return pd.DataFrame(rows, columns=[
+        "doc_id", "lang", "source", "n_tokens", "stopword_ratio",
+        "punct_ratio", "avg_token_len", "quality_score"])
+
+
 # --------------------------------- t04 document fingerprint (round-13)
 # Reuses the dedup replica's independently-derived 31-poly rolling hash:
 # whole-text fingerprint + min over the distinct 3-gram shingle hashes,
@@ -1194,6 +1229,14 @@ def main():
     compare("t09_lm_score", load_spark(out_dir, "t09_lm_score"), t09,
             ["doc_id"], ["n_pairs", "n_matched"],
             {"lm_coverage": 1e-9, "avg_p_cond": 1e-9})
+
+    docs_full = pd.read_parquet(f"{sf_dir}/documents.parquet")[
+        ["doc_id", "lang", "source", "text"]]
+    t02 = timed("t02_quality_score", replica_quality, docs_full)
+    compare("t02_quality_score", load_spark(out_dir, "t02_quality_score"),
+            t02, ["doc_id"], ["lang", "source", "n_tokens"],
+            {"stopword_ratio": 1e-9, "punct_ratio": 1e-9,
+             "avg_token_len": 1e-9, "quality_score": 1e-9})
 
     t04 = timed("t04_fingerprint", replica_fingerprint, docs)
     compare("t04_fingerprint", load_spark(out_dir, "t04_fingerprint"), t04,
