@@ -287,6 +287,27 @@ object ScalingProbe {
           }
         }
       }
+      // Listener-bus drain: poll the listener's own accumulation until two
+      // consecutive snapshots agree (bounded), instead of a fixed sleep —
+      // under load late task-end events arrived after sleep(600) and were
+      // silently dropped (or attributed to the NEXT entry after clear()),
+      // under-reporting the *_maxtask values the probe exists to measure
+      // (round-13 advice). listenerBus.waitUntilEmpty is private[spark];
+      // stability of the observed stats is the same signal.
+      def drainListeners(): Unit = {
+        import scala.jdk.CollectionConverters._
+        def snap: (Long, Seq[(Int, (Long, Long))]) =
+          (maxTaskRecs.get, stageStats.asScala.toSeq.sortBy(_._1))
+        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+        var prev = snap
+        Thread.sleep(150)
+        var cur = snap
+        while (cur != prev && System.nanoTime() < deadline) {
+          prev = cur
+          Thread.sleep(150)
+          cur = snap
+        }
+      }
       def multiTaskMax(label: String): Long = {
         import scala.jdk.CollectionConverters._
         val stats = stageStats.asScala.toSeq
@@ -331,7 +352,7 @@ object ScalingProbe {
           spark.conf.set(Intervals.HotBinMinDetectBytesConf, Long.MaxValue.toString)
           maxTaskRecs.set(0L)
           out("q48_zipf_plain") = timed(Intervals.rangeJoinFromOrders(ordZ))
-          Thread.sleep(600) // drain the async listener bus
+          drainListeners()
           out("q48_zipf_plain_maxtask") = multiTaskMax("plain").toDouble
         }
         if (on("rangezipf", "q48_zipf_split")) {
@@ -339,14 +360,14 @@ object ScalingProbe {
           spark.conf.set(Intervals.HotBinRowsConf, "25000")
           maxTaskRecs.set(0L)
           out("q48_zipf_split") = timed(Intervals.rangeJoinFromOrders(ordZ))
-          Thread.sleep(600)
+          drainListeners()
           out("q48_zipf_split_maxtask") = multiTaskMax("split").toDouble
         }
         if (on("rangezipf", "q49_zipf_plain")) {
           spark.conf.set(Intervals.HotBinMinDetectBytesConf, Long.MaxValue.toString)
           maxTaskRecs.set(0L)
           out("q49_zipf_plain") = timed(Intervals.intervalJoinFrom(ordZ, liZ))
-          Thread.sleep(600)
+          drainListeners()
           out("q49_zipf_plain_maxtask") = multiTaskMax("q49_plain").toDouble
         }
         if (on("rangezipf", "q49_zipf_split")) {
@@ -356,7 +377,7 @@ object ScalingProbe {
           spark.conf.set(Intervals.HotBinRowsConf, "2000")
           maxTaskRecs.set(0L)
           out("q49_zipf_split") = timed(Intervals.intervalJoinFrom(ordZ, liZ))
-          Thread.sleep(600)
+          drainListeners()
           out("q49_zipf_split_maxtask") = multiTaskMax("q49_split").toDouble
         }
       } finally {

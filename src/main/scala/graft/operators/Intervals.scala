@@ -133,13 +133,26 @@ object Intervals {
     require(s > 0, s"$SaltBucketsConf must be positive, got $s"); s
   }
 
+  /** Detection memo (round-14, the as-of detectMemo discipline applied
+    * here): detection is EAGER at DataFrame construction once the plan-
+    * stat gate is crossed, and SqlSurface.registerOperators reconstructs
+    * the rangeJoin/intervalJoin views on every sqlXX entry — without a
+    * memo a large session re-pays the corpus-scale bin-count scan per
+    * reconstruction. Keyed by (canonicalized binned plan, binDays,
+    * hotRows); bounded: cleared wholesale past 64 entries. */
+  private val hotBinMemo = scala.collection.concurrent.TrieMap.empty[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Long),
+    Seq[(Long, Int)]]
+
   /** Hot bins of the REPLICATING side: (bin, subSalts) for every bin whose
     * row count crosses [[HotBinRowsConf]], subSalts = ceil(count/hotRows)
     * capped at [[MaxSubSalts]]. One partial-aggregable scan collapsed to
     * the bin dimension (bins grow with the TIME SPAN, not the corpus), a
     * bounded top-[[MaxHotBins]] collect. Gated on `gate`'s plan-stat size
     * (the un-exploded side) so small inputs never pay the scan; EAGER at
-    * construction time when it runs, like the as-of split's detection. */
+    * construction time when it runs, like the as-of split's detection;
+    * memoized per (canonicalized plan, geometry) so repeated construction
+    * of the same join never re-pays it. */
   private[graft] def hotBins(spark: SparkSession, binned: DataFrame,
       gate: DataFrame): Seq[(Long, Int)] = {
     val minBytes = spark.conf
@@ -148,14 +161,17 @@ object Intervals {
       return Seq.empty
     val hotRows = spark.conf.get(HotBinRowsConf, DefaultHotBinRows.toString).toLong
     require(hotRows > 0, s"$HotBinRowsConf must be positive, got $hotRows")
-    binned.groupBy(col("bin")).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > hotRows)
-      .orderBy(col("__n").desc, col("bin"))
-      .limit(MaxHotBins)
-      .collect()
-      .map(r => (r.getLong(0),
-        math.min(MaxSubSalts.toLong, (r.getLong(1) + hotRows - 1) / hotRows).toInt))
-      .filter(_._2 > 1).toSeq
+    if (hotBinMemo.size > 64) hotBinMemo.clear()
+    hotBinMemo.getOrElseUpdate(
+      (binned.queryExecution.analyzed.canonicalized, binDays(spark), hotRows),
+      binned.groupBy(col("bin")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > hotRows)
+        .orderBy(col("__n").desc, col("bin"))
+        .limit(MaxHotBins)
+        .collect()
+        .map(r => (r.getLong(0),
+          math.min(MaxSubSalts.toLong, (r.getLong(1) + hotRows - 1) / hotRows).toInt))
+        .filter(_._2 > 1).toSeq)
   }
 
   /** Attach each row's sub-salt count (`subi`, default 1) from the tiny

@@ -148,11 +148,16 @@ object Quantiles {
           Seq("g", "hi"))
         .select($"g", $"q",
           ($"v_lo" + $"frac" * ($"v_hi" - $"v_lo")).as("value"))
-      // materialize before unpersisting the lineage inputs
-      val rows = out.collect().toSeq
+      // Materialize before unpersisting the lineage inputs — ON THE
+      // EXECUTORS. An eager localCheckpoint truncates lineage (so the
+      // unpersists below can't trigger a recompute) without routing the
+      // result through the driver: at the MaxGroups=1M contract ceiling
+      // the previous collect()+parallelize(rows, 1) pulled ~|qs|×1M rows
+      // driver-side, undercutting the operator's own no-driver-buffering
+      // story. QuantilesSpec pins the result plan collect-free.
+      val out2 = out.localCheckpoint(true)
       picked.unpersist()
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), out.schema)
+      out2
     } finally parted.unpersist()
   }
 }

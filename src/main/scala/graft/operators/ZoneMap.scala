@@ -341,7 +341,10 @@ object ZoneMap {
       zoneRows(spark, layout),
       org.apache.spark.sql.types.StructType(schema),
       Map("l_extendedprice" -> ("pmin", "pmax"),
-        "l_quantity" -> ("qmin", "qmax")))
+        "l_quantity" -> ("qmin", "qmax")),
+      // refresh() hands appended files here: footer reads only, the same
+      // per-new-file increment appendZorder pays
+      paths => footerZones(spark, paths))
   }
 
   /** r47: r46's conjunctive band summary, answered through the planner-
@@ -380,13 +383,19 @@ object ZoneMap {
     // production, and a listing is a metadata op either way
     val hPath = new org.apache.hadoop.fs.Path(layout)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def files(): Set[String] =
-      fs.listStatus(hPath).toSeq.map(_.getPath.getName)
-        .filter(_.endsWith(".parquet")).toSet
-    val before = files()
+    // Keep the listStatus paths themselves (QUALIFIED — file:/tmp/...),
+    // never re-derive them from the scheme-less layout string: zone-row
+    // file keys must share one rendering with _metadata.file_path /
+    // FileStatus or ZoneMapFileIndex.byPath lookups silently miss and
+    // appended files lose pruning (round-13 advice, medium).
+    def files(): Map[String, org.apache.hadoop.fs.Path] =
+      fs.listStatus(hPath).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(p => p.getName -> p).toMap
+    val before = files().keySet
     writeZorder(delta, layout, math.max(1, ZFiles / 8), mode = "append")
-    val fresh = (files() -- before).toSeq.sorted
-      .map(n => new org.apache.hadoop.fs.Path(hPath, n))
+    val after = files()
+    val fresh = (after.keySet -- before).toSeq.sorted.map(after)
     require(fresh.nonEmpty, "append produced no new files")
     val newRows = footerZones(spark, fresh)
     // maintain the in-memory metadata incrementally — existing files are

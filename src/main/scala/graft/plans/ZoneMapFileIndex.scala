@@ -28,10 +28,22 @@ import org.apache.spark.sql.types.{Decimal, StructType}
   * Bound extraction is CONSERVATIVE: only top-level conjuncts of the
   * shapes `col (<|<=|>|>=|=) literal` (either operand order) over the
   * registered skip columns tighten a bound; anything else is ignored and
-  * the affected files stay in the listing. A file with no zone row (e.g.
-  * appended after index construction — callers rebuild via refresh())
-  * also stays. Soundness: a file is dropped ONLY when its zone cannot
-  * intersect bounds implied by predicates the scan itself still applies.
+  * the affected files stay in the listing. Literal values are widened
+  * OUTWARD onto the double grid (lo bounds round down, hi bounds round
+  * up) so a 64-bit integral or high-precision decimal literal beyond
+  * 2^53 can never tighten a bound past the true predicate range — a
+  * boundary-equal file stays listed. A file with no zone row also stays.
+  * Soundness: a file is dropped ONLY when its zone cannot intersect
+  * bounds implied by predicates the scan itself still applies.
+  *
+  * LIFECYCLE (round-14): files appended to the layout after construction
+  * become visible through [[refresh]] — Spark's own hook (`REFRESH
+  * TABLE`, `DataFrame.refresh`): it re-lists the root and derives footer
+  * zones for ONLY the new files via the constructor's `zonesFor` callback
+  * (per-new-file metadata I/O, the same increment [[graft.operators
+  * .ZoneMap.appendZorder]] pays); files that vanished (compaction) drop
+  * out of both the listing and the zone set. Statuses and zones are
+  * otherwise immutable snapshots — consistent for any one query.
   *
   * At 100 TB the index holds one (file, zones) row per file — the same
   * file-count-scale metadata the operator path memoizes — and listing is
@@ -39,33 +51,74 @@ import org.apache.spark.sql.types.{Decimal, StructType}
   */
 final class ZoneMapFileIndex(
     root: Path,
-    zones: Array[Row],
-    statuses: Seq[FileStatus],
+    zones0: Array[Row],
+    statuses0: Seq[FileStatus],
     /** skip column name -> (zone min field, zone max field) */
-    skipCols: Map[String, (String, String)]) extends FileIndex {
+    skipCols: Map[String, (String, String)],
+    hadoopConf: org.apache.hadoop.conf.Configuration,
+    /** footer-zone derivation for files discovered by [[refresh]] —
+      * must emit the same row shape as `zones0` (keyed by the QUALIFIED
+      * path rendering, matching `FileStatus.getPath.toString`). */
+    zonesFor: Seq[Path] => Array[Row]) extends FileIndex {
 
-  private val byPath: Map[String, FileStatus] =
-    statuses.map(s => s.getPath.toString -> s).toMap
+  // snapshot state, replaced wholesale by refresh() (volatile: a refresh
+  // from one thread must publish a consistent (statuses, zones, byPath)
+  // triple to planners on others)
+  @volatile private var state: (Seq[FileStatus], Array[Row], Map[String, FileStatus]) =
+    (statuses0, zones0, statuses0.map(s => s.getPath.toString -> s).toMap)
+
+  private def statuses: Seq[FileStatus] = state._1
+  private def zones: Array[Row] = state._2
+  private def byPath: Map[String, FileStatus] = state._3
 
   override def rootPaths: Seq[Path] = Seq(root)
   override def partitionSchema: StructType = StructType(Nil)
   override def inputFiles: Array[String] = statuses.map(_.getPath.toString).toArray
-  override def refresh(): Unit = ()
   override def sizeInBytes: Long = statuses.map(_.getLen).sum
 
-  private def asDouble(v: Any): Option[Double] = v match {
-    case d: Double => Some(d)
-    case f: Float => Some(f.toDouble)
-    case i: Int => Some(i.toDouble)
-    case l: Long => Some(l.toDouble)
-    case s: Short => Some(s.toDouble)
-    case b: Byte => Some(b.toDouble)
-    case d: Decimal => Some(d.toDouble)
-    case _ => None
+  /** Re-list the root and fold in appended files' zones (footer reads for
+    * ONLY the new files); drop vanished files. Synchronized so concurrent
+    * refreshes never double-derive a file's zones. */
+  override def refresh(): Unit = synchronized {
+    val fs = root.getFileSystem(hadoopConf)
+    val listed = fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    val listedKeys = listed.map(_.getPath.toString).toSet
+    val known = byPath.keySet
+    val fresh = listed.filterNot(s => known.contains(s.getPath.toString))
+    val keptZones = zones.filter(z => listedKeys.contains(z.getAs[String]("file")))
+    val newZones =
+      if (fresh.isEmpty) Array.empty[Row] else zonesFor(fresh.map(_.getPath))
+    state = (listed, keptZones ++ newZones,
+      listed.map(s => s.getPath.toString -> s).toMap)
+  }
+
+  /** Literal -> double bound, widened OUTWARD (`up = true` for hi bounds:
+    * never below the true value; `up = false` for lo bounds: never above).
+    * Exact-on-the-grid values pass through; a Long/Decimal that rounds
+    * toward the predicate interior steps one ulp back out. Float/Double
+    * literals are already grid values; Int and narrower are exact. */
+  private def asBound(v: Any, up: Boolean): Option[Double] = {
+    def widen(d: Double, exact: BigDecimal): Double =
+      if (d.isInfinite || BigDecimal(d) == exact) d
+      else if (up) { if (BigDecimal(d) < exact) Math.nextUp(d) else d }
+      else { if (BigDecimal(d) > exact) Math.nextDown(d) else d }
+    v match {
+      case d: Double => Some(d)
+      case f: Float => Some(f.toDouble)
+      case i: Int => Some(i.toDouble)
+      case s: Short => Some(s.toDouble)
+      case b: Byte => Some(b.toDouble)
+      case l: Long => Some(widen(l.toDouble, BigDecimal(l)))
+      case d: Decimal => Some(widen(d.toDouble, d.toBigDecimal))
+      case _ => None
+    }
   }
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // consistent snapshot for this one planning pass
+    val (snapStatuses, snapZones, snapByPath) = state
     // conservative per-column bounds from the recognizable conjuncts
     val lo = collection.mutable.Map.empty[String, Double]
     val hi = collection.mutable.Map.empty[String, Double]
@@ -77,49 +130,53 @@ final class ZoneMapFileIndex(
       case ar: AttributeReference if skipCols.contains(ar.name) => Some(ar.name)
       case _ => None
     }
+    // a lo bound must round DOWN (the used bound stays ≤ the true one),
+    // a hi bound UP — both keep `zone ∩ bounds = ∅ ⇒ zone ∩ pred = ∅`
+    def asLo(v: Any): Option[Double] = asBound(v, up = false)
+    def asHi(v: Any): Option[Double] = asBound(v, up = true)
     def visit(e: Expression): Unit = e match {
       case And(l, r) => visit(l); visit(r)
       case GreaterThanOrEqual(a, Literal(v, _)) =>
-        skip(a).foreach(c => asDouble(v).foreach(tightenLo(c, _)))
+        skip(a).foreach(c => asLo(v).foreach(tightenLo(c, _)))
       case GreaterThan(a, Literal(v, _)) =>
-        skip(a).foreach(c => asDouble(v).foreach(tightenLo(c, _)))
+        skip(a).foreach(c => asLo(v).foreach(tightenLo(c, _)))
       case LessThanOrEqual(a, Literal(v, _)) =>
-        skip(a).foreach(c => asDouble(v).foreach(tightenHi(c, _)))
+        skip(a).foreach(c => asHi(v).foreach(tightenHi(c, _)))
       case LessThan(a, Literal(v, _)) =>
-        skip(a).foreach(c => asDouble(v).foreach(tightenHi(c, _)))
+        skip(a).foreach(c => asHi(v).foreach(tightenHi(c, _)))
       case EqualTo(a, Literal(v, _)) =>
-        skip(a).foreach(c => asDouble(v).foreach { d =>
-          tightenLo(c, d); tightenHi(c, d) })
+        skip(a).foreach { c =>
+          asLo(v).foreach(tightenLo(c, _)); asHi(v).foreach(tightenHi(c, _)) }
       // literal-first spellings
       case GreaterThanOrEqual(Literal(v, _), a) =>
-        skip(a).foreach(c => asDouble(v).foreach(tightenHi(c, _)))
+        skip(a).foreach(c => asHi(v).foreach(tightenHi(c, _)))
       case GreaterThan(Literal(v, _), a) =>
-        skip(a).foreach(c => asDouble(v).foreach(tightenHi(c, _)))
+        skip(a).foreach(c => asHi(v).foreach(tightenHi(c, _)))
       case LessThanOrEqual(Literal(v, _), a) =>
-        skip(a).foreach(c => asDouble(v).foreach(tightenLo(c, _)))
+        skip(a).foreach(c => asLo(v).foreach(tightenLo(c, _)))
       case LessThan(Literal(v, _), a) =>
-        skip(a).foreach(c => asDouble(v).foreach(tightenLo(c, _)))
+        skip(a).foreach(c => asLo(v).foreach(tightenLo(c, _)))
       case EqualTo(Literal(v, _), a) =>
-        skip(a).foreach(c => asDouble(v).foreach { d =>
-          tightenLo(c, d); tightenHi(c, d) })
+        skip(a).foreach { c =>
+          asLo(v).foreach(tightenLo(c, _)); asHi(v).foreach(tightenHi(c, _)) }
       case _ => ()
     }
     dataFilters.foreach(visit)
 
     val selected: Array[FileStatus] =
-      if (lo.isEmpty && hi.isEmpty) statuses.toArray
+      if (lo.isEmpty && hi.isEmpty) snapStatuses.toArray
       else {
-        val zoned = zones.flatMap { z =>
+        val zoned = snapZones.flatMap { z =>
           val admits = skipCols.forall { case (col, (minF, maxF)) =>
             val zmin = z.getAs[Double](minF)
             val zmax = z.getAs[Double](maxF)
             lo.get(col).forall(zmax >= _) && hi.get(col).forall(zmin <= _)
           }
-          if (admits) byPath.get(z.getAs[String]("file")) else None
+          if (admits) snapByPath.get(z.getAs[String]("file")) else None
         }
         // files without a zone row are never silently dropped
-        val zonedKeys = zones.map(_.getAs[String]("file")).toSet
-        zoned ++ statuses.filterNot(s => zonedKeys.contains(s.getPath.toString))
+        val zonedKeys = snapZones.map(_.getAs[String]("file")).toSet
+        zoned ++ snapStatuses.filterNot(s => zonedKeys.contains(s.getPath.toString))
       }
     Seq(PartitionDirectory(InternalRow.empty, selected))
   }
@@ -129,14 +186,17 @@ object ZoneMapFileIndex {
   /** Wrap a z-ordered parquet layout as a DataFrame whose scan prunes
     * files through the footer zone map at PLANNING time. `zones` rows are
     * [[graft.operators.ZoneMap]]'s footer rows (file, pmin, pmax, qmin,
-    * qmax, n_rows). */
+    * qmax, n_rows); `zonesFor` derives the same rows for files appended
+    * after construction (driven by [[ZoneMapFileIndex.refresh]]). */
   def table(spark: SparkSession, layout: String, zones: Array[Row],
-      schema: StructType, skipCols: Map[String, (String, String)]): DataFrame = {
+      schema: StructType, skipCols: Map[String, (String, String)],
+      zonesFor: Seq[Path] => Array[Row]): DataFrame = {
     val rootPath = new Path(layout)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val statuses = fs.listStatus(rootPath).toSeq
       .filter(_.getPath.getName.endsWith(".parquet"))
-    val index = new ZoneMapFileIndex(rootPath, zones, statuses, skipCols)
+    val index = new ZoneMapFileIndex(rootPath, zones, statuses, skipCols,
+      spark.sparkContext.hadoopConfiguration, zonesFor)
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = StructType(Nil),

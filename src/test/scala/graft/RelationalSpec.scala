@@ -28,6 +28,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("MaxGroups"))
   }
 
+  test("q13 quantiles materialize on executors, not via driver collect+parallelize") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0)).toDF("g", "v")
+    val out = operators.Quantiles.exactGroupQuantiles(df, "g", "v", Seq(0.0, 0.5, 1.0))
+    // localCheckpoint-backed result: the lineage bottoms out in a
+    // checkpoint RDD, never a driver-built ParallelCollectionRDD (the
+    // pre-round-14 form pulled ~|qs|×G rows through the driver)
+    assert(out.queryExecution.analyzed.toString.contains("LogicalRDD"),
+      "expected a checkpoint-backed LogicalRDD result")
+    assert(!out.rdd.toDebugString.contains("ParallelCollectionRDD"),
+      "result lineage must not contain a driver-parallelized collection")
+    val m = out.collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(m(("a", 0.0)) == 1.0 && m(("a", 0.5)) == 2.0 && m(("a", 1.0)) == 3.0)
+    assert(m(("b", 0.5)) == 10.0)
+  }
+
   test("every registered query returns rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()

@@ -7,11 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class ZoneMapIntervalSpec extends AnyFunSuite {
   import TestSpark._
 
-  /** `_metadata.file_path`'s scheme prefix varies between reads of the
-    * same layout ("/tmp/…" vs "file:/tmp/…" depending on FileIndex
-    * construction), so cross-source file comparisons normalize it away.
-    * The operator never mixes sources (footer rows throughout). */
-  private def normFile(s: String): String = s.replaceFirst("^file:", "")
+  // Round-14: file keys share ONE rendering across every source
+  // (_metadata.file_path, FileStatus, footer rows, appendZorder rows —
+  // all `file:/tmp/…`), so cross-source comparisons use raw strings;
+  // the old test-side scheme normalization masked the appendZorder
+  // rendering bug the round-13 advice flagged.
   private def zstats(r: org.apache.spark.sql.Row) =
     (r.getAs[Double]("pmin"), r.getAs[Double]("pmax"),
       r.getAs[Double]("qmin"), r.getAs[Double]("qmax"), r.getAs[Long]("n_rows"))
@@ -174,8 +174,8 @@ class ZoneMapIntervalSpec extends AnyFunSuite {
     assert(files.nonEmpty && files.length < total,
       s"expected real skipping, got ${files.length}/$total")
     // soundness: no excluded file may contain an in-band value
-    val matched = files.map(normFile).toSet
-    val excluded = zm.map(r => normFile(r.getAs[String]("file")))
+    val matched = files.toSet
+    val excluded = zm.map(_.getAs[String]("file"))
       .filterNot(matched.contains)
     assert(excluded.nonEmpty)
     excluded.foreach { file =>
@@ -222,8 +222,8 @@ class ZoneMapIntervalSpec extends AnyFunSuite {
     assert(total == zm.length)
     assert(files.nonEmpty && files.length < total,
       s"expected real 2-D skipping, got ${files.length}/$total")
-    val matched = files.map(normFile).toSet
-    val excluded = zm.map(r => normFile(r.getAs[String]("file")))
+    val matched = files.toSet
+    val excluded = zm.map(_.getAs[String]("file"))
       .filterNot(matched.contains)
     assert(excluded.nonEmpty)
     excluded.foreach { file =>
@@ -261,7 +261,7 @@ class ZoneMapIntervalSpec extends AnyFunSuite {
     // prior zones are untouched by the append (existing files immutable)
     // and prior ∪ delta-rows must equal a full zone-map rebuild
     val rebuilt = operators.ZoneMap.zoneMap2(spark, layout).collect()
-    val key = (r: org.apache.spark.sql.Row) => normFile(r.getAs[String]("file"))
+    val key = (r: org.apache.spark.sql.Row) => r.getAs[String]("file")
     val union = (prior ++ newRows).map(r => key(r) -> zstats(r)).toMap
     val full = rebuilt.map(r => key(r) -> zstats(r)).toMap
     assert(union == full,
@@ -289,12 +289,12 @@ class ZoneMapIntervalSpec extends AnyFunSuite {
     operators.ZoneMap.zorderSkip(spark, sf).count() // memoized layout
     val layout = operators.ZoneMap.zLayouts(sf)
     val scanned = operators.ZoneMap.zoneMap2(spark, layout).collect()
-      .map(r => normFile(r.getAs[String]("file")) -> zstats(r)).toMap
+      .map(r => r.getAs[String]("file") -> zstats(r)).toMap
     // force a cold rebuild so this compares FOOTERS, not a memo that may
     // predate them
     operators.ZoneMap.dropZoneMemo(layout)
     val cold = operators.ZoneMap.zoneRows(spark, layout)
-      .map(r => normFile(r.getAs[String]("file")) -> zstats(r)).toMap
+      .map(r => r.getAs[String]("file") -> zstats(r)).toMap
     assert(cold.nonEmpty && cold == scanned,
       s"footer zones diverge from the scan spec:\n${cold.take(2)}\nvs\n${scanned.take(2)}")
   }
@@ -376,6 +376,95 @@ class ZoneMapIntervalSpec extends AnyFunSuite {
     assert(oListed < total, s"composed predicate did not prune: $oListed/$total")
     assert(other.count() ==
       sources.Tables.lineitem(spark, sf).filter($"l_quantity" === 10.0).count())
+  }
+
+  test("r47: refresh() folds appended files into the SAME index, pruning still strict") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    val cols = Seq(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+      col("l_extendedprice"), col("l_discount"))
+    val base = sources.Tables.lineitem(spark, sf).select(cols: _*)
+      .filter($"l_partkey" % 3 =!= 0)
+    val delta = sources.Tables.lineitem(spark, sf).select(cols: _*)
+      .filter($"l_partkey" % 3 === 0)
+    val layout = operators.Extras.tempDir("graft_zorder_refresh")
+    operators.ZoneMap.writeZorder(base, layout, 16)
+    val schema = org.apache.spark.sql.types.StructType(
+      spark.read.parquet(layout).schema.filterNot(_.name.startsWith("_")))
+    val df0 = graft.plans.ZoneMapFileIndex.table(spark, layout,
+      operators.ZoneMap.zoneRows(spark, layout), schema,
+      Map("l_extendedprice" -> ("pmin", "pmax"),
+        "l_quantity" -> ("qmin", "qmax")),
+      paths => operators.ZoneMap.footerZones(spark, paths))
+    val scan0 = df0.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s }.head
+    val idx = scan0.relation.location.asInstanceOf[graft.plans.ZoneMapFileIndex]
+    val relation = scan0.relation
+    // fresh DataFrame over the SAME relation/index per read: Spark's own
+    // REFRESH TABLE invalidates cached plans the same way (an already-
+    // executed QueryExecution snapshots its file listing)
+    def read(): org.apache.spark.sql.DataFrame =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .baseRelationToDataFrame(relation.asInstanceOf[HadoopFsRelation])
+    val baseN = base.count()
+    assert(read().count() == baseN)
+    operators.ZoneMap.appendZorder(spark, layout, delta)
+    // snapshot semantics until refresh: the held index must not see the
+    // appended files yet (consistent for any one query)
+    assert(read().count() == baseN, "index saw appended files before refresh()")
+    idx.refresh()
+    val fullN = base.unionByName(delta).count()
+    assert(read().count() == fullN,
+      s"refresh() lost appended rows: ${read().count()} vs $fullN")
+    // pruning over the refreshed listing: strict AND sound (appended
+    // files carry zone rows from their footers, so they prune too)
+    val band = read().filter($"l_extendedprice" >= operators.ZoneMap.PriceLo &&
+      $"l_extendedprice" <= operators.ZoneMap.PriceHi &&
+      $"l_quantity" >= operators.ZoneMap.QtyLo &&
+      $"l_quantity" <= operators.ZoneMap.QtyHi)
+    val bScan = band.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s }.head
+    val listed = idx.listFiles(Nil, bScan.dataFilters).flatMap(_.files).size
+    val total = idx.inputFiles.length
+    assert(listed > 0 && listed < total, s"refreshed index listed $listed/$total")
+    val expect = base.unionByName(delta)
+      .filter($"l_extendedprice" >= operators.ZoneMap.PriceLo &&
+        $"l_extendedprice" <= operators.ZoneMap.PriceHi &&
+        $"l_quantity" >= operators.ZoneMap.QtyLo &&
+        $"l_quantity" <= operators.ZoneMap.QtyHi).count()
+    assert(band.count() == expect)
+  }
+
+  test("r47: integral literals beyond 2^53 widen OUTWARD — boundary zones stay listed") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GreaterThanOrEqual, Literal}
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    // synthetic 2-file index over a long skip column: L = 2^53+3 rounds UP
+    // on the double grid (to 2^53+4), so the naive lo bound would drop the
+    // file whose zone tops out one ulp below the rounded literal; the
+    // outward widening steps the bound back down and keeps it
+    val L = (1L << 53) + 3 // 9007199254740995; rounds UP on the grid:
+    assert(L.toDouble == 9007199254740996.0)
+    val zSchema = StructType(Seq(StructField("file", StringType),
+      StructField("vmin", DoubleType), StructField("vmax", DoubleType)))
+    def zrow(f: String, mn: Double, mx: Double) =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](f, mn, mx), zSchema)
+    val fA = "file:/tmp/zwiden/a.parquet"
+    val fB = "file:/tmp/zwiden/b.parquet"
+    def st(f: String) = new FileStatus(1L, false, 1, 1L, 0L, new Path(f))
+    val idx = new graft.plans.ZoneMapFileIndex(new Path("file:/tmp/zwiden"),
+      Array(zrow(fA, 0.0, 9007199254740996.0), zrow(fB, 0.0, 9007199254740994.0)),
+      Seq(st(fA), st(fB)), Map("v" -> ("vmin", "vmax")),
+      spark.sparkContext.hadoopConfiguration, _ => Array.empty)
+    val pred = GreaterThanOrEqual(
+      AttributeReference("v", LongType)(), Literal(L, LongType))
+    val listed = idx.listFiles(Nil, Seq(pred)).flatMap(_.files)
+      .map(_.getPath.toString).toSet
+    assert(listed.contains(fA))
+    assert(listed.contains(fB),
+      "zone one ulp under the rounded literal was dropped — lo bound not widened down")
   }
 
   test("r46: 2-D z-order prunes a strictly smaller file FRACTION than the 1-D layout") {
