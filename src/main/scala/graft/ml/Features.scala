@@ -259,6 +259,29 @@ object Features {
     ()
   }
 
+  /** Bench rebuild hook: a FRESH-WORKSPACE refit of everything [[warmFit]]
+    * warms — drop the in-memory memos, delete the persisted model
+    * workspace for this corpus (so [[loadOrFit]] cannot take the load
+    * path), release the feature-frame cache, then warm again. The cold
+    * `fit_build` entry's repeatable twin: it re-pays LBFGS/KMeans/ALS/
+    * FP-tree in full and leaves the memo + workspace warm for the ml
+    * serving entries that follow. */
+  private[graft] def rebuildFit(spark: SparkSession, dir: String): Unit = {
+    clearMemos()
+    // workspace prefix shared by every modelPath(..) of this corpus: the
+    // parent of any one model path
+    val one = new org.apache.hadoop.fs.Path(
+      modelPath(spark, dir, Seq("events"), "win_lr")).getParent.getParent
+    val fs = one.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // delete every token dir for this corpus hash (stale tokens included)
+    val prefix = s"${dir.hashCode.toHexString}_"
+    scala.util.Try(fs.listStatus(one)).toOption.toSeq.flatten
+      .filter(_.getPath.getName.startsWith(prefix))
+      .foreach(s => fs.delete(s.getPath, true))
+    tradeFeatures(spark, dir).unpersist(true)
+    warmFit(spark, dir)
+  }
+
   /** ml04: top-K part recommendations per customer from the implicit-ALS
     * factorization of the customer × part purchase matrix.
     * `recommendForAllUsers` is MLlib's blocked factor cross-product with

@@ -752,10 +752,25 @@ object CciPipeline {
       .withColumn("avg_days_held", floor(($"avg_days_held_raw") * 10000.0 + 0.5) / 10000.0)
       .withColumn("total_buy_price", floor(($"total_buy_raw") * 100.0 + 0.5) / 100.0)
       .withColumn("total_sell_price", floor(($"total_sell_raw") * 100.0 + 0.5) / 100.0)
-      // r07-r10 each read the strategy table; share one build
-      .transform(graft.GraftSession.maybeCache(_))
       .drop("avg_rpdh_raw", "avg_days_held_raw", "total_buy_raw", "total_sell_raw",
         "rpdh_cents", "n_trades", "days_held_sum", "buy_cents", "sell_cents")
+      // r07-r10 each read the strategy table; share one build. Cached
+      // AFTER the helper-column drop (round-14): the returned frame IS
+      // the cached node — fewer columns in storage, and callers can
+      // release it with a plain `strategyAgg(...).unpersist()` (the
+      // bench's rebuild rep needs exactly that handle).
+      .transform(graft.GraftSession.maybeCache(_))
+  }
+
+  /** Bench rebuild hook: release the CCI chain's three cached nodes
+    * (blocking) so the next materialization re-pays the full build — the
+    * cold `cache_build` entry's repeatable twin. Each call site returns a
+    * frame whose plan canonicalizes to the cached entry, so `unpersist`
+    * resolves through the CacheManager without holding handles. */
+  private[graft] def dropChainCaches(spark: SparkSession, dir: String): Unit = {
+    strategyAgg(spark, dir).unpersist(true)
+    trades(spark, dir).unpersist(true)
+    cci(spark, dir).unpersist(true): Unit
   }
 
   private[graft] val strategyCte: String =
