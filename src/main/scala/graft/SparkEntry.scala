@@ -37,6 +37,7 @@ object SparkEntry {
     "r01_symbol_dim" -> (CciPipeline.symbolDim _),
     "r02_ohlc_bars" -> (CciPipeline.ohlcBarsQuery _),
     "r03_upsert_keep_last" -> (CciPipeline.upsertKeepLast _),
+    "r48_item_chart" -> (CciPipeline.itemChartQuery _),
     "r04_cci" -> (CciPipeline.cciQuery _),
     "r05_signals" -> (CciPipeline.signalsQuery _),
     "r06_trade_sim" -> (CciPipeline.tradesQuery _),
@@ -375,6 +376,7 @@ object SparkEntry {
     "r01_symbol_dim" -> CciPipeline.symbolDimSql,
     "r02_ohlc_bars" -> CciPipeline.ohlcBarsSql,
     "r03_upsert_keep_last" -> CciPipeline.upsertKeepLastSql,
+    "r48_item_chart" -> CciPipeline.itemChartSql,
     "r04_cci" -> CciPipeline.cciSql,
     "r05_signals" -> CciPipeline.signalsSql,
     "r06_trade_sim" -> CciPipeline.tradesSql,

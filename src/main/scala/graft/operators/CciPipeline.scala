@@ -161,6 +161,50 @@ object CciPipeline {
     Tables.eventsOracleCte + ",\n" + barsCte + "\n" +
       "SELECT user_id, d, open_pr, high_pr, low_pr, close_pr, volume FROM bars ORDER BY user_id, d"
 
+  // ---------------------------------------------------------------- r48
+  /** Ranged intraday chart (reference get_item_chart_price,
+    * hankook_api.py:197-223 — the per-symbol chart endpoint with a
+    * [date_1, date_2] window; dead code upstream, transcribed to close
+    * the API surface): minute-grain OHLCV bars over a bounded date range,
+    * the SAME [[barAggs]] fold as r02 at `date_trunc(minute)` grain — the
+    * daily and intraday charts cannot diverge. One shuffle on
+    * (user_id, minute); the range filter cuts the corpus to the requested
+    * window first (at 100 TB the production events layout is date-
+    * partitioned — r16's sink — so the window prunes partitions before
+    * any row is read; here it is a plain scan filter). */
+  val ChartFrom = "2024-01-08 00:00:00"
+  val ChartUntil = "2024-01-15 00:00:00" // exclusive
+
+  def itemChartQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter($"ts" >= lit(ChartFrom).cast("timestamp") &&
+        $"ts" < lit(ChartUntil).cast("timestamp"))
+      .groupBy($"user_id", date_trunc("minute", $"ts").as("m"))
+      .agg(barAggs.head, barAggs.tail: _*)
+      .orderBy($"user_id", $"m")
+  }
+
+  val itemChartSql: String =
+    Tables.eventsOracleCte + ",\n" +
+      s"""chart AS (
+         |  SELECT user_id, date_trunc('minute', ts) AS m,
+         |    max(CASE WHEN rn_first = 1 THEN value END) AS open_pr,
+         |    max(value) AS high_pr,
+         |    min(value) AS low_pr,
+         |    max(CASE WHEN rn_last = 1 THEN value END) AS close_pr,
+         |    count(*) AS volume
+         |  FROM (SELECT *,
+         |          row_number() OVER (PARTITION BY user_id, date_trunc('minute', ts)
+         |                             ORDER BY ts, event_id) AS rn_first,
+         |          row_number() OVER (PARTITION BY user_id, date_trunc('minute', ts)
+         |                             ORDER BY ts DESC, event_id DESC) AS rn_last
+         |        FROM events_us
+         |        WHERE ts >= TIMESTAMP '$ChartFrom' AND ts < TIMESTAMP '$ChartUntil') e
+         |  GROUP BY 1, 2)
+         |SELECT user_id, m, open_pr, high_pr, low_pr, close_pr, volume
+         |FROM chart ORDER BY user_id, m""".stripMargin
+
   // ---------------------------------------------------------------- r03
   /** Incremental-merge upsert: dedup by business key keeping the latest
     * record (reference drop_duplicates(subset=[date], keep='last'),
