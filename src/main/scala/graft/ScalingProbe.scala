@@ -237,7 +237,7 @@ object ScalingProbe {
               .as("sum_price")))
     }
     val rangeZipfEntries = Seq("q48_zipf_plain", "q48_zipf_split",
-      "q49_zipf_plain", "q49_zipf_split")
+      "q49_zipf_plain", "q49_zipf_split", "q48_pts_plain", "q48_pts_salt", "q48_pts_split")
     if (probes("rangezipf") || rangeZipfEntries.exists(probes)) {
       // Zipf-DATE corpus (VERDICT r12 task 1): 20% of all orders land on
       // ONE day — the earnings-day clustering the round-12 verdict called
@@ -337,7 +337,8 @@ object ScalingProbe {
             pmod(xxhash64($"id", lit("rzt")), lit(2400L)).cast("int")),
             "yyyy-MM-dd")).as("l_shipdate")),
         s"/tmp/graft_scale_rangezipf_li_$mult")
-      val geomKeys = Seq(Intervals.HotBinMinDetectBytesConf, Intervals.HotBinRowsConf)
+      val geomKeys = Seq(Intervals.HotBinMinDetectBytesConf,
+        Intervals.HotBinRowsConf, Intervals.SaltBucketsConf)
       // 512 shuffle partitions for these two entries: at the default 32,
       // ~37 (bin, salt) cells co-hash per partition and every join task
       // carries ~8.6× a cell's volume — collisions, not the hot cell,
@@ -369,6 +370,58 @@ object ScalingProbe {
           out("q49_zipf_plain") = timed(Intervals.intervalJoinFrom(ordZ, liZ))
           drainListeners()
           out("q49_zipf_plain_maxtask") = multiTaskMax("q49_plain").toDouble
+        }
+        // POINTS-hot corpus (VERDICT r13 task 4): the hot day concentrates
+        // in the PROBE-SUBSET keys (o_orderkey % 10 == 0) — the side that
+        // HASHES into the S salt buckets — while the interval side stays
+        // near-uniform (only 1/10 of its keys carry the hot date). Hot-bin
+        // detection watches the REPLICATING interval side, so this shape
+        // is bounded only by ptsPerBin/S: each hot-bin salt task carries
+        // the bin's full (small) interval side plus 1/S of the hot point
+        // mass, and pairs per task ∝ ivPerBin·ptsPerBin/S. The two
+        // entries measure whether the SaltBucketsConf knob ALONE bounds
+        // the straggler — plain S=8 vs S=64 — including what the 8×
+        // interval replication costs on the uniform mass. 60% of point
+        // keys land on the hot day.
+        lazy val ordP = land(spark.range(nOrd).select(
+          $"id".as("o_orderkey"),
+          when(pmod($"id", lit(10L)) === 0 &&
+              pmod(xxhash64($"id", lit("rph")), lit(10L)) < 6, lit("2024-03-15"))
+            .otherwise(date_format(date_add(
+              lit("1992-01-01").cast("date"),
+              pmod(xxhash64($"id", lit("rpd")), lit(2400L)).cast("int")),
+              "yyyy-MM-dd")).as("o_orderdate"),
+          (pmod(xxhash64($"id", lit("rpp")), lit(100000L)).cast("double") / 100.0)
+            .as("o_totalprice")),
+          s"/tmp/graft_scale_rangepts_$mult")
+        if (on("rangezipf", "q48_pts_plain")) {
+          spark.conf.set(Intervals.HotBinMinDetectBytesConf, Long.MaxValue.toString)
+          maxTaskRecs.set(0L)
+          out("q48_pts_plain") = timed(Intervals.rangeJoinFromOrders(ordP))
+          drainListeners()
+          out("q48_pts_plain_maxtask") = multiTaskMax("pts_plain").toDouble
+        }
+        if (on("rangezipf", "q48_pts_salt")) {
+          spark.conf.set(Intervals.HotBinMinDetectBytesConf, Long.MaxValue.toString)
+          spark.conf.set(Intervals.SaltBucketsConf, "64")
+          try {
+            maxTaskRecs.set(0L)
+            out("q48_pts_salt") = timed(Intervals.rangeJoinFromOrders(ordP))
+            drainListeners()
+            out("q48_pts_salt_maxtask") = multiTaskMax("pts_salt").toDouble
+          } finally spark.conf.unset(Intervals.SaltBucketsConf)
+        }
+        if (on("rangezipf", "q48_pts_split")) {
+          // the round-14 point-side hot-bin sub-salt: detection ON, so the
+          // hot day's points hash into psub sub-salts (and its intervals
+          // into subI — point keys are interval keys too) with replication
+          // confined to the hot bins, instead of the global S raise above
+          spark.conf.set(Intervals.HotBinMinDetectBytesConf, "0")
+          spark.conf.set(Intervals.HotBinRowsConf, "25000")
+          maxTaskRecs.set(0L)
+          out("q48_pts_split") = timed(Intervals.rangeJoinFromOrders(ordP))
+          drainListeners()
+          out("q48_pts_split_maxtask") = multiTaskMax("pts_split").toDouble
         }
         if (on("rangezipf", "q49_zipf_split")) {
           spark.conf.set(Intervals.HotBinMinDetectBytesConf, "0")

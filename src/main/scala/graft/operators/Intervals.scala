@@ -174,13 +174,13 @@ object Intervals {
         .filter(_._2 > 1).toSeq)
   }
 
-  /** Attach each row's sub-salt count (`subi`, default 1) from the tiny
+  /** Attach each row's sub-salt count (`name`, default 1) from the tiny
     * broadcast hot-bin table. */
   private def withSubi(spark: SparkSession, df: DataFrame,
-      hot: Seq[(Long, Int)]): DataFrame = {
+      hot: Seq[(Long, Int)], name: String = "subi"): DataFrame = {
     import spark.implicits._
-    df.join(broadcast(hot.toDF("bin", "subi")), Seq("bin"), "left")
-      .withColumn("subi", coalesce(col("subi"), lit(1)))
+    df.join(broadcast(hot.toDF("bin", name)), Seq("bin"), "left")
+      .withColumn(name, coalesce(col(name), lit(1)))
   }
 
   /** Probe every 10th order: the row demonstrates the pairwise JOIN plan;
@@ -222,7 +222,18 @@ object Intervals {
         unix_date(to_date($"o_orderdate")).cast("long").as("pd"))
       .withColumn("bin", floor($"pd" / B))
       .withColumn("salt", pmod(xxhash64($"o_orderkey"), lit(S.toLong)).cast("int"))
-    // the (bin, salt[, isalt]) hash exchange IS the operator's
+    // POINT-side hot-bin defense (round-14, measured in the `rangepts`
+    // probe): a day hot in POINTS only is invisible to the interval-side
+    // detection above, and its per-task bound ptsPerBin/S can only be
+    // tightened by raising S globally — which multiplies interval
+    // replication EVERYWHERE (probe: S 8→64 cut wall 55→40 s but grew the
+    // join stage's max task records 63k→228k on the uniform mass). The
+    // symmetric fix: a bin whose POINT count crosses the same threshold
+    // hashes its points into psub sub-salts while its intervals replicate
+    // across them — per-task input falls to ivPerBin + ptsPerBin/(S·psub)
+    // with the replication cost confined to the hot bins.
+    val hotP = hotBins(spark, pt0, pt0)
+    // the (bin, salt[, isalt][, psalt]) hash exchange IS the operator's
     // distribution: the pair-streaming join+aggregate stage must fan out
     // over it — a dense corpus read from few splits would otherwise
     // stream EVERY matched pair through the input's own handful of tasks
@@ -232,24 +243,42 @@ object Intervals {
     // them, so an unpinned repartition gets coalesced right back into
     // the straggler (measured: 34 s coalesced vs explicit). At cluster
     // scale a shuffle join on these keys needs this exchange anyway,
-    // so ENSURE_REQUIREMENTS reuses rather than duplicates it.
+    // so ENSURE_REQUIREMENTS reuses rather than duplicates it. The
+    // no-hot path stays byte-identical to the round-12 pinned plan
+    // (RangeHotBinSpec asserts no isalt/psalt under detection-off).
     val nPart = spark.sessionState.conf.numShufflePartitions
-    val (ivBinned, pt, extraKey) = if (hot.isEmpty) {
-      (ivBins.withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
-        .repartition(nPart, col("bin"), col("salt")),
-        pt0, lit(true))
-    } else {
-      val ivB = withSubi(spark, ivBins, hot)
+    var ivF = ivBins
+    var ptF = pt0
+    var extraKeys = Seq.empty[String]
+    if (hot.nonEmpty) {
+      ivF = withSubi(spark, ivF, hot)
         .withColumn("isalt",
           pmod(xxhash64($"ikey"), $"subi".cast("long")).cast("int"))
         .drop("subi")
-        .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
-        .repartition(nPart, col("bin"), col("salt"), col("isalt"))
-      val ptB = withSubi(spark, pt0, hot)
+      ptF = withSubi(spark, ptF, hot)
         .withColumn("isalt", explode(sequence(lit(0), $"subi" - 1)))
         .drop("subi")
-      (ivB, ptB, ptB("isalt") === ivB("isalt"))
+      extraKeys :+= "isalt"
     }
+    if (hotP.nonEmpty) {
+      // mirror image: points HASH (seeded independently of `salt`),
+      // intervals REPLICATE
+      ivF = withSubi(spark, ivF, hotP, "psubi")
+        .withColumn("psalt", explode(sequence(lit(0), $"psubi" - 1)))
+        .drop("psubi")
+      ptF = withSubi(spark, ptF, hotP, "psubi")
+        .withColumn("psalt",
+          pmod(xxhash64(lit("pts"), $"o_orderkey"), $"psubi".cast("long")).cast("int"))
+        .drop("psubi")
+      extraKeys :+= "psalt"
+    }
+    val ivBinned = ivF
+      .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+      .repartition(nPart, (Seq(col("bin"), col("salt")) ++ extraKeys.map(col)): _*)
+    val pt = ptF
+    val extraKey = extraKeys
+      .map(k => pt(k) === ivBinned(k))
+      .foldLeft(lit(true))(_ && _)
     val tk = graft.functions.catalyst.GraftColumns.topk_by_ord _
     pt.join(ivBinned,
         pt("bin") === ivBinned("bin") && pt("salt") === ivBinned("salt") &&
@@ -345,24 +374,43 @@ object Intervals {
       .withColumn("bin", explode(sequence(
         floor($"s2" / B), floor(($"e2" - 1) / B))))
       .withColumn("salt", pmod(xxhash64($"lkey"), lit(S.toLong)).cast("int"))
+    // the hash-salted sw side's mirror defense (round-14, the q48 point-
+    // side geometry): a bin hot in SHIP WINDOWS only is bounded by
+    // swPerBin/S, and raising S multiplies ow replication everywhere —
+    // instead a hot sw bin hashes its ship windows into ssub sub-salts
+    // while the order windows replicate across them.
+    val hotS = hotBins(spark, swBins.select(col("bin")), sw)
     val nPart = spark.sessionState.conf.numShufflePartitions
-    val (owB, swB, extraKey) = if (hot.isEmpty) {
-      (owBins.withColumn("salt", explode(sequence(lit(0), lit(S - 1)))),
-        // same pinned fan-out exchange as q48 (AQE would coalesce it away)
-        swBins.repartition(nPart, col("bin"), col("salt")),
-        lit(true))
-    } else {
-      val owH = withSubi(spark, owBins, hot)
+    var owF = owBins
+    var swF = swBins
+    var extraKeys = Seq.empty[String]
+    if (hot.nonEmpty) {
+      owF = withSubi(spark, owF, hot)
         .withColumn("isalt",
           pmod(xxhash64($"o_orderkey"), $"subi".cast("long")).cast("int"))
         .drop("subi")
-        .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
-      val swH = withSubi(spark, swBins, hot)
+      swF = withSubi(spark, swF, hot)
         .withColumn("isalt", explode(sequence(lit(0), $"subi" - 1)))
         .drop("subi")
-        .repartition(nPart, col("bin"), col("salt"), col("isalt"))
-      (owH, swH, owH("isalt") === swH("isalt"))
+      extraKeys :+= "isalt"
     }
+    if (hotS.nonEmpty) {
+      owF = withSubi(spark, owF, hotS, "ssubi")
+        .withColumn("ssalt", explode(sequence(lit(0), $"ssubi" - 1)))
+        .drop("ssubi")
+      swF = withSubi(spark, swF, hotS, "ssubi")
+        .withColumn("ssalt",
+          pmod(xxhash64(lit("sw"), $"lkey"), $"ssubi".cast("long")).cast("int"))
+        .drop("ssubi")
+      extraKeys :+= "ssalt"
+    }
+    val owB = owF.withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+    // same pinned fan-out exchange as q48 (AQE would coalesce it away)
+    val swB = swF.repartition(nPart,
+      (Seq(col("bin"), col("salt")) ++ extraKeys.map(col)): _*)
+    val extraKey = extraKeys
+      .map(k => owB(k) === swB(k))
+      .foldLeft(lit(true))(_ && _)
     val tk = graft.functions.catalyst.GraftColumns.topk_by_ord _
     owB.join(swB, owB("bin") === swB("bin") && owB("salt") === swB("salt") &&
         extraKey && $"s1" < $"e2" && $"s2" < $"e1" &&

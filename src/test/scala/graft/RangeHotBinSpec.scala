@@ -95,6 +95,58 @@ class RangeHotBinSpec extends AnyFunSuite {
     }
   }
 
+  test("q48 POINT-side sub-salt (psalt) ≡ plain row-for-row when the probe subset is hot") {
+    // hot day concentrated in the every-10th PROBE keys: all 500 point
+    // keys land on one date. At hotRows=300 BOTH detections cross (point
+    // keys are interval keys too, and intervals replicate ≥2 bins), so
+    // the plan must carry isalt AND psalt and still match plain exactly.
+    val orders = (0L until 5000L).map { i =>
+      val d = if (i % 10 == 0) "2024-03-15"
+        else java.time.LocalDate.of(2024, 1, 1).plusDays(i % 200).toString
+      (i, d, 1000.0 + (i % 97).toDouble)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    var plain: Seq[org.apache.spark.sql.Row] = null
+    withConf(Intervals.HotBinMinDetectBytesConf -> Long.MaxValue.toString) {
+      val df = Intervals.rangeJoinFromOrders(orders)
+      assert(!df.queryExecution.executedPlan.toString.contains("psalt"),
+        "detection off must keep the unsalted plan")
+      plain = rows(df)
+    }
+    withConf(Intervals.HotBinMinDetectBytesConf -> "0",
+        Intervals.HotBinRowsConf -> "300") {
+      val df = Intervals.rangeJoinFromOrders(orders)
+      val phys = df.queryExecution.executedPlan.toString
+      assert(phys.contains("psalt"), "points-hot corpus must plan the point " +
+        s"sub-salt key:\n${phys.take(1500)}")
+      assert(phys.contains("isalt"))
+      val split = rows(df)
+      assert(plain.nonEmpty && plain.length == split.length,
+        s"${plain.length} plain vs ${split.length} split rows")
+      plain.zip(split).foreach { case (a, b) =>
+        assert(a == b, s"\nplain: $a\nsplit: $b") }
+    }
+  }
+
+  test("q49 ship-window-side sub-salt (ssalt) ≡ plain row-for-row") {
+    val orders = skewedOrders
+    val li = skewedLineitem
+    var plain: Seq[org.apache.spark.sql.Row] = null
+    withConf(Intervals.HotBinMinDetectBytesConf -> Long.MaxValue.toString) {
+      plain = rows(Intervals.intervalJoinFrom(orders, li))
+    }
+    withConf(Intervals.HotBinMinDetectBytesConf -> "0",
+        Intervals.HotBinRowsConf -> "50") {
+      val df = Intervals.intervalJoinFrom(orders, li)
+      val phys = df.queryExecution.executedPlan.toString
+      assert(phys.contains("ssalt"), "sw-hot corpus must plan the ship-side " +
+        s"sub-salt key:\n${phys.take(1500)}")
+      val split = rows(df)
+      assert(plain.nonEmpty && plain.length == split.length)
+      plain.zip(split).foreach { case (a, b) =>
+        assert(a == b, s"\nplain: $a\nsplit: $b") }
+    }
+  }
+
   test("bin/salt geometry is runtime-tunable and result-invariant") {
     val orders = skewedOrders
     var base: Seq[org.apache.spark.sql.Row] = null

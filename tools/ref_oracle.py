@@ -710,6 +710,109 @@ def replica_daily_balance(events, cci, best):
         "bal_end_cents"])
 
 
+# ----------------- order reconciliation + ledger (VERDICT r13 task 6)
+# r18 (reference check_buy_order_execution daily_function.py:1632 and
+# check_sell_order_execution :1828) and r26 (the running holdings/cash
+# state the reference reads back from the broker before each sell
+# decision, hankook_api.py:283), replayed with the reference's own
+# idioms: the per-report overwrite loop applies execution reports in
+# order so the NEWEST report per order leg wins (== a recency sort +
+# drop_duplicates(keep='last')), the trade result is the reference's
+# status transition (maturity if the sell executed on/after the
+# maturity date, else reach_target/stop_loss on the price sign), and
+# the revenue chain is (sell - buy) - (round(sell*fee) + round(sell*tax))
+# with rate/per-day rounded to 2 decimals. Declared half-up rounding
+# (round_half_up) stands in for the reference's np.round, same policy
+# (and same deviation reporting) as the r07/r11 metrics.
+
+def replica_order_reconcile(sf_dir):
+    """r18: submitted orders reconciled against the execution feed."""
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"])
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber", "l_quantity",
+                                  "l_extendedprice", "l_shipdate"])
+    ex = li.assign(
+        leg=np.where(li["l_linenumber"] % 2 == 1, "buy", "sell"),
+        exec_date=pd.to_datetime(li["l_shipdate"]))
+    # newest report per (order, leg); recency = (date, line, qty, price),
+    # total so keep-last is deterministic under repeated report keys
+    ex = ex.sort_values(["l_orderkey", "leg", "exec_date", "l_linenumber",
+                         "l_quantity", "l_extendedprice"], kind="mergesort")
+    last = ex.drop_duplicates(subset=["l_orderkey", "leg"], keep="last").copy()
+    last["fill_qty"] = np.floor(last["l_quantity"])
+    last["fill_price"] = np.where(
+        last["l_quantity"] != 0.0,
+        np.floor(last["l_extendedprice"] / last["l_quantity"] + 0.5), np.nan)
+    def leg(name, pre):
+        return (last[last["leg"] == name]
+                .rename(columns={"exec_date": f"real_{pre}_date",
+                                 "fill_qty": f"real_{pre}_qty",
+                                 "fill_price": f"real_{pre}_price"})
+                [["l_orderkey", f"real_{pre}_date", f"real_{pre}_qty",
+                  f"real_{pre}_price"]])
+    rec = (orders.assign(
+            order_no=orders["o_orderkey"],
+            buy_order_date=pd.to_datetime(orders["o_orderdate"]),
+            holding_days=(orders["o_orderkey"] % 10 + 1).astype(int))
+        .merge(leg("buy", "buy"), left_on="order_no", right_on="l_orderkey")
+        .merge(leg("sell", "sell"), left_on="order_no", right_on="l_orderkey",
+               how="left"))
+    rec = rec[rec["real_buy_qty"] > 0].copy()  # unfilled buys drop (:1703)
+    rec["maturity_date"] = (rec["real_buy_date"]
+                            + pd.to_timedelta(rec["holding_days"], unit="D"))
+    sold = rec["real_sell_date"].notna()
+    rec["trade_result"] = np.select(
+        [sold & (rec["real_sell_date"] >= rec["maturity_date"]),
+         sold & (rec["real_sell_price"] > rec["real_buy_price"]),
+         sold],
+        ["maturity", "reach_target", "stop_loss"], default=None)
+    fee = round_half_up(rec["real_sell_price"] * FEE_RATE, 1)
+    tax = round_half_up(rec["real_sell_price"] * TAX_RATE, 1)
+    rec["real_revenue"] = (rec["real_sell_price"] - rec["real_buy_price"]
+                           - (fee + tax))
+    rec["real_days_held"] = ((rec["real_sell_date"]
+                              - rec["real_buy_date"]).dt.days + 1)
+    rec["real_revenue_rate"] = np.where(
+        rec["real_buy_price"] != 0,
+        round_half_up(rec["real_revenue"] / rec["real_buy_price"] * 100.0, 100),
+        np.nan)
+    rec["real_revenue_per_days_held"] = np.where(
+        rec["real_days_held"] != 0,
+        round_half_up(rec["real_revenue"] / rec["real_days_held"], 100), np.nan)
+    return rec[["order_no", "buy_order_date", "holding_days",
+                "real_buy_date", "real_buy_qty", "real_buy_price",
+                "maturity_date", "real_sell_date", "real_sell_qty",
+                "real_sell_price", "trade_result", "real_revenue",
+                "real_revenue_rate", "real_days_held",
+                "real_revenue_per_days_held"]].reset_index(drop=True)
+
+
+def replica_position_ledger(sf_dir, rec):
+    """r26: each reconciled order's buy/sell fills as ledger events with
+    running per-account position and cash balance."""
+    cust = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey"])
+    r = rec.merge(cust, left_on="order_no", right_on="o_orderkey")
+    buys = pd.DataFrame({
+        "cust_id": r["o_custkey"], "event_date": r["real_buy_date"],
+        "order_no": r["order_no"], "side": "buy",
+        "qty_delta": r["real_buy_qty"],
+        "cash_delta": -r["real_buy_qty"] * r["real_buy_price"]})
+    sells = pd.DataFrame({
+        "cust_id": r["o_custkey"], "event_date": r["real_sell_date"],
+        "order_no": r["order_no"], "side": "sell",
+        "qty_delta": -r["real_sell_qty"],
+        "cash_delta": r["real_sell_qty"] * r["real_sell_price"]})
+    fills = pd.concat([buys, sells], ignore_index=True)
+    fills = fills[fills["event_date"].notna() & (fills["qty_delta"] != 0)]
+    fills = fills.sort_values(["cust_id", "event_date", "order_no", "side"],
+                              kind="mergesort").reset_index(drop=True)
+    fills["position_qty"] = fills.groupby("cust_id")["qty_delta"].cumsum()
+    fills["cash_balance"] = fills.groupby("cust_id")["cash_delta"].cumsum()
+    return fills
+
+
 # ------------------------------------------------------------ comparison
 
 # ------------------------------------- LLM dedup chain (VERDICT r11 task 6)
@@ -1210,6 +1313,22 @@ def main():
             # one 1-dp grid cell (0.2 > 0.1): a last-ulp CCI difference may
             # flip the rendered digit at a .05 boundary, never by two cells
             {"y_cci": 0.2, "c_cci": 0.2, "thr": 1e-9})
+
+    rec = timed("r18_order_reconcile", replica_order_reconcile, sf_dir)
+    compare("r18_order_reconcile", load_spark(out_dir, "r18_order_reconcile"),
+            rec, ["order_no"],
+            ["buy_order_date", "holding_days", "real_buy_date",
+             "maturity_date", "real_sell_date", "trade_result"],
+            {"real_buy_qty": 1e-9, "real_buy_price": 1e-9,
+             "real_sell_qty": 1e-9, "real_sell_price": 1e-9,
+             "real_revenue": 1e-9, "real_revenue_rate": 1e-6,
+             "real_days_held": 1e-9, "real_revenue_per_days_held": 1e-6})
+
+    ledger = timed("r26_position_ledger", replica_position_ledger, sf_dir, rec)
+    compare("r26_position_ledger", load_spark(out_dir, "r26_position_ledger"),
+            ledger, ["cust_id", "event_date", "order_no", "side"],
+            [], {"qty_delta": 1e-9, "cash_delta": 1e-9,
+                 "position_qty": 1e-9, "cash_balance": 1e-9})
 
     docs = timed("load_docs", load_documents, sf_dir)
     d01 = timed("d01_dedup_exact", replica_dedup_exact, docs)
