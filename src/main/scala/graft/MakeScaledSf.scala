@@ -65,7 +65,22 @@ object MakeScaledSf {
       .withColumn("text", regexp_replace($"text", lit("(\\S+)"),
         concat(lit("$1_"), $"rep".cast("string"))))
       .drop("rep"), "documents")
-    Seq("embeddings", "region", "nation", "customer", "supplier", "part")
+    // embeddings (round-14, for the sf10 ANN rehearsal): id-shifted AND
+    // component-perturbed per replica — verbatim replication would make
+    // every vector a 100-way exact duplicate (top-k all ties, cells with
+    // degenerate centroids), while a small deterministic per-(replica,
+    // vector) rotation keeps the corpus geometry honest: 10× vectors,
+    // cluster structure preserved, no two replicas identical. The swept
+    // ANN entries are bench-only at scaled dirs (the oracle gates run at
+    // the driver SFs), so the perturbation changes no gated row.
+    land(spark.read.parquet(s"$srcDir/embeddings.parquet")
+      .crossJoin(broadcast(reps))
+      .withColumn("vec_id", $"vec_id" + $"rep" * 10000000L)
+      .withColumn("embedding", transform($"embedding",
+        (x, i) => (x + sin(($"rep" + lit(1)) * (i + lit(1)) * 0.7) * 0.05f)
+          .cast("float")))
+      .drop("rep"), "embeddings")
+    Seq("region", "nation", "customer", "supplier", "part")
       .foreach(copy)
     println(s"""{"made":"$outDir","mult":$mult}""")
     spark.stop()

@@ -63,9 +63,12 @@ object ScalingProbe {
       spark.read.parquet(dir)
     }
     val hotDir = s"/tmp/graft_scale_probe_$mult"
-    val hot = land(replicate(i => base.select(
+    // LAZY (round-14): probe groups that never touch the doc corpus
+    // (annscale, rangezipf at scaled dirs) must not pay an 8× document
+    // replication landing at startup.
+    lazy val hot = land(replicate(i => base.select(
       ($"doc_id" + lit(i.toLong * 10000000L)).as("doc_id"), $"text")), hotDir)
-    val n = hot.count()
+    lazy val n = hot.count()
 
     def timed(fn: => DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -455,6 +458,21 @@ object ScalingProbe {
         .drop("rep"), s"$rjDir/orders.parquet")
       out("q48_rangejoin") = timed(graft.operators.Intervals.rangeJoin(spark, rjDir))
     }
+    if (probes("annscale")) {
+      // Trained-IVF at a scaled dir (VERDICT r13 task 7, after the sf10
+      // rehearsal killed label-cell s07): cell COUNT is the geometry that
+      // must grow with the corpus — k ∝ √N keeps candidate volume at
+      // |q|·probes·N/k ∝ N^1.5 instead of the fixed-cell N². The probe
+      // times the KMeans coarse-quantizer fit and the serving pass
+      // separately (SPARK_GRAFT_ANN_K picks k; run at sf1 with k≈80 and
+      // sf10 with k≈256 for the decade ratio).
+      val k = sys.env.getOrElse("SPARK_GRAFT_ANN_K", "256").toInt
+      val tf0 = System.nanoTime()
+      graft.ml.Features.fittedKmeans(spark, sfDir, k)
+      out(s"s04_fit_k$k") = (System.nanoTime() - tf0) / 1e9
+      out(s"s04_serve_k$k") =
+        timed(graft.similarity.Similarity.ivfTrainedTopK(spark, sfDir, k, 4))
+    }
     if (probes("trade") || probes("r06_trade")) {
       // The r06 grid-sim chain on mult× replicated series (user_id
       // shifted, condition grid fixed): signals grow ∝ series, the futures
@@ -643,7 +661,11 @@ object ScalingProbe {
     require(out.nonEmpty,
       s"SPARK_GRAFT_PROBE='$probes' selected no known probe entries")
     val qs = out.map { case (k, v) => "\"" + k + f"""":$v%.2f""" }.mkString(",")
-    println(s"""{"probe":"scale","mult":$mult,"docs":$n,$qs}""")
+    val docsField =
+      if (probes.exists(Set("linear", "pairs", "phash", "d10", "d11", "p04")) ||
+          probes.exists(_.startsWith("d0")))
+        s""""docs":$n,""" else ""
+    println(s"""{"probe":"scale","mult":$mult,$docsField$qs}""")
     spark.stop()
   }
 }

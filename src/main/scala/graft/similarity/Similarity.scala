@@ -181,9 +181,21 @@ object Similarity {
     // rows, broadcast at serving strides, a plain hash join when the
     // query side is the corpus itself; either way it moves k rows per
     // query, never the candidate fan-out the window form shuffled.
+    //
+    // JOIN ORDER (round-14, found by the sf10 rehearsal): attach the
+    // query vectors BEFORE the cell-member join. The old order
+    // (probes⋈c, THEN ⋈q) put the q join on the far side of the
+    // candidate fan-out — fine while q broadcast (serving strides), but
+    // with a corpus-scale q (s07) past the broadcast threshold it
+    // planned a sort-merge that SHUFFLED the entire |q|·cellSize·probes
+    // candidate stream to disk (measured: 78 GB of spill, then ENOSPC,
+    // at 2.5M vectors). This order keeps every join input ≤ |q|·probes
+    // or |corpus| rows; candidates are born in the label join and
+    // pipeline straight into the partial heap aggregate — never
+    // materialized, never shuffled.
     probes
-      .join(c, Seq("label"))
       .join(q, Seq("query_id"))
+      .join(c, Seq("label"))
       .filter($"query_id" =!= $"neighbor_id")
       .withColumn("cosine", F.fr(cosine($"vq", $"vn", $"nq", $"nn"), 6))
       // explicit, like s01: null (zero-norm) cosines out of BOTH forms
