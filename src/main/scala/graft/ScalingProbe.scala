@@ -472,6 +472,13 @@ object ScalingProbe {
       out(s"s04_fit_k$k") = (System.nanoTime() - tf0) / 1e9
       out(s"s04_serve_k$k") =
         timed(graft.similarity.Similarity.ivfTrainedTopK(spark, sfDir, k, 4))
+      // the corpus-wide trained-cell kNN graph (s07b) at the same k —
+      // every vector is a query, so this is the entry whose label-cell
+      // twin died at sf10 (PERF round-14); shares the memoized fit above
+      spark.conf.set(graft.similarity.Similarity.GraphCellsConf, k.toString)
+      try out(s"s07b_graph_k$k") =
+        timed(graft.similarity.Similarity.knnGraphTrained(spark, sfDir))
+      finally spark.conf.unset(graft.similarity.Similarity.GraphCellsConf)
     }
     if (probes("trade") || probes("r06_trade")) {
       // The r06 grid-sim chain on mult× replicated series (user_id

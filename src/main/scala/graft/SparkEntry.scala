@@ -258,6 +258,8 @@ object SparkEntry {
     // s07: corpus-wide k-NN graph (every vector, mutual-kNN flag) on the
     // s03 IVF core — the SemDeDup/graph-ANN entry artifact
     "s07_knn_graph" -> (graft.similarity.Similarity.knnGraph _),
+    "s07b_knn_graph_trained" ->
+      ((s, d) => graft.similarity.Similarity.knnGraphTrained(s, d)),
     // d14: SemDeDup-style semantic clusters — components over the d05
     // embedding near-dup graph, canonical-per-cluster kept
     "d14_semantic_clusters" -> (graft.dedup.Dedup.semanticClusters _),

@@ -821,6 +821,82 @@ object Similarity {
       .orderBy($"vec_id", $"rnk")
   }
 
+  // --------------------------------------------------------------- s07b
+  /** s07b: the corpus-wide k-NN graph over TRAINED cells — s07's shape
+    * with the label cells replaced by the s04 KMeans coarse quantizer, so
+    * the cell COUNT is a parameter (k ∝ √N) instead of a property of the
+    * data. This is the 100-TB member of the family (PERF.md round-14 sf10
+    * rehearsal): per-cell membership is N/k, candidate volume
+    * |q|·probes·N/k ∝ N^1.5 under k ∝ √N, and the partial top-k
+    * aggregate's per-task group count (queries probing one cell ≈
+    * |q|·probes/k) stays inside the hash path that s07's fixed label
+    * cells overflow at 100×. Heap-first throughout — the probe ranking
+    * and the final top-k both run the k-bounded aggregate, never a rank
+    * window over a corpus-scale stream — and the query vectors attach
+    * BEFORE the cell-member join (the round-14 order) so candidates are
+    * born next to their partial heap and never materialize. Approximate
+    * by construction (trained centroids) → rows-only in the driver;
+    * recall vs brute force and mutual-flag symmetry are spec-asserted. */
+  /** Default trained-cell count, overridable per session (the range-join
+    * knob discipline): size k ∝ √N as the corpus grows. */
+  val TrainedGraphCells = 16
+  val GraphCellsConf = "spark.graft.ann.graphCells"
+
+  def knnGraphTrained(spark: SparkSession, dir: String): DataFrame =
+    knnGraphTrained(spark, dir,
+      spark.conf.get(GraphCellsConf, TrainedGraphCells.toString).toInt)
+
+  def knnGraphTrained(spark: SparkSession, dir: String,
+      k: Int, nProbe: Int = IvfProbe): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = graft.GraftSession.maybeCache(vecs(spark, dir))
+      .withColumn("features", array_to_vector($"v"))
+    val model = graft.ml.Features.fittedKmeans(spark, dir, k)
+    val assigned = graft.GraftSession.maybeCache(
+      model.transform(e).select($"vec_id", $"v", $"norm", $"prediction".as("cell")))
+    // ||c||² precomputed ONCE per centroid on the driver (k values):
+    // spelling it as a per-row higher-order fold re-ran k·|corpus| array
+    // traversals through the non-codegen ArrayTransform/ArrayAggregate
+    // path — measured as a visible slice of the sf10 probe ranking
+    val centDf = spark.createDataFrame(
+      model.clusterCenters.toSeq.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray, c.toArray.foldLeft(0.0)((a, x) => a + x * x)) })
+      .toDF("ccell", "cv", "cnorm2") // "ccell": `assigned` carries "cell"
+    val tk = graft.functions.catalyst.GraftColumns.topk_by _
+    // probe ranking by L2 (||c||² − 2·q·c; the ||q||² term is constant
+    // per query) through the nProbe-bounded heap — negated because the
+    // heap keeps the LARGEST scores and smaller L2 is better
+    val probes = assigned
+      .crossJoin(broadcast(centDf))
+      .withColumn("score", $"cnorm2" -
+        lit(2.0) * graft.functions.catalyst.GraftColumns.dot_f64($"v", $"cv"))
+      .groupBy($"vec_id")
+      .agg(tk(-$"score", $"ccell".cast("long"), nProbe).as("cells"))
+      .select($"vec_id".as("query_id"), explode($"cells.id").as("pcell"))
+      .select($"query_id", $"pcell".cast("int").as("cell"))
+    val q = assigned.select($"vec_id".as("query_id"), $"v".as("vq"), $"norm".as("nq"))
+    val members = assigned.select($"cell", $"vec_id".as("neighbor_id"),
+      $"v".as("vn"), $"norm".as("nn"))
+    val edges = probes
+      .join(q, Seq("query_id"))
+      .join(members, Seq("cell"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("cosine", F.fr(cosine($"vq", $"vn", $"nq", $"nn"), 6))
+      .filter($"cosine".isNotNull)
+      .groupBy($"query_id")
+      .agg(tk($"cosine", $"neighbor_id", TopK).as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("pos", "t")))
+      .select($"query_id".as("vec_id"), ($"pos" + 1).cast("int").as("rnk"),
+        $"t.id".as("neighbor_id"), $"t.score".as("cosine"))
+    val e2 = graft.GraftSession.maybeCache(edges)
+    val rev = e2.select($"vec_id".as("r_dst"), $"neighbor_id".as("r_src"))
+    e2.join(rev, $"vec_id" === $"r_src" && $"neighbor_id" === $"r_dst", "left")
+      .select($"vec_id", $"rnk", $"neighbor_id", $"cosine",
+        $"r_src".isNotNull.as("mutual"))
+      .orderBy($"vec_id", $"rnk")
+  }
+
   val knnGraphSql: String = {
     val dot = S.foldSum("list_transform(range(1, len(vq) + 1), i -> vq[i] * vn[i])")
     val nq = S.foldSum("list_transform(vq, x -> x * x)")

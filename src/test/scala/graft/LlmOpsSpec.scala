@@ -156,6 +156,33 @@ class LlmOpsSpec extends AnyFunSuite {
     v.unpersist()
   }
 
+  test("s07b: trained-cell kNN graph — recall vs brute force, shape, mutual symmetry") {
+    import TestSpark.spark.implicits._
+    val g = similarity.Similarity.knnGraphTrained(spark, sf).cache()
+    // shape: ranks are 1..TopK per vector, every corpus vector present
+    val nVec = sources.Tables.embeddings(spark, sf).count()
+    assert(g.select($"vec_id").distinct().count() == nVec)
+    assert(g.filter($"rnk" < 1 || $"rnk" > similarity.Similarity.TopK).count() == 0)
+    // recall vs the exact brute force on the strided query subset
+    val brute = similarity.Similarity.bruteForceTopK(spark, sf)
+      .select($"query_id".as("vec_id"), $"neighbor_id")
+    val mine = g.select($"vec_id", $"neighbor_id")
+    val total = brute.count()
+    val hit = brute.intersect(mine).count()
+    assert(total > 0)
+    assert(hit.toDouble / total >= 0.7, s"recall ${hit.toDouble / total}")
+    // mutual flag: set semantics — mutual(a→b) iff edge b→a exists
+    val edges = g.select($"vec_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    g.collect().foreach { r =>
+      val a = r.getLong(r.fieldIndex("vec_id"))
+      val b = r.getLong(r.fieldIndex("neighbor_id"))
+      assert(r.getBoolean(r.fieldIndex("mutual")) == edges.contains((b, a)),
+        s"mutual flag wrong for ($a,$b)")
+    }
+    g.unpersist()
+  }
+
   test("s04: trained-quantizer IVF reaches high recall vs brute force") {
     val brute = similarity.Similarity.bruteForceTopK(spark, sf)
       .select("query_id", "neighbor_id")
