@@ -48,8 +48,18 @@ object Features {
         .getOrElse("absent")
     }.mkString("-")
     s"${System.getProperty("java.io.tmpdir")}/graft_models/" +
-      s"${dir.hashCode.toHexString}_$tok/$name"
+      s"${dirDigest(dir)}_$tok/$name"
   }
+
+  /** Collision-free corpus-dir key (round-14): `String.hashCode` is 32
+    * bits, and [[rebuildFit]] DELETES workspace dirs by this prefix — a
+    * hashCode collision between two corpora on one host would wipe the
+    * other's persisted models (cost-only, but avoidable). SHA-256/16hex
+    * makes an accidental collision practically impossible. */
+  private def dirDigest(dir: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
 
   /** Load a persisted model if present, else fit once and persist. The
     * fit is the expensive distributed optimizer; save/load moves
@@ -274,7 +284,7 @@ object Features {
       modelPath(spark, dir, Seq("events"), "win_lr")).getParent.getParent
     val fs = one.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // delete every token dir for this corpus hash (stale tokens included)
-    val prefix = s"${dir.hashCode.toHexString}_"
+    val prefix = s"${dirDigest(dir)}_"
     scala.util.Try(fs.listStatus(one)).toOption.toSeq.flatten
       .filter(_.getPath.getName.startsWith(prefix))
       .foreach(s => fs.delete(s.getPath, true))

@@ -127,6 +127,27 @@ class PushdownGuardSpec extends AnyFunSuite {
     assert(readCols(b) == 3, b)
   }
 
+  test("r48: the chart date window pushes to the events scan (native-ts encodings)") {
+    // The range filter is the operator's whole scale story (only the
+    // requested window is read). ts pushability depends on the parquet
+    // encoding: timestamp[us]/ntz scan natively and MUST push; an
+    // int64-nanos encoding reads ts as a derived column (timestamp_micros
+    // over the long), where file-level pruning would come from the
+    // date-partitioned production layout (r16) instead — assert read-
+    // schema pruning only.
+    val nativeTs = spark.read.parquet(s"$sf/events.parquet")
+      .schema("ts").dataType == org.apache.spark.sql.types.TimestampType
+    val txt = formatted(SparkEntry.queries("r48_item_chart")(spark, sf))
+    val b = scanBlock(txt, "events.parquet")
+    if (nativeTs) {
+      val pf = pushedFilters(b)
+      assert(pf.contains("GreaterThanOrEqual(ts") && pf.contains("LessThan(ts"),
+        s"chart window lost from PushedFilters: $pf")
+    }
+    // the fold reads only (ts, event_id, user_id, value)
+    assert(readCols(b) == 4, b)
+  }
+
   test("control: a filter on a computed column must NOT register as pushed") {
     import TestSpark.spark.implicits._
     val df = sources.Tables.lineitem(spark, sf)
