@@ -356,7 +356,8 @@ object SparkEntry {
     "sql08_intervaljoin_via_sql" -> (SqlSurface.intervalJoinViaSql _),
     // sql09: r47's planner-side zone-map skipping from pure SQL — the
     // WHERE clause itself prunes the file listing; gated on r46's oracle
-    "sql09_zorder_via_sql" -> (SqlSurface.zorderViaSql _)
+    "sql09_zorder_via_sql" -> (SqlSurface.zorderViaSql _),
+    "sql10_itemchart_via_sql" -> (SqlSurface.itemChartViaSql _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -536,6 +537,7 @@ object SparkEntry {
     "sql06_intervals_via_sql" -> Intervals.intervalConcurrencySql,
     "sql07_rangejoin_via_sql" -> Intervals.rangeJoinSql,
     "sql08_intervaljoin_via_sql" -> Intervals.intervalJoinSql,
-    "sql09_zorder_via_sql" -> ZoneMap.zorderSkipSql
+    "sql09_zorder_via_sql" -> ZoneMap.zorderSkipSql,
+    "sql10_itemchart_via_sql" -> CciPipeline.itemChartSql
   )
 }

@@ -277,6 +277,31 @@ object SqlSurface {
     * file, and [[graft.plans.ZoneMapFileIndex]] prunes the listing from
     * the pushed filters at planning time (SqlSurfaceSpec pins the index
     * in the scan and the strict pruning). Gated on r46's oracle. */
+  // ---------------------------------------------------------------- sql10
+  /** r48's ranged intraday chart as pure Spark SQL — the k=1 heap
+    * open/close picks go through the SQL-registered `graft_topk_ord`
+    * (the same typed aggregate the DataFrame fold plans, so the SQL
+    * client keeps the ObjectHash path, not a struct-ordered max_by's
+    * SortAggregate), and the date window is an ordinary WHERE that
+    * reaches the scan as PushedFilters on native-ts encodings
+    * (PushdownGuardSpec). Gated on r48's own DuckDB oracle. */
+  def itemChartViaSql(spark: SparkSession, dir: String): DataFrame = {
+    ensureFunctions(spark)
+    registerTables(spark, dir, Seq("events"))
+    spark.sql(
+      s"""SELECT user_id, date_trunc('minute', ts) AS m,
+         |  get(graft_topk_ord(struct(unix_micros(ts), event_id), value, 1), 0) AS open_pr,
+         |  max(value) AS high_pr,
+         |  min(value) AS low_pr,
+         |  get(graft_topk_ord(struct(-unix_micros(ts), -event_id), value, 1), 0) AS close_pr,
+         |  count(*) AS volume
+         |FROM events
+         |WHERE ts >= TIMESTAMP '${operators.CciPipeline.ChartFrom}'
+         |  AND ts < TIMESTAMP '${operators.CciPipeline.ChartUntil}'
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin)
+  }
+
   def zorderViaSql(spark: SparkSession, dir: String): DataFrame = {
     registerOperators(spark, dir)
     spark.sql(
