@@ -159,6 +159,11 @@ class LlmOpsSpec extends AnyFunSuite {
   test("s07b: trained-cell kNN graph — recall vs brute force, shape, mutual symmetry") {
     import TestSpark.spark.implicits._
     val g = similarity.Similarity.knnGraphTrained(spark, sf).cache()
+    // plan: heap-first — both rank stages are ObjectHashAggregate heaps,
+    // never a rank window over the corpus-scale probe/candidate streams
+    val phys = g.queryExecution.executedPlan.toString
+    assert(!phys.contains("Window"), s"rank window leaked into s07b:\n${phys.take(1200)}")
+    assert(phys.contains("ObjectHashAggregate"), phys.take(1200))
     // shape: ranks are 1..TopK per vector, every corpus vector present
     val nVec = sources.Tables.embeddings(spark, sf).count()
     assert(g.select($"vec_id").distinct().count() == nVec)

@@ -230,4 +230,42 @@ class PropertySpec extends AnyFunSuite {
       assert(hs == hs.sorted)
     }
   }
+
+  test("ZoneMapFileIndex: widened integral bounds never drop a satisfying file") {
+    // Soundness property across the >2^53 grid: for random long file
+    // contents [minV, maxV] (zones = round-to-nearest doubles, the footer
+    // convention) and a random long literal L, a file containing a value
+    // satisfying the predicate must stay listed. Exercises both bound
+    // directions and the equality spelling.
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, GreaterThanOrEqual, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    val spark = TestSpark.spark
+    val zSchema = StructType(Seq(StructField("file", StringType),
+      StructField("vmin", DoubleType), StructField("vmax", DoubleType)))
+    val f = "file:/tmp/zprop/a.parquet"
+    def idx(mn: Long, mx: Long) = new graft.plans.ZoneMapFileIndex(
+      new Path("file:/tmp/zprop"),
+      Array(new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](f, mn.toDouble, mx.toDouble), zSchema)),
+      Seq(new FileStatus(1L, false, 1, 1L, 0L, new Path(f))),
+      Map("v" -> ("vmin", "vmax")),
+      spark.sparkContext.hadoopConfiguration, _ => Array.empty)
+    val attr = AttributeReference("v", LongType)()
+    val near = Gen.chooseNum(-4L, 4L).flatMap(d =>
+      Gen.oneOf((1L << 53) + d, -(1L << 53) + d, d * 1000000007L))
+    val gen = for { a <- near; b <- near; l <- near } yield (a, b, l)
+    samples(gen, 400).foreach { case (a, b, l) =>
+      val (mn, mx) = (math.min(a, b), math.max(a, b))
+      val i = idx(mn, mx)
+      def listed(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+        i.listFiles(Nil, Seq(e)).flatMap(_.files).nonEmpty
+      if (mx >= l) assert(listed(GreaterThanOrEqual(attr, Literal(l, LongType))),
+        s"dropped [$mn,$mx] under v >= $l")
+      if (mn <= l) assert(listed(LessThanOrEqual(attr, Literal(l, LongType))),
+        s"dropped [$mn,$mx] under v <= $l")
+      if (mn <= l && l <= mx) assert(listed(EqualTo(attr, Literal(l, LongType))),
+        s"dropped [$mn,$mx] under v = $l")
+    }
+  }
 }
