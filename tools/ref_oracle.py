@@ -133,6 +133,23 @@ def replica_bars(events):
     return out
 
 
+def replica_item_chart(events):
+    """r48 (reference get_item_chart_price, hankook_api.py:197): the
+    ranged intraday chart — r02's OHLCV fold at minute grain over the
+    [2024-01-08, 2024-01-15) window, open/close by the total
+    (ts_us, event_id) order."""
+    lo = pd.Timestamp("2024-01-08").value // 1000
+    hi = pd.Timestamp("2024-01-15").value // 1000
+    ev = events[(events["ts_us"] >= lo) & (events["ts_us"] < hi)].copy()
+    ev["m"] = pd.to_datetime(ev["ts_us"], unit="us").dt.floor("min")
+    ev = ev.sort_values(["user_id", "m", "ts_us", "event_id"],
+                        kind="mergesort")
+    return (ev.groupby(["user_id", "m"], sort=True)
+              .agg(open_pr=("value", "first"), high_pr=("value", "max"),
+                   low_pr=("value", "min"), close_pr=("value", "last"),
+                   volume=("value", "size")).reset_index())
+
+
 def replica_keep_last(events):
     """r03 (reference drop_duplicates(subset=[date], keep='last'),
     daily_function.py:492,516) keyed (user, day, event_type)."""
@@ -1207,6 +1224,16 @@ def main():
     bars = timed("r02_ohlc_bars", replica_bars, events)
     compare("r02_ohlc_bars", load_spark(out_dir, "r02_ohlc_bars"), bars,
             ["user_id", "d"], ["volume"],
+            {c: 1e-9 for c in ["open_pr", "high_pr", "low_pr", "close_pr"]})
+
+    chart = timed("r48_item_chart", replica_item_chart, events)
+    # norm_key renders timestamps at DATE granularity — stringify the
+    # minute key on both sides so distinct minutes never collide
+    spark_chart = load_spark(out_dir, "r48_item_chart")
+    spark_chart["m"] = spark_chart["m"].astype("datetime64[us]").astype(str)
+    chart["m"] = chart["m"].astype("datetime64[us]").astype(str)
+    compare("r48_item_chart", spark_chart, chart,
+            ["user_id", "m"], ["volume"],
             {c: 1e-9 for c in ["open_pr", "high_pr", "low_pr", "close_pr"]})
 
     keep = timed("r03_upsert_keep_last", replica_keep_last, events)
