@@ -86,6 +86,22 @@ object Bench {
 
     // SPARK_GRAFT_ONLY=q01,q03 limits the run (profiling); default = all.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Mixed-mode misread guard (round-15, ADVICE): naming a BUILD entry
+    // and a query together warms the shared chain before the query runs,
+    // so the query's reps are warm-chain numbers while still looking like
+    // an isolated cold profile. Legal (the scaled rehearsals do it on
+    // purpose) — but say so, so a profile reader can't misfile the number.
+    val buildNames = Set("cache_build", "fit_build", "dedup_build",
+      "daily_rebuild", "daily_build_fix", "daily_build_bal")
+    only.foreach { names =>
+      val builds = names.intersect(buildNames)
+      val qs = names.filter(SparkEntry.queries.contains)
+      if (builds.nonEmpty && qs.nonEmpty)
+        System.err.println(s"[bench] WARNING: SPARK_GRAFT_ONLY mixes build " +
+          s"entries (${builds.toSeq.sorted.mkString(",")}) with queries " +
+          s"(${qs.toSeq.sorted.mkString(",")}): the builds warm shared state " +
+          "first, so the query numbers are WARM-chain, not isolated-cold.")
+    }
     // deterministic name order: numbers are comparable across runs (Map
     // hash order made warm-cache attribution depend on the run)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -145,8 +161,10 @@ object Bench {
       else Seq.empty) ++
         (if (only.isEmpty) Seq.empty
          else Seq(
-           ("daily_rebuild", () => timedMin("daily_rebuild")(
-             Daily.rebuildDailyRun(spark, sfDir))),
+           // ADVICE round-14: keep the DEFAULT-mode order (builds first,
+           // daily_rebuild last) — the rebuild reads the CCI chain, so
+           // running it before cache_build pre-warmed the chain and
+           // cache_build's rep-1 stopped being the cross-round cold build
            ("cache_build", () => timedColdReps("cache_build")(
              materialize(operators.CciPipeline.strategyAgg(spark, sfDir))) {
              operators.CciPipeline.dropChainCaches(spark, sfDir)
@@ -159,7 +177,10 @@ object Bench {
              materialize(graft.dedup.Dedup.sharedShingles(spark, sfDir))) {
              graft.dedup.Dedup.sharedShingles(spark, sfDir).unpersist(true)
              materialize(graft.dedup.Dedup.sharedShingles(spark, sfDir))
-           })).collect { case (n, f) if warmOn(n) => n -> f() })
+           }),
+           ("daily_rebuild", () => timedMin("daily_rebuild")(
+             Daily.rebuildDailyRun(spark, sfDir)))).collect {
+           case (n, f) if warmOn(n) => n -> f() })
     val queryResults = selected.map { case (name, fn) =>
       name -> timedMin(name)(materialize(fn(spark, sfDir)))
     }
@@ -249,6 +270,18 @@ object Bench {
     val total = headline.map(_._2).filter(_ >= 0).sum
     val nFailed = headline.count(_._2 < 0)
     val demosTotal = demos.map(_._2).filter(_ >= 0).sum
+    // Self-adjudicating headline (round-15, VERDICT task 2): `value`
+    // keeps its cross-round meaning (cold rep-1 for the build entries +
+    // min-of-N for queries), but a single contended cold rep could make
+    // it read as a +15% regression that only the reps arrays could
+    // dismiss. Emit the decomposition as first-class fields:
+    //   cold_total   = value's sum, named for what it is
+    //   steady_total = sum of each entry's MINIMUM rep — the number a
+    //                  warm, uncontended host would produce; PERF.md's
+    //                  cross-round table reads THIS one
+    val steadyTotal = headline.flatMap { case (n, v) =>
+      if (v < 0) None else allReps.get(n).filter(_.nonEmpty).map(_.min).orElse(Some(v))
+    }.sum
     // headline "value" is NULL when anything failed: a round that fails
     // queries sums fewer entries, and a consumer comparing totals without
     // checking `failed` would read the regression as a speed-up. The
@@ -267,7 +300,7 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     def line(dec: Int): String = {
       def f(v: Double) = s"%.${dec}f".format(v)
-      s"""{"metric":"total","value":${totalJson(f)},"unit":"sec","failed":$nFailed,"succeeded_total":${f(total)},"queries":${fmt(headline, dec)},"demos":${fmt(demos, dec)},"demos_total":${f(demosTotal)},"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${totalJson(f)},"unit":"sec","failed":$nFailed,"cold_total":${f(total)},"steady_total":${f(steadyTotal)},"succeeded_total":${f(total)},"queries":${fmt(headline, dec)},"demos":${fmt(demos, dec)},"demos_total":${f(demosTotal)},"sf":"$sfName"}"""
     }
     // fit budget: 2000-char tail − ~81 sbt "[success]" trailer − 7 "[info] "
     // prefix, with a little slack
@@ -278,7 +311,7 @@ object Bench {
       // "other" buckets only SUCCESSFUL non-top entries (failed -1s would
       // drive it negative); top-40 keeps its -1 markers visible
       val other = total - top.map(_._2).filter(_ >= 0).sum
-      s"""{"metric":"total","value":${totalJson("%.2f".format(_))},"unit":"sec","failed":$nFailed,"succeeded_total":${"%.2f".format(total)},"queries":${fmt(top :+ ("other" -> other), 2)},"demos":${fmt(demos, 2)},"demos_total":${"%.2f".format(demosTotal)},"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${totalJson("%.2f".format(_))},"unit":"sec","failed":$nFailed,"cold_total":${"%.2f".format(total)},"steady_total":${"%.2f".format(steadyTotal)},"succeeded_total":${"%.2f".format(total)},"queries":${fmt(top :+ ("other" -> other), 2)},"demos":${fmt(demos, 2)},"demos_total":${"%.2f".format(demosTotal)},"sf":"$sfName"}"""
     }
     def full(qs: Seq[(String, Double)]): String =
       qs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -286,7 +319,7 @@ object Bench {
       .map { case (k, ts) => "\"" + k + "\":[" + ts.map("%.2f".format(_)).mkString(",") + "]" }
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      s"""{"metric":"total","value":${totalJson(_.toString)},"unit":"sec","failed":$nFailed,"succeeded_total":$total,"queries":${full(headline)},"demos":${full(demos)},"demos_total":$demosTotal,"reps":$repsJson,"sf":"$sfDir"}""" + "\n")
+      s"""{"metric":"total","value":${totalJson(_.toString)},"unit":"sec","failed":$nFailed,"cold_total":$total,"steady_total":$steadyTotal,"succeeded_total":$total,"queries":${full(headline)},"demos":${full(demos)},"demos_total":$demosTotal,"reps":$repsJson,"sf":"$sfDir"}""" + "\n")
     catch { case _: Throwable => () }
     println(out)
     spark.stop()

@@ -72,12 +72,19 @@ object MakeScaledSf {
     // vector) rotation keeps the corpus geometry honest: 10× vectors,
     // cluster structure preserved, no two replicas identical. The swept
     // ANN entries are bench-only at scaled dirs (the oracle gates run at
-    // the driver SFs), so the perturbation changes no gated row.
+    // the driver SFs), so the perturbation changes no gated row. Replica
+    // 0 is left UNPERTURBED (the sin term is gated by signum(rep), zero
+    // for rep 0 and 1 otherwise so the perturbation AMPLITUDE stays 0.05
+    // for every other replica — ADVICE round-14): the base slice of a
+    // scaled dir is then bit-identical to the source corpus, so even if
+    // a recall spec or oracle gate is ever (mis)pointed at a scaled dir,
+    // the rows it anchors on still exist verbatim.
     land(spark.read.parquet(s"$srcDir/embeddings.parquet")
       .crossJoin(broadcast(reps))
       .withColumn("vec_id", $"vec_id" + $"rep" * 10000000L)
       .withColumn("embedding", transform($"embedding",
-        (x, i) => (x + sin(($"rep" + lit(1)) * (i + lit(1)) * 0.7) * 0.05f)
+        (x, i) => (x + signum($"rep") *
+          sin(($"rep" + lit(1)) * (i + lit(1)) * 0.7) * 0.05f)
           .cast("float")))
       .drop("rep"), "embeddings")
     Seq("region", "nation", "customer", "supplier", "part")

@@ -340,6 +340,25 @@ object ScalingProbe {
             pmod(xxhash64($"id", lit("rzt")), lit(2400L)).cast("int")),
             "yyyy-MM-dd")).as("l_shipdate")),
         s"/tmp/graft_scale_rangezipf_li_$mult")
+      // POINTS-hot orders corpus for the q48_pts_* entries (corpus doc at
+      // those entries). Lazy like liZ — only selected entries pay the
+      // landing — but FORCED below before any entry's timer (ADVICE
+      // round-14): lazy forcing inside the first consumer's timed(...)
+      // included the write+read in that entry's wall AND left the
+      // landing's multi-task stages in stageStats until multiTaskMax, so
+      // q48_pts_plain / its _maxtask could report the landing scan
+      // instead of the join straggler the probe exists to adjudicate.
+      lazy val ordP = land(spark.range(nOrd).select(
+        $"id".as("o_orderkey"),
+        when(pmod($"id", lit(10L)) === 0 &&
+            pmod(xxhash64($"id", lit("rph")), lit(10L)) < 6, lit("2024-03-15"))
+          .otherwise(date_format(date_add(
+            lit("1992-01-01").cast("date"),
+            pmod(xxhash64($"id", lit("rpd")), lit(2400L)).cast("int")),
+            "yyyy-MM-dd")).as("o_orderdate"),
+        (pmod(xxhash64($"id", lit("rpp")), lit(100000L)).cast("double") / 100.0)
+          .as("o_totalprice")),
+        s"/tmp/graft_scale_rangepts_$mult")
       val geomKeys = Seq(Intervals.HotBinMinDetectBytesConf,
         Intervals.HotBinRowsConf, Intervals.SaltBucketsConf)
       // 512 shuffle partitions for these two entries: at the default 32,
@@ -352,6 +371,21 @@ object ScalingProbe {
       val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "512")
       try {
+        // Force the SELECTED lazy corpora before any entry's timer runs
+        // (ordZ lands eagerly before the listener registers; these two
+        // land here, after it), then drain and reset the listener state
+        // so landing stages can't masquerade as an entry's straggler.
+        val wantsLi = Seq("q49_zipf_plain", "q49_zipf_split")
+          .exists(e => on("rangezipf", e))
+        val wantsPts = Seq("q48_pts_plain", "q48_pts_salt", "q48_pts_split")
+          .exists(e => on("rangezipf", e))
+        if (wantsLi) { liZ.count(): Unit }
+        if (wantsPts) { ordP.count(): Unit }
+        if (wantsLi || wantsPts) {
+          drainListeners()
+          stageStats.clear()
+          maxTaskRecs.set(0L)
+        }
         if (on("rangezipf", "q48_zipf_plain")) {
           spark.conf.set(Intervals.HotBinMinDetectBytesConf, Long.MaxValue.toString)
           maxTaskRecs.set(0L)
@@ -386,17 +420,6 @@ object ScalingProbe {
         // the straggler — plain S=8 vs S=64 — including what the 8×
         // interval replication costs on the uniform mass. 60% of point
         // keys land on the hot day.
-        lazy val ordP = land(spark.range(nOrd).select(
-          $"id".as("o_orderkey"),
-          when(pmod($"id", lit(10L)) === 0 &&
-              pmod(xxhash64($"id", lit("rph")), lit(10L)) < 6, lit("2024-03-15"))
-            .otherwise(date_format(date_add(
-              lit("1992-01-01").cast("date"),
-              pmod(xxhash64($"id", lit("rpd")), lit(2400L)).cast("int")),
-              "yyyy-MM-dd")).as("o_orderdate"),
-          (pmod(xxhash64($"id", lit("rpp")), lit(100000L)).cast("double") / 100.0)
-            .as("o_totalprice")),
-          s"/tmp/graft_scale_rangepts_$mult")
         if (on("rangezipf", "q48_pts_plain")) {
           spark.conf.set(Intervals.HotBinMinDetectBytesConf, Long.MaxValue.toString)
           maxTaskRecs.set(0L)

@@ -138,11 +138,24 @@ object Intervals {
     * stat gate is crossed, and SqlSurface.registerOperators reconstructs
     * the rangeJoin/intervalJoin views on every sqlXX entry — without a
     * memo a large session re-pays the corpus-scale bin-count scan per
-    * reconstruction. Keyed by (canonicalized binned plan, binDays,
-    * hotRows); bounded: cleared wholesale past 64 entries. */
+    * reconstruction. Keyed by the canonicalized binned plan's
+    * semanticHash (+ binDays, hotRows) — NOT the plan object itself
+    * (ADVICE round-14): a retained LocalRelation key holds the relation's
+    * full row data alive for up to 64 entries, and the hash key costs
+    * nothing to keep. The geometry is result-invariant either way (both
+    * join sides read the same map; sub-salts only move rows between
+    * tasks), so a hash collision or a stale entry can skew a task, never
+    * an answer. Bounded: cleared wholesale past 64 entries; paths whose
+    * backing data is regenerated in-session should call
+    * [[dropHotBinMemo]] (the ZoneMap.dropZoneMemo discipline) so the
+    * re-detection sees the new distribution. */
   private val hotBinMemo = scala.collection.concurrent.TrieMap.empty[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Long),
-    Seq[(Long, Int)]]
+    (Int, Int, Long), Seq[(Long, Int)]]
+
+  /** Drop all memoized hot-bin detections — for sessions that regenerate
+    * a memoized input path's data in place (the memo is keyed on the
+    * PLAN, which does not change when the files under it do). */
+  private[graft] def dropHotBinMemo(): Unit = hotBinMemo.clear()
 
   /** Hot bins of the REPLICATING side: (bin, subSalts) for every bin whose
     * row count crosses [[HotBinRowsConf]], subSalts = ceil(count/hotRows)
@@ -163,7 +176,8 @@ object Intervals {
     require(hotRows > 0, s"$HotBinRowsConf must be positive, got $hotRows")
     if (hotBinMemo.size > 64) hotBinMemo.clear()
     hotBinMemo.getOrElseUpdate(
-      (binned.queryExecution.analyzed.canonicalized, binDays(spark), hotRows),
+      (binned.queryExecution.analyzed.canonicalized.semanticHash(),
+        binDays(spark), hotRows),
       binned.groupBy(col("bin")).agg(count(lit(1)).as("__n"))
         .filter(col("__n") > hotRows)
         .orderBy(col("__n").desc, col("bin"))

@@ -155,7 +155,20 @@ object Quantiles {
       // the previous collect()+parallelize(rows, 1) pulled ~|qs|×1M rows
       // driver-side, undercutting the operator's own no-driver-buffering
       // story. QuantilesSpec pins the result plan collect-free.
-      val out2 = out.localCheckpoint(true)
+      //
+      // Durability caveat (ADVICE round-14): localCheckpoint blocks are
+      // UNREPLICATED executor-local storage — after the unpersists below
+      // drop the lineage inputs, losing an executor makes the returned
+      // frame fail-on-read (no recompute path). Harmless in local mode
+      // (one JVM: executor loss = driver loss); on a lossy cluster,
+      // either consume the frame promptly or set a reliable checkpoint
+      // dir, which this operator honors below (HDFS-backed
+      // checkpoint(true) survives executor loss at the cost of one
+      // distributed write — still never driver-routed).
+      val out2 =
+        if (spark.sparkContext.getCheckpointDir.isDefined &&
+            !spark.sparkContext.isLocal) out.checkpoint(true)
+        else out.localCheckpoint(true)
       picked.unpersist()
       out2
     } finally parted.unpersist()

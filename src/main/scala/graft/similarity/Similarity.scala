@@ -299,15 +299,26 @@ object Similarity {
       .select($"query_id", $"neighbor_id").distinct()
     val q = e.select($"vec_id".as("query_id"), $"v".as("vq"), $"norm".as("nq"))
     val c = e.select($"vec_id".as("neighbor_id"), $"v".as("vn"), $"norm".as("nn"))
-    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    // top-k through the bounded-heap aggregate, not a rank window (the
+    // last ANN entry converted — round-11 swept the rest of the family):
+    // the candidate stream is bucket-bounded but still corpus-scale at a
+    // production query fraction, and row_number().over(partitionBy(qid))
+    // shuffles and whole-sorts ALL of it, where graft_topk's partial
+    // aggregation cuts each map task to ≤k rows per query BEFORE the
+    // exchange. Heap order (score DESC, id ASC) = the window's
+    // (cosine DESC, neighbor_id) total order; cosine is rounded before
+    // ranking so the DuckDB oracle agrees bit-for-bit.
     cand
       .join(q, Seq("query_id"))
       .join(c, Seq("neighbor_id"))
       .withColumn("cosine", F.fr(cosine($"vq", $"vn", $"nq", $"nn"), 6))
       .filter($"cosine".isNotNull) // zero-norm vectors, as in s01/s03
-      .withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= TopK)
-      .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
+      .groupBy($"query_id")
+      .agg(graft.functions.catalyst.GraftColumns
+        .topk_by($"cosine", $"neighbor_id", TopK).as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("pos", "t")))
+      .select($"query_id", ($"pos" + 1).cast("int").as("rnk"),
+        $"t.id".as("neighbor_id"), $"t.score".as("cosine"))
       .orderBy($"query_id", $"rnk")
   }
 

@@ -121,6 +121,27 @@ class PlanGuardSpec extends AnyFunSuite with PredicateHelper {
     * IS the operator. Nothing else may plan an unbounded cross join. */
   private val crossJoinBaselines = Set("s01_ann_bruteforce")
 
+  test("plan guard: the ANN family plans NO rank windows (bounded heaps only)") {
+    // Round-15 closure of the round-11 sweep: s02 was the last ANN entry
+    // whose per-query top-k ranked through row_number().over(partitionBy)
+    // — which shuffles and whole-sorts the full candidate stream where
+    // the graft_topk heap cuts each map task to ≤k rows per query BEFORE
+    // the exchange. Pin the entire lazy ANN family window-free so a
+    // future edit cannot quietly regress one member back to the window
+    // form (ShuffleGuardSpec pins s02's exchange count; this pins the
+    // operator class).
+    val annLazy = Seq("s01_ann_bruteforce", "s02_ann_lsh", "s03_ann_ivf",
+      "s07_knn_graph", "s08_range_search")
+    val offenders = annLazy.flatMap { name =>
+      spark.catalog.clearCache()
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      val wins = plan.collect { case w: LWindow => w }
+      if (wins.nonEmpty) Some(s"$name (${wins.size} window(s))") else None
+    }
+    assert(offenders.isEmpty,
+      s"rank windows found in the ANN family:\n  ${offenders.mkString("\n  ")}")
+  }
+
   test("plan guard: every cross join has a metadata-bounded side (no accidental all-pairs)") {
     var seen = 0
     val offenders = lazyQueries.filterNot(crossJoinBaselines).flatMap { name =>

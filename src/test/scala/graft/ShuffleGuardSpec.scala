@@ -94,6 +94,12 @@ class ShuffleGuardSpec extends AnyFunSuite {
     // s01: heap agg exchange + output sort — the q×corpus cross join
     // feeds the heap map-side, nothing else shuffles
     "s01_ann_bruteforce" -> 2,
+    // s02 (round 15): the LAST ANN rank window collapsed into the heap.
+    // Candidate-pair distinct exchange + heap agg exchange + output sort;
+    // the q/c vector attach joins broadcast at this SF. A 4th exchange
+    // (or any Window node — see PlanGuardSpec's s02 pin) means the
+    // per-query rank regressed to row_number over the candidate stream
+    "s02_ann_lsh" -> 3,
     // t10: tf agg + df agg riding tf's term partitioning + the heap's
     // doc exchange/sort path — a 4th data exchange means the per-doc
     // rank regressed to a window
