@@ -357,7 +357,11 @@ object SparkEntry {
     // sql09: r47's planner-side zone-map skipping from pure SQL — the
     // WHERE clause itself prunes the file listing; gated on r46's oracle
     "sql09_zorder_via_sql" -> (SqlSurface.zorderViaSql _),
-    "sql10_itemchart_via_sql" -> (SqlSurface.itemChartViaSql _)
+    "sql10_itemchart_via_sql" -> (SqlSurface.itemChartViaSql _),
+    // sql11: r48's chart window over the ts-clustered events layout —
+    // the WHERE prunes the file listing through the LONG-zone (micros)
+    // planner index; gated on r48's oracle
+    "sql11_tschart_via_zonemap" -> (SqlSurface.tsChartViaZonemap _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -538,6 +542,7 @@ object SparkEntry {
     "sql07_rangejoin_via_sql" -> Intervals.rangeJoinSql,
     "sql08_intervaljoin_via_sql" -> Intervals.intervalJoinSql,
     "sql09_zorder_via_sql" -> ZoneMap.zorderSkipSql,
-    "sql10_itemchart_via_sql" -> CciPipeline.itemChartSql
+    "sql10_itemchart_via_sql" -> CciPipeline.itemChartSql,
+    "sql11_tschart_via_zonemap" -> CciPipeline.itemChartSql
   )
 }

@@ -130,7 +130,12 @@ object SqlSurface {
       // map: a SQL client's own WHERE clause prunes the file listing
       // (ZoneMapFileIndex sees the pushed data filters) — data skipping
       // with zero operator-side plumbing, reachable from pure SQL
-      "graft_zorder" -> (() => operators.ZoneMap.zorderTable(spark, dir)))
+      "graft_zorder" -> (() => operators.ZoneMap.zorderTable(spark, dir)),
+      // the ts-clustered events layout behind the round-15 LONG-zone
+      // index (timestamp zones as micros): a SQL client's own time-window
+      // WHERE prunes the file listing at planning time — the time-axis
+      // analogue of graft_zorder
+      "graft_events_ts" -> (() => operators.ZoneMap.eventsTsTable(spark, dir)))
     views.foreach { case (n, f) =>
       try f().createOrReplaceTempView(n)
       catch {
@@ -296,6 +301,32 @@ object SqlSurface {
          |  get(graft_topk_ord(struct(-unix_micros(ts), -event_id), value, 1), 0) AS close_pr,
          |  count(*) AS volume
          |FROM events
+         |WHERE ts >= TIMESTAMP '${operators.CciPipeline.ChartFrom}'
+         |  AND ts < TIMESTAMP '${operators.CciPipeline.ChartUntil}'
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- sql11
+  /** r48's ranged intraday chart over the TS-ZONED events layout: the
+    * same pure-SQL chart as sql10, but the FROM is the planner-integrated
+    * `graft_events_ts` table, whose LONG-zone (micros) file index prunes
+    * the listing under the window's own WHERE — timestamp data skipping
+    * with zero operator-side plumbing (ZoneMapIntervalSpec pins the
+    * strict file-count reduction). Gated on r48's DuckDB oracle: the
+    * layout is a clustered REWRITE of events (same rows, micros grain),
+    * so the chart answers are bit-identical. */
+  def tsChartViaZonemap(spark: SparkSession, dir: String): DataFrame = {
+    ensureFunctions(spark)
+    registerOperators(spark, dir)
+    spark.sql(
+      s"""SELECT user_id, date_trunc('minute', ts) AS m,
+         |  get(graft_topk_ord(struct(unix_micros(ts), event_id), value, 1), 0) AS open_pr,
+         |  max(value) AS high_pr,
+         |  min(value) AS low_pr,
+         |  get(graft_topk_ord(struct(-unix_micros(ts), -event_id), value, 1), 0) AS close_pr,
+         |  count(*) AS volume
+         |FROM graft_events_ts
          |WHERE ts >= TIMESTAMP '${operators.CciPipeline.ChartFrom}'
          |  AND ts < TIMESTAMP '${operators.CciPipeline.ChartUntil}'
          |GROUP BY 1, 2

@@ -404,6 +404,101 @@ object ZoneMap {
     newRows
   }
 
+  // ------------------------------------------- ts-zoned events (round-15)
+  // VERDICT r14 task 4: zones were stored as doubles, so only double
+  // columns could register as skip columns — but real 100-TB skipping
+  // bites hardest on date/timestamp/integral columns (the r48 chart
+  // window, r16's date layouts). Timestamp zones are stored as LONG
+  // MICROS (exact — no double-grid widening needed for timestamp
+  // literals, which ARE long micros in Catalyst), and the events layout
+  // below is ts-clustered so an r48-style window prunes files through
+  // the planner from pure SQL.
+
+  /** Files in the ts-clustered events layout (each covers ~1/16 of the
+    * time span, so a one-week window touches few of them). */
+  val TsFiles = 16
+
+  private[graft] val tsLayouts = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Events clustered on `ts` — the 1-D zone layout for the time axis.
+    * Written as TIMESTAMP_MICROS explicitly: INT96 (a possible session
+    * default) persists no usable min/max statistics, and the zone rows
+    * below ARE those statistics. */
+  private def tsClusteredLayout(spark: SparkSession, dir: String): String =
+    tsLayouts.getOrElseUpdate(dir, {
+      val out = Extras.tempDir("graft_tszone")
+      val key = "spark.sql.parquet.outputTimestampType"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "TIMESTAMP_MICROS")
+      try Tables.events(spark, dir)
+        .repartitionByRange(TsFiles, col("ts"))
+        .write.mode("overwrite").parquet(out)
+      finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      out
+    })
+
+  private val tsZoneSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("file",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("tmin",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("tmax",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_rows",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Footer-derived LONG zones for the ts column (micros since epoch —
+    * the INT64 physical value parquet stores for TIMESTAMP(MICROS)).
+    * Absent statistics → an unbounded zone, as in [[footerZones]]. */
+  private[graft] def footerZonesTs(spark: SparkSession,
+      files: Seq[org.apache.hadoop.fs.Path]): Array[org.apache.spark.sql.Row] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.sortBy(_.toString).map { p =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val nRows = blocks.map(_.getRowCount).sum
+        val perBlock = blocks.map { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == "ts")
+            .map(_.getStatistics)
+            .filter(s => s != null && s.hasNonNullValue)
+            .map(s => (s.genericGetMin.asInstanceOf[Number].longValue,
+              s.genericGetMax.asInstanceOf[Number].longValue))
+        }
+        val (tmin, tmax) =
+          if (perBlock.isEmpty || perBlock.exists(_.isEmpty))
+            (Long.MinValue, Long.MaxValue)
+          else (perBlock.map(_.get._1).min, perBlock.map(_.get._2).max)
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          Array[Any](p.toString, tmin, tmax, nRows), tsZoneSchema)
+      } finally reader.close()
+    }.toArray
+  }
+
+  private val tzMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Array[org.apache.spark.sql.Row]]
+  private[graft] def tsZoneRows(spark: SparkSession, layout: String): Array[org.apache.spark.sql.Row] =
+    tzMemo.getOrElseUpdate(layout, footerZonesTs(spark, listParquet(spark, layout)))
+
+  /** The ts-clustered events layout as a PLANNER-INTEGRATED table: a
+    * plain `WHERE ts >= ... AND ts < ...` — including from pure SQL —
+    * prunes the file listing through the LONG-zone index. The r47
+    * double-zone twin's discipline applies verbatim: pruning only, the
+    * residual predicate still reaches the parquet reader. */
+  def eventsTsTable(spark: SparkSession, dir: String): DataFrame = {
+    val layout = tsClusteredLayout(spark, dir)
+    val schema = spark.read.parquet(layout).schema
+      .filterNot(_.name.startsWith("_"))
+    graft.plans.ZoneMapFileIndex.table(spark, layout,
+      tsZoneRows(spark, layout),
+      org.apache.spark.sql.types.StructType(schema),
+      Map.empty,
+      paths => footerZonesTs(spark, paths),
+      longCols = Map("ts" -> ("tmin", "tmax")))
+  }
+
   val zorderSkipSql: String =
     s"""SELECT l_returnflag, count(*) AS n_lines,
        |  CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,

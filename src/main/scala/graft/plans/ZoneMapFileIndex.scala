@@ -59,7 +59,16 @@ final class ZoneMapFileIndex(
     /** footer-zone derivation for files discovered by [[refresh]] —
       * must emit the same row shape as `zones0` (keyed by the QUALIFIED
       * path rendering, matching `FileStatus.getPath.toString`). */
-    zonesFor: Seq[Path] => Array[Row]) extends FileIndex {
+    zonesFor: Seq[Path] => Array[Row],
+    /** skip columns whose zone fields are LONGS, not doubles (round-15):
+      * timestamp (micros), date and integral columns — the columns real
+      * 100-TB skipping bites hardest on. Long zones compare EXACTLY
+      * (TimestampType literals are Long micros, integral literals are
+      * integral), so no grid-widening is needed for them; only a
+      * fractional literal against a long zone rounds, OUTWARD onto the
+      * long grid (lo floors, hi ceils). Same (min field, max field)
+      * shape as `skipCols`; a column name must appear in only one map. */
+    longCols: Map[String, (String, String)] = Map.empty) extends FileIndex {
 
   // snapshot state, replaced wholesale by refresh() (volatile: a refresh
   // from one thread must publish a consistent (statuses, zones, byPath)
@@ -115,62 +124,107 @@ final class ZoneMapFileIndex(
     }
   }
 
+  /** Literal -> LONG bound for the [[longCols]] zones. Integral and
+    * timestamp/date literals (Long micros / Int days in Catalyst) are
+    * exact on the long grid — no widening. A fractional literal rounds
+    * OUTWARD (lo floors, hi ceils); out-of-domain bounds saturate toward
+    * the long domain, which only ever KEEPS files (every stored zone
+    * value is a long). */
+  private def asLongBound(v: Any, up: Boolean): Option[Long] = {
+    def frac(x: BigDecimal): Some[Long] = {
+      val r = x.setScale(0,
+        if (up) BigDecimal.RoundingMode.CEILING else BigDecimal.RoundingMode.FLOOR)
+      if (r <= BigDecimal(Long.MinValue)) Some(Long.MinValue)
+      else if (r >= BigDecimal(Long.MaxValue)) Some(Long.MaxValue)
+      else Some(r.toLong)
+    }
+    v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case d: Double if d.isNaN => None // never-true predicate; ignore = keep
+      case d: Double if d.isInfinite =>
+        Some(if (d > 0) Long.MaxValue else Long.MinValue)
+      case d: Double => frac(BigDecimal(d))
+      case f: Float => asLongBound(f.toDouble, up)
+      case d: Decimal => frac(d.toBigDecimal)
+      case _ => None
+    }
+  }
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     // consistent snapshot for this one planning pass
     val (snapStatuses, snapZones, snapByPath) = state
-    // conservative per-column bounds from the recognizable conjuncts
+    // conservative per-column bounds from the recognizable conjuncts —
+    // doubles for skipCols zones, exact longs for longCols zones
     val lo = collection.mutable.Map.empty[String, Double]
     val hi = collection.mutable.Map.empty[String, Double]
-    def tightenLo(c: String, v: Double): Unit =
-      lo.updateWith(c)(p => Some(p.fold(v)(math.max(_, v)))): Unit
-    def tightenHi(c: String, v: Double): Unit =
-      hi.updateWith(c)(p => Some(p.fold(v)(math.min(_, v)))): Unit
-    def skip(a: Expression): Option[String] = a match {
-      case ar: AttributeReference if skipCols.contains(ar.name) => Some(ar.name)
-      case _ => None
-    }
+    val loL = collection.mutable.Map.empty[String, Long]
+    val hiL = collection.mutable.Map.empty[String, Long]
     // a lo bound must round DOWN (the used bound stays ≤ the true one),
     // a hi bound UP — both keep `zone ∩ bounds = ∅ ⇒ zone ∩ pred = ∅`
-    def asLo(v: Any): Option[Double] = asBound(v, up = false)
-    def asHi(v: Any): Option[Double] = asBound(v, up = true)
+    def tightenLo(c: String, v: Any): Unit =
+      if (skipCols.contains(c))
+        asBound(v, up = false).foreach(d =>
+          lo.updateWith(c)(p => Some(p.fold(d)(math.max(_, d)))): Unit)
+      else
+        asLongBound(v, up = false).foreach(l =>
+          loL.updateWith(c)(p => Some(p.fold(l)(math.max(_, l)))): Unit)
+    def tightenHi(c: String, v: Any): Unit =
+      if (skipCols.contains(c))
+        asBound(v, up = true).foreach(d =>
+          hi.updateWith(c)(p => Some(p.fold(d)(math.min(_, d)))): Unit)
+      else
+        asLongBound(v, up = true).foreach(l =>
+          hiL.updateWith(c)(p => Some(p.fold(l)(math.min(_, l)))): Unit)
+    def skip(a: Expression): Option[String] = a match {
+      case ar: AttributeReference
+          if skipCols.contains(ar.name) || longCols.contains(ar.name) =>
+        Some(ar.name)
+      case _ => None
+    }
     def visit(e: Expression): Unit = e match {
       case And(l, r) => visit(l); visit(r)
       case GreaterThanOrEqual(a, Literal(v, _)) =>
-        skip(a).foreach(c => asLo(v).foreach(tightenLo(c, _)))
+        skip(a).foreach(tightenLo(_, v))
       case GreaterThan(a, Literal(v, _)) =>
-        skip(a).foreach(c => asLo(v).foreach(tightenLo(c, _)))
+        skip(a).foreach(tightenLo(_, v))
       case LessThanOrEqual(a, Literal(v, _)) =>
-        skip(a).foreach(c => asHi(v).foreach(tightenHi(c, _)))
+        skip(a).foreach(tightenHi(_, v))
       case LessThan(a, Literal(v, _)) =>
-        skip(a).foreach(c => asHi(v).foreach(tightenHi(c, _)))
+        skip(a).foreach(tightenHi(_, v))
       case EqualTo(a, Literal(v, _)) =>
-        skip(a).foreach { c =>
-          asLo(v).foreach(tightenLo(c, _)); asHi(v).foreach(tightenHi(c, _)) }
+        skip(a).foreach { c => tightenLo(c, v); tightenHi(c, v) }
       // literal-first spellings
       case GreaterThanOrEqual(Literal(v, _), a) =>
-        skip(a).foreach(c => asHi(v).foreach(tightenHi(c, _)))
+        skip(a).foreach(tightenHi(_, v))
       case GreaterThan(Literal(v, _), a) =>
-        skip(a).foreach(c => asHi(v).foreach(tightenHi(c, _)))
+        skip(a).foreach(tightenHi(_, v))
       case LessThanOrEqual(Literal(v, _), a) =>
-        skip(a).foreach(c => asLo(v).foreach(tightenLo(c, _)))
+        skip(a).foreach(tightenLo(_, v))
       case LessThan(Literal(v, _), a) =>
-        skip(a).foreach(c => asLo(v).foreach(tightenLo(c, _)))
+        skip(a).foreach(tightenLo(_, v))
       case EqualTo(Literal(v, _), a) =>
-        skip(a).foreach { c =>
-          asLo(v).foreach(tightenLo(c, _)); asHi(v).foreach(tightenHi(c, _)) }
+        skip(a).foreach { c => tightenLo(c, v); tightenHi(c, v) }
       case _ => ()
     }
     dataFilters.foreach(visit)
 
     val selected: Array[FileStatus] =
-      if (lo.isEmpty && hi.isEmpty) snapStatuses.toArray
+      if (lo.isEmpty && hi.isEmpty && loL.isEmpty && hiL.isEmpty)
+        snapStatuses.toArray
       else {
         val zoned = snapZones.flatMap { z =>
           val admits = skipCols.forall { case (col, (minF, maxF)) =>
             val zmin = z.getAs[Double](minF)
             val zmax = z.getAs[Double](maxF)
             lo.get(col).forall(zmax >= _) && hi.get(col).forall(zmin <= _)
+          } && longCols.forall { case (col, (minF, maxF)) =>
+            val zmin = z.getAs[Long](minF)
+            val zmax = z.getAs[Long](maxF)
+            loL.get(col).forall(zmax >= _) && hiL.get(col).forall(zmin <= _)
           }
           if (admits) snapByPath.get(z.getAs[String]("file")) else None
         }
@@ -190,13 +244,14 @@ object ZoneMapFileIndex {
     * after construction (driven by [[ZoneMapFileIndex.refresh]]). */
   def table(spark: SparkSession, layout: String, zones: Array[Row],
       schema: StructType, skipCols: Map[String, (String, String)],
-      zonesFor: Seq[Path] => Array[Row]): DataFrame = {
+      zonesFor: Seq[Path] => Array[Row],
+      longCols: Map[String, (String, String)] = Map.empty): DataFrame = {
     val rootPath = new Path(layout)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val statuses = fs.listStatus(rootPath).toSeq
       .filter(_.getPath.getName.endsWith(".parquet"))
     val index = new ZoneMapFileIndex(rootPath, zones, statuses, skipCols,
-      spark.sparkContext.hadoopConfiguration, zonesFor)
+      spark.sparkContext.hadoopConfiguration, zonesFor, longCols)
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = StructType(Nil),

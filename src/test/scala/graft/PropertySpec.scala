@@ -231,6 +231,57 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ZoneMapFileIndex: LONG zones — exact integral bounds, fractional literals widen outward") {
+    // Round-15 long-zone soundness twin of the double-grid property:
+    // long zone fields compare EXACTLY against integral/timestamp
+    // literals (no grid), and a fractional literal must round OUTWARD
+    // onto the long grid (lo floors, hi ceils) — a file containing a
+    // satisfying long value must stay listed under both literal kinds.
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, GreaterThanOrEqual, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    val spark = TestSpark.spark
+    val zSchema = StructType(Seq(StructField("file", StringType),
+      StructField("vmin", LongType), StructField("vmax", LongType)))
+    val f = "file:/tmp/zlprop/a.parquet"
+    def idx(mn: Long, mx: Long) = new graft.plans.ZoneMapFileIndex(
+      new Path("file:/tmp/zlprop"),
+      Array(new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](f, mn, mx), zSchema)),
+      Seq(new FileStatus(1L, false, 1, 1L, 0L, new Path(f))),
+      Map.empty,
+      spark.sparkContext.hadoopConfiguration, _ => Array.empty,
+      longCols = Map("v" -> ("vmin", "vmax")))
+    val attr = AttributeReference("v", LongType)()
+    val near = Gen.chooseNum(-4L, 4L).flatMap(d =>
+      Gen.oneOf((1L << 53) + d, -(1L << 53) + d, d * 1000000007L))
+    val gen = for { a <- near; b <- near; l <- near } yield (a, b, l)
+    samples(gen, 400).foreach { case (a, b, l) =>
+      val (mn, mx) = (math.min(a, b), math.max(a, b))
+      val i = idx(mn, mx)
+      def listed(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+        i.listFiles(Nil, Seq(e)).flatMap(_.files).nonEmpty
+      // exact long literals: no widening, so the check is sharp
+      if (mx >= l) assert(listed(GreaterThanOrEqual(attr, Literal(l, LongType))),
+        s"long zones dropped [$mn,$mx] under v >= $l")
+      if (mn <= l) assert(listed(LessThanOrEqual(attr, Literal(l, LongType))),
+        s"long zones dropped [$mn,$mx] under v <= $l")
+      if (mn <= l && l <= mx) assert(listed(EqualTo(attr, Literal(l, LongType))),
+        s"long zones dropped [$mn,$mx] under v = $l")
+      // fractional literal a half step inside the interval edge: the lo
+      // bound must FLOOR (keeping the edge value's file), the hi CEIL.
+      // Guarded to the exact-double range — past 2^52 the TEST's own
+      // double arithmetic rounds before the literal reaches the index,
+      // so the sharp assertion would blame the index for the test's grid
+      if (math.abs(mn) < (1L << 52))
+        assert(listed(LessThanOrEqual(attr, Literal(mn.toDouble + 0.5, DoubleType))),
+          s"hi bound ${mn.toDouble + 0.5} did not ceil to admit [$mn,$mx]")
+      if (math.abs(mx) < (1L << 52))
+        assert(listed(GreaterThanOrEqual(attr, Literal(mx.toDouble - 0.5, DoubleType))),
+          s"lo bound ${mx.toDouble - 0.5} did not floor to admit [$mn,$mx]")
+    }
+  }
+
   test("ZoneMapFileIndex: widened integral bounds never drop a satisfying file") {
     // Soundness property across the >2^53 grid: for random long file
     // contents [minV, maxV] (zones = round-to-nearest doubles, the footer

@@ -80,6 +80,33 @@ class SqlSurfaceSpec extends AnyFunSuite {
       s"SQL-pushed filters listed $listed of $total files — no pruning")
   }
 
+  test("sql11: a pure-SQL TIMESTAMP band prunes the ts-zoned events listing (LONG zones)") {
+    // VERDICT r14 task 4: zones were double-only, so timestamp columns
+    // could not register for skipping. The ts-clustered events layout
+    // stores its zones as LONG MICROS; the chart window's own WHERE —
+    // written in SQL, no operator plumbing — must drop files at planning
+    // time, and the answers must stay bit-identical to the oracle-gated
+    // r48 chart (the layout is a clustered rewrite of the same rows).
+    val df = SqlSurface.tsChartViaZonemap(spark, sf)
+    assert(rows(df) == rows(operators.CciPipeline.itemChartQuery(spark, sf)))
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.relation.location.isInstanceOf[graft.plans.ZoneMapFileIndex])
+    val total = scan.relation.location.inputFiles.length
+    assert(total == operators.ZoneMap.TsFiles)
+    val listed = scan.relation.location
+      .listFiles(Nil, scan.dataFilters).flatMap(_.files).size
+    assert(listed > 0 && listed < total,
+      s"timestamp band listed $listed of $total files — no LONG-zone pruning")
+    // the window covers one week of a ~3-month span clustered over 16
+    // files: the skip must be substantial, not boundary-accidental
+    assert(listed <= total / 2,
+      s"timestamp band listed $listed of $total files — skip ratio too weak")
+  }
+
   test("ensureFunctions registers graft functions into a PLAIN session (Verify's path)") {
     // Build a genuinely extension-less session over the same SparkContext:
     // clear the session singletons so getOrCreate cannot hand back the
