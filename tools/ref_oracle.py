@@ -665,6 +665,65 @@ def replica_index_relative(events, cci):
             out["close_cci"] - out["index_cci_raw"], 10000)})
 
 
+def replica_index_category(events):
+    """r44 (hankook_api.py:174 get_index_category_price): category index
+    bars — every event aggregated per (category = event_type, day), the
+    open/close picks by the total (ts_us, event_id) order — run through
+    the SAME rolling CCI as r04 with the category as the series key; only
+    full-window rows (non-null CCI) survive, 1e-4 half-up grid."""
+    ev = events.sort_values(["event_type", "d", "ts_us", "event_id"],
+                            kind="mergesort")
+    g = ev.groupby(["event_type", "d"], sort=True)
+    cbars = (g.agg(open_pr=("value", "first"), high_pr=("value", "max"),
+                   low_pr=("value", "min"), close_pr=("value", "last"),
+                   volume=("value", "size")).reset_index()
+             .rename(columns={"event_type": "user_id"}))
+    ccci = replica_cci(cbars)
+    out = ccci[ccci["close_cci"].notna()]
+    return pd.DataFrame({
+        "category": out["user_id"], "d": out["d"],
+        "idx": out["idx"].astype("int64"),
+        "sma_close": round_half_up(out["sma_c"], 10000),
+        "mad_close": round_half_up(out["mad_c"], 10000),
+        "index_cci": round_half_up(out["close_cci"], 10000)})
+
+
+def replica_stock_info(sf_dir):
+    """r45 (daily_function.py:245-258): the listing's 'etf' class arrives
+    with total_stock = 0 / NULL marcap and each etf symbol is patched
+    from the info probe over lineitem (quantity sum -> total_stock,
+    2-dp mean price x qty -> marcap); rows the probe cannot resolve drop
+    under the final total_stock > 0 filter."""
+    part = pd.read_parquet(f"{sf_dir}/part.parquet")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[
+        ["l_partkey", "l_quantity", "l_extendedprice"]]
+    etf = part["p_type"].str.startswith("ECONOMY")
+    listing = pd.DataFrame({
+        "symbol": part["p_partkey"],
+        "name": part["p_name"],
+        "type": np.where(etf, "etf", "stock"),
+        "total_stock": np.where(etf, 0, part["p_size"]).astype("int64"),
+        "marcap": np.where(etf, np.nan, part["p_retailprice"])})
+    keys = set(listing.loc[listing["type"] == "etf", "symbol"])
+    probe = li[li["l_partkey"].isin(keys)]
+    info = (probe.groupby("l_partkey", sort=True)
+            .agg(lstg_qty=("l_quantity", "sum"),
+                 ref_price=("l_extendedprice", "mean")).reset_index()
+            .rename(columns={"l_partkey": "symbol"}))
+    info["lstg_qty"] = info["lstg_qty"].astype("int64")
+    info["ref_price"] = round_half_up(info["ref_price"], 100)
+    out = listing.merge(info, on="symbol", how="left")
+    is_etf = out["type"] == "etf"
+    out["total_stock"] = np.where(
+        is_etf, out["lstg_qty"].fillna(0), out["total_stock"]).astype("int64")
+    out["marcap"] = np.where(
+        is_etf, round_half_up(out["lstg_qty"] * out["ref_price"], 100),
+        out["marcap"])
+    out = out[out["total_stock"] > 0]
+    return (out[["symbol", "name", "type", "total_stock", "marcap"]]
+            .sort_values("symbol").reset_index(drop=True))
+
+
 def replica_daily_balance(events, cci, best):
     """r36: the cash-balance carry, replayed sequentially. Sizing reads
     the balance entering the lot's open day (get_stock_balance →
@@ -1327,6 +1386,29 @@ def main():
     compare("r33_index_relative", load_spark(out_dir, "r33_index_relative"),
             idx, ["user_id", "d"], [],
             {"close_cci": 2e-4, "index_cci": 2e-4, "rel_strength": 2e-4})
+
+    cat = timed("r44_index_category", replica_index_category, events)
+    compare("r44_index_category", load_spark(out_dir, "r44_index_category"),
+            cat, ["category", "d"], ["idx"],
+            {"sma_close": 2e-4, "mad_close": 2e-4, "index_cci": 2e-4})
+
+    sinfo = timed("r45_stock_info", replica_stock_info, sf_dir)
+    sp45 = load_spark(out_dir, "r45_stock_info")
+    # stock rows: listing values pass through verbatim — exact compare
+    compare("r45_stock_info", sp45[sp45["type"] == "stock"],
+            sinfo[sinfo["type"] == "stock"], ["symbol"],
+            ["name", "type", "total_stock"], {"marcap": 1e-9})
+    # etf rows: marcap = qty * round(mean(price), 2) — the double MEAN is
+    # addition-order-dependent in its last ulp, so an exact half-cent
+    # boundary can round one cent apart between engines (observed at
+    # sf0.1: 17 of ~1900 symbols). Compare the per-unit price with a
+    # one-cent band instead of inflating a blanket marcap tolerance by
+    # the quantity factor.
+    def unit(df):
+        return df.assign(unit_price=df["marcap"] / df["total_stock"])
+    compare("r45_stock_info_etf", unit(sp45[sp45["type"] == "etf"]),
+            unit(sinfo[sinfo["type"] == "etf"]), ["symbol"],
+            ["name", "type", "total_stock"], {"unit_price": 0.0101})
 
     balt = timed("r36_daily_balance", replica_daily_balance, events, cci, best)
     compare("r36_daily_balance", load_spark(out_dir, "r36_daily_balance"),
