@@ -271,6 +271,15 @@ object Daily {
     // sizing mode over a shared chainRoot) is authoritative: skip the
     // backfill fetch entirely
     if (chainCommitted(spark, ws, cutoff)) return
+    spark.sparkContext.setJobGroup("graft-bootstrap",
+      s"daily bootstrap through $cutoff", interruptOnCancel = false)
+    try bootstrapBody(spark, conn, ws, cutoff, cfg)
+    finally spark.sparkContext.clearJobGroup()
+  }
+
+  private def bootstrapBody(spark: SparkSession, conn: EventConnector,
+      ws: Workspace, cutoff: java.sql.Date, cfg: GridConfig): Unit = {
+    import spark.implicits._
     val requests = conn.listKeys(spark, cutoff).select($"user_id",
       lit(CciPipeline.DefaultFetchStart).cast("date").as("fetch_start"),
       lit(cutoff).as("fetch_end"))
@@ -306,32 +315,30 @@ object Daily {
       cfg: GridConfig, withOrders: Boolean, withBalance: Boolean,
       deltaBars: DataFrame, deltaCci: DataFrame, newState: DataFrame): DayDigest = {
     import spark.implicits._
-    // ONE stats action over the two delta frames (1-row aggregates
-    // cross-joined): fresh-path writes already materialized the caches,
-    // resume-path reads are committed parquet — either way this job only
-    // touches footer-scale data, but it IS a scheduled Spark job (the
-    // per-day job count is part of the daily bill)
-    val Seq(nBarsNew, nFetched, nCciNew) = deltaBars
-      .agg(count(lit(1)), coalesce(sum($"volume"), lit(0L)))
-      .crossJoin(deltaCci.agg(count(lit(1))))
-      .head().toSeq.map(_.asInstanceOf[Long])
-
-    // digest totals are running sums over the state DIMENSION —
-    // the round-9 full-corpus count+countDistinct is gone. The
-    // signal count folds into the SAME aggregate: r05/r09's
-    // crossover rule (recommendation semantics: >= on the current
-    // side) per literal threshold as a conditional sum — a null
-    // CCI (window not yet full) makes the condition null and
-    // counts 0, exactly like the former filter+count. One job
-    // instead of two.
+    // ONE stats action for the whole digest (round-15, the dailyjobs
+    // probe's first merge): the two delta aggregates AND the state-
+    // dimension totals are all 1-row aggregates over already-materialized
+    // frames (fresh-path writes populated the caches, resume-path reads
+    // are committed parquet), so they cross-join into a single scheduled
+    // action — the per-day job count is part of the daily bill, and two
+    // of these actions were pure ceremony.
+    //
+    // Signal count folds into the same aggregate: r05/r09's crossover
+    // rule (recommendation semantics: >= on the current side) per literal
+    // threshold as a conditional sum — a null CCI (window not yet full)
+    // makes the condition null and counts 0, exactly like the former
+    // filter+count.
     val sigCnt = cfg.buyThresholds.map(t =>
         sum(when($"yesterday_open_cci" < t &&
           $"current_open_cci" >= t, 1L).otherwise(0L)))
       .reduce(_ + _)
-    val Seq(nCciTotal, nSeries, nSignals) = newState
-      .agg(coalesce(sum($"n_rows"), lit(0L)), count(lit(1)),
-        coalesce(sigCnt, lit(0L)))
-      .head().toSeq.map(_.asInstanceOf[Long])
+    val Seq(nBarsNew, nFetched, nCciNew, nCciTotal, nSeries, nSignals) =
+      deltaBars
+        .agg(count(lit(1)), coalesce(sum($"volume"), lit(0L)))
+        .crossJoin(deltaCci.agg(count(lit(1))))
+        .crossJoin(newState.agg(coalesce(sum($"n_rows"), lit(0L)),
+          count(lit(1)), coalesce(sigCnt, lit(0L))))
+        .head().toSeq.map(_.asInstanceOf[Long])
 
     val latest = newState.select($"user_id",
       $"watermark_d".as("state_d"), $"close_pr", $"close_cci",
@@ -462,31 +469,46 @@ object Daily {
         "orders" -> s"${ws.ordersDir}/run_d=$s",
         "positions" -> s"${ws.positionsDir}/run_d=$s") ++
         sells.map(_ => "sells" -> s"${ws.sellsDir}/run_d=$s")
-      val cnts = tagged.map { case (t, p) =>
+      val cntFrame = tagged.map { case (t, p) =>
         spark.read.parquet(p).select(lit(t).as("t")) }
         .reduce(_ unionByName _)
-        .groupBy($"t").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+        .groupBy($"t").count()
+        .select($"t", $"count".cast("double").as("a"),
+          lit(0.0).as("b"), lit(0.0).as("c"))
 
       // r36 settlement: day-s buys debit cost incl. the buy-side
       // fee, day-s sells credit proceeds net of tax + fee — the
       // SAME per-share arithmetic as r11's net revenue — in exact
       // integer cents (per-lot half-up to cents; the sums are
       // integer-valued doubles, exact and order-independent under
-      // 2^53). Credits land in the NEXT day's snapshot (D+2
-      // settlement collapsed to D+1 at daily granularity). One
-      // action over the two delta-scale frames.
-      balSnap.foreach { bal =>
-        val costAgg = freshBuys.agg(coalesce(sum(
-            floor($"buy_qty" * $"buy_price" * lit(1.0 + FeeRate) * 100.0 + 0.5)),
-          lit(0.0)).as("c"))
-        val procAgg = sells.map(_.agg(coalesce(sum(
-            floor($"buy_qty" * $"sell_price" * lit(1.0 - TaxRate - FeeRate) * 100.0 + 0.5)),
-          lit(0.0)).as("p")))
-          .getOrElse(spark.range(1).select(lit(0.0).as("p")))
-        val r = bal.crossJoin(costAgg).crossJoin(procAgg)
-          .select($"bal_cents", $"c".cast("long"), $"p".cast("long")).head()
-        val (b0, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      // 2^53 — which also lets them ride the count frame's double
+      // columns losslessly). Credits land in the NEXT day's snapshot
+      // (D+2 settlement collapsed to D+1 at daily granularity).
+      //
+      // Round-15 (dailyjobs probe, second merge): the settlement
+      // aggregates UNION into the committed-count frame as one tagged
+      // row, so the day's digest counts and its balance row come out of
+      // ONE collect instead of two scheduled actions.
+      val withBal = balSnap match {
+        case None => cntFrame
+        case Some(bal) =>
+          val costAgg = freshBuys.agg(coalesce(sum(
+              floor($"buy_qty" * $"buy_price" * lit(1.0 + FeeRate) * 100.0 + 0.5)),
+            lit(0.0)).as("c0"))
+          val procAgg = sells.map(_.agg(coalesce(sum(
+              floor($"buy_qty" * $"sell_price" * lit(1.0 - TaxRate - FeeRate) * 100.0 + 0.5)),
+            lit(0.0)).as("p0")))
+            .getOrElse(spark.range(1).select(lit(0.0).as("p0")))
+          cntFrame.unionByName(bal.crossJoin(costAgg).crossJoin(procAgg)
+            .select(lit("__bal").as("t"), $"bal_cents".cast("double").as("a"),
+              $"c0".as("b"), $"p0".as("c")))
+      }
+      val collected = withBal.collect()
+      val cnts = collected.filter(_.getString(0) != "__bal")
+        .map(r => r.getString(0) -> r.getDouble(1).toLong).toMap
+      collected.find(_.getString(0) == "__bal").foreach { r =>
+        val (b0, c, p) =
+          (r.getDouble(1).toLong, r.getDouble(2).toLong, r.getDouble(3).toLong)
         overwrite(
           Seq((s, b0, c, p, b0 - c + p)).toDF("d", "bal_start_cents",
             "buy_cost_cents", "sell_proceeds_cents", "bal_end_cents"),
@@ -515,8 +537,18 @@ object Daily {
   def runDay(spark: SparkSession, conn: EventConnector, ws: Workspace,
       s: java.sql.Date, cfg: GridConfig = GridConfig(),
       withOrders: Boolean = false, withBalance: Boolean = false): DayDigest = {
-    import spark.implicits._
     require(!withBalance || withOrders, "withBalance requires withOrders")
+    // the whole day (delta chain + mode tail) runs under the AQE gate —
+    // see [[DailyAdaptiveConf]]; bootstrap is the corpus-scale exception
+    withDayAqe(spark, ws, s) {
+      runDayBody(spark, conn, ws, s, cfg, withOrders, withBalance)
+    }
+  }
+
+  private def runDayBody(spark: SparkSession, conn: EventConnector, ws: Workspace,
+      s: java.sql.Date, cfg: GridConfig,
+      withOrders: Boolean, withBalance: Boolean): DayDigest = {
+    import spark.implicits._
 
     // CHAIN RESUME: the day's committed bars/cci/state partitions are
     // authoritative — the chain is deterministic given the prior state and
@@ -583,6 +615,58 @@ object Daily {
     } finally state.unpersist()
   }
 
+  /** AQE gate for the day loop (round-15, the `dailyjobs` probe): under
+    * AQE every materialized exchange is its own scheduled job, so the
+    * day tail's ~7 delta/dimension-scale actions billed 28 (fix) / 37
+    * (bal) jobs per day — measured 32% of the per-day job count is
+    * adaptive-stage ceremony that buys nothing at delta scale (AQE
+    * coalescing/skew-split need data big enough to matter), and turning
+    * it off cut the rebuild wall ~10% at sf0.1. At 100 TB a day's delta
+    * IS big enough to matter (~40 GB/day for a 10-year corpus), so the
+    * gate is plan-stat-sized, not hard-off:
+    *   - `spark.graft.daily.adaptive` = auto (default) | true | false —
+    *     auto disables AQE for a day whose latest committed STATE
+    *     partition (the loop's dimension-scale anchor; the delta is the
+    *     same order) is under `spark.graft.daily.adaptiveOffBytes`
+    *     (default 256 MB); true/false force.
+    * Bootstrap always keeps the session's AQE — it is the one
+    * corpus-scale pass in the loop. */
+  private[graft] val DailyAdaptiveConf = "spark.graft.daily.adaptive"
+  private[graft] val DailyAdaptiveOffBytesConf =
+    "spark.graft.daily.adaptiveOffBytes"
+
+  private def latestStateBytes(spark: SparkSession, ws: Workspace,
+      s: java.sql.Date): Long = {
+    val p = new Path(ws.stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Long.MaxValue
+    val parts = fs.listStatus(p).toSeq.map(_.getPath)
+      .filter(c => c.getName.startsWith("run_d=") &&
+        fs.exists(new Path(c, "_SUCCESS")))
+      .map(c => (java.sql.Date.valueOf(c.getName.stripPrefix("run_d=")), c))
+      .filter(_._1.before(s))
+    if (parts.isEmpty) Long.MaxValue // unknown → keep the session's AQE
+    else fs.listStatus(parts.maxBy(_._1.getTime)._2).map(_.getLen).sum
+  }
+
+  private def withDayAqe[T](spark: SparkSession, ws: Workspace,
+      s: java.sql.Date)(body: => T): T = {
+    val off = spark.conf.get(DailyAdaptiveConf, "auto") match {
+      case "auto" =>
+        val thr = spark.conf
+          .get(DailyAdaptiveOffBytesConf, (256L << 20).toString).toLong
+        latestStateBytes(spark, ws, s) < thr
+      case m => !java.lang.Boolean.parseBoolean(m)
+    }
+    if (!off) body
+    else {
+      val key = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.get(key, "true")
+      spark.conf.set(key, "false")
+      try body finally spark.conf.set(key, prev)
+    }
+  }
+
   /** All three chain tables committed for day `s` — the resume predicate
     * shared by [[runDay]] and [[bootstrap]]. */
   private def chainCommitted(spark: SparkSession, ws: Workspace, s: java.sql.Date): Boolean =
@@ -618,9 +702,17 @@ object Daily {
       .filter(CciPipeline.isTradingDayLocal)
       .map { ld =>
         val s = java.sql.Date.valueOf(ld)
-        if (digestCommitted(spark, ws, s, withOrders, withBalance))
-          spark.read.parquet(s"${ws.digestDir}/run_d=$s").as[DayDigest].head()
-        else runDay(spark, conn, ws, s, cfg, withOrders, withBalance)
+        // tag the day's jobs (thread-local job group): operators watching
+        // the cluster see which run day a straggling job belongs to, and
+        // the job-budget probe (ScalingProbe `dailyjobs`) attributes the
+        // per-day bill from the same tag
+        spark.sparkContext.setJobGroup(s"graft-day-$s",
+          s"daily run day $s", interruptOnCancel = false)
+        try {
+          if (digestCommitted(spark, ws, s, withOrders, withBalance))
+            spark.read.parquet(s"${ws.digestDir}/run_d=$s").as[DayDigest].head()
+          else runDay(spark, conn, ws, s, cfg, withOrders, withBalance)
+        } finally spark.sparkContext.clearJobGroup()
       }
       .toSeq
   }

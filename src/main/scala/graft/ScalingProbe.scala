@@ -610,6 +610,67 @@ object ScalingProbe {
         Daily.run(spark, conn, ws, start, maxLd): Unit
       }
     }
+    if (probes("dailyjobs")) {
+      // VERDICT r14 task 6: the composed daily loop's per-day JOB BUDGET.
+      // daily_build_fix is the bench's dominant cold cost and is
+      // job-count-bound by design (cost ≈ jobs/day × days × per-job
+      // overhead at delta scale) — count the scheduled jobs per job group
+      // (graft-bootstrap / graft-day-<d>, tagged by Daily.run itself) for
+      // a fresh-workspace re-orchestration of each sizing mode over the
+      // already-committed chain, exactly what the bench's rebuild twins
+      // time. Runs against sfDir directly (no scaled corpus needed: the
+      // job COUNT is corpus-independent; only job CONTENT scales).
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+      import scala.jdk.CollectionConverters._
+      val jobCounts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+      val jl = new SparkListener {
+        override def onJobStart(e: SparkListenerJobStart): Unit = {
+          val g = Option(e.properties)
+            .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+            .getOrElse("(untagged)")
+          jobCounts.merge(g, 1L, _ + _): Unit
+        }
+      }
+      // commit the shared chain for BOTH modes before measuring, so each
+      // measured rebuild is the pure re-orchestration (the bench twin)
+      Daily.sharedDailyRun(spark, sfDir, balanceFed = false)
+      Daily.sharedDailyRun(spark, sfDir, balanceFed = true)
+      spark.sparkContext.addSparkListener(jl)
+      def runMode(bal: Boolean, tag: String): Unit = {
+        jobCounts.clear()
+        val t0 = System.nanoTime()
+        Daily.rebuildDailyRun(spark, sfDir, balanceFed = bal)
+        val w = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(800) // bounded listener drain
+        val m = jobCounts.asScala.toMap
+        val boot = m.getOrElse("graft-bootstrap", 0L)
+        val unt = m.getOrElse("(untagged)", 0L)
+        val days = m.toSeq.filter(_._1.startsWith("graft-day-"))
+          .sortBy(_._1).map(_._2)
+        System.err.println(f"[dailyjobs] mode=$tag wall=$w%.1f boot=$boot " +
+          s"untagged=$unt perday=[${days.mkString(",")}]")
+        out(s"dailyjobs_${tag}_wall") = w
+        out(s"dailyjobs_${tag}_total") =
+          (boot + unt + days.sum).toDouble
+        out(s"dailyjobs_${tag}_perday") =
+          if (days.nonEmpty) days.sum.toDouble / days.size else -1.0
+      }
+      try {
+        runMode(bal = false, "fix"); runMode(bal = true, "bal")
+        // AQE attribution: each materialized exchange is its own
+        // scheduled job under AQE, so a 7-action day bills ~5 jobs per
+        // action. The day loop's actions are all delta/dimension-scale
+        // (the corpus-scale bootstrap is committed before this runs), so
+        // re-running the same modes with AQE off measures how much of
+        // the per-day bill is adaptive-stage ceremony vs real work.
+        val aqeKey = "spark.sql.adaptive.enabled"
+        val prevAqe = spark.conf.get(aqeKey, "true")
+        spark.conf.set(aqeKey, "false")
+        try { runMode(bal = false, "fix_noaqe"); runMode(bal = true, "bal_noaqe") }
+        finally spark.conf.set(aqeKey, prevAqe)
+      }
+      finally spark.sparkContext.removeSparkListener(jl)
+    }
     if (probes("quantile") || probes("q13_quantile") || probes("q13_quantile_groups")) {
       // q13's scale claim measured: the rank-extraction exact quantile on
       // a HOT-GROUP corpus — ~3 groups REGARDLESS of mult, the exact shape
