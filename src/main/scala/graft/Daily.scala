@@ -630,7 +630,8 @@ object Daily {
     *     same order) is under `spark.graft.daily.adaptiveOffBytes`
     *     (default 256 MB); true/false force.
     * Bootstrap always keeps the session's AQE — it is the one
-    * corpus-scale pass in the loop. */
+    * corpus-scale pass in the loop. Threshold sizing: SURVEY §5
+    * "Sizing a real deployment". */
   private[graft] val DailyAdaptiveConf = "spark.graft.daily.adaptive"
   private[graft] val DailyAdaptiveOffBytesConf =
     "spark.graft.daily.adaptiveOffBytes"

@@ -61,7 +61,8 @@ object Curation {
     * rows — ~1e5 for 1e11 docs) through the one unpartitioned window.
     * Every window partition is ≤ PackBucket rows except that final
     * metadata-sized one. The oracle states the same quantity as one flat
-    * window — identical values, engine-checkable. */
+    * window — identical values, engine-checkable. PackBucket sizing:
+    * SURVEY §5 "Sizing a real deployment". */
   val PackWindow = 512L
   val PackBucket = 1000L
 

@@ -94,7 +94,8 @@ object Intervals {
     * exact-cent price mass, and the covering order with the highest
     * totalprice (ties to the higher key — mirrored in the oracle). */
   // ---- runtime geometry (round-13): the bin width, salt fan-out and
-  // hot-bin handling are SESSION CONFS, not compile-time constants — at
+  // hot-bin handling are SESSION CONFS, not compile-time constants
+  // (sizing recipe: SURVEY §5 "Sizing a real deployment") — at
   // 100× the data (or a different date density) the operator re-tunes
   // without a recompile, the same discipline as the as-of split's
   // spark.graft.asof.split.* knobs. Defaults equal the former constants.

@@ -233,6 +233,7 @@ object AsOf {
   // plan-stat size exceeds [[SplitMinBuildBytesConf]] AND a runtime
   // per-key count pass finds keys above [[SplitHotKeyRowsConf]] rows.
 
+  // sizing recipe for the three knobs: SURVEY §5 "Sizing a real deployment"
   /** Time chunks per hot key; <= 1 disables splitting entirely. */
   val SplitChunksConf = "spark.graft.asof.split.chunks"
   /** Build-side plan-stat bytes below which the split never engages (the

@@ -849,7 +849,8 @@ object Similarity {
     * by construction (trained centroids) → rows-only in the driver;
     * recall vs brute force and mutual-flag symmetry are spec-asserted. */
   /** Default trained-cell count, overridable per session (the range-join
-    * knob discipline): size k ∝ √N as the corpus grows. */
+    * knob discipline): size k ∝ √N as the corpus grows — sizing recipe in
+    * SURVEY §5 "Sizing a real deployment". */
   val TrainedGraphCells = 16
   val GraphCellsConf = "spark.graft.ann.graphCells"
 
