@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType, ArrayType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, ArrayType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for graft's hot paths (SURVEY.md §4).
@@ -246,6 +246,56 @@ case class AbsDevSumF64(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+object LshBucketsExpr {
+  /** Random-hyperplane LSH bucket ids for `tables` tables × `planes`
+    * planes in ONE pass over the vector (round-15, the MinHashSigs
+    * precedent applied to s02: the zip_with/transform spelling is
+    * tables×planes interpreted array traversals PER ROW — measured the
+    * dominant cost of the sf10 bucketing). Plane component for global
+    * plane g = t·planes + p at dimension c is
+    * `((g·73856093 + c·19349663) % 1000003) % 2 == 1 ? -1.0 : 1.0` and
+    * the dot accumulates ascending from 0.0 — bit-identical constants,
+    * fold order and sign test to the HOF form and the DuckDB twin
+    * ([[graft.similarity.Similarity.lshTopKSqlFor]]), so the s02 oracle
+    * is unchanged. */
+  def buckets(v: ArrayData, planes: Int, tables: Int): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var p = 0
+      while (p < planes) {
+        val g = (t * planes + p).toLong
+        var acc = 0.0
+        var c = 0
+        while (c < n) {
+          val m = ((g * 73856093L + c * 19349663L) % 1000003L) % 2L
+          acc += v.getDouble(c) * (if (m == 1L) -1.0 else 1.0)
+          c += 1
+        }
+        if (acc >= 0.0) bucket |= (1 << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class LshBuckets(child: Expression, planes: Int, tables: Int)
+    extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    LshBucketsExpr.buckets(v.asInstanceOf[ArrayData], planes, tables)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.catalyst.LshBucketsExpr.buckets($c, $planes, $tables)")
+  override protected def withNewChildInternal(c: Expression): LshBuckets = copy(child = c)
+}
+
 object GraftColumns {
   import org.apache.spark.sql.GraftShim
 
@@ -261,6 +311,8 @@ object GraftColumns {
     GraftShim.column(ArraySumF64(GraftShim.expression(c)))
   def abs_dev_sum_f64(arr: Column, mean: Column): Column =
     GraftShim.column(AbsDevSumF64(GraftShim.expression(arr), GraftShim.expression(mean)))
+  def lsh_buckets(v: Column, planes: Int, tables: Int): Column =
+    GraftShim.column(LshBuckets(GraftShim.expression(v), planes, tables))
   def topk_by(score: Column, id: Column, k: Int): Column =
     GraftShim.column(TopKByScore(GraftShim.expression(score),
       GraftShim.expression(id), k).toAggregateExpression())

@@ -274,24 +274,23 @@ object Similarity {
     // The mix must give DISTINCT patterns per plane — a small-modulus
     // pattern like (g*131 + c*31) % 7 has only 7 distinct planes, so extra
     // planes/tables silently duplicate and recall stops improving.
-    def planeComponent(g: Int) =
-      transform(sequence(lit(0), size($"v") - 1), c =>
-        when(((lit(g * 73856093L) + c * 19349663L) % 1000003L) % 2 === 1,
-          lit(-1.0)).otherwise(lit(1.0)))
-    val tableBuckets = (0 until tables).map { t =>
-      val bucket = (0 until planes).map { p =>
-        when(F.foldSum(zip_with($"v", planeComponent(t * planes + p), (x, y) => x * y)) >= 0,
-          1 << p).otherwise(0)
-      }.reduce(_ + _)
-      struct(lit(t).as("tbl"), bucket.as("bucket"))
-    }
+    //
+    // Round-15: the bucketing runs through the NATIVE LshBuckets
+    // expression (one pass over the vector inside whole-stage codegen)
+    // instead of the zip_with/transform HOF spelling — tables×planes
+    // interpreted array traversals per row were the dominant cost of the
+    // sf10 bucketing (s07b's 7× precedent; before/after in PERF.md).
+    // Constants, fold order and the >= 0 sign test are bit-identical,
+    // so the DuckDB oracle (lshTopKSqlFor) is unchanged; LlmOpsSpec also
+    // pins native ≡ HOF bucketing directly.
+    //
     // zero-length embeddings cannot hash: Spark's sequence(0, -1) would
     // auto-descend (yielding [0,-1]) while DuckDB's range(1,1) is empty,
     // so the two engines would bucket such a vector differently — exclude
     // them on BOTH sides instead (they have no meaningful neighbors)
     val bucketed = e.filter(size($"v") > 0)
-      .select($"vec_id", explode(array(tableBuckets: _*)).as("tb"))
-      .select($"vec_id", $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
+      .select($"vec_id", posexplode(graft.functions.catalyst.GraftColumns
+        .lsh_buckets($"v", planes, tables)).as(Seq("tbl", "bucket")))
     val cand = bucketed.filter($"vec_id" % QueryStride === 0)
       .toDF("query_id", "tbl", "bucket")
       .join(bucketed.toDF("neighbor_id", "tbl", "bucket"), Seq("tbl", "bucket"))

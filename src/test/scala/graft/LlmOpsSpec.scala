@@ -93,6 +93,40 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(hit.toDouble / total >= 0.8, s"recall ${hit.toDouble / total}")
   }
 
+  test("s02: the native LshBuckets expression equals the HOF bucketing spelling") {
+    // Round-15: s02's bucketing moved from the zip_with/transform fold to
+    // the one-pass codegen expression — this pins the two spellings equal
+    // on the real corpus (plus edge vectors), so a constant or fold-order
+    // drift in either one turns red here before it could skew the oracle.
+    import TestSpark.spark.implicits._
+    val (planes, tables) = (8, 3)
+    def planeComponent(g: Int) =
+      transform(sequence(lit(0), size($"v") - 1), c =>
+        when(((lit(g * 73856093L) + c * 19349663L) % 1000003L) % 2 === 1,
+          lit(-1.0)).otherwise(lit(1.0)))
+    val hofBuckets = array((0 until tables).map { t =>
+      (0 until planes).map { p =>
+        when(functions.TextFunctions.foldSum(zip_with($"v",
+            planeComponent(t * planes + p), (x, y) => x * y)) >= 0,
+          1 << p).otherwise(0)
+      }.reduce(_ + _)
+    }: _*)
+    val edge = Seq(
+      (9000001L, Seq(0.0, 0.0, 0.0)),          // zero vector: sign(0) >= 0
+      (9000002L, Seq(-1.5, 2.25, -0.125, 8.0)) // odd dims, mixed signs
+    ).toDF("vec_id", "v")
+    val corpus = sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .filter(size($"v") > 0).unionByName(edge)
+    val mismatches = corpus
+      .withColumn("native", graft.functions.catalyst.GraftColumns
+        .lsh_buckets($"v", planes, tables))
+      .withColumn("hof", hofBuckets)
+      .filter($"native" =!= $"hof")
+      .count()
+    assert(mismatches == 0, s"$mismatches vectors bucket differently")
+  }
+
   test("d08: incremental dedup flags exactly the delta docs d03 pairs with an earlier doc") {
     import TestSpark.spark.implicits._
     val inc = dedup.Dedup.incrementalDedup(spark, sf).cache()
