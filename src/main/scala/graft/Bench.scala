@@ -26,6 +26,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Rehearsal hook (round-15): scaled sweeps retune the runtime
+    // geometry confs (spark.graft.ann.lshPlanes, spark.graft.range.*,
+    // ...) without a recompile — SPARK_GRAFT_CONF="k=v,k=v".
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
 
     def materialize(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()

@@ -25,9 +25,22 @@ object Similarity {
     * bucket population bounded) and the number of OR'd hash tables
     * (candidates = union over tables — more tables buys back the recall
     * that more planes costs). Both are parameters of [[lshTopKParam]];
-    * these defaults suit the sf corpora. */
+    * these defaults suit the sf corpora.
+    *
+    * SESSION CONFS (round-15, the graphCells discipline): the sf100
+    * rehearsal PROVED the ceiling the scaladoc predicted — at 2M vectors
+    * the default 2^8 buckets put ~7.8k vectors in each, the candidate
+    * pair stream hit ~3×10^8 rows carrying two 64-dim arrays each, and
+    * the entry died spilling (the s07 label-cell failure shape, one
+    * family over). Candidates per query ≈ tables · N/2^planes, so planes
+    * must grow ~log₂(N) to hold per-bucket population: 12 planes at 2M
+    * vectors ran 51 s where 8 planes ENOSPC'd (PERF.md round-15 sf100
+    * table). The oracle gates run WITHOUT the confs (defaults), so the
+    * gated geometry is unchanged; scaled rehearsals retune at runtime. */
   val NumPlanes = 8
   val LshTables = 2
+  val LshPlanesConf = "spark.graft.ann.lshPlanes"
+  val LshTablesConf = "spark.graft.ann.lshTables"
 
   /** Serving-path contract: the PQ/index topK entry points collect the
     * QUERY batch to the driver (the per-query LUT build wants the batch
@@ -288,9 +301,19 @@ object Similarity {
     // auto-descend (yielding [0,-1]) while DuckDB's range(1,1) is empty,
     // so the two engines would bucket such a vector differently — exclude
     // them on BOTH sides instead (they have no meaningful neighbors)
+    // PINNED fan-out exchange (round-15, the q48 discipline): the
+    // (tbl, bucket) shuffle is bytes-tiny (pairs of ints), so AQE
+    // coalesces it by its own size — measured at sf10: the bucket-pair
+    // join ran on 2 of 32 tasks, 19.3 s of a 38 s entry, and at sf100
+    // that coalesced straggler is what actually died, not candidate
+    // volume. The explicit partition count survives AQE; the self-join
+    // needs this exchange anyway, so ENSURE_REQUIREMENTS reuses it on
+    // both derivations (one exchange, two readers).
+    val nPart = spark.sessionState.conf.numShufflePartitions
     val bucketed = e.filter(size($"v") > 0)
       .select($"vec_id", posexplode(graft.functions.catalyst.GraftColumns
         .lsh_buckets($"v", planes, tables)).as(Seq("tbl", "bucket")))
+      .repartition(nPart, $"tbl", $"bucket")
     val cand = bucketed.filter($"vec_id" % QueryStride === 0)
       .toDF("query_id", "tbl", "bucket")
       .join(bucketed.toDF("neighbor_id", "tbl", "bucket"), Seq("tbl", "bucket"))
@@ -307,9 +330,17 @@ object Similarity {
     // exchange. Heap order (score DESC, id ASC) = the window's
     // (cosine DESC, neighbor_id) total order; cosine is rounded before
     // ranking so the DuckDB oracle agrees bit-for-bit.
+    // Attach the CORPUS vectors first (round-15): the c-join is the
+    // sort-merge at scale, and attaching q's vectors before it made the
+    // sort run over ~1 KB rows (pair + query vector) — measured 6.2 GB
+    // of sort spill at sf10 for a 21M-pair stream. With the c-join on
+    // the LEAN 16-byte pairs the sort is cheap; q (the query fraction)
+    // then attaches on the join OUTPUT — broadcast-hash at any gate SF,
+    // and at production query fractions the one unavoidable fat
+    // exchange is the LAST, pipelined straight into the heap aggregate.
     cand
-      .join(q, Seq("query_id"))
       .join(c, Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
       .withColumn("cosine", F.fr(cosine($"vq", $"vn", $"nq", $"nn"), 6))
       .filter($"cosine".isNotNull) // zero-norm vectors, as in s01/s03
       .groupBy($"query_id")
@@ -322,7 +353,9 @@ object Similarity {
   }
 
   def lshTopK(spark: SparkSession, dir: String): DataFrame =
-    lshTopKParam(spark, dir, NumPlanes, LshTables)
+    lshTopKParam(spark, dir,
+      spark.conf.get(LshPlanesConf, NumPlanes.toString).toInt,
+      spark.conf.get(LshTablesConf, LshTables.toString).toInt)
 
   /** DuckDB twin of [[lshTopKParam]]: the planes are a deterministic
     * function of (global plane index, dimension), and the sign test runs

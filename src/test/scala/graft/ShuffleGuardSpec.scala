@@ -94,12 +94,18 @@ class ShuffleGuardSpec extends AnyFunSuite {
     // s01: heap agg exchange + output sort — the q×corpus cross join
     // feeds the heap map-side, nothing else shuffles
     "s01_ann_bruteforce" -> 2,
-    // s02 (round 15): the LAST ANN rank window collapsed into the heap.
-    // Candidate-pair distinct exchange + heap agg exchange + output sort;
-    // the q/c vector attach joins broadcast at this SF. A 4th exchange
-    // (or any Window node — see PlanGuardSpec's s02 pin) means the
-    // per-query rank regressed to row_number over the candidate stream
-    "s02_ann_lsh" -> 3,
+    // s02 (round 15): the LAST ANN rank window collapsed into the heap,
+    // then the sf100 rehearsal added two deliberate exchanges — the
+    // PINNED (tbl, bucket) fan-out repartition (AQE coalesced the
+    // bytes-tiny bucket shuffle onto 2 tasks while ~50× join fan-out hid
+    // behind it — the q48 lesson) and the lean-pair exchange feeding the
+    // corpus-vector sort-merge attach (sorting 16-byte pairs instead of
+    // pair+query-vector rows: 6.2 GB sf10 sort spill → 0). With the
+    // candidate distinct, heap agg and output sort that audits at 5; a
+    // 6th exchange (or any Window — PlanGuardSpec's s02 pin) means a
+    // rank window or a dedup shuffle crept back in, and a 4-exchange
+    // plan means the PIN was lost to AQE coalescing.
+    "s02_ann_lsh" -> 5,
     // t10: tf agg + df agg riding tf's term partitioning + the heap's
     // doc exchange/sort path — a 4th data exchange means the per-doc
     // rank regressed to a window
