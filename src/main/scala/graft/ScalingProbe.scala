@@ -497,11 +497,19 @@ object ScalingProbe {
         timed(graft.similarity.Similarity.ivfTrainedTopK(spark, sfDir, k, 4))
       // the corpus-wide trained-cell kNN graph (s07b) at the same k —
       // every vector is a query, so this is the entry whose label-cell
-      // twin died at sf10 (PERF round-14); shares the memoized fit above
-      spark.conf.set(graft.similarity.Similarity.GraphCellsConf, k.toString)
-      try out(s"s07b_graph_k$k") =
-        timed(graft.similarity.Similarity.knnGraphTrained(spark, sfDir))
-      finally spark.conf.unset(graft.similarity.Similarity.GraphCellsConf)
+      // twin died at sf10 (PERF round-14); shares the memoized fit above.
+      // SPARK_GRAFT_ANN_GRAPH=0 skips it: the graph's candidate stream IS
+      // the k ∝ √N design volume (N·probes·N/k ∝ N^1.5), which at N=2M
+      // is ~1.6e10 rows — hundreds of GB of shuffle that a 1000-executor
+      // cluster holds at ~300 MB/executor but a single box's disk cannot
+      // (measured: ENOSPC at sf100); the SERVE entry above measures the
+      // per-query economics that survive on one box.
+      if (!sys.env.get("SPARK_GRAFT_ANN_GRAPH").contains("0")) {
+        spark.conf.set(graft.similarity.Similarity.GraphCellsConf, k.toString)
+        try out(s"s07b_graph_k$k") =
+          timed(graft.similarity.Similarity.knnGraphTrained(spark, sfDir))
+        finally spark.conf.unset(graft.similarity.Similarity.GraphCellsConf)
+      }
     }
     if (probes("trade") || probes("r06_trade")) {
       // The r06 grid-sim chain on mult× replicated series (user_id
