@@ -274,7 +274,12 @@ object LshBucketsExpr {
           acc += v.getDouble(c) * (if (m == 1L) -1.0 else 1.0)
           c += 1
         }
-        if (acc >= 0.0) bucket |= (1 << p)
+        // NaN mirrors Catalyst's double ordering (ADVICE round-15): the
+        // HOF spelling's `>= 0` comparison runs Spark's total order where
+        // NaN sorts ABOVE every value, so a NaN dot must set the bit here
+        // too — Java's `NaN >= 0.0` alone is false and a NaN-containing
+        // embedding would bucket differently between the two spellings
+        if (acc >= 0.0 || java.lang.Double.isNaN(acc)) bucket |= (1 << p)
         p += 1
       }
       out(t) = bucket

@@ -277,11 +277,40 @@ object Similarity {
     * Scale shape: the bucket id is the shuffle key (2^planes buckets per
     * table — parameterized precisely because a fixed 256 buckets is a
     * fan-in ceiling at 100 TB); candidate dedup and the final top-k are
-    * partial aggregations on well-distributed keys. */
+    * partial aggregations on well-distributed keys.
+    *
+    * MEGA-BUCKET CAP (round-16, closing the round-15 honest negative
+    * result): plane count bounds the AVERAGE bucket population, but a
+    * duplicate-heavy corpus — exactly what a pre-dedup crawl looks like —
+    * co-buckets near-identical vectors in the SAME bucket of EVERY table
+    * at any plane count, and candidate mass is Σ bucket_q·bucket_n, which
+    * the sf100 rehearsal measured as a 30+ GB pair shuffle before the
+    * kill. The cap is d03's `MaxShingleDf` precedent adapted to LSH: the
+    * MEMBER side of each (tbl, bucket) is capped at
+    * [[LshMaxBucket]] vectors (the k smallest vec_ids through the bounded
+    * heap — deterministic across runs/engines), while the QUERY side
+    * stays uncapped so every query still probes. Per-query candidates are
+    * then ≤ tables·cap regardless of corpus duplication. Gated on the
+    * corpus plan-stat size ([[LshCapMinBytes]], the hot-bin discipline)
+    * so gate-SF plans — and the ShuffleGuard 5-exchange pin — are
+    * byte-identical to the uncapped form; when the cap branch IS armed
+    * but no bucket exceeds the cap, capped ≡ plain row-for-row
+    * (LlmOpsSpec pins this). */
+  val LshMaxBucket = 4096
+  val LshMaxBucketConf = "spark.graft.ann.lshMaxBucket"
+  val LshCapMinBytes: Long = 1L << 28 // 256 MiB
+  val LshCapMinBytesConf = "spark.graft.ann.lshCapMinBytes"
+
   def lshTopKParam(spark: SparkSession, dir: String,
+      planes: Int, tables: Int): DataFrame =
+    lshTopKFrom(graft.GraftSession.maybeCache(vecs(spark, dir)), planes, tables)
+
+  /** [[lshTopKParam]] over any (vec_id, v, norm) frame (duplicate-heavy
+    * synthetic corpora in the ScalingProbe / specs). */
+  private[graft] def lshTopKFrom(e: DataFrame,
       planes: Int, tables: Int): DataFrame = {
+    val spark = e.sparkSession
     import spark.implicits._
-    val e = graft.GraftSession.maybeCache(vecs(spark, dir))
     // plane g (global index t*planes + p) component c in {-1, +1}:
     // deterministic from (g, c) so every engine/run buckets identically.
     // The mix must give DISTINCT patterns per plane — a small-modulus
@@ -314,9 +343,26 @@ object Similarity {
       .select($"vec_id", posexplode(graft.functions.catalyst.GraftColumns
         .lsh_buckets($"v", planes, tables)).as(Seq("tbl", "bucket")))
       .repartition(nPart, $"tbl", $"bucket")
+    // Mega-bucket member cap (see the operator scaladoc): armed only past
+    // the plan-stat gate, so gate-SF plans are byte-identical. The heap
+    // agg groups on the SAME (tbl, bucket) keys as the pinned repartition
+    // above, so ENSURE_REQUIREMENTS reuses that exchange — the cap adds
+    // no shuffle, only the bounded per-bucket heap.
+    val cap = spark.conf.get(LshMaxBucketConf, LshMaxBucket.toString).toInt
+    val capMinBytes =
+      spark.conf.get(LshCapMinBytesConf, LshCapMinBytes.toString).toLong
+    val capOn = cap > 0 &&
+      e.queryExecution.optimizedPlan.stats.sizeInBytes >= capMinBytes
+    val members =
+      if (!capOn) bucketed.toDF("neighbor_id", "tbl", "bucket")
+      else bucketed
+        .groupBy($"tbl", $"bucket")
+        .agg(graft.functions.catalyst.GraftColumns
+          .topk_by_ord($"vec_id", $"vec_id", cap).as("ids"))
+        .select($"tbl", $"bucket", explode($"ids").as("neighbor_id"))
     val cand = bucketed.filter($"vec_id" % QueryStride === 0)
       .toDF("query_id", "tbl", "bucket")
-      .join(bucketed.toDF("neighbor_id", "tbl", "bucket"), Seq("tbl", "bucket"))
+      .join(members, Seq("tbl", "bucket"))
       .filter($"query_id" =!= $"neighbor_id")
       .select($"query_id", $"neighbor_id").distinct()
     val q = e.select($"vec_id".as("query_id"), $"v".as("vq"), $"norm".as("nq"))
@@ -416,9 +462,19 @@ object Similarity {
     * rows-only in the driver; recall vs s01 asserted in tests. */
   val IvfCells = 10
   val IvfProbe = 4
+  /** Session confs for the trained-IVF geometry (the graphCells/range
+    * knob discipline): the scaled rehearsals retune k ∝ √N at runtime
+    * while the gated default geometry stays fixed. */
+  val IvfCellsConf = "spark.graft.ann.ivfCells"
+  val IvfProbeConf = "spark.graft.ann.ivfProbe"
+
+  def ivfTrainedTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfTrainedTopK(spark, dir,
+      spark.conf.get(IvfCellsConf, IvfCells.toString).toInt,
+      spark.conf.get(IvfProbeConf, IvfProbe.toString).toInt)
 
   def ivfTrainedTopK(spark: SparkSession, dir: String,
-      k: Int = IvfCells, nProbe: Int = IvfProbe): DataFrame = {
+      k: Int, nProbe: Int): DataFrame = {
     import spark.implicits._
     import org.apache.spark.ml.functions.array_to_vector
     // cache the SHARED vecs plan (one CacheManager entry with s03/s05/
@@ -432,27 +488,51 @@ object Similarity {
     val model = graft.ml.Features.fittedKmeans(spark, dir, k)
     val assigned = model.transform(e)
       .select($"vec_id", $"v", $"norm", $"prediction".as("cell"))
+    // ||c||² precomputed ONCE per centroid on the driver (k values) —
+    // the s07b lesson: a per-row HOF fold re-ran k·|q| non-codegen array
+    // traversals through the probe ranking
     val centDf = spark.createDataFrame(
-      model.clusterCenters.toSeq.zipWithIndex.map { case (c, i) => (i, c.toArray) })
-      .toDF("cell", "cv")
-    val wProbe = Window.partitionBy($"query_id").orderBy($"score", $"cell")
-    val probes = assigned.filter($"vec_id" % QueryStride === 0)
+      model.clusterCenters.toSeq.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray, c.toArray.foldLeft(0.0)((a, x) => a + x * x)) })
+      .toDF("cell", "cv", "cnorm2")
+    // Both rank stages through the bounded-heap aggregate, not windows
+    // (round 16 — s03's ivfProbedTopK is the model). The old wTop window
+    // shuffled and whole-sorted the |q|·nProbe·N/k candidate stream on
+    // query_id — the operator class whose label-cell twin ENOSPC'd s07 at
+    // sf10 with 78 GB of sort spill. graft_topk's partial aggregation
+    // cuts each map task to ≤k rows per query BEFORE the exchange. The
+    // probe stage's input is broadcast-bounded (|q|·k rows), but it runs
+    // through the same heap for uniformity: heap key −score gives the
+    // window's (score ASC, cell ASC) order exactly — double negation is
+    // exact, and the heap's id-ASC tiebreak is the window's cell ASC.
+    val tk = graft.functions.catalyst.GraftColumns.topk_by _
+    val q = assigned.filter($"vec_id" % QueryStride === 0)
       .select($"vec_id".as("query_id"), $"v".as("vq"), $"norm".as("nq"))
+    val probes = q.select($"query_id", $"vq")
       .crossJoin(broadcast(centDf))
-      .withColumn("score", F.foldSum(transform($"cv", x => x * x)) -
+      .withColumn("score", $"cnorm2" -
         lit(2.0) * graft.functions.catalyst.GraftColumns.dot_f64($"vq", $"cv"))
-      .withColumn("prnk", row_number().over(wProbe))
-      .filter($"prnk" <= nProbe)
-      .select($"query_id", $"vq", $"nq", $"cell")
+      .groupBy($"query_id")
+      .agg(tk(-$"score", $"cell".cast("long"), nProbe).as("cells"))
+      .select($"query_id", explode($"cells.id").as("lbl"))
+      .select($"query_id", $"lbl".cast("int").as("cell"))
     val members = assigned
       .select($"cell", $"vec_id".as("neighbor_id"), $"v".as("vn"), $"norm".as("nn"))
-    val wTop = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
-    probes.join(members, Seq("cell"))
+    // JOIN ORDER (the s03/round-14 lesson): attach the query vectors
+    // BEFORE the cell-member fan-out join, so candidates are born
+    // adjacent to their partial heap aggregate and the fan-out stream is
+    // never shuffled — probes⋈q is |q|·nProbe rows, members is |corpus|.
+    probes
+      .join(q, Seq("query_id"))
+      .join(members, Seq("cell"))
       .filter($"query_id" =!= $"neighbor_id")
       .withColumn("cosine", F.fr(cosine($"vq", $"vn", $"nq", $"nn"), 6))
-      .withColumn("rnk", row_number().over(wTop))
-      .filter($"rnk" <= TopK)
-      .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
+      .filter($"cosine".isNotNull)
+      .groupBy($"query_id")
+      .agg(tk($"cosine", $"neighbor_id", TopK).as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("pos", "t")))
+      .select($"query_id", ($"pos" + 1).cast("int").as("rnk"),
+        $"t.id".as("neighbor_id"), $"t.score".as("cosine"))
       .orderBy($"query_id", $"rnk")
   }
 
@@ -479,15 +559,22 @@ object Similarity {
       .withColumnRenamed("label", "clabel")
     val cn2 = centroids.groupBy($"clabel")
       .agg(sum(floor($"cv" * $"cv" * 1e9).cast("long")).as("cn2q"))
-    val aw = Window.partitionBy($"vec_id").orderBy($"score", $"clabel")
+    // Cell assignment through a k=1 bounded heap, not a window (round 16
+    // — the r08/t13 argmax swap): the window form shuffled all N×labels
+    // scored rows on vec_id and whole-sorted each partition, where
+    // graft_topk_ord partial-aggregates each map task down to ONE row per
+    // vec_id before the exchange. The struct key (score ASC, clabel ASC)
+    // is exactly the window's total order, and it is unique per group
+    // because clabel is a component.
     val assigned = dims.drop("label").join(centroids, Seq("dim"))
       .groupBy($"vec_id", $"clabel")
       .agg(sum(floor($"dv" * $"cv" * 1e9).cast("long")).as("dotq"))
       .join(cn2, Seq("clabel"))
       .withColumn("score", $"cn2q" - lit(2L) * $"dotq")
-      .withColumn("arnk", row_number().over(aw))
-      .filter($"arnk" === 1)
-      .select($"vec_id", $"clabel".as("cell"))
+      .groupBy($"vec_id")
+      .agg(graft.functions.catalyst.GraftColumns
+        .topk_by_ord(struct($"score", $"clabel"), $"clabel", 1).as("cells"))
+      .select($"vec_id", $"cells"(0).as("cell"))
     val m = e.join(assigned, Seq("vec_id"))
       .select($"vec_id", $"cell", $"v", $"norm")
     m.toDF("vec_a", "cell", "va", "na")

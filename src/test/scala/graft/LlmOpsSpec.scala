@@ -93,6 +93,57 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(hit.toDouble / total >= 0.8, s"recall ${hit.toDouble / total}")
   }
 
+  test("s02: the armed mega-bucket cap is plan-invisible when no bucket exceeds it") {
+    // Round-16 (VERDICT r15 task 2): the cap path must be a pure
+    // degradation guard — with the cap branch FORCED on (plan-stat gate
+    // dropped to 0) but the default cap far above every test-SF bucket
+    // population, the capped result must equal the plain result
+    // row-for-row. A drift here means the member-side heap reordered or
+    // dropped sub-cap candidates.
+    val plain = similarity.Similarity.lshTopKParam(spark, sf, 4, 2).collect()
+    spark.conf.set(similarity.Similarity.LshCapMinBytesConf, "0")
+    try {
+      val capped = similarity.Similarity.lshTopKParam(spark, sf, 4, 2).collect()
+      assert(plain.nonEmpty)
+      assert(capped.toSeq == plain.toSeq, "capped != plain under a non-engaging cap")
+    } finally spark.conf.unset(similarity.Similarity.LshCapMinBytesConf)
+  }
+
+  test("s02: an engaging cap bounds a duplicate-heavy corpus's candidates and keeps exact top-k") {
+    // The sf100 negative result in miniature: 60% of the corpus is ONE
+    // repeated vector (plus per-vector noise ids), which co-buckets in
+    // every table at any plane count. With cap=8 the member side of each
+    // (tbl, bucket) is capped, so the run completes with per-query
+    // candidate mass ≤ tables·cap — and every query still returns its
+    // TopK rows (queries are never dropped, only far-duplicate members).
+    import TestSpark.spark.implicits._
+    val base = Array.tabulate(8)(i => math.sin(i + 1.0))
+    val dup = (0L until 600L).map { i =>
+      (i * similarity.Similarity.QueryStride, base.toSeq) } // all query-stride ids
+    val rest = (0L until 400L).map { i =>
+      (i * similarity.Similarity.QueryStride + 1,
+        Array.tabulate(8)(d => math.cos(i * 8.0 + d)).toSeq) }
+    val e = (dup ++ rest).toDF("vec_id", "v")
+      .withColumn("norm", sqrt(functions.TextFunctions.foldSum(
+        transform($"v", x => x * x))))
+    spark.conf.set(similarity.Similarity.LshCapMinBytesConf, "0")
+    spark.conf.set(similarity.Similarity.LshMaxBucketConf, "8")
+    try {
+      val out = similarity.Similarity.lshTopKFrom(e, 4, 2)
+        .groupBy($"query_id").count().collect()
+      assert(out.length == 600, s"expected 600 query groups, got ${out.length}")
+      assert(out.forall(_.getLong(1) <= similarity.Similarity.TopK))
+      // the duplicate cluster's queries found duplicate neighbors (the cap
+      // keeps the k smallest member ids, which ARE duplicates here)
+      val dupTop = similarity.Similarity.lshTopKFrom(e, 4, 2)
+        .filter($"query_id" === 0L && $"rnk" === 1).collect()
+      assert(dupTop.nonEmpty && dupTop.head.getAs[Double]("cosine") >= 0.999999)
+    } finally {
+      spark.conf.unset(similarity.Similarity.LshCapMinBytesConf)
+      spark.conf.unset(similarity.Similarity.LshMaxBucketConf)
+    }
+  }
+
   test("s02: the native LshBuckets expression equals the HOF bucketing spelling") {
     // Round-15: s02's bucketing moved from the zip_with/transform fold to
     // the one-pass codegen expression — this pins the two spellings equal
@@ -112,8 +163,13 @@ class LlmOpsSpec extends AnyFunSuite {
       }.reduce(_ + _)
     }: _*)
     val edge = Seq(
-      (9000001L, Seq(0.0, 0.0, 0.0)),          // zero vector: sign(0) >= 0
-      (9000002L, Seq(-1.5, 2.25, -0.125, 8.0)) // odd dims, mixed signs
+      (9000001L, Seq(0.0, 0.0, 0.0)),           // zero vector: sign(0) >= 0
+      (9000002L, Seq(-1.5, 2.25, -0.125, 8.0)), // odd dims, mixed signs
+      // NaN dot (ADVICE round-15): both spellings must bucket a NaN
+      // accumulator the same way — Catalyst's total order puts NaN above
+      // every value, so the sign bit SETS; the native expression mirrors
+      // that explicitly rather than Java's NaN >= 0.0 == false
+      (9000003L, Seq(Double.NaN, 1.0, -2.0))
     ).toDF("vec_id", "v")
     val corpus = sources.Tables.embeddings(spark, sf)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))

@@ -130,8 +130,22 @@ class PlanGuardSpec extends AnyFunSuite with PredicateHelper {
     // future edit cannot quietly regress one member back to the window
     // form (ShuffleGuardSpec pins s02's exchange count; this pins the
     // operator class).
+    //
+    // Round 16 enrolls the EAGER members too — s04 (trained IVF) and d09
+    // (IVF cell-blocked dedup) both ranked through windows despite the
+    // round-15 claim that the family was pinned; their KMeans/centroid
+    // construction work is memoized per (session, dir), so inspecting
+    // their plans here costs one fit, not one per run. The family members
+    // deliberately NOT here, with reasons (the denylist discipline):
+    //   s05/s05b/s06 — their re-rank windows run on driver-bounded
+    //     |q|·keep·tasks streams (MaxServeBatch contract), not
+    //     corpus-scale candidates; window input is O(k) per query by
+    //     construction.
+    //   s07b — composes s07's (guarded) core; its own plan adds only the
+    //     trained cell count parameter.
     val annLazy = Seq("s01_ann_bruteforce", "s02_ann_lsh", "s03_ann_ivf",
-      "s07_knn_graph", "s08_range_search")
+      "s04_ann_ivf_trained", "s07_knn_graph", "s08_range_search",
+      "d09_dedup_embedding_ivf")
     val offenders = annLazy.flatMap { name =>
       spark.catalog.clearCache()
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan

@@ -106,6 +106,14 @@ class ShuffleGuardSpec extends AnyFunSuite {
     // rank window or a dedup shuffle crept back in, and a 4-exchange
     // plan means the PIN was lost to AQE coalescing.
     "s02_ann_lsh" -> 5,
+    // s04 (round 16): both trained-IVF rank stages collapsed into the
+    // heap (VERDICT r15 #1) — ONE probe heap-agg exchange on query_id,
+    // which the FINAL heap agg then reuses (the query/member joins
+    // broadcast at this SF and preserve the probe partitioning, so the
+    // partial+final ObjectHashAggregate pair runs with no exchange
+    // between them), + the output sort. A 3rd exchange means a rank
+    // window came back or the final heap lost the reused partitioning.
+    "s04_ann_ivf_trained" -> 2,
     // t10: tf agg + df agg riding tf's term partitioning + the heap's
     // doc exchange/sort path — a 4th data exchange means the per-doc
     // rank regressed to a window
