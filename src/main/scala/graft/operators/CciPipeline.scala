@@ -1331,16 +1331,142 @@ object CciPipeline {
     * sums; (event_date, order_no, side) is a total order within an
     * account so the cumsums are engine-deterministic. The custkey join is
     * orderkey-to-orderkey, co-partitioned with the reconcile output. */
-  def positionLedger(spark: SparkSession, dir: String): DataFrame = {
+  def positionLedger(spark: SparkSession, dir: String): DataFrame =
+    positionLedgerFrom(spark, orderFills(spark, dir))
+
+  /** Chunks per hot account for the running-sum split; <= 1 disables. */
+  val LedgerChunksConf = "spark.graft.ledger.split.chunks"
+  /** Fills plan-stat bytes below which the split never arms (detection is
+    * an extra aggregation scan — don't pay it on small ledgers). */
+  val LedgerMinBytesConf = "spark.graft.ledger.split.minBytes"
+  /** Fills per account above which the account counts as hot. */
+  val LedgerHotRowsConf = "spark.graft.ledger.split.hotRows"
+  private val LedgerDefaultChunks = 16
+  private val LedgerDefaultMinBytes: Long = 1L << 30
+  private val LedgerDefaultHotRows: Long = 2000000L
+  /** |hot| <= fills/hotRows by construction; guard the broadcast anyway. */
+  private val LedgerMaxHotAccounts = 100000L
+
+  /** Hot-account detection memo, the q47 `detectMemo` discipline: the
+    * bounds collect runs once per (canonicalized fills plan, chunks,
+    * hotRows) — SQL-surface views reconstruct operators repeatedly. */
+  private val ledgerDetectMemo = scala.collection.concurrent.TrieMap.empty[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Long),
+    Array[org.apache.spark.sql.Row]]
+
+  /** [[positionLedger]] over any fills frame.
+    *
+    * WHALE-ACCOUNT SPLIT (round-16, closing VERDICT r15 #2): the plain
+    * form's running sums are ONE window over the unbounded account key —
+    * a whale account at 100× is a single sorted task by construction,
+    * the q47/r29 hot-key straggler class, and §5's own rule ("no
+    * aggregate windows over unbounded keys") flags it. When the fills
+    * plan-stat size passes [[LedgerMinBytesConf]], a one-scan detection
+    * aggregate finds accounts above [[LedgerHotRowsConf]] fills and
+    * broadcasts their (account, date/order extents); each hot account's
+    * fills are then range-split into [[LedgerChunksConf]] chunks on the
+    * LEXICOGRAPHIC (event_date, order_no) linearization — monotonic in
+    * the ledger's sort order, so chunk boundaries never cut a tie group
+    * (side, the last key, never crosses chunks), and a whale whose fills
+    * all land on ONE date still splits by order range. Running sums
+    * become: within-chunk cumsum (window over the now-bounded
+    * (cust, chunk) key) + the carried sum of prior chunks (a
+    * chunks-per-account-sized window). Deltas are LONGs, so addition
+    * regrouping is exact — the stitch is bit-equal, proven row-for-row
+    * by LedgerSplitSpec. Cold accounts keep the plain one-shuffle path;
+    * the gated oracle runs it unchanged (sf fills ≪ the gate). */
+  private[graft] def positionLedgerFrom(spark: SparkSession,
+      fills: DataFrame): DataFrame = {
     import spark.implicits._
-    val fills = orderFills(spark, dir)
     val w = Window.partitionBy($"cust_id")
       .orderBy($"event_date", $"order_no", $"side")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    fills
+    def plainOver(f: DataFrame): DataFrame = f
       .withColumn("position_qty", sum($"qty_delta").over(w))
       .withColumn("cash_balance", sum($"cash_delta").over(w))
-      .orderBy($"cust_id", $"event_date", $"order_no", $"side")
+    val chunks =
+      spark.conf.get(LedgerChunksConf, LedgerDefaultChunks.toString).toInt
+    val minBytes =
+      spark.conf.get(LedgerMinBytesConf, LedgerDefaultMinBytes.toString).toLong
+    val armed = chunks > 1 &&
+      fills.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes
+    val hot = if (!armed) Array.empty[org.apache.spark.sql.Row] else {
+      val hotRows =
+        spark.conf.get(LedgerHotRowsConf, LedgerDefaultHotRows.toString).toLong
+      ledgerDetectMemo.getOrElseUpdate(
+        (fills.queryExecution.optimizedPlan.canonicalized, chunks, hotRows), {
+          if (ledgerDetectMemo.size > 64) ledgerDetectMemo.clear()
+          val rows = fills.groupBy($"cust_id")
+            .agg(count(lit(1)).as("n"),
+              min($"event_date").as("d0"), max($"event_date").as("d1"),
+              min($"order_no").as("o0"), max($"order_no").as("o1"))
+            .filter($"n" >= hotRows)
+            .limit((LedgerMaxHotAccounts + 1).toInt).collect()
+          require(rows.length <= LedgerMaxHotAccounts,
+            s"ledger split: > $LedgerMaxHotAccounts hot accounts — raise " +
+              s"$LedgerHotRowsConf instead of broadcasting an unbounded bounds table")
+          rows
+        })
+    }
+    if (hot.isEmpty) plainOver(fills)
+        .orderBy($"cust_id", $"event_date", $"order_no", $"side")
+    else {
+      val boundsDf = broadcast(spark.createDataFrame(
+        spark.sparkContext.parallelize(hot.toSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cust_id",
+            fills.schema("cust_id").dataType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("d0",
+            fills.schema("event_date").dataType),
+          org.apache.spark.sql.types.StructField("d1",
+            fills.schema("event_date").dataType),
+          org.apache.spark.sql.types.StructField("o0",
+            fills.schema("order_no").dataType),
+          org.apache.spark.sql.types.StructField("o1",
+            fills.schema("order_no").dataType))))
+        .select($"cust_id", $"d0", $"d1", $"o0", $"o1"))
+      val tagged = fills.join(boundsDf, Seq("cust_id"), "left")
+      val cold = plainOver(tagged.filter($"d0".isNull)
+        .drop("d0", "d1", "o0", "o1"))
+      // lexicographic linearization: lin = dateIdx·ordSpan + ordIdx, with
+      // ordIdx < ordSpan — strictly monotonic in (event_date, order_no),
+      // so chunking floor(lin/step) respects the sort order. Magnitudes:
+      // dateIdx ≤ ~5e4, ordSpan ≤ ~6e9 ⇒ lin ≤ 3e14. Spark's `/` on
+      // longs divides in DOUBLE, so floor-div is spelled exactly via
+      // pmod: the numerator becomes a multiple of the divisor and the
+      // integral quotient (≤ 2^53) is double-exact.
+      def ldiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        ((a - pmod(a, b)) / b).cast("long")
+      val ordSpan = $"o1" - $"o0" + 1L
+      val lin = datediff($"event_date", $"d0").cast("long") * ordSpan +
+        ($"order_no" - $"o0")
+      val linSpan = (datediff($"d1", $"d0").cast("long") + 1L) * ordSpan
+      val step = ldiv(linSpan + (chunks - 1).toLong, lit(chunks.toLong))
+      val hotF = tagged.filter($"d0".isNotNull)
+        .withColumn("chunk", ldiv(lin, step).cast("int"))
+        .drop("d0", "d1", "o0", "o1")
+      val wLocal = Window.partitionBy($"cust_id", $"chunk")
+        .orderBy($"event_date", $"order_no", $"side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wCarry = Window.partitionBy($"cust_id").orderBy($"chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = hotF.groupBy($"cust_id", $"chunk")
+        .agg(sum($"qty_delta").as("tq"), sum($"cash_delta").as("tc"))
+        .withColumn("cq", coalesce(sum($"tq").over(wCarry), lit(0L)))
+        .withColumn("cc", coalesce(sum($"tc").over(wCarry), lit(0L)))
+        .select($"cust_id", $"chunk", $"cq", $"cc")
+      val hotLedger = hotF
+        .withColumn("pq_l", sum($"qty_delta").over(wLocal))
+        .withColumn("cb_l", sum($"cash_delta").over(wLocal))
+        .join(carry, Seq("cust_id", "chunk"))
+        .withColumn("position_qty", $"pq_l" + $"cq")
+        .withColumn("cash_balance", $"cb_l" + $"cc")
+        .drop("chunk", "pq_l", "cb_l", "cq", "cc")
+      cold.unionByName(hotLedger)
+        .orderBy($"cust_id", $"event_date", $"order_no", $"side")
+    }
   }
 
   /** r26's fill stream (no running sums): each reconciled order exploded
