@@ -31,8 +31,14 @@ object Bench {
     // ...) without a recompile — SPARK_GRAFT_CONF="k=v,k=v".
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
+        // warn-and-skip malformed entries (ADVICE round-15): an
+        // irrefutable Array(k, v) destructure threw a MatchError on any
+        // entry missing '=', killing the whole bench before any timing
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k, v)
+          case _ => System.err.println(
+            s"[bench] WARNING: skipping malformed SPARK_GRAFT_CONF entry '$kv' (no '=')")
+        }
       })
 
     def materialize(df: DataFrame): Unit =

@@ -506,7 +506,16 @@ object Daily {
       val collected = withBal.collect()
       val cnts = collected.filter(_.getString(0) != "__bal")
         .map(r => r.getString(0) -> r.getDouble(1).toLong).toMap
-      collected.find(_.getString(0) == "__bal").foreach { r =>
+      // the __bal row is an INVARIANT when a balance snapshot exists
+      // (bal is a 1-row aggregate cross-joined with 1-row aggregates) —
+      // keep the failure loud (ADVICE round-15): a silent find-miss here
+      // would skip the day's balance write and stall the balance chain
+      // with no error anywhere
+      val balRow = collected.find(_.getString(0) == "__bal")
+      if (balSnap.isDefined && balRow.isEmpty)
+        sys.error(s"daily run: balance snapshot produced no __bal row for day $s — " +
+          "the latest committed balance partition is empty")
+      balRow.foreach { r =>
         val (b0, c, p) =
           (r.getDouble(1).toLong, r.getDouble(2).toLong, r.getDouble(3).toLong)
         overwrite(

@@ -664,7 +664,14 @@ object ScalingProbe {
           if (days.nonEmpty) days.sum.toDouble / days.size else -1.0
       }
       try {
-        runMode(bal = false, "fix"); runMode(bal = true, "bal")
+        // Force the day-tail AQE gate ON for the baseline modes (ADVICE
+        // round-15): Daily.runDay's auto gate already runs probe-scale
+        // day tails with AQE OFF (state < adaptiveOffBytes), so without
+        // the override "fix"/"bal" and their _noaqe twins measured the
+        // SAME adaptive state and the delta stopped being AQE ceremony.
+        spark.conf.set(Daily.DailyAdaptiveConf, "true")
+        try { runMode(bal = false, "fix"); runMode(bal = true, "bal") }
+        finally spark.conf.unset(Daily.DailyAdaptiveConf)
         // AQE attribution: each materialized exchange is its own
         // scheduled job under AQE, so a 7-action day bills ~5 jobs per
         // action. The day loop's actions are all delta/dimension-scale
@@ -754,6 +761,69 @@ object ScalingProbe {
         .select($"node", ($"node" - lanes).as("anc"), lit(1L).as("dist"))
       out("q45_doubling") = timed(graft.operators.Hierarchy.closureFrom(edges))
       out("q45_frontier") = timed(graft.operators.Hierarchy.frontierClosureFrom(edges))
+    }
+    if (probes("lshcap") || probes("s02_capped") || probes("s02_uncapped")) {
+      // The round-15 sf100 negative result as a controlled probe: a
+      // duplicate-heavy corpus (60% of vectors are ONE exact duplicate —
+      // the pre-dedup-crawl shape) co-buckets the duplicate mass in the
+      // same (tbl, bucket) of EVERY table at any plane count, so the
+      // uncapped candidate mass is Σ bucket_q·bucket_n ∝ dupFrac²·N² —
+      // quadratic no matter the geometry. The round-16 mega-bucket cap
+      // must turn that into ≤ queries·tables·cap candidates (linear).
+      // `s02_uncapped` is the blow-up evidence — run it only at small
+      // mult and on purpose.
+      import graft.similarity.Similarity
+      val dim = 16
+      val nVec = 20000L * mult
+      val dupDir = s"/tmp/graft_scale_lshdup_$mult"
+      val baseVec = array((0 until dim).map(d => lit(math.sin(d + 1.0))): _*)
+      val uniqVec = transform(sequence(lit(0), lit(dim - 1)),
+        d => cos(($"id" * dim + d).cast("double")))
+      val e = land(spark.range(nVec).select(
+        $"id".as("vec_id"),
+        when(pmod($"id", lit(10L)) < 6, baseVec).otherwise(uniqVec).as("v")),
+        dupDir)
+        .withColumn("norm", sqrt(graft.functions.TextFunctions.foldSum(
+          transform($"v", x => x * x))))
+      def lshRun(tag: String, capped: Boolean): Unit = {
+        spark.conf.set(Similarity.LshCapMinBytesConf,
+          if (capped) "0" else Long.MaxValue.toString)
+        try out(tag) = timed(Similarity.lshTopKFrom(e, 8, 2))
+        finally spark.conf.unset(Similarity.LshCapMinBytesConf)
+      }
+      if (on("lshcap", "s02_capped")) lshRun("s02_capped", capped = true)
+      if (probes("s02_uncapped")) lshRun("s02_uncapped", capped = false)
+    }
+    if (probes("ledger") || probes("r26_ledger")) {
+      // r26's whale-account claim measured: ONE account carrying mult
+      // millions of fills is a single sorted window task by construction
+      // in the plain form; the round-16 range-split must spread it over
+      // `chunks` tasks with the carried-sum stitch. Same frame, same
+      // output sort — the delta is the running-sum stage alone.
+      import graft.operators.CciPipeline
+      val nFills = 1000000L * mult
+      val ledDir = s"/tmp/graft_scale_ledger_$mult"
+      val f = land(spark.range(nFills).select(
+        lit(1L).as("cust_id"),
+        date_add(lit("2020-01-01").cast("date"),
+          pmod($"id", lit(3650L)).cast("int")).as("event_date"),
+        $"id".as("order_no"),
+        when(pmod($"id", lit(2L)) === 0, "buy").otherwise("sell").as("side"),
+        (pmod($"id", lit(7L)) + 1L).as("qty_delta"),
+        (-(pmod($"id", lit(7L)) + 1L) * (lit(500L) + pmod($"id", lit(111L))))
+          .as("cash_delta")), ledDir)
+      def ledRun(tag: String, split: Boolean): Unit = {
+        val confs =
+          if (split) Seq(CciPipeline.LedgerMinBytesConf -> "0",
+            CciPipeline.LedgerHotRowsConf -> "100000",
+            CciPipeline.LedgerChunksConf -> cpus)
+          else Seq(CciPipeline.LedgerChunksConf -> "1")
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        try out(tag) = timed(CciPipeline.positionLedgerFrom(spark, f))
+        finally confs.foreach { case (k, _) => spark.conf.unset(k) }
+      }
+      if (on("ledger", "r26_plain")) ledRun("r26_plain", split = false)
+      if (on("ledger", "r26_split")) ledRun("r26_split", split = true)
     }
     // Fail fast on an empty selection (typo'd SPARK_GRAFT_PROBE): the run
     // would otherwise print malformed JSON ("...,}") and measure nothing.
