@@ -283,6 +283,11 @@ object SparkEntry {
     // like t14 (iterative merges have no SQL form), stream parity vs an
     // independent in-memory encoder spec'd
     "t16_bpe_encode" -> (TextAnalysis.bpeEncode _),
+    // t16b: the encode stream's conservation gate — the REAL distributed
+    // encode runs, then n_chars + a poly hash of the reconstructed
+    // character stream compare against DuckDB's independent derivation
+    // from the raw text (round 16: the BPE family's first oracle row)
+    "t16b_bpe_conservation" -> (TextAnalysis.bpeConservation _),
     // p11: content-addressed corpus manifest — the versioned-release
     // integrity record; one partial-aggregable scan
     "p11_corpus_manifest" -> (Curation.corpusManifest _),
@@ -403,6 +408,7 @@ object SparkEntry {
     "t02_quality_score" -> TextAnalysis.qualityScoreSql,
     "t03_lang_id" -> TextAnalysis.langIdSql,
     "t04_fingerprint" -> TextAnalysis.fingerprintSql,
+    "t16b_bpe_conservation" -> TextAnalysis.bpeConservationSql,
     "m01_multimodal_meta" -> graft.multimodal.Multimodal.mediaMetaSql,
     "v01_sessionize" -> graft.streaming.EventStream.sessionizeSql,
     "q15_pivot" -> Extras.pivotCountsSql,

@@ -1065,6 +1065,39 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  // --------------------------------------------------------------- t16b
+  /** t16b: the encode stream's CONSERVATION gate (round 16 — the BPE
+    * family's first oracle-checked row). BPE merges only concatenate
+    * ADJACENT symbols within a word, so concatenating every document's
+    * encoded tokens must reproduce the document's text with the token
+    * separator removed — character for character, in order, for any
+    * merge table. This row derives n_chars and a polynomial hash of that
+    * reconstructed stream FROM THE ENCODED TOKENS (the real distributed
+    * encode runs first); DuckDB derives the same values independently
+    * from the raw text (`replace(text, ' ', '')`), so a dropped,
+    * duplicated or reordered word, a lost character, or tokenization
+    * drift anywhere in the corpus flips the hash. What it deliberately
+    * does NOT gate is the merge RANKING (every table conserves the
+    * stream); that half stays pinned by LlmOpsSpec's parity gate against
+    * the independent in-memory encoder. Same zero-shuffle plan as t16. */
+  def bpeConservation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeEncodeTokens(Tables.documents(spark, dir).select($"doc_id", $"text"),
+        bpeMergesFor(spark, dir))
+      .select($"doc_id", $"n_words",
+        length(concat_ws("", $"toks")).as("n_chars"),
+        F.polyHash(concat_ws("", $"toks")).as("stream_hash"))
+      .orderBy($"doc_id")
+  }
+
+  val bpeConservationSql: String =
+    s"""SELECT doc_id,
+       |  len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words,
+       |  length(replace(text, ' ', '')) AS n_chars,
+       |  ${S.polyHash("replace(text, ' ', '')")} AS stream_hash
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
   /** The encoded token stream itself (doc_id, n_words, toks) — shared by
     * the gated row and the spec's parity gate. */
   private[graft] def bpeEncodeTokens(docs: DataFrame,

@@ -1387,6 +1387,23 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t16b: conservation row == independent raw-text derivation (the oracle identity)") {
+    // the gated row derives n_chars/stream_hash from the ENCODED tokens;
+    // this recomputes both straight from the raw text (the DuckDB oracle's
+    // derivation path, in-engine) and pins row-for-row equality — plus the
+    // separator-free reconstruction law the row rests on
+    val got = operators.TextAnalysis.bpeConservation(spark, sf)
+    val want = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(filter(functions.TextFunctions.tokens(col("text")), w => w =!= ""))
+          .as("n_words"),
+        length(regexp_replace(col("text"), " ", "")).as("n_chars"),
+        functions.TextFunctions.polyHash(regexp_replace(col("text"), " ", ""))
+          .as("stream_hash"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    assert(got.count() == sources.Tables.documents(spark, sf).count() && got.count() > 0)
+  }
+
   test("p10: repetition schedule is a gapless sequence with band-correct copy counts") {
     val out = operators.Curation.qualityRepeat(spark, sf).cache()
     try {
