@@ -640,10 +640,31 @@ object Daily {
     *     (default 256 MB); true/false force.
     * Bootstrap always keeps the session's AQE — it is the one
     * corpus-scale pass in the loop. Threshold sizing: SURVEY §5
-    * "Sizing a real deployment". */
+    * "Sizing a real deployment".
+    *
+    * Round-16 (optimization, guide §2.2/§6): turning AQE off at delta
+    * scale removed the adaptive-job ceremony but LEFT the session's
+    * static shuffle partitioning (32 at bench geometry) on every
+    * dimension-scale exchange — ~32 near-empty reduce tasks per job and
+    * up to 32 tiny files per day-partition write, which the next day's
+    * read-back then pays again. The SAME plan-stat signal now also sizes
+    * the static partitioning: a day whose state anchor is under the
+    * threshold runs its tail at `spark.graft.daily.smallDayPartitions`
+    * (default 4; 0 = leave the session value). Above the threshold the
+    * session partitioning stands, so a 100-TB day's delta keeps full
+    * parallelism — the knob is gated on measured size, not on the local
+    * core count. Measured (sf0.1, local[32], ONLY-mode daily_rebuild
+    * min-of-N): fresh-workspace re-orchestration 9.86 s → 5.37 s at 4
+    * partitions (−46%); 2 and 8 partitions measured 5.61/6.00, so 4 is
+    * the flat minimum. The shrink applies whenever the day is
+    * delta-scale regardless of the AQE mode, so the `dailyjobs` probe's
+    * forced-AQE baseline and its noaqe twin still differ only in AQE
+    * state. */
   private[graft] val DailyAdaptiveConf = "spark.graft.daily.adaptive"
   private[graft] val DailyAdaptiveOffBytesConf =
     "spark.graft.daily.adaptiveOffBytes"
+  private[graft] val DailySmallDayPartitionsConf =
+    "spark.graft.daily.smallDayPartitions"
 
   private def latestStateBytes(spark: SparkSession, ws: Workspace,
       s: java.sql.Date): Long = {
@@ -661,19 +682,27 @@ object Daily {
 
   private def withDayAqe[T](spark: SparkSession, ws: Workspace,
       s: java.sql.Date)(body: => T): T = {
+    val thr = spark.conf
+      .get(DailyAdaptiveOffBytesConf, (256L << 20).toString).toLong
+    // one filesystem probe serves both gates: the AQE switch and the
+    // small-day static-partitioning shrink (see the conf scaladoc above)
+    lazy val small = latestStateBytes(spark, ws, s) < thr
     val off = spark.conf.get(DailyAdaptiveConf, "auto") match {
-      case "auto" =>
-        val thr = spark.conf
-          .get(DailyAdaptiveOffBytesConf, (256L << 20).toString).toLong
-        latestStateBytes(spark, ws, s) < thr
+      case "auto" => small
       case m => !java.lang.Boolean.parseBoolean(m)
     }
-    if (!off) body
+    val shrinkTo = spark.conf.get(DailySmallDayPartitionsConf, "4").toInt
+    val overrides =
+      (if (off) Seq("spark.sql.adaptive.enabled" -> "false") else Seq.empty) ++
+        (if (shrinkTo > 0 && small)
+          Seq("spark.sql.shuffle.partitions" -> shrinkTo.toString)
+        else Seq.empty)
+    if (overrides.isEmpty) body
     else {
-      val key = "spark.sql.adaptive.enabled"
-      val prev = spark.conf.get(key, "true")
-      spark.conf.set(key, "false")
-      try body finally spark.conf.set(key, prev)
+      val prevs = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+      overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally prevs.foreach { case (k, ov) =>
+        ov.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
     }
   }
 
