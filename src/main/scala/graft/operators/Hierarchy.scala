@@ -39,22 +39,33 @@ object Hierarchy {
   def closureFrom(edges: DataFrame): DataFrame = {
     import edges.sparkSession.implicits._
     var closure = graft.GraftSession.maybeEagerCheckpoint(edges)
-    var size = closure.count()
+    // Fixpoint via the CAPACITY argument, not count stagnation (round-16
+    // optimization, guide §1.2 "remove unnecessary passes"): after round
+    // k the closure provably holds every path of length ≤ 2^k, and path
+    // lengths from a node to its ancestors are contiguous (1..depth), so
+    // `max(dist) < 2^k` means NO node is deeper than max(dist) and the
+    // closure is complete — the count-stagnation form needed one extra
+    // full join+distinct round just to observe zero growth. max rides
+    // the same single fixpoint action as the count (one agg job/round).
+    var Seq(size, maxDist) = closure.agg(count(lit(1)), max($"dist"))
+      .head().toSeq.map(_.asInstanceOf[Long])
     var round = 0
-    var grown = true
-    while (grown && round < MaxDoublingRounds) {
+    var done = maxDist < 1L // empty edge set: nothing to close
+    while (!done && round < MaxDoublingRounds) {
       val hops = closure.toDF("mid", "anc2", "dist2")
       val doubled = closure.join(hops, $"anc" === $"mid")
         .select($"node", $"anc2".as("anc"), ($"dist" + $"dist2").as("dist"))
       val next = graft.GraftSession.maybeEagerCheckpoint(
         closure.unionByName(doubled).distinct())
-      val nextSize = next.count()
-      grown = nextSize > size
+      val Seq(nextSize, nextMax) = next.agg(count(lit(1)), max($"dist"))
+        .head().toSeq.map(_.asInstanceOf[Long])
+      round += 1
+      done = nextSize == size || nextMax < (1L << round)
       closure = next
       size = nextSize
-      round += 1
+      maxDist = nextMax
     }
-    require(!grown, s"hierarchy closure did not converge in $MaxDoublingRounds rounds")
+    require(done, s"hierarchy closure did not converge in $MaxDoublingRounds rounds")
     closure
   }
 
