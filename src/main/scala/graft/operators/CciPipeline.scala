@@ -937,7 +937,21 @@ object CciPipeline {
     * series' latest crossover state (reference
     * get_daily_signal_recommendations_sub, daily_function.py:1180-1243;
     * note reco uses >= for the current-day test where the sim uses >). */
-  def recommendations(spark: SparkSession, dir: String): DataFrame = {
+  def recommendations(spark: SparkSession, dir: String): DataFrame =
+    recommendationsFrom(spark, dir, bestWinFrame(spark, dir))
+
+  /** The best-win slice of [[bestOf]] — the frame r09/r10/r39 all rank and
+    * filter. Factored out (round-16 optimization) so a composed consumer
+    * (r39's feed derives four outputs from it) can materialize it ONCE and
+    * pass it to [[recommendationsFrom]]/[[candidateFilterFrom]] instead of
+    * re-running the bestOf heap aggregation per output branch. */
+  private[graft] def bestWinFrame(spark: SparkSession, dir: String): DataFrame =
+    bestOf(spark, dir).filter(col("investment_target") === "win_rate")
+
+  /** r09 body over a caller-supplied best-win frame — semantics single-
+    * sourced with [[recommendations]] (which is gated by the r09 oracle). */
+  private[graft] def recommendationsFrom(spark: SparkSession, dir: String,
+      bw: DataFrame): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"d")
     val wDesc = Window.partitionBy($"user_id").orderBy($"d".desc)
@@ -947,7 +961,7 @@ object CciPipeline {
       .filter($"rrn" === 1)
       .select($"user_id", $"open_pr".as("buy_price"),
         $"open_cci".as("current_open_cci"), $"prev_open_cci".as("yesterday_open_cci"))
-    val bestWin = bestOf(spark, dir).filter($"investment_target" === "win_rate")
+    val bestWin = bw
       .select($"user_id", $"condition_holding_days", $"condition_target_return",
         $"condition_buy_cci_threshold", $"condition_stop_loss_cci_threshold",
         $"win_rate", $"count_win", $"revenue_rate", $"avg_revenue_per_days_held",
@@ -1103,9 +1117,15 @@ object CciPipeline {
   // ---------------------------------------------------------------- r10
   /** Candidate filter via quantile thresholds over the best-win table
     * (reference get_candidate_list, daily_function.py:1302-1329). */
-  def candidateFilter(spark: SparkSession, dir: String): DataFrame = {
+  def candidateFilter(spark: SparkSession, dir: String): DataFrame =
+    candidateFilterFrom(spark, bestWinFrame(spark, dir))
+
+  /** r10 body over a caller-supplied best-win frame — see
+    * [[recommendationsFrom]]; gated by the r10 oracle via
+    * [[candidateFilter]]. */
+  private[graft] def candidateFilterFrom(spark: SparkSession,
+      bw: DataFrame): DataFrame = {
     import spark.implicits._
-    val bw = bestOf(spark, dir).filter($"investment_target" === "win_rate")
     val th = bw.agg(
       expr("percentile(win_rate, 0.7)").as("q_win"),
       expr("percentile(count_win, 0.3)").as("q_cnt"),

@@ -48,9 +48,22 @@ object Notify {
 
   def notifyFeed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val reco = CciPipeline.recommendations(spark, dir)
-    val cand = CciPipeline.candidateFilter(spark, dir).select($"user_id")
-    val buy = reco.join(cand, Seq("user_id"))
+    // Round-16 optimization (guide §1.2 "don't compute things twice"):
+    // the four feed branches all derive from the best-win table — reco,
+    // cand, the two counts and the run-end row pulled the bestOf heap
+    // aggregation SIX times through the union (Spark reuses exchanges
+    // only for identical subplans, and the branches' pushed filters fork
+    // them). Materialize the dimension-scale shared frames once — bw
+    // (~|series| rows) and the joined buy feed (≤ |candidates| rows) —
+    // and let every branch read the checkpoint. Semantics stay single-
+    // sourced: recommendationsFrom/candidateFilterFrom are the r09/r10
+    // bodies parameterized by the bw frame.
+    val bw = graft.GraftSession.maybeEagerCheckpoint(
+      CciPipeline.bestWinFrame(spark, dir))
+    val reco = CciPipeline.recommendationsFrom(spark, dir, bw)
+    val cand = graft.GraftSession.maybeEagerCheckpoint(
+      CciPipeline.candidateFilterFrom(spark, bw).select($"user_id"))
+    val buy0 = reco.join(cand, Seq("user_id"))
       .filter($"has_buy_signal" === 1)
       .select(
         lit(2L).as("seq_group"), $"user_id",
@@ -61,6 +74,7 @@ object Notify {
           lit(", 오늘 CCI: "), dp1($"current_open_cci"),
           lit(", 매수 기준 CCI: "), dp1($"condition_buy_cci_threshold"),
           lit(", 매수조건 성립여부 : true")).as("message"))
+    val buy = graft.GraftSession.maybeEagerCheckpoint(buy0)
     def singleton(seq: Long, kind: String, message: Column)(agg: DataFrame) =
       agg.select(lit(seq).as("seq_group"),
         lit(null).cast("long").as("user_id"), lit(kind).as("kind"),
@@ -74,9 +88,7 @@ object Notify {
     val runEnd = singleton(4L, "run_end",
       concat(lit("End. process_all_stocks_with_save_optimized, DF length: "),
         $"n".cast("string"), lit(", run_d: "), $"as_of_d".cast("string")))(
-      CciPipeline.bestOf(spark, dir)
-        .filter($"investment_target" === "win_rate")
-        .agg(count(lit(1)).as("n"))
+      bw.agg(count(lit(1)).as("n"))
         .crossJoin(broadcast(Tables.events(spark, dir)
           .agg(max(to_date($"ts")).as("as_of_d")))))
     candCount.unionByName(buy).unionByName(buyCount).unionByName(runEnd)
