@@ -44,18 +44,26 @@ object GraphRank {
     import spark.implicits._
     import graft.functions.Money.tenK
     val nations = Tables.nation(spark, dir).select($"n_nationkey", $"n_name")
-    val weighted = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
-        $"l_orderkey" === $"o_orderkey")
-      .join(Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey"),
-        $"o_custkey" === $"c_custkey")
-      .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")),
-        $"l_suppkey" === $"s_suppkey")
-      .select($"s_nationkey".as("src"), $"c_nationkey".as("dst"),
-        tenK($"l_extendedprice", $"l_discount").as("v"))
-      .groupBy($"src", $"dst")
-      .agg(expr("sum(v) div 10000").as("w"))
-      .filter($"src" =!= $"dst" && $"w" > 0)
+    // Materialized ONCE (round-16 optimization, guide §1.2): the edge list
+    // is ≤ nations² rows, but pageRankCore reads it through two plans
+    // (share = weighted ⋈ outW, and outW's own rollup) — unmaterialized,
+    // the corpus-scale fact join + aggregation underneath ran TWICE and
+    // the two copies then met in a 32-partition sort-merge join on 25
+    // rows. Checkpointing the tiny edge frame runs the fact pass once and
+    // lets the share join broadcast.
+    val weighted = graft.GraftSession.maybeEagerCheckpoint(
+      Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey"),
+          $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")),
+          $"l_suppkey" === $"s_suppkey")
+        .select($"s_nationkey".as("src"), $"c_nationkey".as("dst"),
+          tenK($"l_extendedprice", $"l_discount").as("v"))
+        .groupBy($"src", $"dst")
+        .agg(expr("sum(v) div 10000").as("w"))
+        .filter($"src" =!= $"dst" && $"w" > 0))
     // nations² node domain → rankPartitions picks the vector layout
     val pr = pageRankCore(nations.select($"n_nationkey".as("node")), weighted,
       rankPartitions)
