@@ -51,6 +51,16 @@ final class SessionMemo[K, V <: AnyRef] {
     }
   }
 
+  /** Unconditional overwrite — for memo slots that track mutable session
+    * state (e.g. which corpus dir a set of temp views points at). */
+  def put(spark: SparkSession, key: K, v: V): Unit = {
+    val m = maps.synchronized {
+      maps.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty)
+    }
+    m.put(key, new java.lang.ref.SoftReference(v)): Unit
+  }
+
   /** Test hook: drop every memoized entry (forces reload/recompute). */
   private[graft] def clear(): Unit = maps.synchronized(maps.clear())
 }

@@ -101,7 +101,31 @@ object SqlSurface {
     * source tables at construction time (the CCI views read events), so
     * without it one unreadable table would abort [[registerAll]] before
     * the unrelated views exist. */
+  /** One registration per (session, dir) (round-16 optimization): the
+    * view BODIES are plans whose construction does planner-scale work
+    * (hot-bin detection for the interval family, the zone-map layouts'
+    * file indexes), and every sqlNN entry called this per invocation —
+    * ~10 view re-plans × reps × entries of pure ceremony. A SQL client
+    * registers its catalog once per session; re-registering the same dir
+    * is a no-op (createOrReplaceTempView with an identical body). A
+    * DIFFERENT dir still re-registers — the memo key carries it. */
+  private val operatorViewsMemo = new graft.SessionMemo[String, String]
+
   def registerOperators(spark: SparkSession, dir: String): Unit = {
+    // single slot per session holding the dir the views currently point
+    // at: a SAME-dir repeat is the memo hit; a DIFFERENT dir re-registers
+    // (the view names are session-global, so a stale memo entry per dir
+    // would skip re-pointing them back)
+    val cur = operatorViewsMemo.getOrElseUpdate(spark, "views") {
+      registerOperatorsAlways(spark, dir); dir
+    }
+    if (cur != dir) {
+      registerOperatorsAlways(spark, dir)
+      operatorViewsMemo.put(spark, "views", dir)
+    }
+  }
+
+  private def registerOperatorsAlways(spark: SparkSession, dir: String): Unit = {
     val views: Seq[(String, () => DataFrame)] = Seq(
       "graft_bars" -> (() => CciPipeline.ohlcBars(spark, dir)),
       "graft_cci" -> (() => CciPipeline.cciQuery(spark, dir)),
