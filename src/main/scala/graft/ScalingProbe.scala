@@ -825,6 +825,21 @@ object ScalingProbe {
       if (on("ledger", "r26_plain")) ledRun("r26_plain", split = false)
       if (on("ledger", "r26_split")) ledRun("r26_split", split = true)
     }
+    if (probes("v01attr") || probes("v01_full") || probes("v01_noorder")) {
+      // v01's 5.7×/decade attribution (VERDICT r15 task 8): the per-user
+      // session window is bounded per key (the scaled corpora grow USER
+      // CARDINALITY — per-user history is fixed by construction), so the
+      // candidate superlinear term is the final corpus-wide orderBy — a
+      // range exchange + full sort over every session row that exists
+      // only to make the gated output deterministic. Pair the declared
+      // query with the same computation minus that sort on the same dir
+      // (point SPARK_GRAFT_SF_DIR at a MakeScaledSf corpus).
+      import graft.streaming.EventStream
+      if (on("v01attr", "v01_full"))
+        out("v01_full") = timed(EventStream.sessionize(spark, sfDir))
+      if (on("v01attr", "v01_noorder"))
+        out("v01_noorder") = timed(EventStream.sessionAggs(spark, sfDir))
+    }
     // Fail fast on an empty selection (typo'd SPARK_GRAFT_PROBE): the run
     // would otherwise print malformed JSON ("...,}") and measure nothing.
     require(out.nonEmpty,

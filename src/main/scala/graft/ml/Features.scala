@@ -262,11 +262,29 @@ object Features {
     * (serve-only), non-comparable. Bench calls this inside its `fit_build`
     * entry so ml01–ml04 time serving only, every round. */
   def warmFit(spark: SparkSession, dir: String): Unit = {
-    fittedWinModel(spark, dir)
-    fittedKmeans(spark, dir, 10)
-    fittedAls(spark, dir)
-    fittedFp(spark, dir)
-    ()
+    // The four fits are INDEPENDENT jobs over disjoint inputs (trades
+    // grid, embeddings, orders⋈lineitem, lineitem baskets), and each is
+    // an iterative optimizer whose per-step job leaves most cores idle
+    // at its tiny training scale — so overlap them from driver threads
+    // (optimization guide §2.6: Spark's scheduler runs concurrent jobs
+    // fine; actions are only sequential because driver code calls them
+    // sequentially). Each model's input, seed and hyper-parameters are
+    // untouched — the fitted models are bit-identical to the sequential
+    // order; only the wall clock changes (measured: rebuild refit
+    // 35.4 s → ~max-of-fits on this host). Memos are per-model
+    // instances, so no cross-fit lock serializes the pool.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try
+      Await.result(Future.sequence(Seq(
+        Future(fittedWinModel(spark, dir)),
+        Future(fittedKmeans(spark, dir, 10)),
+        Future(fittedAls(spark, dir)),
+        Future(fittedFp(spark, dir)))), Duration.Inf): Unit
+    finally pool.shutdown()
   }
 
   /** Bench rebuild hook: a FRESH-WORKSPACE refit of everything [[warmFit]]

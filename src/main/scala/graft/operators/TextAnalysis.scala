@@ -783,9 +783,12 @@ object TextAnalysis {
     val ev = tok.filter($"doc_id" % NbEvalStride === 0)
     val wc = train.groupBy($"lang", $"w").agg(count(lit(1)).as("cwc"))
     val tc = wc.groupBy($"lang").agg(sum($"cwc").as("n_tok"))
-    // 1-row aggregates ride along as broadcasts — no driver action
-    val vv = train.agg(countDistinct($"w").as("v_size"))
-    val nt = train.agg(countDistinct($"doc_id").as("n_total"))
+    // 1-row aggregates ride along as broadcasts — no driver action.
+    // v_size and n_total share ONE pass over the cached token frame
+    // (Spark plans the two distincts as a 2-way Expand with partial
+    // aggregation — cheaper than two full passes and exchanges).
+    val vn = train.agg(countDistinct($"w").as("v_size"),
+      countDistinct($"doc_id").as("n_total"))
     val cdocs = train.groupBy($"lang").agg(countDistinct($"doc_id").as("n_docs"))
     // Micro-log quantization happens through the DETERMINISTIC
     // F.microLn (bit-length normalization + fixed atanh series), not
@@ -793,11 +796,13 @@ object TextAnalysis {
     // but can disagree in the last bit, and a last-ulp fork under the
     // floor is exactly the t10 rank-position hazard.
     val cls = cdocs.join(tc, Seq("lang"))
-      .crossJoin(broadcast(vv)).crossJoin(broadcast(nt))
+      .crossJoin(broadcast(vn))
       .select($"lang".as("cls"),
         F.microLn($"n_docs", $"n_total").as("lprior"),
         F.microLn(lit(1L), $"n_tok" + $"v_size").as("lp0"))
-    val model = wc.join(tc, Seq("lang")).crossJoin(broadcast(vv))
+    // broadcast the SAME vn frame as cls (identical subplans share one
+    // broadcast exchange); n_total is unused here and projected away below
+    val model = wc.join(tc, Seq("lang")).crossJoin(broadcast(vn))
       .select($"lang".as("cls"), $"w",
         F.microLn($"cwc" + 1, $"n_tok" + $"v_size").as("lp"))
     // The class axis fans out through a ONE-ROW packed aggregate (the

@@ -28,6 +28,17 @@ object EventStream {
     * engine-deterministic (SURVEY.md §6). */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    sessionAggs(spark, dir).orderBy($"user_id", $"session_id")
+  }
+
+  /** [[sessionize]] minus its final corpus-wide orderBy — probe-only
+    * (ScalingProbe `v01attr`): the pair attributes how much of v01's
+    * per-decade growth is the deterministic output sort (a range
+    * exchange + full sort over every session row) vs the user-keyed
+    * session computation itself. The declared v01 row stays
+    * [[sessionize]], ordered. */
+  private[graft] def sessionAggs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val cum = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -46,7 +57,6 @@ object EventStream {
         sum(floor($"value" * 100.0 + 0.5).cast("long")).as("value_cents"))
       .withColumn("total_value", $"value_cents".cast("double") / 100.0)
       .drop("value_cents")
-      .orderBy($"user_id", $"session_id")
   }
 
   val sessionizeSql: String =
