@@ -25,6 +25,42 @@ import graft.sources.Tables
 object Features {
   val Seed = 42L
 
+  /** Fit-input compaction gate (round 16, the scale-adaptive-partitioning
+    * rule): below this many training rows the fit input is compacted to
+    * [[FitCompactSmall]] partitions — per-iteration scheduled-job overhead
+    * dominates optimizer math at that scale, and EVERY gated SF sits far
+    * below the gate, so gated/spec'd model outputs are bit-identical to
+    * the former constant. ABOVE the gate (the scaled rehearsals, a real
+    * deployment) partitions grow with the input ([[FitRowsPerPartition]]
+    * rows each, capped at defaultParallelism) instead of pinning a
+    * corpus-scale Lloyd/LBFGS/ALS pass to 4 cores. Row count, not
+    * plan-stat bytes, drives the gate: two of the fit inputs are
+    * join/aggregate plans whose size-only stats are products of their
+    * children — useless as a gate signal — and each input is either
+    * already counted (FP), cached (LR), or a metadata-cheap scan. */
+  val FitCompactRowsConf = "spark.graft.ml.fitCompactRows"
+  private val DefaultFitCompactRows = 1000000L
+  private val FitCompactSmall = 4
+  private val FitRowsPerPartition = 100000L
+
+  private def fitCompact(df: DataFrame, rows: Long): DataFrame = {
+    val spark = df.sparkSession
+    val gate = spark.conf
+      .get(FitCompactRowsConf, DefaultFitCompactRows.toString).toLong
+    if (rows <= gate) df.coalesce(FitCompactSmall)
+    else {
+      val n = math.max(FitCompactSmall,
+        math.min(spark.sparkContext.defaultParallelism.toLong,
+          (rows + FitRowsPerPartition - 1) / FitRowsPerPartition)).toInt
+      // repartition, not coalesce: above the gate the input's scan often
+      // has FEWER splits than the target (a 600 MB parquet is ~5 splits)
+      // and coalesce can only merge — the round-16 sf100 rehearsal's
+      // "20-partition" fit silently ran on the scan's 4 until this
+      // shuffle made the fan-out real
+      df.repartition(n)
+    }
+  }
+
   /** Fits executed by this JVM (test hook: persistence must make reloads
     * free — a second session/memo scope should LOAD, not refit). */
   private[graft] val fitCount = new java.util.concurrent.atomic.AtomicLong(0)
@@ -151,7 +187,9 @@ object Features {
         val lr = new LogisticRegression()
           .setFeaturesCol("features").setLabelCol("label")
           .setMaxIter(25).setRegParam(0.01)
-        lr.fit(feats.select("features", "label").coalesce(4))
+        // feats is session-cached, so the gate count is a cache scan
+        val train = feats.select("features", "label")
+        lr.fit(fitCompact(train, train.count()))
       }
     }
     (model, feats)
@@ -193,9 +231,10 @@ object Features {
       loadOrFit(spark, modelPath(spark, dir, Seq("embeddings"), s"kmeans_$k"),
         org.apache.spark.ml.clustering.KMeansModel.load) {
         import spark.implicits._
-        val train = Tables.embeddings(spark, dir)
-          .select(array_to_vector($"embedding".cast("array<double>")).as("features"))
-          .coalesce(4)
+        // gate count is a parquet metadata count (no column decode)
+        val n = Tables.embeddings(spark, dir).count()
+        val train = fitCompact(Tables.embeddings(spark, dir)
+          .select(array_to_vector($"embedding".cast("array<double>")).as("features")), n)
         new KMeans().setK(k).setSeed(Seed).setFeaturesCol("features").fit(train)
       }
     }
@@ -241,16 +280,23 @@ object Features {
       loadOrFit(spark, modelPath(spark, dir, Seq("orders", "lineitem"), "als"),
         org.apache.spark.ml.recommendation.ALSModel.load) {
         import spark.implicits._
+        // persist across the gate count and the fit's own input scans so
+        // the corpus-scale join+aggregate runs once (the FP baskets
+        // discipline below)
         val purchases = Tables.orders(spark, dir)
           .join(Tables.lineitem(spark, dir), $"o_orderkey" === $"l_orderkey")
           .groupBy($"o_custkey".cast("int").as("user"),
             $"l_partkey".cast("int").as("item"))
           .agg(sum($"l_quantity").cast("float").as("rating"))
-        new org.apache.spark.ml.recommendation.ALS()
-          .setImplicitPrefs(true).setRank(8).setMaxIter(5).setRegParam(0.1)
-          .setSeed(Seed).setColdStartStrategy("drop")
-          .setUserCol("user").setItemCol("item").setRatingCol("rating")
-          .fit(purchases.coalesce(4))
+          .persist()
+        try {
+          val n = purchases.count()
+          new org.apache.spark.ml.recommendation.ALS()
+            .setImplicitPrefs(true).setRank(8).setMaxIter(5).setRegParam(0.1)
+            .setSeed(Seed).setColdStartStrategy("drop")
+            .setUserCol("user").setItemCol("item").setRatingCol("rating")
+            .fit(fitCompact(purchases, n))
+        } finally purchases.unpersist()
       }
     }
 
