@@ -43,7 +43,7 @@ object Features {
   private val FitCompactSmall = 4
   private val FitRowsPerPartition = 100000L
 
-  private def fitCompact(df: DataFrame, rows: Long): DataFrame = {
+  private[graft] def fitCompact(df: DataFrame, rows: Long): DataFrame = {
     val spark = df.sparkSession
     val gate = spark.conf
       .get(FitCompactRowsConf, DefaultFitCompactRows.toString).toLong
